@@ -1,0 +1,415 @@
+"""Per-segment clustering (reference: cluster.py:44-71 `kClustering`,
+optimal_k.py:16-100 seed search; algorithms M1-M6 in SURVEY §2.6).
+
+Two execution modes behind one API (SURVEY §7.2):
+
+* ``scale`` (default): ``groupBy(segment).applyInPandas(fit_fn)`` — one
+  Arrow-batched task per segment, numpy implementations of KMeans /
+  BisectingKMeans / GaussianMixture. Scales to millions of segments on a
+  1000-executor cluster: the only shuffle is the groupBy on the segment
+  keys, and each task is independent. This is the Spark-native answer to
+  the reference's driver-side ThreadPoolExecutor (cluster.py:276-287).
+  Constraint: one segment must fit in one worker's memory (inherent to
+  per-segment model fitting; the reference has the same bound on the
+  driver).
+
+* ``parity``: Spark MLlib estimators fit per segment in a driver loop —
+  matches the reference's numerics exactly (same MLlib KMeans'|| init,
+  same ClusteringEvaluator silhouette). Right choice when segments are
+  huge (each fit is itself distributed) and segment count is small.
+
+Numerics note: the numpy KMeans uses k-means++ init + Lloyd iterations
+(maxIter=20, tol=1e-4 — MLlib's defaults); BisectingKMeans repeatedly
+2-means-splits the largest-SSE cluster; GMM is full-covariance EM
+initialized from k-means. Assignments agree with MLlib on separated
+data but are not bit-identical (SURVEY §7.7) — correctness tests pin
+invariants + planted-blob recovery, not cross-mode equality.
+
+Seed search (optimal_k.py:16-72 `optimalModel`): fit ``len(seeds)``
+models, keep the best silhouette. The reference draws unseeded random
+seeds (SURVEY §4.3.7); we take an explicit deterministic seed list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from clustering_spark.config import PREDICTION_COL
+
+SILHOUETTE_COL = "silhouette"
+_MAX_ITER = 20
+_TOL = 1e-4
+
+
+# ---------------------------------------------------------------- numpy core
+
+
+def _kmeanspp_init(X: np.ndarray, k: int, rng: np.random.RandomState) -> np.ndarray:
+    n = X.shape[0]
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centers[i:] = X[rng.randint(n, size=k - i)]
+            break
+        probs = d2 / total
+        centers[i] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    return centers
+
+
+def _assign(X: np.ndarray, centers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+    d2 = (
+        (X**2).sum(axis=1)[:, None]
+        - 2.0 * X @ centers.T
+        + (centers**2).sum(axis=1)[None, :]
+    )
+    np.maximum(d2, 0.0, out=d2)
+    labels = d2.argmin(axis=1)
+    return labels, d2
+
+
+def kmeans_fit(
+    X: np.ndarray, k: int, seed: int, max_iter: int = _MAX_ITER, tol: float = _TOL
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Lloyd's KMeans. Returns (labels, centers, wssse)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(np.unique(X, axis=0)))
+    centers = _kmeanspp_init(X, k, rng)
+    labels = np.zeros(len(X), dtype=np.int64)
+    for _ in range(max_iter):
+        labels, d2 = _assign(X, centers)
+        new_centers = centers.copy()
+        for c in range(k):
+            mask = labels == c
+            if mask.any():
+                new_centers[c] = X[mask].mean(axis=0)
+        shift = np.sqrt(((new_centers - centers) ** 2).sum(axis=1)).max()
+        centers = new_centers
+        if shift <= tol:
+            break
+    labels, d2 = _assign(X, centers)
+    wssse = float(d2[np.arange(len(X)), labels].sum())
+    return labels, centers, wssse
+
+
+def bisecting_kmeans_fit(
+    X: np.ndarray, k: int, seed: int
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Top-down bisecting KMeans: repeatedly 2-means-split the cluster
+    with the largest SSE until k clusters exist (MLlib BisectingKMeans
+    semantics, greedy-largest variant)."""
+    rng = np.random.RandomState(seed)
+    labels = np.zeros(len(X), dtype=np.int64)
+    n_clusters = 1
+    while n_clusters < k:
+        # pick the splittable cluster with largest SSE
+        sses = []
+        for c in range(n_clusters):
+            pts = X[labels == c]
+            if len(np.unique(pts, axis=0)) < 2:
+                sses.append(-1.0)
+            else:
+                sses.append(float(((pts - pts.mean(axis=0)) ** 2).sum()))
+        target = int(np.argmax(sses))
+        if sses[target] < 0:
+            break
+        mask = labels == target
+        sub_labels, _, _ = kmeans_fit(X[mask], 2, rng.randint(2**31 - 1))
+        new_label = n_clusters
+        idx = np.where(mask)[0]
+        labels[idx[sub_labels == 1]] = new_label
+        n_clusters += 1
+    centers = np.vstack(
+        [
+            X[labels == c].mean(axis=0) if (labels == c).any() else np.zeros(X.shape[1])
+            for c in range(n_clusters)
+        ]
+    )
+    _, d2 = _assign(X, centers)
+    wssse = float(d2[np.arange(len(X)), labels].sum())
+    return labels, centers, wssse
+
+
+def gmm_fit(
+    X: np.ndarray, k: int, seed: int, max_iter: int = 100, tol: float = 1e-3
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Full-covariance Gaussian Mixture EM, k-means initialized.
+
+    Per reference semantics (M3, cluster.py:152-153): reported centers
+    are the per-cluster MEAN OF ASSIGNED POINTS (metrics.py:32-54), not
+    the Gaussian means; WSSSE is not defined for GMM (optimal_k.py:129)
+    so we return it w.r.t. those empirical centers for completeness.
+    """
+    n, d = X.shape
+    labels0, centers0, _ = kmeans_fit(X, k, seed)
+    k = centers0.shape[0]
+    means = centers0.copy()
+    covs = np.array([np.cov(X.T) + np.eye(d) * 1e-6 for _ in range(k)])
+    weights = np.array([(labels0 == c).mean() for c in range(k)])
+    weights = np.clip(weights, 1e-12, None)
+    weights /= weights.sum()
+
+    def log_gauss(X, mu, cov):
+        d = X.shape[1]
+        cov = cov + np.eye(d) * 1e-9
+        try:
+            chol = np.linalg.cholesky(cov)
+        except np.linalg.LinAlgError:
+            cov = cov + np.eye(d) * 1e-3
+            chol = np.linalg.cholesky(cov)
+        diff = X - mu
+        y = np.linalg.solve(chol, diff.T).T
+        maha = (y**2).sum(axis=1)
+        logdet = 2.0 * np.log(np.diag(chol)).sum()
+        return -0.5 * (d * np.log(2 * np.pi) + logdet + maha)
+
+    prev_ll = -np.inf
+    resp = np.zeros((n, k))
+    for _ in range(max_iter):
+        logp = np.stack(
+            [np.log(weights[c]) + log_gauss(X, means[c], covs[c]) for c in range(k)],
+            axis=1,
+        )
+        m = logp.max(axis=1, keepdims=True)
+        lse = m[:, 0] + np.log(np.exp(logp - m).sum(axis=1))
+        resp = np.exp(logp - lse[:, None])
+        ll = float(lse.sum())
+        nk = resp.sum(axis=0) + 1e-12
+        weights = nk / n
+        means = (resp.T @ X) / nk[:, None]
+        for c in range(k):
+            diff = X - means[c]
+            covs[c] = (resp[:, c][:, None] * diff).T @ diff / nk[c] + np.eye(d) * 1e-6
+        if abs(ll - prev_ll) < tol * max(1.0, abs(prev_ll)):
+            break
+        prev_ll = ll
+    labels = resp.argmax(axis=1)
+    emp_centers = np.vstack(
+        [
+            X[labels == c].mean(axis=0) if (labels == c).any() else means[c]
+            for c in range(k)
+        ]
+    )
+    _, d2 = _assign(X, emp_centers)
+    wssse = float(d2[np.arange(len(X)), labels].sum())
+    return labels, emp_centers, wssse
+
+
+_FITTERS = {
+    "KMeans": kmeans_fit,
+    "BisectingKMeans": bisecting_kmeans_fit,
+    "GaussianMixture": gmm_fit,
+}
+
+
+def squared_euclidean_silhouette(X: np.ndarray, labels: np.ndarray) -> float:
+    """Centroid-based squared-Euclidean silhouette — the O(n·k) measure
+    MLlib's ClusteringEvaluator computes (vs classic O(n^2)):
+    a(i) uses own-cluster stats, b(i) = min over other clusters of
+    avg||x - y||^2 = ||x||^2 - 2 x·mu_c + E_c[||y||^2].
+    Returns 0.0 for a single cluster (metrics.py:140-148 parity)."""
+    uniq = np.unique(labels)
+    if len(uniq) < 2:
+        return 0.0
+    mus, msq = {}, {}
+    for c in uniq:
+        pts = X[labels == c]
+        mus[c] = pts.mean(axis=0)
+        msq[c] = float((pts**2).sum(axis=1).mean())
+    xsq = (X**2).sum(axis=1)
+    scores = np.empty(len(X))
+    for i in range(len(X)):
+        a = b = None
+        for c in uniq:
+            val = max(xsq[i] - 2.0 * X[i] @ mus[c] + msq[c], 0.0)
+            if c == labels[i]:
+                a = val
+            else:
+                b = val if b is None else min(b, val)
+        denom = max(a, b)
+        scores[i] = 0.0 if denom <= 0 else (b - a) / denom
+    return float(scores.mean())
+
+
+def best_of_seeds(
+    X: np.ndarray, k: int, algorithm: str, seeds: Iterable[int]
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Seed search (optimal_k.py:16-72): fit one model per seed, keep the
+    max-silhouette one. Returns (labels, centers, silhouette, wssse)."""
+    fitter = _FITTERS[algorithm]
+    best = None
+    for seed in seeds:
+        labels, centers, wssse = fitter(X, k, seed)
+        sil = squared_euclidean_silhouette(X, labels)
+        if best is None or sil > best[2]:
+            best = (labels, centers, sil, wssse)
+    return best
+
+
+# ------------------------------------------------------------- Spark driver
+
+
+@dataclass
+class SegmentedClusterer:
+    """Fit one clustering model per (segment) group of one DataFrame.
+
+    Input contract: ``df`` has ``segment_cols`` plus numeric
+    ``feature_cols`` (already scaled), plus optionally a per-segment
+    ``k_col`` (from the k-cache join); segments lacking it fall back to
+    ``default_k``.
+
+    Output: input rows + ``prediction`` (int, cluster id within the
+    segment, ordered by cluster size desc then first-occurrence for
+    determinism) + ``silhouette`` (double, constant per segment) +
+    ``wssse`` (double, constant per segment).
+    """
+
+    segment_cols: list[str]
+    feature_cols: list[str]
+    algorithm: str = "KMeans"
+    default_k: int = 3
+    seeds: tuple[int, ...] = (42,)
+    k_col: str | None = None
+    mode: str = "scale"
+
+    def fit_predict(self, df: DataFrame) -> DataFrame:
+        if self.algorithm not in _FITTERS:
+            raise ValueError(f"unknown algorithm {self.algorithm!r}")
+        if self.mode == "scale":
+            return self._fit_apply_in_pandas(df)
+        elif self.mode == "parity":
+            return self._fit_mllib_loop(df)
+        raise ValueError(f"unknown mode {self.mode!r}")
+
+    # -- scale mode: one Arrow task per segment ---------------------------
+    def _fit_apply_in_pandas(self, df: DataFrame) -> DataFrame:
+        out_schema = StructType(
+            df.schema.fields
+            + [
+                StructField(PREDICTION_COL, IntegerType(), False),
+                StructField(SILHOUETTE_COL, DoubleType(), False),
+                StructField("wssse", DoubleType(), False),
+            ]
+        )
+        feature_cols = list(self.feature_cols)
+        k_col = self.k_col
+        default_k = self.default_k
+        algorithm = self.algorithm
+        seeds = tuple(self.seeds)
+
+        def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = pdf[feature_cols].to_numpy(dtype=np.float64)
+            k = default_k
+            if k_col is not None and k_col in pdf.columns:
+                kv = pdf[k_col].iloc[0]
+                if pd.notna(kv):
+                    k = int(kv)
+            n_distinct = len(np.unique(X, axis=0))
+            if n_distinct < 2 or len(X) < 2:
+                # degenerate segment: single cluster, silhouette 0
+                pdf = pdf.copy()
+                pdf[PREDICTION_COL] = np.int32(0)
+                pdf[SILHOUETTE_COL] = 0.0
+                pdf["wssse"] = 0.0
+                return pdf
+            k = max(2, min(k, n_distinct))
+            labels, centers, sil, wssse = best_of_seeds(X, k, algorithm, seeds)
+            # deterministic relabel: by cluster size desc, then by first
+            # appearance — stable across seeds that find the same split
+            order = {}
+            sizes = pd.Series(labels).value_counts()
+            for rank, c in enumerate(
+                sorted(sizes.index, key=lambda c: (-sizes[c], int(np.argmax(labels == c))))
+            ):
+                order[c] = rank
+            pdf = pdf.copy()
+            pdf[PREDICTION_COL] = np.array([order[c] for c in labels], dtype=np.int32)
+            pdf[SILHOUETTE_COL] = sil
+            pdf["wssse"] = wssse
+            return pdf
+
+        return df.groupBy(*self.segment_cols).applyInPandas(fit_group, out_schema)
+
+    # -- parity mode: MLlib estimators, driver loop over segments ---------
+    def _fit_mllib_loop(self, df: DataFrame) -> DataFrame:
+        """MLlib path for strict numeric parity with the reference
+        (cluster.py:44-71). Distributed per-fit, serial over segments —
+        use when segments are few and large. Requires a vector features
+        column; we assemble arrays on the fly."""
+        from pyspark.ml.clustering import BisectingKMeans, GaussianMixture, KMeans
+        from pyspark.ml.evaluation import ClusteringEvaluator
+        from pyspark.ml.feature import VectorAssembler
+
+        est_cls = {
+            "KMeans": KMeans,
+            "BisectingKMeans": BisectingKMeans,
+            "GaussianMixture": GaussianMixture,
+        }[self.algorithm]
+
+        assembler = VectorAssembler(
+            inputCols=self.feature_cols, outputCol="__features_vec"
+        )
+        assembled = assembler.transform(df)
+        segs = [r.asDict() for r in df.select(*self.segment_cols).distinct().collect()]
+        evaluator = ClusteringEvaluator(
+            predictionCol=PREDICTION_COL, featuresCol="__features_vec"
+        )
+        parts = []
+        for seg in segs:
+            cond = F.lit(True)
+            for c in self.segment_cols:
+                cond = cond & (F.col(c) == F.lit(seg[c]))
+            sdf = assembled.filter(cond).cache()
+            n_distinct = (
+                sdf.select(*self.feature_cols).distinct().limit(2).count()
+            )
+            if n_distinct < 2:
+                labeled = sdf.withColumn(PREDICTION_COL, F.lit(0)).withColumn(
+                    SILHOUETTE_COL, F.lit(0.0)
+                ).withColumn("wssse", F.lit(0.0))
+                parts.append(labeled.drop("__features_vec"))
+                continue
+            best = None
+            for seed in self.seeds:
+                est = est_cls(
+                    featuresCol="__features_vec",
+                    predictionCol=PREDICTION_COL,
+                    k=self.default_k,
+                    seed=seed,
+                )
+                model = est.fit(sdf)
+                labeled = model.transform(sdf)
+                n_clusters = labeled.select(PREDICTION_COL).distinct().count()
+                sil = evaluator.evaluate(labeled) if n_clusters >= 2 else 0.0
+                try:
+                    wssse = float(model.summary.trainingCost)
+                except Exception:
+                    wssse = 0.0
+                if best is None or sil > best[1]:
+                    best = (labeled, sil, wssse)
+            labeled, sil, wssse = best
+            parts.append(
+                labeled.withColumn(SILHOUETTE_COL, F.lit(sil))
+                .withColumn("wssse", F.lit(wssse))
+                .drop("__features_vec")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

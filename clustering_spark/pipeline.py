@@ -1,0 +1,115 @@
+"""End-to-end segment→scale→cluster→metrics pipeline
+(reference: cluster.py:74-173 `createClusters` — the main "query").
+
+One grid cell (macro_col, micro_col, x, y, algorithm) is ONE call here;
+the reference's 5-deep loop × ThreadPoolExecutor (cluster.py:277-287)
+maps to iterating `config.grid()` and letting Spark's FAIR scheduler
+overlap the jobs.
+
+Output schema = `cluster_results` (FIXTURES.md §4): one row per
+(segment, cluster) with algorithm/grid metadata, entropy, silhouette,
+cluster_name, center, cluster_size, radius.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clustering_spark.config import PREDICTION_COL, PipelineConfig
+from clustering_spark.functions.scaling import scale_segments, scaled_name
+from clustering_spark.operators.clustering import SegmentedClusterer
+from clustering_spark.operators.metrics import (
+    cluster_summaries,
+    d3_normalize,
+    segment_entropy,
+)
+from clustering_spark.operators.segmentation import drop_null_metrics
+
+RESULT_COLUMNS = [
+    "algorithm",
+    "macro_col",
+    "micro_col",
+    "x_col",
+    "y_col",
+    "macro_id",
+    "micro_id",
+    "entropy",
+    "silhouette",
+    "cluster_name",
+    "center",
+    "cluster_size",
+    "radius",
+]
+
+
+def cluster_segments(
+    df: DataFrame,
+    macro_col: str,
+    micro_col: str,
+    x_col: str,
+    y_col: str,
+    algorithm: str = "KMeans",
+    config: PipelineConfig | None = None,
+    k: int = 3,
+    k_col: str | None = None,
+) -> DataFrame:
+    """Run one grid cell end-to-end; returns the flat results table.
+
+    Steps (all lazily composed — one optimized plan):
+      na.drop on metrics (preprocess.py:89) → per-segment scaling
+      (preprocess.py:73-111) → per-segment fit+label (cluster.py:44-71)
+      → single-pass summaries + entropy (metrics.py) → d3 size.
+    """
+    config = config or PipelineConfig()
+    segment_cols = [macro_col, micro_col]
+    metric_cols = [x_col, y_col]
+
+    clean = drop_null_metrics(df, metric_cols)
+    scaled = scale_segments(clean, metric_cols, segment_cols, config.dont_scale)
+    feat_cols = [scaled_name(x_col, metric_cols), scaled_name(y_col, metric_cols)]
+
+    clusterer = SegmentedClusterer(
+        segment_cols=segment_cols,
+        feature_cols=feat_cols,
+        algorithm=algorithm,
+        default_k=k,
+        seeds=tuple(config.seeds(config.iter_num)),
+        k_col=k_col,
+        mode=config.fit_mode,
+    )
+    labeled = clusterer.fit_predict(
+        scaled.select(*segment_cols, *feat_cols, *( [k_col] if k_col else [] ))
+    )
+
+    summaries = cluster_summaries(labeled, segment_cols, feat_cols)
+    entropy = segment_entropy(labeled, segment_cols)
+
+    out = (
+        summaries.join(F.broadcast(entropy), on=segment_cols, how="left")
+        .withColumn("algorithm", F.lit(algorithm))
+        .withColumn("macro_col", F.lit(macro_col))
+        .withColumn("micro_col", F.lit(micro_col))
+        .withColumn("x_col", F.lit(x_col))
+        .withColumn("y_col", F.lit(y_col))
+        .withColumnRenamed(PREDICTION_COL, "cluster_name")
+        .withColumn("macro_id", F.col(macro_col).cast("string"))
+        .withColumn("micro_id", F.col(micro_col).cast("string"))
+    )
+    out = d3_normalize(out, "radius", "size", config.d3_normalize_max)
+    return out.select(*RESULT_COLUMNS, "size")
+
+
+def run_grid(df: DataFrame, config: PipelineConfig, k: int = 3) -> DataFrame:
+    """All grid cells unioned into one results table (cluster.py main).
+
+    The reference re-segments per (x, y, alg) iteration (SURVEY §4.3.2);
+    here each cell is one lazy plan and Spark schedules them; callers
+    wanting overlap can submit cells from threads — plans are
+    independent jobs on one session (FAIR scheduler, see session.py).
+    """
+    out = None
+    for macro, micro, x, y, alg in config.grid():
+        cell = cluster_segments(df, macro, micro, x, y, alg, config, k=k)
+        out = cell if out is None else out.unionByName(cell)
+    return out

@@ -1,0 +1,579 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the
+beyond-reference LLM-pipeline operators) as a named (Spark callable,
+DuckDB oracle SQL) pair, consumed by ``__spark_entry__.py``.
+
+Conventions (driver contract):
+  * each callable takes (spark, sf_dir) and returns a DataFrame;
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * floats that pass through aggregation are rounded (ROUND_*) so the
+    order-insensitive value hash is stable across engines — Spark and
+    DuckDB sum doubles in different orders;
+  * timestamp-bearing outputs are reduced to epoch seconds (bigint)
+    with the session forced to UTC, sidestepping tz-rendering drift.
+
+Queries without an oracle entry (clustering, MinHash/SimHash — not
+ANSI-SQL-expressible) get the driver's weaker rows-only check and are
+covered by invariant tests in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clustering_spark.config import PipelineConfig
+from clustering_spark.functions.scaling import scale_segments
+from clustering_spark.pipeline import cluster_segments
+
+ROUND = 6  # decimals for per-row arithmetic / averages
+ROUND_SUM = 2  # decimals for large-magnitude sums
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) — Spark's reader rejects
+    it unless nanos are surfaced as long. We read ns-since-epoch and
+    derive a proper microsecond ``ts_utc`` timestamp column; exact
+    integer arithmetic (DIV) keeps oracle comparisons drift-free."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+# =====================================================================
+# §2.2 projection / filter / derivation
+# =====================================================================
+
+
+def q_nulldrop_projection(spark, sf_dir):
+    """P2/P3: projection + na.drop (preprocess.py:89)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .na.drop(subset=["l_quantity", "l_extendedprice"])
+    )
+
+
+SQL_NULLDROP = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+"""
+
+
+def q_segment_counts(spark, sf_dir):
+    """P4/A1: segment carve as groupBy, not filter loops (SURVEY §4.3.1)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_SEGMENT_COUNTS = """
+SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+FROM customer GROUP BY 1, 2
+"""
+
+
+def q_minmax_scale(spark, sf_dir):
+    """P6: per-segment min-max scale to [0,100] (preprocess.py:93-106),
+    single groupBy-stats + broadcast-join plan."""
+    c = load(spark, sf_dir, "customer")
+    scaled = scale_segments(
+        c, ["c_acctbal"], ["c_nationkey", "c_mktsegment"], dont_scale=[]
+    )
+    return scaled.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_scaled"), ROUND).alias("acctbal_scaled"),
+    )
+
+
+SQL_MINMAX_SCALE = f"""
+SELECT c_custkey, c_nationkey, c_mktsegment,
+       round(CASE WHEN mx = mn THEN 0.0
+                  ELSE (c_acctbal - mn) / (mx - mn) * 100.0 END, {ROUND})
+         AS acctbal_scaled
+FROM (
+  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+         min(c_acctbal) OVER (PARTITION BY c_nationkey, c_mktsegment) AS mn,
+         max(c_acctbal) OVER (PARTITION BY c_nationkey, c_mktsegment) AS mx
+  FROM customer)
+"""
+
+
+def q_limit_scale(spark, sf_dir):
+    """P5: percent-of-limit scaling (preprocess.py:95-97) — the capacity
+    column arrives via a broadcast dim join (part is the small side)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100.0 / F.col("p_retailprice"), ROUND)
+            .alias("price_pct_of_retail"),
+        )
+    )
+
+
+SQL_LIMIT_SCALE = f"""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * 100.0 / p_retailprice, {ROUND}) AS price_pct_of_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# =====================================================================
+# §2.3 aggregations
+# =====================================================================
+
+
+def q_distinct_guard(spark, sf_dir):
+    """A3: degenerate-segment guard — distinct metric tuples >= 2
+    (cluster.py:115) as one aggregate over all segments."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count_distinct(F.struct("c_acctbal", "c_custkey")).alias(
+                "n_distinct_points"
+            )
+        )
+        .filter(F.col("n_distinct_points") >= 2)
+    )
+
+
+SQL_DISTINCT_GUARD = """
+SELECT c_nationkey, c_mktsegment,
+       count(DISTINCT (c_acctbal, c_custkey)) AS n_distinct_points
+FROM customer GROUP BY 1, 2
+HAVING count(DISTINCT (c_acctbal, c_custkey)) >= 2
+"""
+
+
+def q_group_minmax(spark, sf_dir):
+    """A4: scaling bounds for every metric in ONE job (vs the
+    reference's 2 collects per column per segment, SURVEY §4.3.3)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("o_totalprice"), ROUND).alias("price_min"),
+        F.round(F.max("o_totalprice"), ROUND).alias("price_max"),
+    )
+
+
+SQL_GROUP_MINMAX = f"""
+SELECT o_orderstatus, count(*) AS n_rows,
+       round(min(o_totalprice), {ROUND}) AS price_min,
+       round(max(o_totalprice), {ROUND}) AS price_max
+FROM orders GROUP BY 1
+"""
+
+
+def q_entropy(spark, sf_dir):
+    """A5: Shannon entropy of a group-size distribution as ONE
+    aggregation pipeline (vs k+1 count jobs, metrics.py:131-135).
+    Here: entropy of order-priority mix per customer segment."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    sizes = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n")
+    plogp = F.sum(F.col("n").cast("double") * F.log2(F.col("n").cast("double")))
+    return sizes.groupBy("c_mktsegment").agg(
+        F.round(F.abs(-(plogp / total - F.log2(total))), ROUND).alias("entropy")
+    )
+
+
+SQL_ENTROPY = f"""
+WITH sizes AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment,
+       round(abs(-(sum(n * log2(n)) / sum(n) - log2(sum(n)))), {ROUND}) AS entropy
+FROM sizes GROUP BY 1
+"""
+
+
+def q_group_mean_center(spark, sf_dir):
+    """A6: per-group mean vector (cluster centers for GMM parity,
+    metrics.py:32-54) — avg per dimension in one groupBy."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), ROUND).alias("center_acctbal"),
+        F.round(F.avg(F.col("c_custkey").cast("double")), ROUND).alias("center_custkey"),
+    )
+
+
+SQL_GROUP_MEAN = f"""
+SELECT c_mktsegment,
+       round(avg(c_acctbal), {ROUND}) AS center_acctbal,
+       round(avg(CAST(c_custkey AS DOUBLE)), {ROUND}) AS center_custkey
+FROM customer GROUP BY 1
+"""
+
+
+def q_radius(spark, sf_dir):
+    """A7: cluster radius = sqrt(max squared distance to the group
+    centroid) (metrics.py:12-29), centroid from a first-level aggregate
+    broadcast back — no per-cluster jobs, no python UDF (P8 fix)."""
+    c = load(spark, sf_dir, "customer")
+    centers = c.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("ctr_bal"),
+        F.avg(F.col("c_nationkey").cast("double")).alias("ctr_nat"),
+    )
+    d2 = (F.col("c_acctbal") - F.col("ctr_bal")) ** 2 + (
+        F.col("c_nationkey").cast("double") - F.col("ctr_nat")
+    ) ** 2
+    return (
+        c.join(F.broadcast(centers), on="c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sqrt(F.max(d2)), ROUND).alias("radius"))
+    )
+
+
+SQL_RADIUS = f"""
+WITH centers AS (
+  SELECT c_mktsegment, avg(c_acctbal) AS ctr_bal,
+         avg(CAST(c_nationkey AS DOUBLE)) AS ctr_nat
+  FROM customer GROUP BY 1)
+SELECT c.c_mktsegment,
+       round(sqrt(max(power(c_acctbal - ctr_bal, 2)
+                    + power(CAST(c_nationkey AS DOUBLE) - ctr_nat, 2))), {ROUND})
+         AS radius
+FROM customer c JOIN centers USING (c_mktsegment)
+GROUP BY 1
+"""
+
+
+# =====================================================================
+# §2.5 sort / limit / top-k
+# =====================================================================
+
+
+def q_topk_segments(spark, sf_dir):
+    """T1: top-3 by score with deterministic tiebreak
+    (optimal_k.py:160-162 relational form)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.round(F.sum("c_acctbal"), ROUND_SUM).alias("total_bal"))
+        .orderBy(F.col("total_bal").desc(), F.col("c_mktsegment"))
+        .limit(3)
+    )
+
+
+SQL_TOPK = f"""
+SELECT c_mktsegment, round(sum(c_acctbal), {ROUND_SUM}) AS total_bal
+FROM customer GROUP BY 1
+ORDER BY total_bal DESC, c_mktsegment LIMIT 3
+"""
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """T3: latest-document-wins (Mongo `_id` DESC find_one,
+    cluster.py:27 / views.py:31-34) as row_number()==1."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("ts DIV 1000000000").alias("ts_epoch"),
+        )
+    )
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, event_type,
+       epoch_ns(ts) // 1000000000 AS ts_epoch
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def q_row_cap(spark, sf_dir):
+    """T4: deterministic row cap (reference uses unseeded sample,
+    preprocess.py:60-63 — SURVEY §4.3.7; we order+limit)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+SQL_ROW_CAP = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+# =====================================================================
+# §1.4 / P9: hierarchy rollup (pre-JSON exploded rows)
+# =====================================================================
+
+
+def q_hierarchy_rollup(spark, sf_dir):
+    """P9: the D3 hierarchy built relationally (region -> nation ->
+    aggregate), i.e. the exploded form of the nested doc — never by
+    string-replacing JSON (SURVEY §4.3.6)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("name"),
+            F.col("n_name").alias("child_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), ROUND_SUM).alias("total_bal"),
+        )
+    )
+
+
+SQL_HIERARCHY = f"""
+SELECT r_name AS name, n_name AS child_name, count(*) AS n_customers,
+       round(sum(c_acctbal), {ROUND_SUM}) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# headline analytics (bench workload; TPC-H-shaped)
+# =====================================================================
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the scan+agg throughput
+    headline. Catalyst pushes the shipdate filter into the parquet
+    scan; aggregation partial-aggregates map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), ROUND_SUM).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), ROUND_SUM).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SUM
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                ROUND_SUM,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), ROUND).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), ROUND).alias("avg_price"),
+            F.round(F.avg("l_discount"), ROUND).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), {ROUND_SUM}) AS sum_qty,
+       round(sum(l_extendedprice), {ROUND_SUM}) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SUM}) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {ROUND_SUM}) AS sum_charge,
+       round(avg(l_quantity), {ROUND}) AS avg_qty,
+       round(avg(l_extendedprice), {ROUND}) AS avg_price,
+       round(avg(l_discount), {ROUND}) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Join-heavy headline: fact (lineitem⋈orders) with broadcast dims
+    (customer is small at TPC-H ratios relative to lineitem; nation is
+    tiny). At 100 TB the orders⋈lineitem join co-partitions on the
+    orderkey; dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SUM
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SUM}) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_window_events(spark, sf_dir):
+    """Time-windowed aggregate over events (batch analog of the cron
+    tumbling windows, SURVEY §2.8/§7.6): tumbling 1-hour counts."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts_utc", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_WINDOW_EVENTS = f"""
+SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch,
+       event_type, count(*) AS n_events,
+       round(sum(value), {ROUND_SUM}) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# clustering pipeline (non-SQL-expressible; rows-only checks)
+# =====================================================================
+
+
+def _flagship(spark, sf_dir, algorithm):
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    df = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    return cluster_segments(
+        df,
+        macro_col="n_name",
+        micro_col="c_mktsegment",
+        x_col="c_acctbal",
+        y_col="c_custkey",
+        algorithm=algorithm,
+        config=PipelineConfig(dont_scale=[]),
+        k=3,
+    )
+
+
+def q_cluster_kmeans(spark, sf_dir):
+    """M1/M4/M5 + full metrics block: the flagship segment→scale→
+    KMeans→summaries pipeline (cluster.py:74-173 re-expressed)."""
+    return _flagship(spark, sf_dir, "KMeans")
+
+
+def q_cluster_bisecting(spark, sf_dir):
+    """M2: BisectingKMeans variant of the flagship."""
+    return _flagship(spark, sf_dir, "BisectingKMeans")
+
+
+def q_cluster_gmm(spark, sf_dir):
+    """M3: GaussianMixture variant (centers = per-cluster empirical
+    means, reference semantics metrics.py:32-54)."""
+    return _flagship(spark, sf_dir, "GaussianMixture")
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "nulldrop_projection": q_nulldrop_projection,
+    "segment_counts": q_segment_counts,
+    "minmax_scale": q_minmax_scale,
+    "limit_scale": q_limit_scale,
+    "distinct_guard": q_distinct_guard,
+    "group_minmax": q_group_minmax,
+    "entropy": q_entropy,
+    "group_mean_center": q_group_mean_center,
+    "radius": q_radius,
+    "topk_segments": q_topk_segments,
+    "latest_event_per_user": q_latest_event_per_user,
+    "row_cap": q_row_cap,
+    "hierarchy_rollup": q_hierarchy_rollup,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_events": q_window_events,
+    "cluster_kmeans": q_cluster_kmeans,
+    "cluster_bisecting": q_cluster_bisecting,
+    "cluster_gmm": q_cluster_gmm,
+}
+
+ORACLES: dict[str, str] = {
+    "nulldrop_projection": SQL_NULLDROP,
+    "segment_counts": SQL_SEGMENT_COUNTS,
+    "minmax_scale": SQL_MINMAX_SCALE,
+    "limit_scale": SQL_LIMIT_SCALE,
+    "distinct_guard": SQL_DISTINCT_GUARD,
+    "group_minmax": SQL_GROUP_MINMAX,
+    "entropy": SQL_ENTROPY,
+    "group_mean_center": SQL_GROUP_MEAN,
+    "radius": SQL_RADIUS,
+    "topk_segments": SQL_TOPK,
+    "latest_event_per_user": SQL_LATEST_EVENT,
+    "row_cap": SQL_ROW_CAP,
+    "hierarchy_rollup": SQL_HIERARCHY,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "window_events": SQL_WINDOW_EVENTS,
+    # cluster_* : no SQL oracle (iterative ML) — rows-only check;
+    # invariants covered in tests/test_clustering.py
+}

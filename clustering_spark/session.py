@@ -1,0 +1,57 @@
+"""SparkSession bootstrap (reference: preprocess.py:14-28 `createSpark`).
+
+The reference calls ``SparkSession.builder.getOrCreate()`` with defaults.
+Here we set scale-aware defaults: AQE on (runtime re-planning, skew-join
+handling, partition coalescing), Arrow on (vectorized pandas UDF
+transfer), and a shuffle-partition count sized to the local harness
+(on a real cluster this is overridden by the deploy config / AQE).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "clustering_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+
+    Defaults assume the test harness (``local[$SPARK_GRAFT_CPUS]``).
+    On a cluster, pass ``master=None`` with a pre-configured environment
+    and these conf keys act as overridable baselines only.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else DEFAULT_CPUS),
+        )
+        # one physical scan per parquet file at harness scale; on a real
+        # cluster files are larger and this default (128m) self-adjusts.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # overlapping independent jobs (grid cells) share the session
+        # fairly instead of FIFO-starving each other (SURVEY §2.10).
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,111 @@
+"""Local emulation of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables; compare row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted
+by all columns). Usage:
+
+    python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            av_f = pd.to_numeric(av, errors="raise")
+            bv_f = pd.to_numeric(bv, errors="raise")
+            if not ((av_f - bv_f).abs().fillna(0) <= 1e-9).all():
+                bad = (av_f - bv_f).abs() > 1e-9
+                problems.append(
+                    f"values differ in {c}: e.g. {av_f[bad].iloc[0]} vs {bv_f[bad].iloc[0]}"
+                )
+        except (ValueError, TypeError):
+            if not (av.fillna("<NA>") == bv.fillna("<NA>")).all():
+                bad = av.fillna("<NA>") != bv.fillna("<NA>")
+                problems.append(
+                    f"values differ in {c}: e.g. {av[bad].iloc[0]!r} vs {bv[bad].iloc[0]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from clustering_spark.queries import ORACLES, QUERIES
+    from clustering_spark.session import get_spark
+
+    spark = get_spark("verify_oracle")
+    con = duck_con(sf_dir)
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in ORACLES:
+            status = "ROWS-ONLY" if len(spark_pdf) >= 0 else "EMPTY"
+            print(f"ok   {name}: {len(spark_pdf)} rows ({status}, no oracle)")
+            continue
+        try:
+            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(spark_pdf, duck_pdf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(spark_pdf)} rows match oracle")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
