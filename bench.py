@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no driver-side collect bottleneck). Wall-clock per query; `value` is the
+total. A warmup query absorbs JVM/session spin-up so numbers reflect
+query execution, not bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: scan+agg, join-heavy, window, per-segment scaling,
+# full clustering pipeline, and the beyond-reference operators.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "window_events",
+    "minmax_scale",
+    "latest_event_per_user",
+    "cluster_kmeans",
+    "dedup_exact",
+    "minhash_neardup",
+    "cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from clustering_spark.queries import QUERIES
+    from clustering_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warmup: touch the biggest table once (JVM + codegen spin-up)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = 0.1
+    if "sf0.01" in SF_DIR:
+        sf = 0.01
+    elif "sf0.001" in SF_DIR:
+        sf = 0.001
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

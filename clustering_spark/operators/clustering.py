@@ -346,6 +346,88 @@ class SegmentedClusterer:
 
         return df.groupBy(*self.segment_cols).applyInPandas(fit_group, out_schema)
 
+    # -- scale mode, summary output: one row per (segment, cluster) -------
+    def fit_summarize(self, df: DataFrame) -> DataFrame:
+        """Fit per segment and emit per-cluster SUMMARIES directly from
+        the same Arrow task: cluster_name, cluster_size, center, radius,
+        entropy, silhouette, wssse.
+
+        Why: the labeled-rows output feeds 3 downstream aggregations
+        (centers, radii, entropy — metrics.py path), and without
+        caching, Spark recomputes the model fit for each. The group
+        already holds everything in memory — summarizing in-place makes
+        the whole pipeline ONE shuffle (the groupBy) and the output
+        #segments×k rows. This is the 100 TB plan: fact data is read
+        once, shuffled once, and never materialized again.
+        """
+        from pyspark.sql.types import ArrayType, LongType, StringType
+
+        seg_fields = [df.schema[c] for c in self.segment_cols]
+        out_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in seg_fields]
+            + [
+                StructField("cluster_name", IntegerType(), False),
+                StructField("cluster_size", LongType(), False),
+                StructField("center", ArrayType(DoubleType()), False),
+                StructField("radius", DoubleType(), False),
+                StructField("entropy", DoubleType(), False),
+                StructField(SILHOUETTE_COL, DoubleType(), False),
+                StructField("wssse", DoubleType(), False),
+            ]
+        )
+        feature_cols = list(self.feature_cols)
+        segment_cols = list(self.segment_cols)
+        k_col = self.k_col
+        default_k = self.default_k
+        algorithm = self.algorithm
+        seeds = tuple(self.seeds)
+
+        def summarize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = pdf[feature_cols].to_numpy(dtype=np.float64)
+            seg_vals = {c: pdf[c].iloc[0] for c in segment_cols}
+            k = default_k
+            if k_col is not None and k_col in pdf.columns:
+                kv = pdf[k_col].iloc[0]
+                if pd.notna(kv):
+                    k = int(kv)
+            n_distinct = len(np.unique(X, axis=0))
+            if n_distinct < 2 or len(X) < 2:
+                labels = np.zeros(len(X), dtype=np.int64)
+                sil, wssse = 0.0, 0.0
+            else:
+                k = max(2, min(k, n_distinct))
+                labels, _, sil, wssse = best_of_seeds(X, k, algorithm, seeds)
+            uniq, counts = np.unique(labels, return_counts=True)
+            # size-desc, first-occurrence relabel (same rule as
+            # fit_predict) so both outputs agree
+            order = sorted(
+                uniq, key=lambda c: (-counts[list(uniq).index(c)], int(np.argmax(labels == c)))
+            )
+            p = counts / counts.sum()
+            entropy = float(-(p * np.log2(p)).sum()) if len(uniq) > 1 else 0.0
+            rows = []
+            for rank, c in enumerate(order):
+                pts = X[labels == c]
+                ctr = pts.mean(axis=0)
+                radius = float(np.sqrt(((pts - ctr) ** 2).sum(axis=1).max()))
+                rows.append(
+                    {
+                        **seg_vals,
+                        "cluster_name": rank,
+                        "cluster_size": int(len(pts)),
+                        "center": ctr.tolist(),
+                        "radius": radius,
+                        "entropy": abs(entropy),
+                        SILHOUETTE_COL: sil,
+                        "wssse": wssse,
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        return df.groupBy(*self.segment_cols).applyInPandas(
+            summarize_group, out_schema
+        )
+
     # -- parity mode: MLlib estimators, driver loop over segments ---------
     def _fit_mllib_loop(self, df: DataFrame) -> DataFrame:
         """MLlib path for strict numeric parity with the reference

@@ -1,0 +1,393 @@
+"""Deduplication operators for LLM training-data pipelines
+(beyond-reference scope, SURVEY §7.6 / BASELINE.json north star).
+
+All hot paths are native Column expressions (higher-order functions
+over arrays — JVM-side, codegen) — no Python on the per-row path.
+Scale design per operator:
+
+* exact:      one groupBy on a 128-bit content hash; map-side combine;
+              shuffle carries (hash, min_id), not documents.
+* minhash:    signature = k universal hashes over shingle xxhash64s —
+              computed in ONE projection; LSH banding turns the O(n²)
+              pair search into an equi-join on (band_idx, band_hash),
+              which Spark shuffles by key (AQE handles skewed bands);
+              verification re-checks candidates with exact Jaccard on
+              the (small) shingle-hash sets.
+* simhash:    64-bit signature via bit-vote aggregation; candidate
+              pairs from 16-bit chunk equi-join (pigeonhole: hamming<=3
+              guarantees a shared chunk); exact hamming verify.
+* embedding:  random-hyperplane LSH over array<float> embeddings →
+              band join → exact cosine verify; brute-force variant for
+              small query sets / oracle checking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clustering_spark.functions.vector import cosine_similarity
+
+# Mersenne prime 2^31-1: universal-hash modulus. xxhash64 values are
+# reduced mod P before multiply so a*h+b stays far from int64 overflow
+# (Spark 4 ANSI mode would raise on wrap).
+_P = 2_147_483_647
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per exact content group (hash-groupBy).
+
+    Dedup key = md5 of the concatenated content columns; the shuffle
+    carries only (hash, id). Returns the surviving ids + group size.
+    """
+    key = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    groups = (
+        df.select(key.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return groups
+
+
+# -------------------------------------------------------------- shingles
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lower-cased text (array<string>).
+    Empty/short docs yield their full token string as a single shingle."""
+    t = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.trim(F.lower(t)), r"\s+")
+    k = F.size(tokens)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tokens, " ")))
+    return F.array_distinct(grams)
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of whitespace-normalized text."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    ln = F.length(norm)
+    grams = F.when(
+        ln >= n,
+        F.transform(
+            F.sequence(F.lit(1), ln - n + 1), lambda i: F.substring(norm, i, n)
+        ),
+    ).otherwise(F.array(norm))
+    return F.array_distinct(grams)
+
+
+def _minhash_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _P, size=num_hashes).tolist()
+    b = rng.randint(0, _P, size=num_hashes).tolist()
+    return a, b
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long>, length num_hashes) of a shingle
+    array: sig_i = min over shingles of (a_i * (xxhash64(s) mod P) + b_i) mod P.
+    One projection, no UDF."""
+    a, b = _minhash_params(num_hashes, seed)
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(base, lambda h: F.pmod(h * F.lit(a[i]) + F.lit(b[i]), F.lit(_P)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact-Jaccard
+    verification on the shingle-hash sets.
+
+    Plan shape: project (id, sig, shingle_hashes) → explode bands →
+    self-equi-join on (band, band_hash) → distinct candidate pairs →
+    verify with exact Jaccard (array_intersect on shingle hashes).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    shingles = word_shingles(text_col, shingle_words)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingles, num_hashes, seed).alias("__sig"),
+        F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s))).alias(
+            "__sh"
+        ),
+    )
+
+    banded = base.select(
+        "__id",
+        "__sig",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band_idx"),
+                    F.hash(
+                        F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("__id", "__sig", "__sh", "band.band_idx", "band.band_hash")
+
+    left = banded.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+        "band_idx",
+        "band_hash",
+    )
+    cands = (
+        left.join(right, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_shingle_df: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
+    index (explode → self-join on shingle → count shared shingles),
+    no signatures. SQL-expressible → DuckDB-oracle-checked.
+
+    Scale levers: shingles occurring in > max_shingle_df of docs are
+    dropped before the join (stop-shingle pruning — they generate
+    quadratic candidates and carry no discrimination), and the join is
+    an equi-join on the shingle hash that AQE can re-plan for skew.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(char_shingles(text_col, n)).alias("shingle"),
+    ).dropDuplicates(["__id", "shingle"])
+    sh.cache()
+    n_docs = sh.select("__id").distinct().count()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= int(max_shingle_df * n_docs)),
+        on="shingle",
+    ).select("__id", "shingle")
+
+    a = rare.select(F.col("__id").alias("id_a"), "shingle")
+    b = rare.select(F.col("__id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        shared.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash64(text: Column | str, shingle_words: int = 2) -> Column:
+    """64-bit SimHash of word shingles: per-bit vote over shingle
+    xxhash64s, entirely with array expressions.
+
+    bit_j(doc) = 1 iff sum over shingles of (2*bit_j(h)-1) > 0.
+    """
+    hashes = F.transform(word_shingles(text, shingle_words), lambda s: F.xxhash64(s))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda b, j: F.shiftleft(b.cast("long"), j),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_words: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
+    come from equality on one of 4 disjoint 16-bit chunks (pigeonhole:
+    hamming<=3 over 64 bits forces >=1 identical chunk); verified with
+    bit_count(a XOR b)."""
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash64(text_col, shingle_words).alias("sig")
+    )
+    chunks = sigs.select(
+        "__id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.shiftright(F.col("sig"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk_val"),
+                ),
+            )
+        ).alias("c"),
+    ).select("__id", "sig", "c.chunk_idx", "c.chunk_val")
+
+    a = chunks.select(
+        F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------------- embedding
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    lsh_planes: int = 0,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= threshold).
+
+    lsh_planes == 0: exact all-pairs (self-join id<id) — the oracle /
+    small-N path. lsh_planes > 0: random-hyperplane LSH prefilter —
+    pairs must share the full sign signature (probability of a missed
+    pair falls with cosine distance), then exact cosine verify. At
+    100 TB use lsh_planes ~16 so the join key fans the data into
+    2^16 buckets.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    if lsh_planes > 0:
+        if dim is None:
+            raise ValueError("dim required when lsh_planes > 0")
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((lsh_planes, dim))
+        sig = F.array(
+            *[
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__v"),
+                            F.array(*[F.lit(float(x)) for x in planes[j]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    > 0
+                ).cast("int")
+                for j in range(lsh_planes)
+            ]
+        )
+        base = base.withColumn("__bucket", F.hash(sig))
+        join_cols = ["__bucket"]
+    else:
+        base = base.withColumn("__bucket", F.lit(0))
+        join_cols = ["__bucket"]
+
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), *join_cols
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), *join_cols
+    )
+    return (
+        a.join(b, on=join_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity("v_a", "v_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

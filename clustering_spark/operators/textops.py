@@ -1,0 +1,148 @@
+"""Text analysis operators for training-data pipelines
+(beyond-reference scope, SURVEY §7.6): language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is built from native string/array expressions — regexes,
+higher-order array functions, hashes — so the hot path never leaves
+the JVM. Each operator is SQL-expressible and oracle-checked where the
+semantics allow (see queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language function-word lists for the n-gram/stopword
+# heuristic language ID. Public-knowledge closed-class words.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "en", "que"],
+    "it": ["il", "la", "di", "e", "che", "un", "una", "per", "con", "non"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    t = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(t)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: count regex pieces (runs of
+    letters, runs of digits, single punctuation) — a deterministic
+    stand-in for a BPE tokenizer's piece count."""
+    t = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(
+        F.lower(t), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append quality-signal columns: n_chars_m (measured), n_tokens,
+    avg_token_len, punct_ratio, digit_ratio, stopword_ratio (en),
+    and a composite quality_score in [0,1].
+
+    Score = mean of four unit-range signals: token-length plausibility,
+    low punctuation, low digits, stopword presence. Deliberately simple
+    + fully SQL-replicable (oracle-checked).
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en, F.lower(w))))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+
+    tok_len_ok = F.when((avg_tok >= 3.0) & (avg_tok <= 10.0), 1.0).otherwise(0.0)
+    score = (
+        tok_len_ok
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0)))
+        + F.least(stop_ratio * 5.0, F.lit(1.0))
+    ) / 4.0
+
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "avg_token_len": F.round(avg_tok, 6),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "digit_ratio": F.round(digit_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: per language, score = fraction of tokens
+    that are that language's function words; argmax wins, 'und'
+    (undetermined) when every score is 0. Ties break by language code
+    order (deterministic)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        lst = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        n_hits = F.size(F.filter(toks, lambda w: F.array_contains(lst, F.lower(w))))
+        scores.append(
+            F.struct(
+                F.when(n_tokens > 0, n_hits.cast("double") / n_tokens)
+                .otherwise(0.0)
+                .alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct: orders by first field (score) then second
+    # (lang) — ascending lang breaks ties toward 'z*'; invert by
+    # sorting desc on score with a stable reduce instead.
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    )
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
+    ).withColumn("lang_score", F.round(best["score"], 6))
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lower-cased,
+    whitespace-collapsed text. Stable across formatting-only edits;
+    the exact-dedup key for 'same text modulo whitespace/case'."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str, window: int = 16, out_col: str = "winnow_fp"
+) -> Column | DataFrame:
+    """Winnowing-style fingerprint: min polynomial rolling hash over
+    character windows (document fingerprinting a la MOSS). Native:
+    char n-gram array -> xxhash64 each -> min. Returns df + long col."""
+    grams = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(
+                F.length(F.col(text_col)) - window + 1, F.lit(1)
+            ),
+        ),
+        lambda i: F.xxhash64(F.substring(F.col(text_col), i, window)),
+    )
+    return df.withColumn(out_col, F.array_min(grams))

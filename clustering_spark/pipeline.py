@@ -78,16 +78,29 @@ def cluster_segments(
         k_col=k_col,
         mode=config.fit_mode,
     )
-    labeled = clusterer.fit_predict(
-        scaled.select(*segment_cols, *feat_cols, *( [k_col] if k_col else [] ))
+    narrowed = scaled.select(
+        *segment_cols, *feat_cols, *([k_col] if k_col else [])
     )
 
-    summaries = cluster_summaries(labeled, segment_cols, feat_cols)
-    entropy = segment_entropy(labeled, segment_cols)
+    if config.fit_mode == "scale":
+        # single-pass plan: fit AND summarize inside one Arrow task per
+        # segment — the fact table is shuffled exactly once (the groupBy)
+        # and the model is fit exactly once (see fit_summarize docstring).
+        summaries = clusterer.fit_summarize(narrowed).withColumnRenamed(
+            "cluster_name", PREDICTION_COL
+        )
+    else:
+        # parity mode keeps the labeled-rows path: MLlib fit + relational
+        # metrics block (metrics.py), matching reference numerics.
+        labeled = clusterer.fit_predict(narrowed)
+        summaries = cluster_summaries(labeled, segment_cols, feat_cols).join(
+            F.broadcast(segment_entropy(labeled, segment_cols)),
+            on=segment_cols,
+            how="left",
+        )
 
     out = (
-        summaries.join(F.broadcast(entropy), on=segment_cols, how="left")
-        .withColumn("algorithm", F.lit(algorithm))
+        summaries.withColumn("algorithm", F.lit(algorithm))
         .withColumn("macro_col", F.lit(macro_col))
         .withColumn("micro_col", F.lit(micro_col))
         .withColumn("x_col", F.lit(x_col))
