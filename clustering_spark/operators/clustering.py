@@ -359,16 +359,23 @@ class SegmentedClusterer:
         the whole pipeline ONE shuffle (the groupBy) and the output
         #segments×k rows. This is the 100 TB plan: fact data is read
         once, shuffled once, and never materialized again.
-        """
-        from pyspark.sql.types import ArrayType, LongType, StringType
 
+        Centers are emitted as SCALAR columns ``center_0..center_{d-1}``
+        (one per feature), not an array — flat schemas sort/hash cleanly
+        downstream and stay fully typed.
+        """
+        from pyspark.sql.types import LongType
+
+        center_cols = [f"center_{i}" for i in range(len(self.feature_cols))]
         seg_fields = [df.schema[c] for c in self.segment_cols]
         out_schema = StructType(
             [StructField(f.name, f.dataType, True) for f in seg_fields]
             + [
                 StructField("cluster_name", IntegerType(), False),
                 StructField("cluster_size", LongType(), False),
-                StructField("center", ArrayType(DoubleType()), False),
+            ]
+            + [StructField(c, DoubleType(), False) for c in center_cols]
+            + [
                 StructField("radius", DoubleType(), False),
                 StructField("entropy", DoubleType(), False),
                 StructField(SILHOUETTE_COL, DoubleType(), False),
@@ -415,7 +422,10 @@ class SegmentedClusterer:
                         **seg_vals,
                         "cluster_name": rank,
                         "cluster_size": int(len(pts)),
-                        "center": ctr.tolist(),
+                        **{
+                            center_cols[i]: float(ctr[i])
+                            for i in range(len(center_cols))
+                        },
                         "radius": radius,
                         "entropy": abs(entropy),
                         SILHOUETTE_COL: sil,
@@ -448,49 +458,76 @@ class SegmentedClusterer:
             inputCols=self.feature_cols, outputCol="__features_vec"
         )
         assembled = assembler.transform(df)
-        segs = [r.asDict() for r in df.select(*self.segment_cols).distinct().collect()]
+        # one driver round-trip gathering segment ids AND each segment's
+        # cached k (k_col is constant within a segment — first() is it)
+        seg_sel = df.groupBy(*self.segment_cols).agg(
+            F.first(F.col(self.k_col) if self.k_col else F.lit(None)).alias("__k")
+        )
+        segs = [r.asDict() for r in seg_sel.collect()]
+        if len(segs) > 200:
+            raise ValueError(
+                f"parity mode fits segments serially via MLlib; {len(segs)} "
+                "segments would launch that many fit loops — use mode='scale'"
+            )
         evaluator = ClusteringEvaluator(
             predictionCol=PREDICTION_COL, featuresCol="__features_vec"
         )
+        empty_shaped = (
+            assembled.drop("__features_vec")
+            .withColumn(PREDICTION_COL, F.lit(0))
+            .withColumn(SILHOUETTE_COL, F.lit(0.0))
+            .withColumn("wssse", F.lit(0.0))
+            .limit(0)
+        )
+        if not segs:
+            return empty_shaped
         parts = []
         for seg in segs:
+            seg_k = seg.pop("__k", None)
+            k = int(seg_k) if seg_k is not None else self.default_k
             cond = F.lit(True)
             for c in self.segment_cols:
                 cond = cond & (F.col(c) == F.lit(seg[c]))
             sdf = assembled.filter(cond).cache()
-            n_distinct = (
-                sdf.select(*self.feature_cols).distinct().limit(2).count()
-            )
-            if n_distinct < 2:
-                labeled = sdf.withColumn(PREDICTION_COL, F.lit(0)).withColumn(
-                    SILHOUETTE_COL, F.lit(0.0)
-                ).withColumn("wssse", F.lit(0.0))
-                parts.append(labeled.drop("__features_vec"))
-                continue
-            best = None
-            for seed in self.seeds:
-                est = est_cls(
-                    featuresCol="__features_vec",
-                    predictionCol=PREDICTION_COL,
-                    k=self.default_k,
-                    seed=seed,
+            try:
+                n_distinct = (
+                    sdf.select(*self.feature_cols).distinct().limit(2).count()
                 )
-                model = est.fit(sdf)
-                labeled = model.transform(sdf)
-                n_clusters = labeled.select(PREDICTION_COL).distinct().count()
-                sil = evaluator.evaluate(labeled) if n_clusters >= 2 else 0.0
-                try:
-                    wssse = float(model.summary.trainingCost)
-                except Exception:
-                    wssse = 0.0
-                if best is None or sil > best[1]:
-                    best = (labeled, sil, wssse)
-            labeled, sil, wssse = best
-            parts.append(
-                labeled.withColumn(SILHOUETTE_COL, F.lit(sil))
-                .withColumn("wssse", F.lit(wssse))
-                .drop("__features_vec")
-            )
+                if n_distinct < 2:
+                    labeled = sdf.withColumn(PREDICTION_COL, F.lit(0)).withColumn(
+                        SILHOUETTE_COL, F.lit(0.0)
+                    ).withColumn("wssse", F.lit(0.0))
+                    # materialize before unpersist so the union below
+                    # doesn't recompute the filter
+                    parts.append(labeled.drop("__features_vec").localCheckpoint())
+                    continue
+                best = None
+                for seed in self.seeds:
+                    est = est_cls(
+                        featuresCol="__features_vec",
+                        predictionCol=PREDICTION_COL,
+                        k=k,
+                        seed=seed,
+                    )
+                    model = est.fit(sdf)
+                    labeled = model.transform(sdf)
+                    n_clusters = labeled.select(PREDICTION_COL).distinct().count()
+                    sil = evaluator.evaluate(labeled) if n_clusters >= 2 else 0.0
+                    try:
+                        wssse = float(model.summary.trainingCost)
+                    except Exception:
+                        wssse = 0.0
+                    if best is None or sil > best[1]:
+                        best = (labeled, sil, wssse)
+                labeled, sil, wssse = best
+                parts.append(
+                    labeled.withColumn(SILHOUETTE_COL, F.lit(sil))
+                    .withColumn("wssse", F.lit(wssse))
+                    .drop("__features_vec")
+                    .localCheckpoint()
+                )
+            finally:
+                sdf.unpersist()
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

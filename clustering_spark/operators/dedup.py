@@ -41,10 +41,19 @@ _P = 2_147_483_647
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep the min-id row per exact content group (hash-groupBy).
 
-    Dedup key = md5 of the concatenated content columns; the shuffle
-    carries only (hash, id). Returns the surviving ids + group size.
+    Dedup key = md5 over an UNAMBIGUOUS encoding of the content columns:
+    unit-separator (0x1f) delimited, NULLs mapped to a 0x00 sentinel —
+    so ('ab','c') != ('a','bc') and ('a', NULL) != ('a', ''):
+    concat_ws silently drops NULL args, so without the sentinel a NULL
+    column would collide with an empty one. The shuffle carries only
+    (hash, id). Returns surviving ids + group size.
     """
-    key = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols],
+        )
+    )
     groups = (
         df.select(key.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
@@ -197,6 +206,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     jaccard_threshold: float = 0.5,
     max_shingle_df: float = 0.5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
     index (explode → self-join on shingle → count shared shingles),
@@ -206,21 +216,34 @@ def ngram_jaccard_pairs(
     dropped before the join (stop-shingle pruning — they generate
     quadratic candidates and carry no discrimination), and the join is
     an equi-join on the shingle hash that AQE can re-plan for skew.
+
+    Composes LAZILY — no mid-operator actions. The stop-shingle
+    threshold is either ``floor(max_shingle_df * n_docs)`` from the
+    caller-supplied ``n_docs``, or derived in-plan from a 1-row count
+    aggregate broadcast into the document-frequency filter. The shingle
+    explode feeds three consumers (sizes, doc-freq, join); callers
+    running this repeatedly at scale should persist the input, or let
+    shuffle reuse dedupe the work.
     """
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(char_shingles(text_col, n)).alias("shingle"),
     ).dropDuplicates(["__id", "shingle"])
-    sh.cache()
-    n_docs = sh.select("__id").distinct().count()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= int(max_shingle_df * n_docs)),
-        on="shingle",
-    ).select("__id", "shingle")
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if n_docs is not None:
+        common = docfreq.filter(F.col("df") <= int(max_shingle_df * n_docs))
+    else:
+        total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+        common = (
+            docfreq.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("df") <= F.floor(F.lit(max_shingle_df) * F.col("__n_docs"))
+            )
+            .select("shingle", "df")
+        )
+    rare = sh.join(common.select("shingle"), on="shingle").select("__id", "shingle")
 
     a = rare.select(F.col("__id").alias("id_a"), "shingle")
     b = rare.select(F.col("__id").alias("id_b"), "shingle")
@@ -230,11 +253,13 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # sizes has one row per document — linear in corpus size, so no
+    # forced broadcast; AQE broadcasts while it fits, shuffles beyond.
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
-        shared.join(F.broadcast(sa), on="id_a")
-        .join(F.broadcast(sb), on="id_b")
+        shared.join(sa, on="id_a")
+        .join(sb, on="id_b")
         .withColumn(
             "jaccard",
             F.col("n_shared").cast("double")
@@ -254,30 +279,50 @@ def simhash64(text: Column | str, shingle_words: int = 2) -> Column:
     xxhash64s, entirely with array expressions.
 
     bit_j(doc) = 1 iff sum over shingles of (2*bit_j(h)-1) > 0.
+
+    Shift amounts must be Python ints (``F.shiftright``/``F.shiftleft``
+    reject Column shift args), so the 64 per-bit expressions are built
+    in Python ``for j in range(64)`` loops; the vote accumulation is
+    still ONE pass over the shingle array (64-element int accumulator).
     """
+    return _sig_from_votes(_bit_vote_sums(text, shingle_words))
+
+
+def _bit_vote_sums(text: Column | str, shingle_words: int = 2) -> Column:
+    """array<int>[64]: per-bit ±1 vote sums over the shingle hashes —
+    ONE pass over the shingle array (64-element accumulator)."""
     hashes = F.transform(word_shingles(text, shingle_words), lambda s: F.xxhash64(s))
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+
+    def bit_votes(h: Column) -> Column:
+        # ±1 vote per bit of one shingle hash; j is a Python int here.
+        return F.array(
+            *[
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                for j in range(64)
+            ]
+        )
+
     return F.aggregate(
-        F.zip_with(
-            bits,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda b, j: F.shiftleft(b.cast("long"), j),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
     )
+
+
+def _sig_from_votes(votes: Column | str) -> Column:
+    """Pack the 64 vote sums into one signed long signature. Reference
+    ``votes`` through a named column (two-step select) so the vote
+    aggregation is evaluated once, not 64×."""
+    votes = F.col(votes) if isinstance(votes, str) else votes
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        bit = (
+            F.when(F.element_at(votes, j + 1) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, j))
+    return sig
 
 
 def simhash_pairs(
@@ -292,20 +337,25 @@ def simhash_pairs(
     hamming<=3 over 64 bits forces >=1 identical chunk); verified with
     bit_count(a XOR b)."""
     sigs = df.select(
-        F.col(id_col).alias("__id"), simhash64(text_col, shingle_words).alias("sig")
-    )
+        F.col(id_col).alias("__id"),
+        _bit_vote_sums(text_col, shingle_words).alias("__votes"),
+    ).select("__id", _sig_from_votes("__votes").alias("sig"))
     chunks = sigs.select(
         "__id",
         "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.shiftright(F.col("sig"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("chunk_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    # shift amounts must be Python ints — build the 4
+                    # chunk structs in a Python loop, not F.transform
+                    for i in range(4)
+                ]
             )
         ).alias("c"),
     ).select("__id", "sig", "c.chunk_idx", "c.chunk_val")
@@ -335,24 +385,29 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    lsh_planes: int = 0,
+    lsh_planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= threshold).
 
-    lsh_planes == 0: exact all-pairs (self-join id<id) — the oracle /
-    small-N path. lsh_planes > 0: random-hyperplane LSH prefilter —
-    pairs must share the full sign signature (probability of a missed
-    pair falls with cosine distance), then exact cosine verify. At
-    100 TB use lsh_planes ~16 so the join key fans the data into
-    2^16 buckets.
+    DEFAULT is the scale path: random-hyperplane LSH prefilter with
+    ``lsh_planes`` sign bits (requires ``dim``) — pairs must share the
+    full sign signature (miss probability falls with cosine distance),
+    then exact cosine verify; 16 planes fan the self-join into up to
+    2^16 buckets, so nothing is O(n²). Brute-force all-pairs (the
+    oracle / small-N path) is EXPLICIT opt-in via ``lsh_planes=0`` —
+    it cross-joins the table with itself and must never run at scale.
     """
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
     if lsh_planes > 0:
         if dim is None:
-            raise ValueError("dim required when lsh_planes > 0")
+            raise ValueError(
+                "dim (embedding dimensionality) is required for the LSH "
+                "path; pass lsh_planes=0 to explicitly opt into "
+                "brute-force all-pairs"
+            )
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((lsh_planes, dim))
         sig = F.array(

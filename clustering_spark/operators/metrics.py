@@ -30,8 +30,10 @@ def cluster_summaries(
     prediction_col: str = PREDICTION_COL,
     extra_first_cols: tuple[str, ...] = ("silhouette", "wssse"),
 ) -> DataFrame:
-    """One row per (segment, cluster): size, center (array of per-dim
-    means — A6), radius = sqrt(max squared distance to center) (A7).
+    """One row per (segment, cluster): size, center as SCALAR columns
+    ``center_0..center_{d-1}`` (per-dim means — A6), radius = sqrt(max
+    squared distance to center) (A7). Centers are flat columns, not an
+    array, so the result sorts/hashes cleanly downstream.
 
     Radius needs the center first, so this is two passes over the
     *labeled* data: (1) groupBy centers, (2) broadcast-join centers back
@@ -58,10 +60,12 @@ def cluster_summaries(
     radii = joined.groupBy(*keys).agg(F.sqrt(F.max(dist2)).alias("radius"))
 
     out = centers.join(radii, on=keys, how="inner")
-    center_arr = F.array(*[F.col(f"__ctr_{c}") for c in feature_cols]).alias("center")
+    center_flat = [
+        F.col(f"__ctr_{c}").alias(f"center_{i}") for i, c in enumerate(feature_cols)
+    ]
     keep = (
         [F.col(k) for k in keys]
-        + [F.col("cluster_size"), center_arr, F.col("radius")]
+        + [F.col("cluster_size"), *center_flat, F.col("radius")]
         + [F.col(c) for c in extra_first_cols if c in centers.columns]
     )
     return out.select(*keep)

@@ -8,7 +8,8 @@ overlap the jobs.
 
 Output schema = `cluster_results` (FIXTURES.md §4): one row per
 (segment, cluster) with algorithm/grid metadata, entropy, silhouette,
-cluster_name, center, cluster_size, radius.
+cluster_name, center_x/center_y (flat scalar columns — arrays don't
+sort/hash cleanly downstream), cluster_size, radius.
 """
 
 from __future__ import annotations
@@ -37,7 +38,8 @@ RESULT_COLUMNS = [
     "entropy",
     "silhouette",
     "cluster_name",
-    "center",
+    "center_x",
+    "center_y",
     "cluster_size",
     "radius",
 ]
@@ -106,6 +108,8 @@ def cluster_segments(
         .withColumn("x_col", F.lit(x_col))
         .withColumn("y_col", F.lit(y_col))
         .withColumnRenamed(PREDICTION_COL, "cluster_name")
+        .withColumnRenamed("center_0", "center_x")
+        .withColumnRenamed("center_1", "center_y")
         .withColumn("macro_id", F.col(macro_col).cast("string"))
         .withColumn("micro_id", F.col(micro_col).cast("string"))
     )

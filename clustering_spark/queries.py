@@ -120,11 +120,12 @@ FROM (
 
 def q_limit_scale(spark, sf_dir):
     """P5: percent-of-limit scaling (preprocess.py:95-97) — the capacity
-    column arrives via a broadcast dim join (part is the small side)."""
+    column arrives via a dim join. No forced broadcast: part grows
+    linearly with SF, so AQE decides broadcast-vs-shuffle at runtime."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -429,17 +430,18 @@ GROUP BY 1, 2
 
 
 def q_revenue_by_nation(spark, sf_dir):
-    """Join-heavy headline: fact (lineitem⋈orders) with broadcast dims
-    (customer is small at TPC-H ratios relative to lineitem; nation is
-    tiny). At 100 TB the orders⋈lineitem join co-partitions on the
-    orderkey; dims broadcast."""
+    """Join-heavy headline: fact (lineitem⋈orders) co-partitioned on
+    the orderkey, then the customer dim — customer grows linearly with
+    SF, so it gets NO broadcast hint (a forced broadcast OOMs executors
+    at 100×; AQE picks broadcast only while it actually fits). Nation
+    (25 rows, constant) is safely broadcast."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
