@@ -32,6 +32,10 @@ HEADLINE = [
     "minhash_neardup",
     "cosine_topk",
     "text_quality",
+    "ngram_jaccard",
+    "simhash_neardup",
+    "embedding_neardup_lsh",
+    "knn_join",
 ]
 
 
@@ -44,11 +48,15 @@ def main() -> None:
     # warmup: touch the biggest table once (JVM + codegen spin-up)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # every declared headline query MUST exist — a silent skip would
+    # make the headline total overstate coverage
+    unknown = [n for n in HEADLINE if n not in QUERIES]
+    if unknown:
+        raise KeyError(f"headline queries not in registry: {unknown}")
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

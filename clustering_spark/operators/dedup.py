@@ -385,19 +385,26 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    lsh_planes: int = 16,
+    lsh_planes: int = 32,
+    lsh_bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= threshold).
 
-    DEFAULT is the scale path: random-hyperplane LSH prefilter with
-    ``lsh_planes`` sign bits (requires ``dim``) — pairs must share the
-    full sign signature (miss probability falls with cosine distance),
-    then exact cosine verify; 16 planes fan the self-join into up to
-    2^16 buckets, so nothing is O(n²). Brute-force all-pairs (the
-    oracle / small-N path) is EXPLICIT opt-in via ``lsh_planes=0`` —
-    it cross-joins the table with itself and must never run at scale.
+    DEFAULT is the scale path: BANDED random-hyperplane LSH (requires
+    ``dim``). ``lsh_planes`` sign bits are split into ``lsh_bands``
+    bands; a pair is a candidate if ANY band's bits all match (the
+    same AND-OR amplification as MinHash banding — recall
+    1-(1-p^r)^b with p = 1 - theta/pi, r bits per band), then exact
+    cosine verifies. The self-join is an equi-join on
+    (band_idx, band_bits): each band fans into 2^r buckets, so no
+    all-pairs blow-up, and AQE re-plans skewed buckets. Tune r up for
+    higher-threshold dedup at bigger corpora.
+
+    Brute-force all-pairs (the oracle / small-N path) is EXPLICIT
+    opt-in via ``lsh_planes=0`` — it cross-joins the table with
+    itself and must never run at scale.
     """
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
@@ -408,40 +415,53 @@ def embedding_neardup_pairs(
                 "path; pass lsh_planes=0 to explicitly opt into "
                 "brute-force all-pairs"
             )
+        assert lsh_planes % lsh_bands == 0
+        bits_per_band = lsh_planes // lsh_bands
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((lsh_planes, dim))
-        sig = F.array(
-            *[
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("__v"),
-                            F.array(*[F.lit(float(x)) for x in planes[j]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    > 0
-                ).cast("int")
-                for j in range(lsh_planes)
-            ]
-        )
-        base = base.withColumn("__bucket", F.hash(sig))
-        join_cols = ["__bucket"]
-    else:
-        base = base.withColumn("__bucket", F.lit(0))
-        join_cols = ["__bucket"]
 
-    a = base.select(
+        def sign_bit(j: int) -> Column:
+            dot_j = F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.array(*[F.lit(float(x)) for x in planes[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return (dot_j > 0).cast("int")
+
+        band_structs = [
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.array(
+                    *[sign_bit(bi * bits_per_band + r) for r in range(bits_per_band)]
+                ).alias("band_bits"),
+            )
+            for bi in range(lsh_bands)
+        ]
+        banded = base.select(
+            "__id", "__v", F.explode(F.array(*band_structs)).alias("b")
+        ).select("__id", "__v", "b.band_idx", F.hash("b.band_bits").alias("band_key"))
+        join_cols = ["band_idx", "band_key"]
+    else:
+        banded = base.withColumn("band_idx", F.lit(0)).withColumn(
+            "band_key", F.lit(0)
+        )
+        join_cols = ["band_idx", "band_key"]
+
+    a = banded.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), *join_cols
     )
-    b = base.select(
+    b = banded.select(
         F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), *join_cols
     )
     return (
         a.join(b, on=join_cols)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", F.round(cosine_similarity("v_a", "v_b"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

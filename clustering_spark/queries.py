@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from clustering_spark.config import PipelineConfig
 from clustering_spark.functions.scaling import scale_segments
+from clustering_spark.operators import dedup, similarity, textops
 from clustering_spark.pipeline import cluster_segments
 
 ROUND = 6  # decimals for per-row arithmetic / averages
@@ -534,6 +535,285 @@ def q_cluster_gmm(spark, sf_dir):
 
 
 # =====================================================================
+# beyond-reference: dedup / similarity / text analysis (SURVEY §7.6)
+# =====================================================================
+
+# deterministic 64-dim query vector for the similarity queries (no RNG:
+# same literal in the Spark plan and the oracle SQL)
+QUERY_VEC = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
+_QV_SQL = "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (min-id survivor). The
+    shuffle carries (hash, id) pairs only — never document bodies."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, ["text"], "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(coalesce(CAST(text AS VARCHAR), chr(0))) AS content_hash,
+       min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact char-5-gram Jaccard near-dup pairs via the inverted
+    shingle index with stop-shingle pruning (df > 50% of docs)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, jaccard_threshold=0.5, max_shingle_df=0.5
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 5
+         THEN list_transform(range(1, len(t) - 3), i -> substring(t, i, 5))
+         ELSE [t] END)) AS shingle
+  FROM norm),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY 1
+        HAVING count(*) <= floor(0.5 * (SELECT count(*) FROM documents)))
+  USING (shingle)),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-signal features per document (length/punct/digit/
+    stopword ratios + composite score) — pure native expressions."""
+    d = load(spark, sf_dir, "documents")
+    return textops.quality_features(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, text, len(text) AS n_chars,
+         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS tk
+  FROM documents),
+m AS (
+  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+         CASE WHEN len(tk) > 0 THEN n_chars::DOUBLE / len(tk) ELSE 0.0 END AS avg_tok,
+         len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         len(list_filter(tk, w -> list_contains(
+           ['the','a','of','and','to','in','is','that','it','for'], lower(w))))
+           AS n_stop
+  FROM base),
+r AS (
+  SELECT doc_id, n_tokens, avg_tok,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit::DOUBLE / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio
+  FROM m)
+SELECT doc_id, n_tokens,
+       round(avg_tok, 6) AS avg_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round((CASE WHEN avg_tok >= 3.0 AND avg_tok <= 10.0 THEN 1.0 ELSE 0.0 END
+              + (1.0 - least(punct_ratio * 5.0, 1.0))
+              + (1.0 - least(digit_ratio * 5.0, 1.0))
+              + least(stop_ratio * 5.0, 1.0)) / 4.0, 6) AS quality_score
+FROM r
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic function-word language ID (argmax over per-language
+    token-hit ratios; deterministic tiebreak, 'und' when all zero)."""
+    d = load(spark, sf_dir, "documents")
+    return textops.lang_id(d, "text").select("doc_id", "lang_pred", "lang_score")
+
+
+def _lang_values_sql() -> str:
+    rows = []
+    for lang in sorted(textops.LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS[lang])
+        rows.append(f"('{lang}', [{words}])")
+    return ", ".join(rows)
+
+
+SQL_LANG_ID = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS tk
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, w -> list_contains(sw, lower(w))))::DOUBLE / len(tk)
+              ELSE 0.0 END AS score
+  FROM toks, (VALUES {_lang_values_sql()}) AS langs(lang, sw)),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scored)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(score, 6) AS lang_score
+FROM best WHERE rn = 1
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish (regex-piece) token counts per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count("text").alias("n_ws_tokens"),
+        textops.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (md5 of lower-cased,
+    whitespace-collapsed text) — dedup key for formatting-only edits."""
+    d = load(spark, sf_dir, "documents")
+    return textops.fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a fixed query vector —
+    scan-bound, TakeOrderedAndProject keeps k rows per partition."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, "embedding", QUERY_VEC, "vec_id", k=10)
+
+
+SQL_COSINE_TOPK = f"""
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_knn_join(spark, sf_dir):
+    """k-NN join: 3 query vectors (broadcast side) × corpus; per-query
+    top-5 via windowed rank."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_join(e, q, "embedding", "vec_id", "qvec", "qid", k=5)
+
+
+SQL_KNN_JOIN = """
+SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+         AS cosine,
+       row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY round(list_cosine_similarity(
+           c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC, c.vec_id)
+         AS rank
+FROM embeddings c, embeddings q
+WHERE q.vec_id < 3
+QUALIFY rank <= 5
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, EXACT all-pairs variant
+    (explicit lsh_planes=0) — the oracle path; the scale path is
+    ``embedding_neardup_lsh`` below."""
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, lsh_planes=0
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+      >= 0.4
+"""
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs (the 100 TB path): AND-OR
+    amplified candidate generation + exact cosine verify. Rows-only
+    check (recall is probabilistic; correctness = no false positives,
+    covered in tests against the exact variant)."""
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, lsh_planes=32, lsh_bands=8, dim=64
+    )
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH banded near-dup pairs with exact-Jaccard verify
+    (rows-only: xxhash64 signatures are not oracle-replicable)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole 16-bit chunk join +
+    hamming verify (rows-only)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-ANN top-k: kmeans cells over a bounded sample, nprobe-pruned
+    scan (rows-only: centroid fit is iterative, not SQL)."""
+    e = load(spark, sf_dir, "embeddings")
+    idx = similarity.IVFIndex(nlist=16, seed=42).fit(e, "embedding")
+    indexed = idx.transform(e, "embedding")
+    return idx.search(indexed, "embedding", "vec_id", QUERY_VEC, k=10, nprobe=4)
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -557,6 +837,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "knn_join": q_knn_join,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -576,6 +869,19 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "window_events": SQL_WINDOW_EVENTS,
-    # cluster_* : no SQL oracle (iterative ML) — rows-only check;
-    # invariants covered in tests/test_clustering.py
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "knn_join": SQL_KNN_JOIN,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    # no oracle (not ANSI-SQL-expressible) — rows-only checks:
+    #   cluster_* (iterative ML), minhash_neardup / simhash_neardup
+    #   (xxhash64 signatures), embedding_neardup_lsh (probabilistic
+    #   recall; no-false-positive property tested against the exact
+    #   variant in tests/), ivf_topk (iterative centroid fit).
+    # Invariants covered in tests/.
 }
