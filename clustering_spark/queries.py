@@ -534,6 +534,36 @@ def q_cluster_gmm(spark, sf_dir):
     return _flagship(spark, sf_dir, "GaussianMixture")
 
 
+def q_optimal_k(spark, sf_dir):
+    """M5-M9: the optimal-k tuner — k sweep (2..10) x seed search with
+    elbow + top-3-silhouette decision, per segment, in ONE
+    applyInPandas shuffle (vs the reference's 27 MLlib fits per
+    segment; optimal_k.py). Rows-only (iterative ML)."""
+    from clustering_spark.functions.scaling import scale_segments, scaled_name
+    from clustering_spark.operators.segmentation import drop_null_metrics
+    from clustering_spark.operators.tuner import optimal_k_sweep
+
+    cfg = PipelineConfig(dont_scale=[])
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    df = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    metric_cols = ["c_acctbal", "c_custkey"]
+    seg_cols = ["n_name", "c_mktsegment"]
+    clean = drop_null_metrics(df, metric_cols)
+    scaled = scale_segments(clean, metric_cols, seg_cols, cfg.dont_scale)
+    feats = [scaled_name(c, metric_cols) for c in metric_cols]
+    return optimal_k_sweep(
+        scaled.select(*seg_cols, *feats),
+        seg_cols,
+        feats,
+        algorithm="KMeans",
+        seeds=tuple(cfg.seeds(cfg.iter_num)),
+        start_k=cfg.start_k,
+        stop_k=cfg.stop_k,
+        silhouette_threshold=cfg.silhouette_threshold,
+    )
+
+
 # =====================================================================
 # beyond-reference: dedup / similarity / text analysis (SURVEY §7.6)
 # =====================================================================
@@ -837,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
+    "optimal_k": q_optimal_k,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,

@@ -1,0 +1,165 @@
+"""Clustering correctness without an oracle (SURVEY §5.2 item 3):
+fixed-seed determinism, invariants, planted-blob recovery, and
+fit_predict/fit_summarize agreement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clustering_spark.operators.clustering import (
+    SegmentedClusterer,
+    best_of_seeds,
+    bisecting_kmeans_fit,
+    gmm_fit,
+    kmeans_fit,
+    squared_euclidean_silhouette,
+)
+
+
+def planted_blobs(k=3, n_per=40, spread=0.05, seed=7):
+    """Well-separated 2-d blobs; planted label = blob index."""
+    rng = np.random.RandomState(seed)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])[:k]
+    X = np.vstack(
+        [c + rng.randn(n_per, 2) * spread for c in centers]
+    )
+    truth = np.repeat(np.arange(k), n_per)
+    return X, truth
+
+
+def blobs_recovered(labels, truth, k):
+    """Every planted blob maps to exactly one predicted label and
+    vice versa (permutation-invariant exact recovery)."""
+    mapping = {}
+    for b in range(k):
+        got = set(labels[truth == b])
+        if len(got) != 1:
+            return False
+        mapping[b] = got.pop()
+    return len(set(mapping.values())) == k
+
+
+@pytest.mark.parametrize("fitter", [kmeans_fit, bisecting_kmeans_fit, gmm_fit])
+def test_fit_invariants(fitter):
+    X, _ = planted_blobs(k=3)
+    labels, centers, wssse = fitter(X, 3, seed=11)
+    # every row labeled, labels in [0, k)
+    assert labels.shape == (len(X),)
+    assert set(labels) <= set(range(3))
+    # centers inside the data bounding box
+    assert (centers >= X.min(axis=0) - 1e-9).all()
+    assert (centers <= X.max(axis=0) + 1e-9).all()
+    assert wssse >= 0.0
+
+
+@pytest.mark.parametrize("fitter", [kmeans_fit, bisecting_kmeans_fit, gmm_fit])
+def test_planted_blob_recovery(fitter):
+    X, truth = planted_blobs(k=3)
+    labels, _, _ = fitter(X, 3, seed=11)
+    assert blobs_recovered(labels, truth, 3)
+
+
+def test_fixed_seed_determinism():
+    X, _ = planted_blobs(k=3)
+    l1, c1, w1 = kmeans_fit(X, 3, seed=42)
+    l2, c2, w2 = kmeans_fit(X, 3, seed=42)
+    assert (l1 == l2).all()
+    assert np.allclose(c1, c2)
+    assert w1 == w2
+
+
+def test_k_capped_at_distinct_points():
+    X = np.array([[1.0, 1.0], [1.0, 1.0], [2.0, 2.0]])
+    labels, centers, _ = kmeans_fit(X, 5, seed=1)
+    # only 2 distinct points -> at most 2 clusters
+    assert len(set(labels)) <= 2
+    assert centers.shape[0] <= 2
+
+
+def test_silhouette_range_and_single_cluster():
+    X, _ = planted_blobs(k=2)
+    labels, _, _ = kmeans_fit(X, 2, seed=3)
+    s = squared_euclidean_silhouette(X, labels)
+    assert -1.0 <= s <= 1.0
+    # well-separated blobs -> near-perfect silhouette
+    assert s > 0.9
+    # single cluster -> 0.0 (metrics.py:140-148 parity)
+    assert squared_euclidean_silhouette(X, np.zeros(len(X), dtype=int)) == 0.0
+
+
+def test_best_of_seeds_picks_max_silhouette():
+    X, _ = planted_blobs(k=3)
+    _, _, sil, _ = best_of_seeds(X, 3, "KMeans", seeds=(1, 2, 3))
+    for seed in (1, 2, 3):
+        labels, _, _ = kmeans_fit(X, 3, seed)
+        assert sil >= squared_euclidean_silhouette(X, labels) - 1e-12
+
+
+def _blob_df(spark, segs=("s1", "s2")):
+    rows = []
+    for seg in segs:
+        X, _ = planted_blobs(k=3, n_per=30)
+        rows += [(seg, float(x), float(y)) for x, y in X]
+    return spark.createDataFrame(rows, "seg string, fx double, fy double")
+
+
+def test_fit_predict_invariants_spark(spark):
+    df = _blob_df(spark)
+    clusterer = SegmentedClusterer(
+        segment_cols=["seg"], feature_cols=["fx", "fy"], default_k=3, seeds=(42,)
+    )
+    pdf = clusterer.fit_predict(df).toPandas()
+    assert len(pdf) == df.count()
+    for seg, grp in pdf.groupby("seg"):
+        assert set(grp.prediction) == {0, 1, 2}
+        assert grp.silhouette.nunique() == 1
+        assert -1.0 <= grp.silhouette.iloc[0] <= 1.0
+        # deterministic relabel: label 0 is the biggest cluster
+        sizes = grp.prediction.value_counts()
+        assert sizes[0] == sizes.max()
+
+
+def test_fit_summarize_agrees_with_fit_predict(spark):
+    df = _blob_df(spark, segs=("only",))
+    clusterer = SegmentedClusterer(
+        segment_cols=["seg"], feature_cols=["fx", "fy"], default_k=3, seeds=(42,)
+    )
+    labeled = clusterer.fit_predict(df).toPandas()
+    summary = clusterer.fit_summarize(df).toPandas()
+    assert len(summary) == 3
+    # sizes per cluster_name match the labeled row counts
+    sizes_l = labeled.prediction.value_counts().to_dict()
+    sizes_s = dict(zip(summary.cluster_name, summary.cluster_size))
+    assert sizes_l == sizes_s
+    # flat scalar centers, inside data bounds
+    assert {"center_0", "center_1"} <= set(summary.columns)
+    assert summary.center_0.between(labeled.fx.min(), labeled.fx.max()).all()
+    # entropy of 3 equal blobs ~ log2(3)
+    assert abs(summary.entropy.iloc[0] - np.log2(3)) < 0.1
+
+
+def test_degenerate_segment_single_cluster(spark):
+    df = spark.createDataFrame(
+        [("s", 1.0, 1.0)] * 5, "seg string, fx double, fy double"
+    )
+    clusterer = SegmentedClusterer(
+        segment_cols=["seg"], feature_cols=["fx", "fy"], default_k=3, seeds=(42,)
+    )
+    pdf = clusterer.fit_predict(df).toPandas()
+    assert set(pdf.prediction) == {0}
+    assert set(pdf.silhouette) == {0.0}
+
+
+def test_parity_mode_matches_scale_mode_shape(spark):
+    df = _blob_df(spark, segs=("a", "b"))
+    kw = dict(segment_cols=["seg"], feature_cols=["fx", "fy"], default_k=3, seeds=(42,))
+    scale = SegmentedClusterer(mode="scale", **kw).fit_predict(df).toPandas()
+    parity = SegmentedClusterer(mode="parity", **kw).fit_predict(df).toPandas()
+    assert sorted(scale.columns) == sorted(parity.columns)
+    assert len(scale) == len(parity)
+    # both find 3 clusters per segment on separated blobs
+    for pdf in (scale, parity):
+        for _, grp in pdf.groupby("seg"):
+            assert grp.prediction.nunique() == 3

@@ -1,0 +1,163 @@
+"""Dedup operator semantics on planted fixtures: exact-key encoding,
+MinHash/SimHash near-dup recovery, exact n-gram Jaccard values, and
+the no-false-positives property of embedding LSH vs the exact variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import dedup
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_B = "the quick brown fox jumps over the lazy cat again and again today"
+DOC_C = "completely unrelated text about database query optimization plans"
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A), (3, DOC_B), (4, DOC_C)], "id long, text string"
+    )
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"], "id").toPandas()
+    assert len(out) == 3  # A appears twice -> one group of 2
+    assert out.n_copies.sum() == 4
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.id.iloc[0] == 1  # min-id survivor
+
+
+def test_exact_dedup_no_concat_ambiguity(spark):
+    df = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc"), (3, "a", None), (4, "a", "")],
+        "id long, c1 string, c2 string",
+    )
+    out = dedup.exact_dedup(df, ["c1", "c2"], "id").toPandas()
+    # all four rows are distinct contents -> four groups
+    assert len(out) == 4
+
+
+def test_minhash_finds_planted_neardup(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "id", "text", shingle_words=2, jaccard_threshold=0.5
+    ).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (1, 2) in found  # exact dup: jaccard 1.0
+    assert (1, 3) in found or (2, 3) in found  # one-word edit
+    for a, b in found:
+        assert b != 4 and a != 4  # unrelated doc never pairs
+
+
+def test_minhash_jaccard_exact_for_identical(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "id", "text", shingle_words=2).toPandas()
+    j = pairs.set_index(["id_a", "id_b"]).jaccard
+    assert j.loc[(1, 2)] == 1.0
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs):
+    pairs = dedup.simhash_pairs(docs, "id", "text", max_hamming=3).toPandas()
+    h = pairs.set_index(["id_a", "id_b"]).hamming
+    assert h.loc[(1, 2)] == 0
+    assert len(h) == 1  # nothing else within 3 bits on 13-word docs
+
+
+def test_simhash_near_dup_on_long_doc(spark):
+    # a one-word edit on a LONG doc flips few signature bits — the
+    # regime the h<=3 pigeonhole join is designed for (short docs are
+    # inherently noisy: each shingle carries ~1/n of the vote mass)
+    words = [f"w{i % 97}x{i % 31}" for i in range(400)]
+    long_a = " ".join(words)
+    words[200] = "CHANGED"
+    long_b = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_b), (3, DOC_C)], "id long, text string"
+    )
+    pairs = dedup.simhash_pairs(df, "id", "text", max_hamming=3).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)
+
+
+def test_simhash_signature_deterministic(spark):
+    df = spark.createDataFrame([(1, DOC_A)], "id long, text string")
+    s1 = df.select(dedup.simhash64("text").alias("s")).collect()[0].s
+    s2 = df.select(dedup.simhash64("text").alias("s")).collect()[0].s
+    assert s1 == s2
+    assert isinstance(s1, int)
+
+
+def python_char_jaccard(a: str, b: str, n: int = 5) -> float:
+    import re
+
+    na = re.sub(r"\s+", " ", a.strip().lower())
+    nb = re.sub(r"\s+", " ", b.strip().lower())
+    sa = {na[i : i + n] for i in range(len(na) - n + 1)} or {na}
+    sb = {nb[i : i + n] for i in range(len(nb) - n + 1)} or {nb}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    # no stop-shingle pruning (max_shingle_df=1.0) -> exact jaccard
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "id", "text", n=5, jaccard_threshold=0.3, max_shingle_df=1.0
+    ).toPandas()
+    j = pairs.set_index(["id_a", "id_b"]).jaccard
+    expect_ab = python_char_jaccard(DOC_A, DOC_B)
+    assert abs(j.loc[(1, 3)] - round(expect_ab, 6)) < 1e-9
+    assert j.loc[(1, 2)] == 1.0
+
+
+def test_ngram_jaccard_explicit_ndocs_matches_derived(spark, docs):
+    derived = dedup.ngram_jaccard_pairs(
+        docs, "id", "text", jaccard_threshold=0.3
+    ).toPandas()
+    explicit = dedup.ngram_jaccard_pairs(
+        docs, "id", "text", jaccard_threshold=0.3, n_docs=4
+    ).toPandas()
+    key = ["id_a", "id_b"]
+    assert sorted(map(tuple, derived[key].values)) == sorted(
+        map(tuple, explicit[key].values)
+    )
+
+
+@pytest.fixture
+def vectors(spark):
+    rng = np.random.RandomState(5)
+    base = rng.randn(20, 16)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(20)]
+    # plant near-dups: 100+i is a tiny perturbation of i
+    for i in range(3):
+        rows.append((100 + i, [float(v) for v in base[i] + rng.randn(16) * 0.01]))
+    return spark.createDataFrame(rows, "id long, vec array<double>")
+
+
+def test_embedding_exact_finds_planted(spark, vectors):
+    out = dedup.embedding_neardup_pairs(
+        vectors, "id", "vec", threshold=0.99, lsh_planes=0
+    ).toPandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert {(0, 100), (1, 101), (2, 102)} <= found
+
+
+def test_embedding_lsh_subset_of_exact_with_high_recall(spark, vectors):
+    exact = dedup.embedding_neardup_pairs(
+        vectors, "id", "vec", threshold=0.99, lsh_planes=0
+    ).toPandas()
+    lsh = dedup.embedding_neardup_pairs(
+        vectors, "id", "vec", threshold=0.99, lsh_planes=16, lsh_bands=8, dim=16
+    ).toPandas()
+    exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].values))
+    lsh_pairs = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    # verification step guarantees no false positives
+    assert lsh_pairs <= exact_pairs
+    # near-identical vectors collide in every band -> full recall here
+    assert {(0, 100), (1, 101), (2, 102)} <= lsh_pairs
+
+
+def test_embedding_lsh_requires_dim(spark, vectors):
+    with pytest.raises(ValueError, match="dim"):
+        dedup.embedding_neardup_pairs(vectors, "id", "vec")

@@ -1,0 +1,103 @@
+"""k-cache scenario tests (SURVEY J4/S6/S9/M10; reference
+cluster.py:95-136): miss -> tune -> hit -> regression -> re-tune,
+plus latest-wins read semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.config import PipelineConfig
+from clustering_spark.operators.kcache import KCache, cluster_with_cache
+from tests.test_clustering_invariants import planted_blobs
+
+
+@pytest.fixture
+def seg_df(spark):
+    # planted k in (3, 4): away from start_k — the reference's elbow
+    # rule gives the chord ENDPOINTS zero distance, so a planted
+    # k == start_k legitimately loses to a within-threshold runner-up
+    # (reference-faithful; see choose_k)
+    rows = []
+    for macro, micro, k_true in (("m1", "u1", 3), ("m1", "u2", 3), ("m2", "u1", 4)):
+        X, _ = planted_blobs(k=k_true, n_per=25)
+        rows += [(macro, micro, float(x), float(y)) for x, y in X]
+    return spark.createDataFrame(
+        rows, "macro string, micro string, x double, y double"
+    )
+
+
+CFG = PipelineConfig(dont_scale=[], stop_k=6)
+ARGS = dict(
+    macro_col="macro",
+    micro_col="micro",
+    x_col="x",
+    y_col="y",
+    algorithm="KMeans",
+    config=CFG,
+)
+
+
+def test_latest_wins_read(spark, tmp_path):
+    cache = KCache(str(tmp_path / "kc"))
+    entry = spark.createDataFrame(
+        [("KMeans", "m", "u", "x", "y", "a", "b")],
+        "algorithm string, macro_col string, micro_col string, "
+        "x_col string, y_col string, macro_id string, micro_id string",
+    )
+    cache.append(entry.withColumn("k", F.lit(3)).withColumn("silhouette", F.lit(0.5)), version=1)
+    cache.append(entry.withColumn("k", F.lit(5)).withColumn("silhouette", F.lit(0.7)), version=2)
+    got = cache.lookup(spark, "KMeans", "m", "u", "x", "y").collect()
+    assert len(got) == 1
+    assert got[0].k == 5 and got[0].silhouette == 0.7
+    # other grid cells don't leak in
+    assert cache.lookup(spark, "KMeans", "m", "u", "y", "x").count() == 0
+
+
+def test_empty_cache_reads(spark, tmp_path):
+    cache = KCache(str(tmp_path / "nope"))
+    assert cache.read_latest(spark).count() == 0
+    assert cache.lookup(spark, "KMeans", "m", "u", "x", "y").count() == 0
+
+
+def test_miss_tune_hit_flow(spark, tmp_path, seg_df):
+    cache = KCache(str(tmp_path / "kc"))
+    res1, s1 = cluster_with_cache(seg_df, cache=cache, version=1, **ARGS)
+    assert s1["misses"] == 3  # all segments tuned on first run
+    r1 = res1.toPandas()
+    # tuned k recovered per planted segment
+    ks = r1.groupby(["macro", "micro"]).cluster_name.nunique().to_dict()
+    assert ks == {("m1", "u1"): 3, ("m1", "u2"): 3, ("m2", "u1"): 4}
+
+    res2, s2 = cluster_with_cache(seg_df, cache=cache, version=2, **ARGS)
+    assert s2["misses"] == 0 and s2["regressed"] == 0  # warm cache
+    assert res2.count() == res1.count()
+
+
+def test_regression_triggers_retune(spark, tmp_path, seg_df):
+    cache = KCache(str(tmp_path / "kc"))
+    # poison the cache: claim segment (m1, u2) clusters perfectly with
+    # k=2 at silhouette 0.99 — fresh k=2 on 3 blobs scores well below
+    # 0.99 * 0.8, tripping the regression gate
+    poison = spark.createDataFrame(
+        [("KMeans", "macro", "micro", "x", "y", "m1", "u2", 2, 0.99)],
+        "algorithm string, macro_col string, micro_col string, x_col string, "
+        "y_col string, macro_id string, micro_id string, k int, silhouette double",
+    )
+    cache.append(poison, version=1)
+    res, stats = cluster_with_cache(seg_df, cache=cache, version=2, **ARGS)
+    assert stats["misses"] == 2  # the two unpoisoned segments
+    assert stats["regressed"] == 1
+    pdf = res.toPandas()
+    # after re-tune the poisoned segment recovers its true k=3
+    k_u2 = pdf[(pdf.macro == "m1") & (pdf.micro == "u2")].cluster_name.nunique()
+    assert k_u2 == 3
+    # and the cache now holds the corrected entry at the newer version
+    fixed = (
+        cache.lookup(spark, "KMeans", "macro", "micro", "x", "y")
+        .filter((F.col("macro_id") == "m1") & (F.col("micro_id") == "u2"))
+        .collect()[0]
+    )
+    assert fixed.k == 3

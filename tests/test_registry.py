@@ -1,0 +1,70 @@
+"""Registry / driver-contract consistency: every oracle belongs to a
+query, the bench headline set exists, and the similarity operators
+agree with a numpy reference on small data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clustering_spark.operators import similarity
+from clustering_spark.queries import ORACLES, QUERIES
+
+
+def test_every_oracle_has_a_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing
+
+
+def test_bench_headline_queries_registered():
+    import bench
+
+    assert all(name in QUERIES for name in bench.HEADLINE)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    M = rng.randn(30, 8)
+    q = rng.randn(8).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in M[i]]) for i in range(30)], "id long, v array<double>"
+    )
+    got = similarity.cosine_topk(df, "v", q, "id", k=5).toPandas()
+    sims = (M @ np.array(q)) / (
+        np.linalg.norm(M, axis=1) * np.linalg.norm(np.array(q))
+    )
+    expect = np.argsort(-np.round(sims, 6), kind="stable")[:5]
+    assert list(got.id) == list(expect)
+
+
+def test_knn_join_self_match_first(spark):
+    rng = np.random.RandomState(4)
+    M = rng.randn(20, 8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in M[i]]) for i in range(20)], "id long, v array<double>"
+    )
+    q = df.filter("id < 2").selectExpr("id as qid", "v as qv")
+    out = similarity.knn_join(df, q, "v", "id", "qv", "qid", k=3).toPandas()
+    assert len(out) == 6
+    top = out[out["rank"] == 1].set_index("query_id").corpus_id
+    # each query's nearest neighbour is itself (cosine 1.0)
+    assert top[0] == 0 and top[1] == 1
+
+
+def test_ivf_search_covers_bruteforce_topk(spark):
+    rng = np.random.RandomState(6)
+    M = rng.randn(200, 8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in M[i]]) for i in range(200)], "id long, v array<double>"
+    )
+    q = rng.randn(8).tolist()
+    idx = similarity.IVFIndex(nlist=4, seed=42).fit(df, "v")
+    indexed = idx.transform(df, "v")
+    # probing ALL cells must equal brute force exactly
+    full = idx.search(indexed, "v", "id", q, k=5, nprobe=4).toPandas()
+    brute = similarity.cosine_topk(df, "v", q, "id", k=5).toPandas()
+    assert list(full.id) == list(brute.id)
+    # cell assignment is total and in range
+    cells = indexed.select("cell").distinct().toPandas().cell
+    assert cells.between(0, 3).all()

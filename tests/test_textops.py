@@ -1,0 +1,86 @@
+"""Text-analysis operator semantics: token counting edge cases,
+quality features on a hand-computed doc, language ID, fingerprints.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import textops
+
+
+def one(df, col):
+    return df.select(col).collect()[0][0]
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two words",), ("  padded   out  ",)],
+        "t string",
+    )
+    out = df.select(textops.token_count("t").alias("n")).toPandas().n.tolist()
+    assert out == [0, 0, 1, 2, 2]
+
+
+def test_bpe_ish_count(spark):
+    df = spark.createDataFrame([("ab12 cd!",)], "t string")
+    # pieces: 'ab', '12', 'cd', '!' -> 4
+    assert one(df, textops.bpe_ish_token_count("t").alias("n")) == 4
+
+
+def test_quality_features_hand_computed(spark):
+    text = "the cat sat"  # 11 chars, 3 tokens, 1 stopword, no punct/digits
+    df = textops.quality_features(
+        spark.createDataFrame([(text,)], "text string"), "text"
+    )
+    row = df.collect()[0]
+    assert row.n_tokens == 3
+    assert abs(row.avg_token_len - 11 / 3) < 1e-6
+    assert row.punct_ratio == 0.0
+    assert row.digit_ratio == 0.0
+    assert abs(row.stopword_ratio - 1 / 3) < 1e-6
+    # score: tok_len_ok=1, punct=1, digit=1, stop=min(5/3,1)=1 -> 1.0
+    assert row.quality_score == 1.0
+
+
+def test_quality_empty_text(spark):
+    df = textops.quality_features(
+        spark.createDataFrame([("",)], "text string"), "text"
+    )
+    row = df.collect()[0]
+    assert row.n_tokens == 0
+    assert row.avg_token_len == 0.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "der Hund ist mit einem Ball und die Katze"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "id long, text string",
+    )
+    out = textops.lang_id(df, "text").toPandas().set_index("id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[3, "lang_pred"] == "und"
+    assert out.loc[3, "lang_score"] == 0.0
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "goodbye world")],
+        "id long, text string",
+    )
+    out = textops.fingerprint(df, "text").toPandas().set_index("id").fingerprint
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_rolling_hash_fingerprint_stable(spark):
+    df = spark.createDataFrame([(1, "some document text here")], "id long, text string")
+    a = one(textops.rolling_hash_fingerprint(df, "text"), "winnow_fp")
+    b = one(textops.rolling_hash_fingerprint(df, "text"), "winnow_fp")
+    assert a == b and isinstance(a, int)
