@@ -534,6 +534,25 @@ def q_cluster_gmm(spark, sf_dir):
     return _flagship(spark, sf_dir, "GaussianMixture")
 
 
+def q_result_doc_original(spark, sf_dir):
+    """S7: the nested 'original' result document (collect_list(struct)
+    x2 + to_json with reference key names) over the flagship
+    clustering output. Rows-only (one JSON doc per grid cell)."""
+    from clustering_spark.operators.sinks import original_documents
+
+    res = _flagship(spark, sf_dir, "KMeans")
+    return original_documents(res, "n_name", "c_mktsegment", run_date="r")
+
+
+def q_result_doc_d3(spark, sf_dir):
+    """S8: the D3 circle-packing document with size in [1, 50] —
+    relational build, never JSON string-replace. Rows-only."""
+    from clustering_spark.operators.sinks import d3_documents
+
+    res = _flagship(spark, sf_dir, "KMeans")
+    return d3_documents(res, "n_name", "c_mktsegment", run_date="r")
+
+
 def q_optimal_k(spark, sf_dir):
     """M5-M9: the optimal-k tuner — k sweep (2..10) x seed search with
     elbow + top-3-silhouette decision, per segment, in ONE
@@ -868,6 +887,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
     "optimal_k": q_optimal_k,
+    "result_doc_original": q_result_doc_original,
+    "result_doc_d3": q_result_doc_d3,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
