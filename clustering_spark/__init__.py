@@ -13,10 +13,16 @@ Reference semantics (see SURVEY.md):
   * flat result table + D3 circle-packing hierarchy JSON sinks.
 
 Beyond the reference: dedup (exact / MinHash-LSH / SimHash / n-gram
-Jaccard / embedding-cosine), similarity search (brute-force + LSH
-cosine top-k), text analysis (lang-id, quality, tokens, fingerprints),
-multimodal binary-column plumbing, and a Structured Streaming ingest
-path — all designed partition-first for 100 TB scale.
+Jaccard / banded-hyperplane embedding-cosine), similarity search
+(brute-force cosine top-k, knn join, IVF-ANN), text analysis (lang-id,
+quality scoring, token counting, fingerprints), the optimal-k tuner +
+parquet k-cache with regression-gated re-tuning, nested original/D3
+document sinks, explicit-schema PERMISSIVE CSV ingestion
+(``sources/``), a Structured Streaming ingest path with watermarked
+tumbling/session windows (``streaming/``), multimodal binary-column
+plumbing with Arrow-batched decode stages (``operators/multimodal``),
+and physical-plan audit helpers (``plans/``) — all designed
+partition-first for 100 TB scale.
 """
 
 __version__ = "0.1.0"

@@ -95,19 +95,22 @@ def d3_normalize(
 
     The reference computes min/max with a driver-side nested loop (and a
     bug: its `elif` skips the max update when a value also won the min —
-    metrics.py:159; SURVEY appendix). We compute the global min/max as a
-    1-row aggregate broadcast back (avoids an unpartitioned WindowExec,
-    which would funnel all rows through one partition).
+    metrics.py:159; SURVEY appendix).
+
+    Implementation: an UNPARTITIONED min/max window. That is normally a
+    scale trap (all rows through one partition) but is the right plan
+    here BY CONTRACT: the input is the summaries frame, #segments x k
+    rows, never fact data. The alternative (1-row aggregate +
+    crossJoin-back) re-evaluates the summaries subtree twice — for a
+    clustering pipeline that means fitting every model twice, which
+    benchmarking showed dominates the flagship query's cost.
     """
-    bounds = summaries.agg(
-        F.min(value_col).alias("__d3_min"), F.max(value_col).alias("__d3_max")
-    )
-    mn, mx = F.col("__d3_min"), F.col("__d3_max")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    mn = F.min(value_col).over(w)
+    mx = F.max(value_col).over(w)
     scaled = F.when(mx == mn, F.lit(1.0)).otherwise(
         (F.col(value_col) - mn) / (mx - mn) * (F.lit(d3_max) - 1.0) + 1.0
     )
-    return (
-        summaries.crossJoin(F.broadcast(bounds))
-        .withColumn(out_col, scaled)
-        .drop("__d3_min", "__d3_max")
-    )
+    return summaries.withColumn(out_col, scaled)

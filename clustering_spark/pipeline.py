@@ -130,3 +130,46 @@ def run_grid(df: DataFrame, config: PipelineConfig, k: int = 3) -> DataFrame:
         cell = cluster_segments(df, macro, micro, x, y, alg, config, k=k)
         out = cell if out is None else out.unionByName(cell)
     return out
+
+
+def run_interval(
+    df: DataFrame,
+    interval: str,
+    config: PipelineConfig,
+    out_path: str,
+    run_date: str,
+    version: int = 0,
+    k: int = 3,
+) -> DataFrame:
+    """One scheduled run, end-to-end (reference cluster.py main flow):
+    apply the per-interval row cap, run every grid cell, and write the
+    original + D3 documents under ``out_path/{original,d3}/{interval}``.
+    Document JSON key names follow each cell's (macro, micro) columns.
+    Source acknowledgment (S11) is the caller's move — see
+    ``sources.filesource.acknowledge``. Returns the flat results table.
+    """
+    from clustering_spark.operators.sinks import (
+        d3_documents,
+        original_documents,
+        write_documents,
+    )
+    from clustering_spark.sources.csv_source import sample_cap
+
+    limit = config.limits.get(interval)
+    capped = sample_cap(df, limit, seed=config.base_seed) if limit else df
+    results = run_grid(capped, config, k=k)
+    for macro, micro in {(m, mi) for m, mi, *_ in config.grid()}:
+        cell = results.filter(
+            (F.col("macro_col") == macro) & (F.col("micro_col") == micro)
+        )
+        write_documents(
+            original_documents(cell, macro, micro, run_date, version),
+            f"{out_path}/original",
+            interval,
+        )
+        write_documents(
+            d3_documents(cell, macro, micro, run_date, version, config.d3_normalize_max),
+            f"{out_path}/d3",
+            interval,
+        )
+    return results

@@ -1,0 +1,115 @@
+"""Streaming ingest of the events table: file-source readStream ->
+watermarked tumbling/session windows -> sink.
+
+Design notes for scale:
+* The aggregations are the SAME expressions as the batch
+  ``window_events`` query — Structured Streaming incrementalizes them;
+  correctness tests run the stream with ``availableNow`` over a static
+  directory and compare against the batch result.
+* The watermark bounds state: late events beyond it are dropped, so
+  state size is O(active windows x groups), independent of stream
+  length.
+* File sources track processed files in the checkpoint — the streaming
+  analog of the reference's delete-after-consume (S11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of event files. Streams
+    require a user-supplied schema (no inference race on a growing
+    directory)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window counts + value sums per event_type —
+    the streaming form of the batch ``window_events`` query. The
+    watermark admits late data up to its bound, then finalizes the
+    window (state is dropped)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session windows (gap-based): event count and value sum
+    per session. ``session_window`` is the built-in stateful operator —
+    no custom applyInPandasWithState needed for this shape."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("s.start")).alias("session_start"),
+            F.unix_timestamp(F.col("s.end")).alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain the stream with availableNow into an in-memory table
+    (complete mode) — the test/driver harness path; production sinks
+    swap in ``format('parquet')`` + append/update."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

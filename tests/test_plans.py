@@ -1,0 +1,103 @@
+"""Physical-plan audits: pin the plan properties the 100 TB design
+depends on. A green result with the wrong plan fails HERE.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.functions.scaling import scale_segments
+from clustering_spark.plans import (
+    count_shuffles,
+    formatted_plan,
+    join_strategies,
+    plan_tree,
+    pushed_filters,
+    scan_schema_columns,
+)
+from clustering_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """pricing_summary's shipdate filter must reach the parquet scan."""
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed)
+
+
+def test_column_pruning(spark):
+    """A 4-column projection must read exactly 4 columns."""
+    df = QUERIES["nulldrop_projection"](spark, SF_DIR)
+    scans = scan_schema_columns(df)
+    assert scans and set(scans[0]) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+    }
+
+
+def test_tiny_dims_broadcast(spark):
+    """hierarchy_rollup joins nation+region — both must broadcast,
+    never shuffle the fact side for a 25-row dim."""
+    df = QUERIES["hierarchy_rollup"](spark, SF_DIR)
+    js = join_strategies(df)
+    assert js and all(j == "BroadcastHashJoin" for j in js)
+
+
+def test_scaling_is_one_aggregation_plus_broadcast_join(spark):
+    """scale_segments: stats agg + broadcast join-back. The fact table
+    must NOT be hash-repartitioned — the only Exchanges allowed are the
+    stats aggregation's (pre/post shuffle of the TINY grouped frame)
+    and broadcast distribution."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    out = scale_segments(c, ["c_acctbal"], ["c_nationkey", "c_mktsegment"])
+    js = join_strategies(out)
+    assert js == ["BroadcastHashJoin"]
+    # no sort anywhere (no SortMergeJoin path)
+    assert "SortMergeJoin" not in plan_tree(out)
+
+
+def test_no_forced_broadcast_of_growing_dims(spark):
+    """revenue_by_nation: customer grows with SF — the plan must not
+    contain a build side forced from a ResolvedHint on customer.
+    (AQE may still CHOOSE broadcast at this sf; the invariant is that
+    the logical plan carries no hint except for nation.)"""
+    df = QUERIES["revenue_by_nation"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().logical().toString()
+    import re
+
+    hints = re.findall(r"UnresolvedHint broadcast[\s\S]{0,200}?parquet\.`?([^\s,\]`]+)", logical)
+    joined = " ".join(hints)
+    assert "customer" not in joined
+
+
+def test_cluster_pipeline_single_wide_shuffle(spark):
+    """The flagship clustering plan: the fact table crosses the wire
+    once (the groupBy(segment) feeding applyInPandas) and — critically
+    — the model fit appears EXACTLY ONCE in the plan. (The previous
+    d3_normalize implementation re-evaluated the fit subtree for its
+    bounds aggregate, silently doubling the dominant cost.)"""
+    df = QUERIES["cluster_kmeans"](spark, SF_DIR)
+    tree = plan_tree(df)
+    assert tree.count("FlatMapGroupsInPandas") == 1
+    # no sort-merge join anywhere in the pipeline
+    assert "SortMergeJoin" not in tree
+
+
+def test_topk_uses_take_ordered(spark):
+    """topk_segments must plan TakeOrderedAndProject (bounded memory),
+    not a global sort."""
+    df = QUERIES["topk_segments"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_minhash_join_is_equi_join(spark):
+    """The LSH band self-join must be a hash equi-join on the band
+    key — never a nested-loop/cartesian candidate generator."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from clustering_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(docs, "doc_id", "text")
+    js = join_strategies(df)
+    assert js
+    assert "BroadcastNestedLoopJoin" not in js and "CartesianProduct" not in js
