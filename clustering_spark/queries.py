@@ -608,40 +608,46 @@ FROM documents GROUP BY 1
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact char-5-gram Jaccard near-dup pairs via the inverted
-    shingle index with stop-shingle pruning (df > 50% of docs)."""
+    """Char-5-gram EXACT Jaccard near-dup pairs: prefix-filtered
+    candidate generation (lossless — PPJoin-style rarity prefixes),
+    exact verification on the full shingle sets."""
     d = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=5, jaccard_threshold=0.5, max_shingle_df=0.5
-    )
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=5, jaccard_threshold=0.5)
 
 
 SQL_NGRAM_JACCARD = r"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
   FROM documents),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(
+full_sets AS (
+  SELECT doc_id, list_distinct(
     CASE WHEN len(t) >= 5
          THEN list_transform(range(1, len(t) - 3), i -> substring(t, i, 5))
-         ELSE [t] END)) AS shingle
+         ELSE [t] END) AS sh
   FROM norm),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-rare AS (
-  SELECT sh.doc_id, sh.shingle FROM sh
-  JOIN (SELECT shingle FROM sh GROUP BY 1
-        HAVING count(*) <= floor(0.5 * (SELECT count(*) FROM documents)))
-  USING (shingle)),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+exploded AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM full_sets),
+docfreq AS (SELECT shingle, count(*) AS df FROM exploded GROUP BY 1),
+prefix AS (
+  SELECT doc_id, shingle, rn, n FROM (
+    SELECT e.doc_id, e.shingle, e.n,
+           row_number() OVER (PARTITION BY e.doc_id
+                              ORDER BY d.df, e.shingle) AS rn
+    FROM exploded e JOIN docfreq d USING (shingle))
+  WHERE rn <= n - ceil(0.5 * n) + 1),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE least(a.n - a.rn, b.n - b.rn) + 1
+        >= ceil((0.5 / 1.5) * (a.n + b.n)))
 SELECT id_a, id_b,
-       round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+       round(len(list_intersect(fa.sh, fb.sh))::DOUBLE
+             / (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))), 6)
+         AS jaccard
+FROM cands
+JOIN full_sets fa ON fa.doc_id = id_a
+JOIN full_sets fb ON fb.doc_id = id_b
+WHERE len(list_intersect(fa.sh, fb.sh))::DOUBLE
+      / (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))) >= 0.5
 """
 
 

@@ -112,11 +112,13 @@ def test_ngram_jaccard_matches_python(spark, docs):
 
 
 def test_ngram_jaccard_explicit_ndocs_matches_derived(spark, docs):
+    # max_shingle_df < 1 activates the df cap; supplying n_docs must
+    # give the same threshold as deriving it in-plan
     derived = dedup.ngram_jaccard_pairs(
-        docs, "id", "text", jaccard_threshold=0.3
+        docs, "id", "text", jaccard_threshold=0.3, max_shingle_df=0.9
     ).toPandas()
     explicit = dedup.ngram_jaccard_pairs(
-        docs, "id", "text", jaccard_threshold=0.3, n_docs=4
+        docs, "id", "text", jaccard_threshold=0.3, max_shingle_df=0.9, n_docs=4
     ).toPandas()
     key = ["id_a", "id_b"]
     assert sorted(map(tuple, derived[key].values)) == sorted(
