@@ -262,6 +262,30 @@ def best_of_seeds(
     return best
 
 
+def thresholded_best_of_seeds(
+    X: np.ndarray,
+    k: int,
+    algorithm: str,
+    seeds: Iterable[int],
+    old_silhouette: float,
+    threshold: float = 0.8,
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Thresholded seed search (M6, optimal_k.py:75-100): keep drawing
+    seeds (up to ``len(seeds)``) while the best silhouette is below
+    ``old_silhouette * threshold``; early-stop once reached. Returns
+    (labels, centers, silhouette, wssse) of the best fit seen."""
+    fitter = _FITTERS[algorithm]
+    best = None
+    for seed in seeds:
+        labels, centers, wssse = fitter(X, k, seed)
+        sil = squared_euclidean_silhouette(X, labels)
+        if best is None or sil > best[2]:
+            best = (labels, centers, sil, wssse)
+        if best[2] >= old_silhouette * threshold:
+            break
+    return best
+
+
 # ------------------------------------------------------------- Spark driver
 
 
@@ -287,6 +311,13 @@ class SegmentedClusterer:
     seeds: tuple[int, ...] = (42,)
     k_col: str | None = None
     mode: str = "scale"
+    # M6 (optimal_k.py:75-100 thresholdedOptimalModel): when set, the
+    # named column carries each segment's cached silhouette; the seed
+    # search early-stops once a fit reaches old_sil * threshold instead
+    # of exhausting the seed list. Pair with a longer seeds tuple
+    # (thresholded_iter_num) — the common case stops after seed #1.
+    old_sil_col: str | None = None
+    old_sil_threshold: float = 0.8
 
     def fit_predict(self, df: DataFrame) -> DataFrame:
         if self.algorithm not in _FITTERS:
@@ -296,6 +327,26 @@ class SegmentedClusterer:
         elif self.mode == "parity":
             return self._fit_mllib_loop(df)
         raise ValueError(f"unknown mode {self.mode!r}")
+
+    def _make_search(self):
+        """Per-group seed-search closure: plain best-of-seeds, or the
+        M6 thresholded variant when ``old_sil_col`` supplies a cached
+        quality bar (early-stops at old_sil * threshold)."""
+        algorithm = self.algorithm
+        seeds = tuple(self.seeds)
+        old_sil_col = self.old_sil_col
+        thr = self.old_sil_threshold
+
+        def search(X, k, pdf):
+            if old_sil_col is not None and old_sil_col in pdf.columns:
+                ov = pdf[old_sil_col].iloc[0]
+                if pd.notna(ov):
+                    return thresholded_best_of_seeds(
+                        X, k, algorithm, seeds, float(ov), thr
+                    )
+            return best_of_seeds(X, k, algorithm, seeds)
+
+        return search
 
     # -- scale mode: one Arrow task per segment ---------------------------
     def _fit_apply_in_pandas(self, df: DataFrame) -> DataFrame:
@@ -312,6 +363,7 @@ class SegmentedClusterer:
         default_k = self.default_k
         algorithm = self.algorithm
         seeds = tuple(self.seeds)
+        search = self._make_search()
 
         def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
             X = pdf[feature_cols].to_numpy(dtype=np.float64)
@@ -329,7 +381,7 @@ class SegmentedClusterer:
                 pdf["wssse"] = 0.0
                 return pdf
             k = max(2, min(k, n_distinct))
-            labels, centers, sil, wssse = best_of_seeds(X, k, algorithm, seeds)
+            labels, centers, sil, wssse = search(X, k, pdf)
             # deterministic relabel: by cluster size desc, then by first
             # appearance — stable across seeds that find the same split
             order = {}
@@ -386,8 +438,7 @@ class SegmentedClusterer:
         segment_cols = list(self.segment_cols)
         k_col = self.k_col
         default_k = self.default_k
-        algorithm = self.algorithm
-        seeds = tuple(self.seeds)
+        search = self._make_search()
 
         def summarize_group(pdf: pd.DataFrame) -> pd.DataFrame:
             X = pdf[feature_cols].to_numpy(dtype=np.float64)
@@ -403,7 +454,7 @@ class SegmentedClusterer:
                 sil, wssse = 0.0, 0.0
             else:
                 k = max(2, min(k, n_distinct))
-                labels, _, sil, wssse = best_of_seeds(X, k, algorithm, seeds)
+                labels, _, sil, wssse = search(X, k, pdf)
             uniq, counts = np.unique(labels, return_counts=True)
             # size-desc, first-occurrence relabel (same rule as
             # fit_predict) so both outputs agree

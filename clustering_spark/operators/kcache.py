@@ -214,17 +214,23 @@ def cluster_with_cache(
         ).drop("__mk", "__mi")
 
     def fit(data: DataFrame) -> DataFrame:
+        # M6: the cached silhouette is the quality bar — the seed
+        # search draws up to thresholded_iter_num seeds but early-stops
+        # as soon as a fit reaches cached * old_silhouette_threshold
+        # (reference kClustering -> thresholdedOptimalModel)
         clusterer = SegmentedClusterer(
             segment_cols=segment_cols,
             feature_cols=feat_cols,
             algorithm=algorithm,
             default_k=config.start_k,
-            seeds=tuple(config.seeds(config.iter_num)),
+            seeds=tuple(config.seeds(config.thresholded_iter_num)),
             k_col="__cached_k",
             mode="scale",
+            old_sil_col="__cached_sil",
+            old_sil_threshold=config.old_silhouette_threshold,
         )
         return clusterer.fit_summarize(
-            data.select(*segment_cols, *feat_cols, "__cached_k")
+            data.select(*segment_cols, *feat_cols, "__cached_k", "__cached_sil")
         )
 
     # 1-2. misses -> tune -> upsert

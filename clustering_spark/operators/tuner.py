@@ -36,10 +36,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from clustering_spark.operators.clustering import (
-    _FITTERS,
+from clustering_spark.operators.clustering import (  # noqa: F401
     best_of_seeds,
-    squared_euclidean_silhouette,
+    thresholded_best_of_seeds,  # re-export: part of the tuner API (M6)
 )
 
 
@@ -139,30 +138,6 @@ def tune_k(
         return 1, 0.0
     use_elbow = None if algorithm == "GaussianMixture" else wssse_by_k
     return choose_k(silhouettes, use_elbow, algorithm, silhouette_threshold)
-
-
-def thresholded_best_of_seeds(
-    X: np.ndarray,
-    k: int,
-    algorithm: str,
-    seeds: Sequence[int],
-    old_silhouette: float,
-    threshold: float = 0.8,
-) -> tuple[np.ndarray, np.ndarray, float, float]:
-    """Thresholded seed search (optimal_k.py:75-100): keep drawing
-    seeds (up to ``len(seeds)``) while the best silhouette is below
-    ``old_silhouette * threshold``; early-stop once reached. Returns
-    (labels, centers, silhouette, wssse) of the best fit seen."""
-    fitter = _FITTERS[algorithm]
-    best = None
-    for seed in seeds:
-        labels, centers, wssse = fitter(X, k, seed)
-        sil = squared_euclidean_silhouette(X, labels)
-        if best is None or sil > best[2]:
-            best = (labels, centers, sil, wssse)
-        if best[2] >= old_silhouette * threshold:
-            break
-    return best
 
 
 def optimal_k_sweep(
