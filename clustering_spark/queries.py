@@ -40,6 +40,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + round-robin repartition to the session's parallelism.
+    For CPU-heavy per-row pipelines (shingling, signatures, vector
+    math) over sources that arrive as FEW large files: a single-file
+    parquet scan is one partition, which serializes all expression
+    work onto one core. The repartition is a tiny narrow-row shuffle
+    bought back many times over; on a real cluster the same logic
+    keeps a skewed file layout from starving executors."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -596,7 +608,7 @@ _QV_SQL = "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup via content-hash groupBy (min-id survivor). The
     shuffle carries (hash, id) pairs only — never document bodies."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return dedup.exact_dedup(d, ["text"], "doc_id")
 
 
@@ -611,7 +623,7 @@ def q_ngram_jaccard(spark, sf_dir):
     """Char-5-gram EXACT Jaccard near-dup pairs: prefix-filtered
     candidate generation (lossless — PPJoin-style rarity prefixes),
     exact verification on the full shingle sets."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=5, jaccard_threshold=0.5)
 
 
@@ -654,7 +666,7 @@ WHERE len(list_intersect(fa.sh, fb.sh))::DOUBLE
 def q_text_quality(spark, sf_dir):
     """Quality-signal features per document (length/punct/digit/
     stopword ratios + composite score) — pure native expressions."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return textops.quality_features(d, "text").select(
         "doc_id",
         "n_tokens",
@@ -703,7 +715,7 @@ FROM r
 def q_lang_id(spark, sf_dir):
     """Heuristic function-word language ID (argmax over per-language
     token-hit ratios; deterministic tiebreak, 'und' when all zero)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return textops.lang_id(d, "text").select("doc_id", "lang_pred", "lang_score")
 
 
@@ -740,7 +752,7 @@ FROM best WHERE rn = 1
 
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish (regex-piece) token counts per document."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         textops.token_count("text").alias("n_ws_tokens"),
@@ -761,7 +773,7 @@ FROM documents
 def q_fingerprint(spark, sf_dir):
     """Normalized-content fingerprint (md5 of lower-cased,
     whitespace-collapsed text) — dedup key for formatting-only edits."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return textops.fingerprint(d, "text").select("doc_id", "fingerprint")
 
 
@@ -775,7 +787,7 @@ FROM documents
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k against a fixed query vector —
     scan-bound, TakeOrderedAndProject keeps k rows per partition."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(e, "embedding", QUERY_VEC, "vec_id", k=10)
 
 
@@ -790,7 +802,7 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 def q_knn_join(spark, sf_dir):
     """k-NN join: 3 query vectors (broadcast side) × corpus; per-query
     top-5 via windowed rank."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -816,7 +828,7 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, EXACT all-pairs variant
     (explicit lsh_planes=0) — the oracle path; the scale path is
     ``embedding_neardup_lsh`` below."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(
         e, "vec_id", "embedding", threshold=0.4, lsh_planes=0
     )
@@ -836,17 +848,21 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     """Banded hyperplane-LSH near-dup pairs (the 100 TB path): AND-OR
     amplified candidate generation + exact cosine verify. Rows-only
     check (recall is probabilistic; correctness = no false positives,
-    covered in tests against the exact variant)."""
-    e = load(spark, sf_dir, "embeddings")
+    covered in tests against the exact variant). 8-bit bands: designed
+    for real dedup thresholds (>=0.9) where recall is ~1; at this
+    synthetic corpus's low max-cosine the demo threshold of 0.4 sits
+    far below the operator's design point, so recall there is partial
+    BY DESIGN — the exact variant covers that regime."""
+    e = load_spread(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, lsh_planes=32, lsh_bands=8, dim=64
+        e, "vec_id", "embedding", threshold=0.4, lsh_planes=64, lsh_bands=8, dim=64
     )
 
 
 def q_minhash_neardup(spark, sf_dir):
     """MinHash+LSH banded near-dup pairs with exact-Jaccard verify
     (rows-only: xxhash64 signatures are not oracle-replicable)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
     )
@@ -855,14 +871,14 @@ def q_minhash_neardup(spark, sf_dir):
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs via pigeonhole 16-bit chunk join +
     hamming verify (rows-only)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=8)
 
 
 def q_ivf_topk(spark, sf_dir):
     """IVF-ANN top-k: kmeans cells over a bounded sample, nprobe-pruned
     scan (rows-only: centroid fit is iterative, not SQL)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     idx = similarity.IVFIndex(nlist=16, seed=42).fit(e, "embedding")
     indexed = idx.transform(e, "embedding")
     return idx.search(indexed, "embedding", "vec_id", QUERY_VEC, k=10, nprobe=4)
