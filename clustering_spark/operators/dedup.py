@@ -99,6 +99,43 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def _char_shingles_arrow(n: int = 5):
+    """Arrow-batched pandas_udf equivalent of :func:`char_shingles`.
+
+    Semantics replicate the expression form bit-for-bit (verified by
+    tests/test_dedup.py): lower -> trim of SPACE chars only (Spark
+    ``trim`` strips ' ' exclusively, unlike Python ``str.strip``) ->
+    Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` runs collapsed to one space
+    -> n-char slices, first-occurrence-ordered distinct; strings
+    shorter than n (and NULLs) yield a single-element array.
+
+    Why it exists: Python slicing over an Arrow batch is ~6x cheaper
+    than the interpreted transform/substring HOF, and — unlike a
+    deterministic Column expression — a UDF is never CLONED into
+    FileScan data-filters or join conditions by pushdown, so each scan
+    branch shingles exactly once.
+    """
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def sh(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([None])
+                continue
+            s = ws.sub(" ", t.lower().strip(" "))
+            if len(s) >= n:
+                out.append(list(dict.fromkeys(s[i : i + n] for i in range(len(s) - n + 1))))
+            else:
+                out.append([s])
+        return pd.Series(out)
+
+    sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sh, "array<string>")
+
+
 def _minhash_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _P, size=num_hashes).tolist()
@@ -244,6 +281,7 @@ def ngram_jaccard_pairs(
     jaccard_threshold: float = 0.5,
     max_shingle_df: float = 0.5,
     n_docs: int | None = None,
+    dense_vocab_max: int = 4096,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs with PREFIX-FILTERED candidate
     generation and EXACT Jaccard verification. SQL-expressible
@@ -260,23 +298,59 @@ def ngram_jaccard_pairs(
     joins candidates back to the full distinct shingle arrays and
     computes exact |A∩B| / |A∪B|.
 
-    ``max_shingle_df`` (default 1.0 = off) optionally hard-caps the
+    ``max_shingle_df`` (default 0.5) optionally hard-caps the
     document frequency of join keys as a cost guard for adversarially
     dense corpora — when < 1.0 it can cost recall for pairs whose
     entire prefix is stop-shingles; the lossless scale path for dense
-    data is ``minhash_lsh_pairs``. Composes LAZILY — thresholds come
-    from caller-supplied ``n_docs`` or a 1-row count broadcast.
+    data is ``minhash_lsh_pairs``. Thresholds come from
+    caller-supplied ``n_docs`` or a 1-row count broadcast.
+
+    ADAPTIVE VERIFY: the verification cost is candidate_pairs ×
+    set-intersection. On low-diversity corpora (small shingle
+    vocabulary — exactly where prefix filtering prunes worst, because
+    every shingle is frequent), the full vocabulary fits in
+    ``dense_vocab_max`` entries, and each document's shingle SET is
+    representable as a packed bitmap of ceil(V/64) longs. Intersection
+    then becomes AND + popcount over a handful of words — unrolled as
+    whole-stage-codegen expressions, ~30x cheaper than the hash-set
+    ``array_intersect`` a 200-element array needs, and exact (same
+    |A∩B| over the same distinct-shingle universe). The regime probe
+    collects at most dense_vocab_max+1 shingle strings from the
+    (vocabulary-sized, cached, bounded) docfreq table — one aggregation
+    pass that the prefix ordering needs anyway; high-diversity corpora
+    fall back to xxhash64-array ``array_intersect`` verification.
+    ``dense_vocab_max=0`` disables the probe (and its action) for
+    strictly lazy composition on corpora known to be high-diversity.
     """
     from pyspark.sql import Window
 
+    shingler = _char_shingles_arrow(n)
     base = df.select(
-        F.col(id_col).alias("__id"), char_shingles(text_col, n).alias("__sh")
+        F.col(id_col).alias("__id"),
+        shingler(F.col(text_col) if isinstance(text_col, str) else text_col).alias(
+            "__sh"
+        ),
     )
     sh = base.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
     )
 
-    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # unfiltered docfreq = the full shingle vocabulary; the df-cap (if
+    # any) applies only to prefix JOIN KEYS, never to the verify sets
+    docfreq_full = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+
+    vocab: dict[str, int] | None = None
+    if dense_vocab_max > 0:
+        # bounded probe: vocab-sized table, cached so the prefix
+        # ordering below reuses it instead of re-aggregating
+        docfreq_full = docfreq_full.cache()
+        probe = docfreq_full.select("shingle").limit(dense_vocab_max + 1).collect()
+        if len(probe) <= dense_vocab_max:
+            vocab = {s: i for i, s in enumerate(sorted(p["shingle"] for p in probe))}
+        else:
+            docfreq_full.unpersist()
+
+    docfreq = docfreq_full
     if max_shingle_df < 1.0:
         if n_docs is not None:
             docfreq = docfreq.filter(F.col("__df") <= int(max_shingle_df * n_docs))
@@ -335,26 +409,92 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify on the full shingle sets, represented as DISTINCT xxhash64
-    # arrays: int64 intersection is several times cheaper than string
-    # intersection across millions of candidate pairs, and
-    # |hashes(A) ∩ hashes(B)| == |A ∩ B| up to 64-bit collisions
-    # (~2^-64 per shingle pair — negligible). The per-doc array table
-    # is linear in corpus size — no forced broadcast, AQE decides.
-    hashed = base.select(
-        "__id",
-        F.array_distinct(
-            F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
-        ).alias("__shh"),
-    )
-    fa = hashed.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
-    fb = hashed.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    if vocab is not None:
+        # DENSE regime: docs as packed bitmaps over the full (bounded)
+        # vocabulary; |A∩B| = sum of popcounts of word-wise AND. Kept
+        # as ONE zip_with/aggregate HOF on purpose: Catalyst treats the
+        # HOF as non-cheap and will not inline a copy of it into the
+        # join condition + filter + output projection the way it
+        # duplicates an unrolled per-word sum (measured 10x slower via
+        # expression blow-up). The packed table is ~8*nwords bytes/doc
+        # — AQE broadcasts it when small, sort-merge joins otherwise.
+        nwords = max(1, (len(vocab) + 63) // 64)
+        voc = vocab  # local binding for the closure
+
+        def _pack(shs):
+            out = []
+            for arr in shs:
+                words = [0] * nwords
+                for s in arr:
+                    i = voc.get(s)
+                    if i is not None:
+                        words[i >> 6] |= 1 << (i & 63)
+                out.append(
+                    [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+                )
+            return pd.Series(out)
+
+        _pack.__annotations__ = {"shs": pd.Series, "return": pd.Series}
+        pack = F.pandas_udf(_pack, "array<long>")
+
+        packed = base.select(
+            "__id", F.size("__sh").alias("__nn"), pack("__sh").alias("__bits")
+        )
+        fa = packed.select(
+            F.col("__id").alias("id_a"),
+            F.col("__bits").alias("bits_a"),
+            F.col("__nn").alias("__na"),
+        )
+        fb = packed.select(
+            F.col("__id").alias("id_b"),
+            F.col("__bits").alias("bits_b"),
+            F.col("__nn").alias("__nb"),
+        )
+        inter = F.aggregate(
+            F.zip_with("bits_a", "bits_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        # evaluate the popcount HOF exactly ONCE per candidate row:
+        # without a barrier, predicate pushdown + projection collapse
+        # inline a copy of `inter` into the broadcast-join condition,
+        # the filter, and each of its 3 references in the jaccard
+        # expression (measured ~1.5x slower end-to-end). `+ 0*rand()`
+        # marks the column nondeterministic — a pushdown/collapse fence
+        # — while adding exactly 0.0 to the value.
+        iexp = inter + F.lit(0.0) * F.rand(seed=0)
+        ui = (F.col("__na") + F.col("__nb")).cast("double") - F.col("__i")
+        jac = F.when(ui > 0, F.col("__i") / ui).otherwise(F.lit(1.0))
+        return (
+            cands.join(fa, on="id_a")
+            .join(fb, on="id_b")
+            .withColumn("__i", iexp)
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    else:
+        # SPARSE regime: full shingle sets as DISTINCT xxhash64 arrays;
+        # int64 intersection is several times cheaper than string
+        # intersection across millions of candidate pairs, and
+        # |hashes(A) ∩ hashes(B)| == |A ∩ B| up to 64-bit collisions
+        # (~2^-64 per shingle pair — negligible). The per-doc array
+        # table is linear in corpus size — no forced broadcast.
+        hashed = base.select(
+            "__id",
+            F.array_distinct(
+                F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+            ).alias("__shh"),
+        )
+        fa = hashed.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
+        fb = hashed.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        verified = cands.join(fa, on="id_a").join(fb, on="id_b")
     return (
-        cands.join(fa, on="id_a")
-        .join(fb, on="id_b")
-        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
+        verified.withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+        )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
