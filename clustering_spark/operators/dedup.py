@@ -99,6 +99,44 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def _word_shingles_arrow(n: int = 3):
+    """Arrow-batched pandas_udf equivalent of :func:`word_shingles`
+    (verified bit-for-bit by tests/test_dedup.py). Replicates Spark
+    semantics exactly: ``trim`` strips SPACE chars only; ``F.split``
+    uses Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` with limit=-1, which
+    KEEPS leading/trailing empty tokens (Python ``re.split`` matches
+    this); < n tokens yield the single joined-token string. One UDF
+    eval per row — the expression form is re-evaluated per downstream
+    reference (hash + distinct-hash projections) because Catalyst
+    inlines non-cheap expression trees."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def sh(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([None])
+                continue
+            tokens = ws.split(t.lower().strip(" "))
+            if len(tokens) >= n:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(tokens[i : i + n])
+                            for i in range(len(tokens) - n + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([" ".join(tokens)])
+        return pd.Series(out)
+
+    sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sh, "array<string>")
+
+
 def _char_shingles_arrow(n: int = 5):
     """Arrow-batched pandas_udf equivalent of :func:`char_shingles`.
 
@@ -206,11 +244,17 @@ def minhash_lsh_pairs(
     # stage references the previous through a named column, so the
     # expensive shingle pipeline runs once per row — inlining it into
     # the 64 hash expressions re-evaluates it 64x (measured: ~60x
-    # wall-clock on the sf0.1 documents table).
+    # wall-clock on the sf0.1 documents table). Tokenization itself is
+    # the Arrow-batched kernel: one eval per row, never cloned into the
+    # downstream hash/distinct projections the way Catalyst inlines a
+    # non-cheap expression tree; xxhash64 stays JVM-side.
+    shingler = _word_shingles_arrow(shingle_words)
     base = (
         df.select(
             F.col(id_col).alias("__id"),
-            word_shingles(text_col, shingle_words).alias("__shingles"),
+            shingler(
+                F.col(text_col) if isinstance(text_col, str) else text_col
+            ).alias("__shingles"),
         )
         .select(
             "__id",
@@ -599,15 +643,26 @@ def simhash_pairs(
     come from equality on one of 4 disjoint 16-bit chunks (pigeonhole:
     hamming<=3 over 64 bits forces >=1 identical chunk); verified with
     bit_count(a XOR b)."""
-    # hashing stays JVM-side (xxhash64 over the shingle array); the
-    # 64-lane bit packing runs as a vectorized Arrow-batch kernel
+    # tokenization is the Arrow-batched kernel (one eval per row);
+    # hashing stays JVM-side (xxhash64 over the materialized shingle
+    # array); the 64-lane bit packing runs as a second Arrow kernel
     pack = _simhash_from_hashes_udf()
-    sigs = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(
-            word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
-        ).alias("__hashes"),
-    ).select("__id", pack("__hashes").alias("sig"))
+    shingler = _word_shingles_arrow(shingle_words)
+    sigs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingler(
+                F.col(text_col) if isinstance(text_col, str) else text_col
+            ).alias("__shingles"),
+        )
+        .select(
+            "__id",
+            F.transform(F.col("__shingles"), lambda s: F.xxhash64(s)).alias(
+                "__hashes"
+            ),
+        )
+        .select("__id", pack("__hashes").alias("sig"))
+    )
     chunks = sigs.select(
         "__id",
         "sig",
