@@ -410,47 +410,74 @@ def ngram_jaccard_pairs(
             )
 
     # rank each doc's shingles by global rarity; keep the Jaccard
-    # prefix |X| - ceil(t*|X|) + 1
+    # probe prefix |X| - ceil(t*|X|) + 1. The join key is the
+    # xxhash64 of the shingle: a fixed 8-byte long sorts/compares
+    # cheaper through the shuffle than the n-char string, and a
+    # 64-bit collision can only ADD a candidate pair, which exact
+    # verification then rejects — lossless.
     w = Window.partitionBy("__id").orderBy("__df", "shingle")
     prefix_len = F.col("__n") - F.ceil(F.lit(jaccard_threshold) * F.col("__n")) + 1
     prefix = (
         sh.join(docfreq, on="shingle")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select("__id", "shingle", "__rn", "__n")
+        .select("__id", F.xxhash64("shingle").alias("__sid"), "__rn", "__n")
     )
 
+    # Asymmetric prefix join (PPJoin index-prefix): for a pair with
+    # J >= t the required overlap is a = ceil(t/(1+t)*(|A|+|B|)). In
+    # terms of the SMALLER set s: |A|+|B| >= 2|s| so a >=
+    # ceil(2t/(1+t)*|s|) and the smaller side only needs its first
+    # |s| - ceil(2t/(1+t)*|s|) + 1 elements; the larger side l
+    # satisfies |s| >= t*|l| so a >= ceil(t*|l|) — the probe prefix.
+    # Both are lower bounds of the true a, so the generalized prefix
+    # lemma (sets with |A∩B| >= a share an element within their first
+    # |X|-a+1 under one total order) holds for the pair of prefixes —
+    # lossless, and the join output shrinks by ~len_short/len_long.
+    # Orientation (n, id) lexicographic makes each unordered pair
+    # join exactly once with the short prefix on the smaller doc.
+    t = jaccard_threshold
+    short_len = F.col("__n") - F.ceil(
+        F.lit(2.0 * t / (1.0 + t)) * F.col("__n")
+    ) + 1
+    ps = prefix.filter(F.col("__rn") <= short_len).select(
+        F.col("__id").alias("id_s"),
+        "__sid",
+        F.col("__rn").alias("__rn_s"),
+        F.col("__n").alias("__n_s"),
+    )
+    pl = prefix.select(
+        F.col("__id").alias("id_l"),
+        "__sid",
+        F.col("__rn").alias("__rn_l"),
+        F.col("__n").alias("__n_l"),
+    )
     # positional filter (PPJoin): matching at prefix positions (i, j)
     # bounds the best possible overlap by min(|A|-i, |B|-j) + 1, which
     # must reach ceil(t/(1+t) * (|A|+|B|)) for J >= t — kills most
     # false candidates before the expensive distinct+verify. Lossless.
-    t = jaccard_threshold
-    pa = prefix.select(
-        F.col("__id").alias("id_a"),
-        "shingle",
-        F.col("__rn").alias("__rn_a"),
-        F.col("__n").alias("__n_a"),
-    )
-    pb = prefix.select(
-        F.col("__id").alias("id_b"),
-        "shingle",
-        F.col("__rn").alias("__rn_b"),
-        F.col("__n").alias("__n_b"),
-    )
     min_overlap = F.ceil(
-        F.lit(t / (1.0 + t)) * (F.col("__n_a") + F.col("__n_b"))
+        F.lit(t / (1.0 + t)) * (F.col("__n_s") + F.col("__n_l"))
     )
     best_possible = (
         F.least(
-            F.col("__n_a") - F.col("__rn_a"), F.col("__n_b") - F.col("__rn_b")
+            F.col("__n_s") - F.col("__rn_s"), F.col("__n_l") - F.col("__rn_l")
         )
         + 1
     )
+    smaller_first = (F.col("__n_s") < F.col("__n_l")) | (
+        (F.col("__n_s") == F.col("__n_l")) & (F.col("id_s") < F.col("id_l"))
+    )
+    # size filter: J >= t forces |small| >= t*|large|
+    size_ok = F.col("__n_s") >= F.ceil(F.lit(t) * F.col("__n_l"))
     cands = (
-        pa.join(pb, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        ps.join(pl, on="__sid")
+        .filter(smaller_first & size_ok)
         .filter(best_possible >= min_overlap)
-        .select("id_a", "id_b")
+        .select(
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     if vocab is not None:
