@@ -272,10 +272,15 @@ def minhash_lsh_pairs(
         )
     )
 
+    # SLIM band join: the 16x-exploded band table carries ONLY
+    # (id, band_idx, band_hash) — never the shingle-hash arrays.
+    # Shuffling the ~400B/doc arrays through the explode would
+    # multiply shuffle volume by the band count; instead the (small,
+    # LSH-selected) deduped pair list joins BACK to the per-doc array
+    # table for verification, so the arrays are scanned twice but
+    # shuffled at most once, un-exploded.
     banded = base.select(
         "__id",
-        "__sig",
-        "__sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -287,31 +292,26 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("__id", "__sig", "__sh", "band.band_idx", "band.band_hash")
+    ).select("__id", "band.band_idx", "band.band_hash")
 
-    left = banded.select(
-        F.col("__id").alias("id_a"),
-        F.col("__sh").alias("sh_a"),
-        "band_idx",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"),
-        F.col("__sh").alias("sh_b"),
-        "band_idx",
-        "band_hash",
-    )
+    left = banded.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
     cands = (
         left.join(right, on=["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    hashed = base.select("__id", "__sh")
+    fa = hashed.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    fb = hashed.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
     return (
-        cands.withColumn("jaccard", jac)
+        cands.join(fa, on="id_a")
+        .join(fb, on="id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
