@@ -6,5 +6,6 @@ readStream path with watermarked event-time windows.)"""
 from clustering_spark.streaming.events_stream import (  # noqa: F401
     read_events_stream,
     session_event_stats,
+    stateful_user_stats,
     windowed_event_counts,
 )

@@ -98,14 +98,110 @@ def session_event_stats(
     )
 
 
+def stateful_user_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals carried across micro-batches, with EVENT-TIME-TIMEOUT
+    finalization — a user idle for ``idle_timeout_ms`` of event time
+    (per the watermark clock) emits a final ``closed=true`` summary row
+    and its state is DROPPED, so state stays O(active users) no matter
+    how long the stream runs. This is the shape built-in windowed aggs
+    can't express: arbitrary per-key state (running sums + last-seen)
+    with an explicit eviction policy.
+
+    Output (update mode): one row per touched/expired user per batch —
+    (user_id, n_events, total_value, last_seen, closed). Downstream
+    latest-wins per user (T3) gives current totals.
+    """
+    import pandas as pd  # local: streaming module stays import-light
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_seen", T.TimestampType()),
+            T.StructField("closed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            n, total, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "closed": [True],
+                }
+            )
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            # pandas Timestamp.value is ns since epoch regardless of
+            # unit; state keeps MICROseconds so last_seen round-trips
+            # the source's microsecond timestamps exactly
+            last_us = max(last_us, int(pdf[ts_col].max().value // 1_000))
+        state.update((n, total, last_us))
+        # timeout must stay ahead of the current watermark or Spark
+        # rejects it; a user already past-due simply expires next batch
+        state.setTimeoutTimestamp(
+            max(last_us // 1_000 + idle_timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+                "closed": [False],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
-    """Drain the stream with availableNow into an in-memory table
-    (complete mode) — the test/driver harness path; production sinks
-    swap in ``format('parquet')`` + append/update."""
+    """Drain the stream with availableNow into an in-memory table —
+    the test/driver harness path; production sinks swap in
+    ``format('parquet')`` + append/update. ``update`` mode (stateful
+    operators) appends each batch's emitted rows to the memory table."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

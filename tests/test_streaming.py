@@ -85,3 +85,118 @@ def test_session_windows(spark, events_dir, tmp_path):
     stream_totals = got.groupby("user_id").n_events.sum()
     for r in batch_totals.itertuples():
         assert stream_totals[r.user_id] == r.count
+
+
+def test_stateful_user_stats_match_batch(spark, events_dir, tmp_path):
+    """Single availableNow batch: no timeouts fire, the emitted running
+    totals must equal the batch groupBy."""
+    from clustering_spark.streaming import stateful_user_stats
+
+    stream = read_events_stream(spark, events_dir)
+    stats = stateful_user_stats(stream, watermark="2 hours")
+    run_stream_to_memory(
+        stats, "user_stats", str(tmp_path / "ckpt3"), output_mode="update"
+    )
+    got = spark.table("user_stats").toPandas()
+    # availableNow ends with a no-data batch where event-time timeouts
+    # fire, so long-idle users arrive twice: the running row plus a
+    # closed=true final row with identical totals. Latest state per
+    # user = row with max n_events.
+    got = (
+        got.sort_values(["user_id", "n_events"])
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_seen"),
+        )
+        .toPandas()
+    )
+    a = got.sort_values("user_id").reset_index(drop=True)
+    b = batch.sort_values("user_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a.user_id.values == b.user_id.values).all()
+    assert (a.n_events.values == b.n_events.values).all()
+    assert (abs(a.total_value.values - b.total_value.values) < 1e-4).all()
+    assert (a.last_seen.values == b.last_seen.values).all()
+
+
+def test_stateful_user_stats_timeout_finalizes_idle_user(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): user 2 is idle past the
+    event-time timeout once the watermark advances after batch 1, so
+    batch 2 emits its closed=true summary and drops its state; user 1
+    (fresh data in batch 2) keeps accumulating."""
+    import time as _time
+
+    import pandas as pd
+
+    from clustering_spark.streaming import stateful_user_stats
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "data"
+    d.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    arrow_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+        ]
+    )
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+            str(d / name),
+        )
+
+    # batch 1: user 1 + user 2 at t0, user 3 at t0+1h (drives the
+    # watermark to t0+50min > user 2's timeout of t0+10min)
+    write_file(
+        "f1.parquet",
+        [
+            (1, 1, "a", t0, 1.0),
+            (2, 2, "a", t0, 2.0),
+            (3, 3, "a", t0 + pd.Timedelta("1 hour"), 3.0),
+        ],
+    )
+    _time.sleep(1.1)  # distinct mtime -> deterministic file order
+    write_file("f2.parquet", [(4, 1, "b", t0 + pd.Timedelta("2 hours"), 4.0)])
+
+    from clustering_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    stats = stateful_user_stats(
+        stream, watermark="10 minutes", idle_timeout_ms=600_000
+    )
+    run_stream_to_memory(
+        stats, "user_stats_t", str(tmp_path / "ckpt4"), output_mode="update"
+    )
+    got = spark.table("user_stats_t").toPandas()
+    closed = got[got.closed]
+    # user 2 must close (idle past timeout once batch 1's watermark
+    # lands); user 3 may close in the final no-data batch; user 1 has
+    # fresh batch-2 data keeping its timeout ahead of the watermark
+    assert 2 in set(closed.user_id)
+    assert 1 not in set(closed.user_id)
+    assert closed[closed.user_id == 2].iloc[0].n_events == 1
+    # user 1 accumulated across both batches: latest row has both events
+    u1 = got[got.user_id == 1].sort_values("n_events").iloc[-1]
+    assert u1.n_events == 2 and abs(u1.total_value - 5.0) < 1e-9
