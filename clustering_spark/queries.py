@@ -508,6 +508,128 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _as_stream_dir(path: str) -> str:
+    """File-stream sources require a DIRECTORY; the driver's testdata
+    tables are single parquet files. Symlink the file into a temp dir
+    (local-FS only — a real deployment streams a real directory)."""
+    import os
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def q_stream_window_events(spark, sf_dir):
+    """§2.8: the STREAMING form of ``window_events`` — file-source
+    readStream over the same events parquet, watermarked tumbling
+    windows, drained with availableNow into a memory sink. Complete
+    mode keeps every window, and a static directory has no late data,
+    so the drained table must EXACTLY equal the batch/oracle result —
+    streaming correctness rides the same hash-checked gate."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from clustering_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    agg = windowed_event_counts(
+        ev, window="1 hour", watermark="2 hours", ts_col="ts_utc"
+    )
+    name = "stream_win_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_swin_"))
+    return spark.table(name)
+
+
+def q_stream_sessions(spark, sf_dir):
+    """§2.8: gap-based session windows (30 min) per user over the
+    events stream — Spark's built-in stateful session_window operator,
+    drained with availableNow. Oracle: gaps-and-islands SQL (lag +
+    running break count) reproducing session_window's semantics
+    exactly (end = last event + gap)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from clustering_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        session_event_stats,
+    )
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    sess = session_event_stats(
+        ev, gap="30 minutes", watermark="4 hours", ts_col="ts_utc"
+    )
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(sess, name, tempfile.mkdtemp(prefix="ckpt_sess_"))
+    return spark.table(name)
+
+
+SQL_STREAM_SESSIONS = f"""
+WITH t AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+), b AS (
+  SELECT user_id, us, value,
+         -- >= : Spark's session end is EXCLUSIVE (an event exactly
+         -- gap-distant starts a new session)
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= 1800 * 1000000
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         THEN 1 ELSE 0 END AS brk
+  FROM t
+), g AS (
+  SELECT *, sum(brk) OVER (
+           PARTITION BY user_id ORDER BY us
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT min(us) // 1000000 AS session_start,
+       max(us) // 1000000 + 1800 AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), {ROUND_SUM}) AS total_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 # =====================================================================
 # clustering pipeline (non-SQL-expressible; rows-only checks)
 # =====================================================================
@@ -905,6 +1027,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "window_events": q_window_events,
+    "stream_window_events": q_stream_window_events,
+    "stream_sessions": q_stream_sessions,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
@@ -943,6 +1067,8 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "window_events": SQL_WINDOW_EVENTS,
+    "stream_window_events": SQL_WINDOW_EVENTS,
+    "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,
