@@ -19,7 +19,10 @@ quality scoring, token counting, fingerprints), the optimal-k tuner +
 parquet k-cache with regression-gated re-tuning, nested original/D3
 document sinks, explicit-schema PERMISSIVE CSV ingestion
 (``sources/``), a Structured Streaming ingest path with watermarked
-tumbling/session windows (``streaming/``), multimodal binary-column
+tumbling/session windows plus a custom applyInPandasWithState
+per-key stateful operator with event-time eviction (``streaming/``;
+the window/session streams are DuckDB-oracle-checked against their
+batch equivalents), multimodal binary-column
 plumbing with Arrow-batched decode stages (``operators/multimodal``),
 and physical-plan audit helpers (``plans/``) — all designed
 partition-first for 100 TB scale.

@@ -66,3 +66,16 @@ def join_strategies(df: DataFrame) -> list[str]:
         r"BroadcastNestedLoopJoin|CartesianProduct)\b",
         plan,
     )
+
+
+def exchange_blocks(df: DataFrame) -> list[str]:
+    """Detail blocks of every Exchange / BroadcastExchange node (its
+    Input/Arguments lines) — lets tests pin WHAT crosses each wire,
+    not just how many wires exist."""
+    plan = formatted_plan(df)
+    out = []
+    for m in re.finditer(
+        r"\(\d+\) (?:Broadcast)?Exchange\n((?:.+\n)+?)\n", plan + "\n\n"
+    ):
+        out.append(m.group(1))
+    return out

@@ -101,3 +101,41 @@ def test_minhash_join_is_equi_join(spark):
     js = join_strategies(df)
     assert js
     assert "BroadcastNestedLoopJoin" not in js and "CartesianProduct" not in js
+
+
+def test_minhash_band_shuffle_is_slim(spark):
+    """The 16x-exploded band rows must cross the wire WITHOUT the
+    per-doc shingle-hash arrays: any Exchange partitioned on the band
+    key carries only (id, band_idx, band_hash). The arrays travel at
+    most once, un-exploded, in the verify join-back."""
+    from clustering_spark.operators.dedup import minhash_lsh_pairs
+    from clustering_spark.plans.audit import exchange_blocks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = minhash_lsh_pairs(docs, "doc_id", "text")
+    band_exchanges = [
+        b for b in exchange_blocks(df) if "band_idx" in b and "band_hash" in b
+    ]
+    # at test scale AQE may broadcast the band table instead of
+    # shuffling it; the slim property must hold for either wire
+    assert band_exchanges, "expected an exchange on the band key"
+    for b in band_exchanges:
+        assert "__sh" not in b, f"band exchange carries shingle arrays:\n{b}"
+
+
+def test_ngram_prefix_join_is_equi_join(spark):
+    """The prefix-filtered candidate join must be an equi-join on the
+    shingle-hash key — never nested-loop/cartesian."""
+    from clustering_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = ngram_jaccard_pairs(docs, "doc_id", "text")
+    js = join_strategies(df)
+    assert js
+    assert "CartesianProduct" not in js
+    # the only nested-loop joins allowed are 1-row broadcast
+    # crossJoins landing the corpus count for the df-cap threshold
+    # (the prefix subtree containing it is instantiated once per
+    # self-join side, so it may appear twice)
+    assert js.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" in js or "BroadcastHashJoin" in js
