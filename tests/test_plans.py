@@ -139,3 +139,29 @@ def test_ngram_prefix_join_is_equi_join(spark):
     # self-join side, so it may appear twice)
     assert js.count("BroadcastNestedLoopJoin") <= 2
     assert "SortMergeJoin" in js or "BroadcastHashJoin" in js
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """Persisting the IVF index partitionBy('cell') must turn search
+    into a partition-pruned scan: the probe-cell filter shows up as a
+    PartitionFilter (directory pruning — at 100 TB a query touches
+    nprobe/nlist of the data), and results match searching the
+    un-persisted frame."""
+    from clustering_spark.operators.similarity import IVFIndex
+    from clustering_spark.plans.audit import formatted_plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = IVFIndex(nlist=8, seed=7).fit(emb, "embedding")
+    indexed = idx.transform(emb, "embedding")
+    out = str(tmp_path / "ivf")
+    indexed.write.partitionBy("cell").parquet(out)
+
+    persisted = spark.read.parquet(out)
+    query = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    got = idx.search(persisted, "embedding", "vec_id", query, k=5, nprobe=2)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    mem = idx.search(indexed, "embedding", "vec_id", query, k=5, nprobe=2)
+    a = [tuple(r) for r in got.collect()]
+    b = [tuple(r) for r in mem.collect()]
+    assert a == b and len(a) == 5
