@@ -785,6 +785,45 @@ WHERE len(list_intersect(fa.sh, fb.sh))::DOUBLE
 """
 
 
+def q_neardup_components(spark, sf_dir):
+    """Near-dup GROUPS, not just pairs: the exact ngram-Jaccard pairs
+    are the edges of an undirected graph; iterative hash-min label
+    propagation (operators/graph.py) finds each doc's connected
+    component (= min member id); docs in no pair are singletons. The
+    classic LLM-corpus dedup stage: keep one doc per component."""
+    from clustering_spark.operators.graph import (
+        assign_components,
+        connected_components,
+    )
+
+    d = load_spread(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, jaccard_threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return assign_components(d.select("doc_id"), "doc_id", comp).select(
+        "doc_id", F.col("component").cast("long").alias("component")
+    )
+
+
+SQL_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS node, least(min(v), u) AS comp FROM reach GROUP BY u)
+SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality-signal features per document (length/punct/digit/
     stopword ratios + composite score) — pure native expressions."""
@@ -1037,6 +1076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "result_doc_d3": q_result_doc_d3,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "neardup_components": q_neardup_components,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
@@ -1071,6 +1111,7 @@ ORACLES: dict[str, str] = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "neardup_components": SQL_NEARDUP_COMPONENTS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,

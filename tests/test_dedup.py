@@ -163,3 +163,48 @@ def test_embedding_lsh_subset_of_exact_with_high_recall(spark, vectors):
 def test_embedding_lsh_requires_dim(spark, vectors):
     with pytest.raises(ValueError, match="dim"):
         dedup.embedding_neardup_pairs(vectors, "id", "vec")
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        from clustering_spark.operators.graph import connected_components
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = connected_components(df, "id_a", "id_b")
+        return {r.node: r.comp for r in out.collect()}
+
+    def test_chain_pair_and_direction(self, spark):
+        # chain 1-2-3-4 (multi-round propagation), pair 10-11,
+        # reversed edge 21->20
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_long_path_converges(self, spark):
+        # path of 12 nodes: needs ~11 propagation rounds — exercises
+        # the iteration/convergence machinery well past round 1
+        edges = [(i, i + 1) for i in range(100, 111)]
+        got = self._cc(spark, edges)
+        assert set(got.values()) == {100}
+        assert len(got) == 12
+
+    def test_assign_and_dedup(self, spark):
+        from clustering_spark.operators.graph import (
+            assign_components,
+            connected_components,
+            dedup_by_component,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc{i}") for i in [1, 2, 3, 7, 9]], "doc_id long, text string"
+        )
+        comp = connected_components(
+            spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long"),
+            "id_a",
+            "id_b",
+        )
+        labelled = assign_components(docs, "doc_id", comp)
+        lab = {r.doc_id: r.component for r in labelled.collect()}
+        # 7 and 9 are singletons: component = own id
+        assert lab == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
+        kept = sorted(r.doc_id for r in dedup_by_component(docs, "doc_id", comp).collect())
+        assert kept == [1, 7, 9]
