@@ -824,6 +824,29 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+def q_media_metadata(spark, sf_dir):
+    """Multimodal metadata path (operators/multimodal): media as opaque
+    binary columns with native byte-size + sha256 — the exact-binary
+    dedup key. Testdata has no binary table, so text bytes stand in as
+    the payload; the operator under test is the same one the image/
+    audio plumbing uses."""
+    from clustering_spark.operators.multimodal import media_metadata
+
+    d = load_spread(spark, sf_dir, "documents")
+    return media_metadata(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("media")),
+        "media",
+        "doc_id",
+    ).select("doc_id", F.col("n_bytes").cast("long"), "content_sha256")
+
+
+SQL_MEDIA_METADATA = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality-signal features per document (length/punct/digit/
     stopword ratios + composite score) — pure native expressions."""
@@ -1077,6 +1100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "neardup_components": q_neardup_components,
+    "media_metadata": q_media_metadata,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
@@ -1112,6 +1136,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
+    "media_metadata": SQL_MEDIA_METADATA,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
