@@ -114,3 +114,89 @@ def d3_normalize(
         (F.col(value_col) - mn) / (mx - mn) * (F.lit(d3_max) - 1.0) + 1.0
     )
     return summaries.withColumn(out_col, scaled)
+
+
+def intra_cluster_mean_pairdist(
+    df: DataFrame,
+    cluster_cols: list[str],
+    feature_cols: list[str],
+    out_col: str = "mean_pair_dist2",
+) -> DataFrame:
+    """Mean pairwise SQUARED euclidean distance within each cluster
+    (reference metrics.py:57-80 — dead code there: collect + O(n²)
+    Python double loop). Spark-native via the moment identity
+
+        sum_{i != j} ||x_i - x_j||^2 = 2n * sum_i ||x_i||^2
+                                       - 2 * ||sum_i x_i||^2
+
+    so the whole metric is ONE map-side-combinable aggregation of
+    (n, sum x, sum x²) per cluster — no self-join, no pair blow-up;
+    the correctness oracle is DuckDB's naive O(n²) self-join, which
+    proves the identity on real data. Clusters with n < 2 yield NULL
+    (the reference divides by n(n-1))."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in feature_cols:
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__s2_{c}"))
+    g = df.groupBy(*cluster_cols).agg(*aggs)
+    n = F.col("__n").cast("double")
+    total = None
+    for c in feature_cols:
+        term = 2.0 * n * F.col(f"__s2_{c}") - 2.0 * F.col(f"__s_{c}") ** 2
+        total = term if total is None else total + term
+    mean = F.when(F.col("__n") >= 2, total / (n * (n - 1.0)))
+    return g.select(*cluster_cols, F.col("__n").alias("n_points"), mean.alias(out_col))
+
+
+def inter_cluster_mean_pairdist(
+    df: DataFrame,
+    cluster_cols: list[str],
+    feature_cols: list[str],
+    out_col: str = "mean_pair_dist2",
+) -> DataFrame:
+    """Mean pairwise SQUARED euclidean distance BETWEEN each pair of
+    clusters (reference metrics.py:83-110 — dead code: collect both
+    sides + O(n·m) loop). Same moment trick:
+
+        sum_{i in A, j in B} ||x_i - x_j||^2
+            = n_B * sum_A ||x||^2 + n_A * sum_B ||x||^2
+              - 2 * <sum_A x, sum_B x>
+
+    → one per-cluster moment aggregation, then a join over CLUSTER
+    PAIRS (k² rows — model-sized, never point-sized). Emits one row
+    per unordered pair (a < b on the cluster key tuple)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in feature_cols:
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__s2_{c}"))
+    g = df.groupBy(*cluster_cols).agg(*aggs)
+    a = g.select(
+        *[F.col(c).alias(f"{c}_a") for c in cluster_cols],
+        F.col("__n").alias("__n_a"),
+        *[F.col(f"__s_{c}").alias(f"__s_{c}_a") for c in feature_cols],
+        *[F.col(f"__s2_{c}").alias(f"__s2_{c}_a") for c in feature_cols],
+    )
+    b = g.select(
+        *[F.col(c).alias(f"{c}_b") for c in cluster_cols],
+        F.col("__n").alias("__n_b"),
+        *[F.col(f"__s_{c}").alias(f"__s_{c}_b") for c in feature_cols],
+        *[F.col(f"__s2_{c}").alias(f"__s2_{c}_b") for c in feature_cols],
+    )
+    order_a = F.struct(*[F.col(f"{c}_a") for c in cluster_cols])
+    order_b = F.struct(*[F.col(f"{c}_b") for c in cluster_cols])
+    pairs = a.crossJoin(b).filter(order_a < order_b)
+    na = F.col("__n_a").cast("double")
+    nb = F.col("__n_b").cast("double")
+    total = None
+    for c in feature_cols:
+        term = (
+            nb * F.col(f"__s2_{c}_a")
+            + na * F.col(f"__s2_{c}_b")
+            - 2.0 * F.col(f"__s_{c}_a") * F.col(f"__s_{c}_b")
+        )
+        total = term if total is None else total + term
+    return pairs.select(
+        *[F.col(f"{c}_a") for c in cluster_cols],
+        *[F.col(f"{c}_b") for c in cluster_cols],
+        (total / (na * nb)).alias(out_col),
+    )

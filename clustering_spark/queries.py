@@ -785,6 +785,73 @@ WHERE len(list_intersect(fa.sh, fb.sh))::DOUBLE
 """
 
 
+def q_intra_pairdist(spark, sf_dir):
+    """A8 (dead code in the reference: collect + O(n²) Python loop,
+    metrics.py:57-80): mean pairwise squared distance within each
+    cluster — here ONE moment aggregation via the algebraic identity
+    sum_pairs ||xi-xj||² = 2n·sum||x||² - 2||sum x||²; the oracle is
+    DuckDB's naive self-join, which proves the identity on real data."""
+    from clustering_spark.operators.metrics import intra_cluster_mean_pairdist
+
+    c = load(spark, sf_dir, "customer")
+    out = intra_cluster_mean_pairdist(
+        c, ["c_mktsegment"], ["c_acctbal", "c_nationkey"]
+    )
+    return out.select(
+        "c_mktsegment",
+        "n_points",
+        F.round("mean_pair_dist2", ROUND_SUM).alias("mean_pair_dist2"),
+    )
+
+
+SQL_INTRA_PAIRDIST = f"""
+WITH pts AS (
+  SELECT c_mktsegment AS seg, c_acctbal AS x, c_nationkey AS y,
+         c_custkey AS id
+  FROM customer),
+n AS (SELECT seg, count(*) AS n FROM pts GROUP BY seg),
+pairs AS (
+  SELECT a.seg, (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.seg = b.seg AND a.id <> b.id)
+SELECT n.seg AS c_mktsegment, n.n AS n_points,
+       CASE WHEN n.n >= 2
+            THEN round(sum(p.d2) / (n.n * (n.n - 1.0)), {ROUND_SUM}) END
+         AS mean_pair_dist2
+FROM n LEFT JOIN pairs p ON p.seg = n.seg
+GROUP BY n.seg, n.n
+"""
+
+
+def q_inter_pairdist(spark, sf_dir):
+    """A9/J3 (dead code in the reference: collect both sides + O(n·m)
+    loop, metrics.py:83-110): mean pairwise squared distance BETWEEN
+    cluster pairs — per-cluster moments + a k²-row cluster-pair join
+    (model-sized, never point-sized)."""
+    from clustering_spark.operators.metrics import inter_cluster_mean_pairdist
+
+    c = load(spark, sf_dir, "customer")
+    out = inter_cluster_mean_pairdist(
+        c, ["c_mktsegment"], ["c_acctbal", "c_nationkey"]
+    )
+    return out.select(
+        "c_mktsegment_a",
+        "c_mktsegment_b",
+        F.round("mean_pair_dist2", ROUND_SUM).alias("mean_pair_dist2"),
+    )
+
+
+SQL_INTER_PAIRDIST = f"""
+WITH pts AS (
+  SELECT c_mktsegment AS seg, c_acctbal AS x, c_nationkey AS y
+  FROM customer)
+SELECT a.seg AS c_mktsegment_a, b.seg AS c_mktsegment_b,
+       round(avg((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)),
+             {ROUND_SUM}) AS mean_pair_dist2
+FROM pts a JOIN pts b ON a.seg < b.seg
+GROUP BY 1, 2
+"""
+
+
 def q_neardup_components(spark, sf_dir):
     """Near-dup GROUPS, not just pairs: the exact ngram-Jaccard pairs
     are the edges of an undirected graph; iterative hash-min label
@@ -1099,6 +1166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "result_doc_d3": q_result_doc_d3,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "intra_pairdist": q_intra_pairdist,
+    "inter_pairdist": q_inter_pairdist,
     "neardup_components": q_neardup_components,
     "media_metadata": q_media_metadata,
     "text_quality": q_text_quality,
@@ -1135,6 +1204,8 @@ ORACLES: dict[str, str] = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "intra_pairdist": SQL_INTRA_PAIRDIST,
+    "inter_pairdist": SQL_INTER_PAIRDIST,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "media_metadata": SQL_MEDIA_METADATA,
     "text_quality": SQL_TEXT_QUALITY,

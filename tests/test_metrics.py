@@ -86,3 +86,50 @@ def test_cosine_zero_vector_is_null(spark):
         [([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
     )
     assert df.select(cosine_similarity("a", "b").alias("c")).collect()[0].c is None
+
+
+def test_pairdist_moment_identity_vs_numpy(spark):
+    """intra/inter mean pairwise squared distance (the one-pass moment
+    form) must match numpy's literal O(n²) double loop."""
+    import numpy as np
+
+    from clustering_spark.operators.metrics import (
+        inter_cluster_mean_pairdist,
+        intra_cluster_mean_pairdist,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for g, n in [("a", 7), ("b", 4), ("c", 1)]:
+        for _ in range(n):
+            rows.append((g, float(rng.uniform(-5, 5)), float(rng.uniform(0, 10))))
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+
+    intra = {
+        r.grp: (r.n_points, r.mean_pair_dist2)
+        for r in intra_cluster_mean_pairdist(df, ["grp"], ["x", "y"]).collect()
+    }
+    pts = {}
+    for g, x, y in rows:
+        pts.setdefault(g, []).append((x, y))
+    for g, p in pts.items():
+        P = np.asarray(p)
+        n = len(P)
+        assert intra[g][0] == n
+        if n < 2:
+            assert intra[g][1] is None
+        else:
+            d2 = ((P[:, None, :] - P[None, :, :]) ** 2).sum(-1)
+            expect = d2.sum() / (n * (n - 1))
+            assert abs(intra[g][1] - expect) < 1e-9 * max(1.0, abs(expect))
+
+    inter = {
+        (r.grp_a, r.grp_b): r.mean_pair_dist2
+        for r in inter_cluster_mean_pairdist(df, ["grp"], ["x", "y"]).collect()
+    }
+    assert set(inter) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (ga, gb), got in inter.items():
+        A, B = np.asarray(pts[ga]), np.asarray(pts[gb])
+        d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+        expect = d2.mean()
+        assert abs(got - expect) < 1e-9 * max(1.0, abs(expect))
