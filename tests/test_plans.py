@@ -124,12 +124,14 @@ def test_minhash_band_shuffle_is_slim(spark):
 
 
 def test_ngram_prefix_join_is_equi_join(spark):
-    """The prefix-filtered candidate join must be an equi-join on the
-    shingle-hash key — never nested-loop/cartesian."""
+    """The prefix-filtered candidate join (the scale path for corpora
+    over the dense all-pairs cap — forced here with
+    allpairs_max_docs=0) must be an equi-join on the shingle-hash
+    key — never nested-loop/cartesian."""
     from clustering_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    df = ngram_jaccard_pairs(docs, "doc_id", "text")
+    df = ngram_jaccard_pairs(docs, "doc_id", "text", allpairs_max_docs=0)
     js = join_strategies(df)
     assert js
     assert "CartesianProduct" not in js
