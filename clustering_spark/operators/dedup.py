@@ -345,7 +345,9 @@ def _np_popcount_rows(a: np.ndarray) -> np.ndarray:
     return pop8[np.ascontiguousarray(a).view(np.uint8)].sum(-1)
 
 
-def _dense_bitmap_allpairs(packed: DataFrame, id_type, threshold: float) -> DataFrame:
+def _dense_bitmap_allpairs(
+    spark, pdf: pd.DataFrame, id_type, threshold: float
+) -> DataFrame:
     """Exact Jaccard over ALL pairs of packed shingle bitmaps, as a
     blocked numpy kernel (the FAISS-brute-force shape): the bitmap
     table (bounded by ``allpairs_max_docs`` × ~V/8 bytes) is broadcast;
@@ -355,8 +357,7 @@ def _dense_bitmap_allpairs(packed: DataFrame, id_type, threshold: float) -> Data
     are identical to the set-based verify."""
     from pyspark.sql import types as T
 
-    spark = packed.sparkSession
-    pdf = packed.toPandas().sort_values("__id", kind="mergesort").reset_index(drop=True)
+    pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
     out_schema = T.StructType(
         [
             T.StructField("id_a", id_type),
@@ -502,16 +503,27 @@ def ngram_jaccard_pairs(
         # blocked numpy all-pairs kernel is exact and several times
         # cheaper end-to-end. Above the cap (or with vocab > V), the
         # prefix join below stays the scale path; for truly huge dense
-        # corpora use minhash_lsh_pairs.
-        n_actual = n_docs if n_docs is not None else df.count()
-        if n_actual <= allpairs_max_docs:
-            docfreq_full.unpersist()
+        # corpora use minhash_lsh_pairs. The size probe IS the data
+        # fetch: limit(cap+1).toPandas() — within the cap that returns
+        # the complete table (limit over-asks by one), so no separate
+        # count job; over the cap the limit stops the scan early and we
+        # fall through having spent one bounded pass.
+        if n_docs is None or n_docs <= allpairs_max_docs:
             nwords = max(1, (len(vocab) + 63) // 64)
             pack = _bitmap_pack_udf(vocab, nwords)
-            packed = base.select("__id", pack("__sh").alias("__bits"))
-            return _dense_bitmap_allpairs(
-                packed, df.schema[id_col].dataType, jaccard_threshold
+            packed_pdf = (
+                base.select("__id", pack("__sh").alias("__bits"))
+                .limit(allpairs_max_docs + 1)
+                .toPandas()
             )
+            if len(packed_pdf) <= allpairs_max_docs:
+                docfreq_full.unpersist()
+                return _dense_bitmap_allpairs(
+                    df.sparkSession,
+                    packed_pdf,
+                    df.schema[id_col].dataType,
+                    jaccard_threshold,
+                )
 
     docfreq = docfreq_full
     if max_shingle_df < 1.0:
