@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +47,12 @@ def cosine_topk(
     )
 
 
+def _round6_half_up(a: np.ndarray) -> np.ndarray:
+    """6-decimal rounding matching Spark's HALF_UP ``round`` (numpy's
+    own round is half-even; HALF_UP rounds .5 away from zero)."""
+    return np.where(a >= 0, np.floor(a * 1e6 + 0.5), np.ceil(a * 1e6 - 0.5)) / 1e6
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,28 +63,98 @@ def knn_join(
     k: int = 5,
 ) -> DataFrame:
     """For every query row: its k nearest corpus rows by cosine.
-    Queries are broadcast (must be the small side); ranking is a window
-    per query id."""
-    from pyspark.sql import Window
 
-    c = corpus.select(
-        F.col(corpus_id).alias("corpus_id"),
-        F.col(corpus_vec).cast("array<double>").alias("c_vec"),
+    SCALE SHAPE: the relational form (crossJoin + window on query_id)
+    shuffles the ENTIRE n×q scored cross product just to rank it. Here
+    the query side — small BY CONTRACT — is collected and broadcast; an
+    Arrow ``mapInPandas`` kernel scores each corpus batch with one
+    numpy GEMM and keeps a bounded per-partition top-k per query, so
+    only P×q×k partial rows reach the final window. The corpus is
+    scanned once and never shuffled.
+
+    Semantics identical to the relational form: rank by ROUNDED (6dp,
+    HALF_UP) cosine desc then corpus_id; zero-norm vectors get NULL
+    cosine and rank last (partials include the per-partition smallest
+    zero-norm ids so tiny-corpus results stay exact)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    qpdf = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    ).toPandas()
+    out_fields = [
+        T.StructField("query_id", queries.schema[query_id].dataType),
+        T.StructField("corpus_id", corpus.schema[corpus_id].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+    out_schema = T.StructType(list(out_fields))
+    rank_schema = T.StructType(
+        list(out_fields) + [T.StructField("rank", T.IntegerType(), False)]
     )
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).cast("array<double>").alias("q_vec"),
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], rank_schema)
+
+    qm = np.vstack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(qm, axis=1)
+    qok = qnorm > 0.0
+    qdir = np.where(qok[:, None], qm / np.where(qok, qnorm, 1.0)[:, None], 0.0)
+    bc = spark.sparkContext.broadcast((qpdf["qid"].to_numpy(), qdir, qok))
+    kk = int(k)
+
+    slim = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).cast("array<double>").alias("cvec"),
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "corpus_id",
-        F.round(cosine_similarity("c_vec", "q_vec"), 6).alias("cosine"),
-    )
+
+    def gen(batches):
+        qids_, qdir_, qok_ = bc.value
+        nq = len(qids_)
+        cur_s = [np.empty(0, np.float64) for _ in range(nq)]
+        cur_i = [np.empty(0, np.int64) for _ in range(nq)]
+        small_ids = np.empty(0, np.int64)  # smallest ids seen (NULL-rank pool)
+        zero_ids = np.empty(0, np.int64)  # smallest zero-norm ids
+        for pdf in batches:
+            ids_b = pdf["cid"].to_numpy()
+            V = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            nz = vn > 0.0
+            zero_ids = np.sort(np.concatenate([zero_ids, ids_b[~nz]]))[:kk]
+            small_ids = np.sort(np.concatenate([small_ids, ids_b]))[:kk]
+            if nz.any():
+                scores = _round6_half_up(
+                    (V[nz] / vn[nz, None]) @ qdir_.T
+                )  # (m, nq)
+                ids_nz = ids_b[nz]
+                for j in range(nq):
+                    if not qok_[j]:
+                        continue
+                    s = np.concatenate([cur_s[j], scores[:, j]])
+                    i = np.concatenate([cur_i[j], ids_nz])
+                    order = np.lexsort((i, -s))[:kk]
+                    cur_s[j], cur_i[j] = s[order], i[order]
+        rows_q, rows_c, rows_s = [], [], []
+        for j in range(nq):
+            if qok_[j]:
+                rows_q.extend([qids_[j]] * (len(cur_i[j]) + len(zero_ids)))
+                rows_c.extend(cur_i[j].tolist() + zero_ids.tolist())
+                rows_s.extend(cur_s[j].tolist() + [None] * len(zero_ids))
+            else:
+                # zero-norm QUERY: cosine NULL against every corpus row
+                rows_q.extend([qids_[j]] * len(small_ids))
+                rows_c.extend(small_ids.tolist())
+                rows_s.extend([None] * len(small_ids))
+        if rows_q:
+            yield pd.DataFrame(
+                {"query_id": rows_q, "corpus_id": rows_c, "cosine": rows_s}
+            )
+
+    partials = slim.mapInPandas(gen, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
