@@ -914,6 +914,28 @@ FROM documents
 """
 
 
+def q_neardup_dedup_keep(spark, sf_dir):
+    """The full LLM-corpus dedup stage end-to-end: exact ngram-Jaccard
+    pairs → connected components → keep ONE doc per component (the min
+    id). Output = surviving doc ids."""
+    from clustering_spark.operators.graph import (
+        connected_components,
+        dedup_by_component,
+    )
+
+    d = load_spread(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, jaccard_threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return dedup_by_component(d.select("doc_id"), "doc_id", comp)
+
+
+SQL_NEARDUP_DEDUP_KEEP = f"""
+SELECT doc_id FROM ({SQL_NEARDUP_COMPONENTS}) WHERE doc_id = component
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality-signal features per document (length/punct/digit/
     stopword ratios + composite score) — pure native expressions."""
@@ -1169,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intra_pairdist": q_intra_pairdist,
     "inter_pairdist": q_inter_pairdist,
     "neardup_components": q_neardup_components,
+    "neardup_dedup_keep": q_neardup_dedup_keep,
     "media_metadata": q_media_metadata,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -1207,6 +1230,7 @@ ORACLES: dict[str, str] = {
     "intra_pairdist": SQL_INTRA_PAIRDIST,
     "inter_pairdist": SQL_INTER_PAIRDIST,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
+    "neardup_dedup_keep": SQL_NEARDUP_DEDUP_KEEP,
     "media_metadata": SQL_MEDIA_METADATA,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
