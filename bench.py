@@ -45,8 +45,21 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warmup: touch the biggest table once (JVM + codegen spin-up)
+    # warmup: touch the biggest table once (JVM + codegen spin-up) and
+    # run one trivial Arrow-batch UDF (Python-worker pool + Arrow
+    # serializer spin-up — otherwise the first pandas-UDF query pays
+    # ~8s of one-time process startup that isn't query execution)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    def _echo(s):
+        return s
+
+    _echo.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+    spark.range(1000).select(
+        _F.pandas_udf(_echo, "long")(_F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     # every declared headline query MUST exist — a silent skip would
     # make the headline total overstate coverage
