@@ -929,17 +929,24 @@ def embedding_neardup_pairs(
         )
         join_cols = ["band_idx", "band_key"]
 
-    a = banded.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), *join_cols
-    )
-    b = banded.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), *join_cols
-    )
-    return (
+    # SLIM band join (same shape as minhash_lsh_pairs): band rows carry
+    # only (id, band_idx, band_key) — the ~8*dim-byte vectors never ride
+    # the band explode or the pair-dedup shuffle; the deduped candidate
+    # pairs join back to the un-exploded vector table for the exact
+    # cosine verify.
+    a = banded.select(F.col("__id").alias("id_a"), *join_cols)
+    b = banded.select(F.col("__id").alias("id_b"), *join_cols)
+    cands = (
         a.join(b, on=join_cols)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    fb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    return (
+        cands.join(fa, on="id_a")
+        .join(fb, on="id_b")
         .withColumn("cosine", F.round(cosine_similarity("v_a", "v_b"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
