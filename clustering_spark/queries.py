@@ -202,6 +202,27 @@ FROM orders GROUP BY 1
 """
 
 
+def q_group_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (p50/p95, continuous interpolation)
+    of order value — Spark's `percentile` and DuckDB's `quantile_cont`
+    share the interpolation rule, so this hash-matches exactly. Flat
+    scalar columns (not an array) because the driver canonicalizer
+    sorts on all columns."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), ROUND).alias("price_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), ROUND).alias("price_p95"),
+    )
+
+
+SQL_GROUP_PERCENTILES = f"""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), {ROUND}) AS price_p50,
+       round(quantile_cont(o_totalprice, 0.95), {ROUND}) AS price_p95
+FROM orders GROUP BY 1
+"""
+
+
 def q_entropy(spark, sf_dir):
     """A5: Shannon entropy of a group-size distribution as ONE
     aggregation pipeline (vs k+1 count jobs, metrics.py:131-135).
@@ -1168,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "limit_scale": q_limit_scale,
     "distinct_guard": q_distinct_guard,
     "group_minmax": q_group_minmax,
+    "group_percentiles": q_group_percentiles,
     "entropy": q_entropy,
     "group_mean_center": q_group_mean_center,
     "radius": q_radius,
@@ -1213,6 +1235,7 @@ ORACLES: dict[str, str] = {
     "limit_scale": SQL_LIMIT_SCALE,
     "distinct_guard": SQL_DISTINCT_GUARD,
     "group_minmax": SQL_GROUP_MINMAX,
+    "group_percentiles": SQL_GROUP_PERCENTILES,
     "entropy": SQL_ENTROPY,
     "group_mean_center": SQL_GROUP_MEAN,
     "radius": SQL_RADIUS,
