@@ -1,0 +1,77 @@
+"""As-of join (beyond-reference scope): for every left row, the latest
+right row with the same key and ts_right <= ts_left — the telemetry /
+feature-engineering staple Spark has no built-in for (and one of the
+brief's canonical custom operators).
+
+Scale design — the union + last_value(ignorenulls) trick, NOT a join:
+tag right rows 0 and left rows 1, union, and window
+``last(payload, ignorenulls=True)`` over
+(key ORDER BY ts, tag ROWS UNBOUNDED PRECEDING..CURRENT). Each left
+row picks up the most recent preceding right payload in ONE shuffle by
+key with no join at all — no range-explosion, no per-key driver loop,
+and skew behaves exactly like any keyed window. A broadcast-range join
+would re-shuffle both sides and blow up on wide time ranges; this
+shape is linear in input size.
+
+Tie rule: a right row AT the left row's timestamp matches (<=); right
+rows sort before left rows at equal ts via the tag. Callers must make
+(key, ts) unique on the right side (pre-aggregate) — otherwise which
+of the tied right rows wins is order-dependent, the same caveat
+DuckDB's ASOF JOIN carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left rows + ``payload_cols`` from the latest right row with
+    right.ts <= left.ts on the same key (NULL when no such row).
+    ``left`` keeps all its columns; ``payload_cols`` must not collide
+    with them."""
+    from pyspark.sql import Window
+
+    for c in payload_cols:
+        if c in left.columns:
+            raise ValueError(f"payload column {c!r} collides with a left column")
+
+    lt = left.select(
+        *left.columns,
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    left_only = [c for c in left.columns if c not in key_cols and c != ts_col]
+    rt = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("__tag"),
+        *payload_cols,
+    ).select(
+        *key_cols,
+        ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        "__tag",
+        *payload_cols,
+    )
+    unioned = lt.select(rt.columns).unionByName(rt)
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in payload_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return filled.filter(F.col("__tag") == 1).drop("__tag").select(
+        *left.columns, *payload_cols
+    )

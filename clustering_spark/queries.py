@@ -806,6 +806,46 @@ WHERE len(list_intersect(fa.sh, fb.sh))::DOUBLE
 """
 
 
+def q_asof_last_purchase(spark, sf_dir):
+    """As-of join (operators/asof.py): every click event annotated with
+    the user's latest prior-or-equal purchase value — ONE keyed window
+    shuffle, no join. Oracle: DuckDB's native ASOF LEFT JOIN. The right
+    side is pre-aggregated to unique (user, ts) so the tie rule is
+    deterministic in both engines."""
+    from clustering_spark.operators.asof import asof_join
+
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_utc"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_utc")
+        .agg(F.round(F.max("value"), ROUND).alias("last_purchase_value"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], "ts_utc", ["last_purchase_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts_utc").alias("ts_us"),
+        "last_purchase_value",
+    )
+
+
+SQL_ASOF_LAST_PURCHASE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+         round(max(value), {ROUND}) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.ts_us, p.last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
 def q_intra_pairdist(spark, sf_dir):
     """A8 (dead code in the reference: collect + O(n²) Python loop,
     metrics.py:57-80): mean pairwise squared distance within each
@@ -1210,6 +1250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "result_doc_d3": q_result_doc_d3,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "asof_last_purchase": q_asof_last_purchase,
     "intra_pairdist": q_intra_pairdist,
     "inter_pairdist": q_inter_pairdist,
     "neardup_components": q_neardup_components,
@@ -1250,6 +1291,7 @@ ORACLES: dict[str, str] = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
     "intra_pairdist": SQL_INTRA_PAIRDIST,
     "inter_pairdist": SQL_INTER_PAIRDIST,
     "neardup_components": SQL_NEARDUP_COMPONENTS,

@@ -1,0 +1,54 @@
+"""asof_join: the union + last_value(ignorenulls) shape must reproduce
+textbook as-of semantics — latest right row with ts <= left ts per key,
+inclusive at equal ts, NULL when no prior right row."""
+
+from __future__ import annotations
+
+from clustering_spark.operators.asof import asof_join
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, 10),  # before any right row -> NULL
+            (2, 100, 20),  # right at ts=20 exists -> inclusive match
+            (3, 100, 35),  # latest right <= 35 is ts=30
+            (4, 200, 50),  # other key
+            (5, 300, 50),  # key with no right rows at all -> NULL
+        ],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 20, 2.0),
+            (100, 30, 3.0),
+            (100, 40, 4.0),
+            (200, 49, 9.0),
+        ],
+        "user_id long, ts long, val double",
+    )
+    out = asof_join(left, right, ["user_id"], "ts", ["val"])
+    got = {r.event_id: r.val for r in out.collect()}
+    assert got == {1: None, 2: 2.0, 3: 3.0, 4: 9.0, 5: None}
+    # left columns all preserved, one output row per left row
+    assert set(out.columns) == {"event_id", "user_id", "ts", "val"}
+    assert out.count() == 5
+
+
+def test_asof_is_single_window_no_join(spark):
+    from clustering_spark.plans.audit import join_strategies, plan_tree
+
+    left = spark.createDataFrame([(1, 1, 10)], "event_id long, user_id long, ts long")
+    right = spark.createDataFrame([(1, 5, 1.0)], "user_id long, ts long, val double")
+    df = asof_join(left, right, ["user_id"], "ts", ["val"])
+    assert join_strategies(df) == []
+    assert "Window" in plan_tree(df)
+
+
+def test_asof_payload_collision_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, 10, 0.0)], "event_id long, user_id long, ts long, val double")
+    right = spark.createDataFrame([(1, 5, 1.0)], "user_id long, ts long, val double")
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["user_id"], "ts", ["val"])
