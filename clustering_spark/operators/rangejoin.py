@@ -1,0 +1,54 @@
+"""Binned time-range join (beyond-reference scope): pair every left
+row with the right rows whose timestamp falls in
+(left_ts + lower, left_ts + upper] — the "events within an hour after
+the signup" shape. Spark has no native range join; the naive form is a
+cross join with a BETWEEN filter, O(n·m).
+
+Scale design — bucketize both sides by the window span: a right row
+lands in exactly ONE bucket of width (upper - lower); a left interval
+spans at most TWO consecutive buckets, so the left side explodes 2×
+and the join becomes an EQUI-join on the bucket id followed by the
+exact range filter. Join volume collapses from n·m to pairs sharing a
+~window-sized bucket, each (left, right) pair can match in at most one
+bucket (no dedup needed), and AQE handles hot buckets like any skewed
+equi key. Optional extra equi keys (e.g. user_id) compose — they join
+alongside the bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join pairs with right_ts in (left_ts + lower_us,
+    left_ts + upper_us]. Timestamps are integer microseconds columns
+    (cast upstream). Output: all left columns + all right columns
+    (names must not collide except ``extra_keys``)."""
+    if upper_us <= lower_us:
+        raise ValueError("upper_us must be > lower_us")
+    span = upper_us - lower_us
+    keys = list(extra_keys or [])
+
+    lts: Column = F.col(left_ts)
+    rts: Column = F.col(right_ts)
+    # interval (lts+lower, lts+upper] spans buckets floor((lts+lower)/span)
+    # .. floor((lts+upper)/span) — at most 2 consecutive buckets
+    b0 = F.floor((lts + F.lit(lower_us)) / F.lit(span))
+    l2 = left.withColumn(
+        "__bucket", F.explode(F.array_distinct(F.array(b0, b0 + 1)))
+    )
+    r2 = right.withColumn("__bucket", F.floor(rts / F.lit(span)))
+    joined = l2.join(r2, on=keys + ["__bucket"]).filter(
+        (rts > lts + F.lit(lower_us)) & (rts <= lts + F.lit(upper_us))
+    )
+    return joined.drop("__bucket")

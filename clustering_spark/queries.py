@@ -846,6 +846,41 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def q_clicks_after_signup(spark, sf_dir):
+    """Binned time-range join (operators/rangejoin.py): for every
+    signup, the count of click events (any user) in the following
+    hour. The bucket trick turns the naive O(n·m) BETWEEN cross join
+    into an equi-join on a window-sized bucket id; the oracle IS the
+    naive BETWEEN join."""
+    from clustering_spark.operators.rangejoin import time_range_join
+
+    e = load_events(spark, sf_dir)
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", F.unix_micros("ts_utc").alias("s_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.unix_micros("ts_utc").alias("c_ts")
+    )
+    pairs = time_range_join(
+        signups, clicks, "s_ts", "c_ts", lower_us=0, upper_us=3_600_000_000
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    return signups.join(counts, on="event_id", how="left").select(
+        "event_id", F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h")
+    )
+
+
+SQL_CLICKS_AFTER_SIGNUP = """
+SELECT s.event_id, count(c.event_id) AS n_clicks_1h
+FROM events s LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND epoch_ns(c.ts) // 1000 >  epoch_ns(s.ts) // 1000
+ AND epoch_ns(c.ts) // 1000 <= epoch_ns(s.ts) // 1000 + 3600000000
+WHERE s.event_type = 'signup'
+GROUP BY 1
+"""
+
+
 def q_intra_pairdist(spark, sf_dir):
     """A8 (dead code in the reference: collect + O(n²) Python loop,
     metrics.py:57-80): mean pairwise squared distance within each
@@ -1251,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "asof_last_purchase": q_asof_last_purchase,
+    "clicks_after_signup": q_clicks_after_signup,
     "intra_pairdist": q_intra_pairdist,
     "inter_pairdist": q_inter_pairdist,
     "neardup_components": q_neardup_components,
@@ -1292,6 +1328,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
+    "clicks_after_signup": SQL_CLICKS_AFTER_SIGNUP,
     "intra_pairdist": SQL_INTRA_PAIRDIST,
     "inter_pairdist": SQL_INTER_PAIRDIST,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
