@@ -1,0 +1,67 @@
+"""Deterministic hash sampling and dataset splits (beyond-reference
+scope). The reference samples with an UNSEEDED ``df.sample`` (SURVEY
+§4.3.7 anti-pattern) — results change run to run. A training-data
+pipeline needs the opposite: membership decided by a pure function of
+the row key, so samples and train/val/test splits are reproducible
+across runs, engines, and cluster sizes, and rows keep their
+assignment when the corpus grows.
+
+Mechanism: the first 8 hex chars of md5(key || salt) compared against
+hex-threshold STRINGS — fixed-length lowercase hex compares
+lexicographically exactly like the number it encodes, md5 is identical
+everywhere (the DuckDB oracle replays it verbatim), and no UDF or RNG
+is involved: a filter the optimizer can push to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_bucket(key_col: str | Column, salt: str) -> Column:
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def _hex_threshold(fraction: float) -> str:
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep the deterministic ~``fraction`` of rows whose hashed key
+    lands below the threshold. fraction >= 1 keeps everything."""
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.limit(0)
+    return df.filter(_hex_bucket(key_col, salt) < F.lit(_hex_threshold(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by cumulative hash ranges, e.g.
+    {'train': 0.8, 'val': 0.1, 'test': 0.1}. Fractions must sum to 1;
+    the last split absorbs the hash-range remainder so every row is
+    labelled."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _hex_bucket(key_col, salt)
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)

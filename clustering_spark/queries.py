@@ -806,6 +806,36 @@ WHERE len(list_intersect(fa.sh, fb.sh))::DOUBLE
 """
 
 
+def q_hash_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    membership is a pure function of md5(key), so splits are
+    reproducible across runs/engines/cluster sizes — vs the reference's
+    unseeded df.sample (SURVEY §4.3.7). The oracle replays the same md5
+    hex-range rule verbatim."""
+    from clustering_spark.operators.sampling import hash_split
+
+    c = load(spark, sf_dir, "customer")
+    split = hash_split(
+        c, "c_custkey", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("c_mktsegment", "split").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_HASH_SPLIT_COUNTS = """
+WITH b AS (
+  SELECT c_mktsegment, substr(md5(c_custkey::VARCHAR), 1, 8) AS h
+  FROM customer)
+SELECT c_mktsegment,
+       CASE WHEN h < 'cccccccc' THEN 'train'
+            WHEN h < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_rows
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_asof_last_purchase(spark, sf_dir):
     """As-of join (operators/asof.py): every click event annotated with
     the user's latest prior-or-equal purchase value — ONE keyed window
@@ -1285,6 +1315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "result_doc_d3": q_result_doc_d3,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "hash_split_counts": q_hash_split_counts,
     "asof_last_purchase": q_asof_last_purchase,
     "clicks_after_signup": q_clicks_after_signup,
     "intra_pairdist": q_intra_pairdist,
@@ -1327,6 +1358,7 @@ ORACLES: dict[str, str] = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
     "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
     "clicks_after_signup": SQL_CLICKS_AFTER_SIGNUP,
     "intra_pairdist": SQL_INTRA_PAIRDIST,
