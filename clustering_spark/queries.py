@@ -543,6 +543,42 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
+def q_sliding_window_events(spark, sf_dir):
+    """Sliding event-time windows (1 h window, 15 min slide) — each
+    event lands in exactly window/slide = 4 overlapping windows.
+    Completes the window family (tumbling = window_events, session =
+    stream_sessions). Oracle: explode each event into its 4 window
+    starts via an unnested range."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts_utc", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOW_EVENTS = f"""
+WITH g AS (
+  SELECT event_type, value,
+         ((epoch_ns(ts) // 1000 // 900000000) - i) * 900 AS win_start_epoch
+  FROM events, (SELECT unnest(range(4)) AS i)
+)
+SELECT win_start_epoch, event_type, count(*) AS n_events,
+       round(sum(value), {ROUND_SUM}) AS total_value
+FROM g GROUP BY 1, 2
+"""
+
+
 def q_stream_window_events(spark, sf_dir):
     """§2.8: the STREAMING form of ``window_events`` — file-source
     readStream over the same events parquet, watermarked tumbling
@@ -1305,6 +1341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "window_events": q_window_events,
+    "sliding_window_events": q_sliding_window_events,
     "stream_window_events": q_stream_window_events,
     "stream_sessions": q_stream_sessions,
     "cluster_kmeans": q_cluster_kmeans,
@@ -1354,6 +1391,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "window_events": SQL_WINDOW_EVENTS,
+    "sliding_window_events": SQL_SLIDING_WINDOW_EVENTS,
     "stream_window_events": SQL_WINDOW_EVENTS,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
