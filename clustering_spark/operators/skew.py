@@ -1,0 +1,39 @@
+"""Skew-mitigation utilities (beyond-reference scope).
+
+AQE's skew-join split handles most hot-key joins at runtime; explicit
+SALTING remains the tool when the optimizer can't help — a hot key
+whose build-side rows exceed one task's memory, forced co-partitioning
+for a downstream stage, or engines/configs without AQE. The utility is
+semantics-preserving: results are identical to the plain join, only the
+physical distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where a hot key's probe rows spread over
+    ``salt_buckets`` tasks: the big side gets a per-row salt (hash of a
+    per-row id — deterministic within a run, and ANY assignment yields
+    the same join result), the small side is replicated once per salt
+    value, and the join key becomes (key..., salt). Output = exactly
+    ``big.join(small, on, how)``; replication costs
+    salt_buckets × |small|, so keep the small side genuinely small."""
+    b = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+    )
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])),
+    )
+    return b.join(s, on=on + ["__salt"], how=how).drop("__salt")
