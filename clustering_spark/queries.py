@@ -620,6 +620,51 @@ def q_stream_window_events(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_sliding_windows(spark, sf_dir):
+    """§2.8: SLIDING event-time windows (1 h window, 15 min slide) on
+    the events stream — same incremental operator as the tumbling form,
+    but each event updates window/slide = 4 overlapping windows of
+    state. Over a static directory the drained complete-mode table must
+    equal the batch ``sliding_window_events`` result, so it shares that
+    query's exploded-range DuckDB oracle."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from clustering_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    agg = windowed_event_counts(
+        ev,
+        window="1 hour",
+        watermark="2 hours",
+        ts_col="ts_utc",
+        slide="15 minutes",
+    ).withColumnRenamed("hour_epoch", "win_start_epoch")
+    name = "stream_slide_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sslide_"))
+    return spark.table(name)
+
+
 def q_stream_sessions(spark, sf_dir):
     """§2.8: gap-based session windows (30 min) per user over the
     events stream — Spark's built-in stateful session_window operator,
@@ -1343,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_events": q_window_events,
     "sliding_window_events": q_sliding_window_events,
     "stream_window_events": q_stream_window_events,
+    "stream_sliding_windows": q_stream_sliding_windows,
     "stream_sessions": q_stream_sessions,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
@@ -1393,6 +1439,7 @@ ORACLES: dict[str, str] = {
     "window_events": SQL_WINDOW_EVENTS,
     "sliding_window_events": SQL_SLIDING_WINDOW_EVENTS,
     "stream_window_events": SQL_WINDOW_EVENTS,
+    "stream_sliding_windows": SQL_SLIDING_WINDOW_EVENTS,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

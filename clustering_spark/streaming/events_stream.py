@@ -51,14 +51,17 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window counts + value sums per event_type —
-    the streaming form of the batch ``window_events`` query. The
+    """Tumbling (or, with ``slide``, sliding) event-time window counts
+    + value sums per event_type — the streaming form of the batch
+    ``window_events`` / ``sliding_window_events`` queries. The
     watermark admits late data up to its bound, then finalizes the
     window (state is dropped)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),

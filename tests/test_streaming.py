@@ -69,6 +69,43 @@ def test_stream_window_counts_match_batch(spark, events_dir, tmp_path):
     assert (abs(a.total_value.values - b.total_value.values) < 1e-6).all()
 
 
+def test_stream_sliding_window_counts_match_batch(spark, events_dir, tmp_path):
+    """Sliding windows (1h window / 15min slide): every event lands in 4
+    overlapping windows; the drained complete-mode table must equal the
+    batch sliding aggregation."""
+    stream = read_events_stream(spark, events_dir)
+    agg = windowed_event_counts(
+        stream, window="1 hour", watermark="2 hours", slide="15 minutes"
+    )
+    run_stream_to_memory(agg, "slide_counts", str(tmp_path / "ckpt_sl"))
+    got = spark.table("slide_counts").toPandas()
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    key = ["hour_epoch", "event_type"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    # 4 overlapping windows per tumbling window -> strictly more rows
+    # than the tumbling form would produce
+    assert a.n_events.sum() == 4 * spark.read.parquet(events_dir).count()
+    assert (a.n_events.values == b.n_events.values).all()
+    assert (abs(a.total_value.values - b.total_value.values) < 1e-6).all()
+
+
 def test_session_windows(spark, events_dir, tmp_path):
     stream = read_events_stream(spark, events_dir)
     sess = session_event_stats(stream, gap="30 minutes", watermark="4 hours")
