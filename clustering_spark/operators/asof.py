@@ -36,30 +36,35 @@ def asof_join(
     """Left rows + ``payload_cols`` from the latest right row with
     right.ts <= left.ts on the same key (NULL when no such row).
     ``left`` keeps all its columns; ``payload_cols`` must not collide
-    with them."""
+    with them.
+
+    All payloads are carried in ONE struct column filled with
+    ``last(ignorenulls)``: the struct is non-NULL for every right row
+    (even when its fields are NULL), so every payload value comes
+    atomically from the single latest matching right row — a NULL field
+    in that row stays NULL instead of being back-filled from an older
+    row. This matches DuckDB/pandas ASOF semantics exactly."""
     from pyspark.sql import Window
 
     for c in payload_cols:
         if c in left.columns:
             raise ValueError(f"payload column {c!r} collides with a left column")
 
+    payload_struct_t = "struct<" + ",".join(
+        f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols
+    ) + ">"
     lt = left.select(
         *left.columns,
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        F.lit(None).cast(payload_struct_t).alias("__payload"),
     )
     left_only = [c for c in left.columns if c not in key_cols and c != ts_col]
     rt = right.select(
         *key_cols,
         F.col(ts_col),
-        F.lit(0).alias("__tag"),
-        *payload_cols,
-    ).select(
-        *key_cols,
-        ts_col,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
-        "__tag",
-        *payload_cols,
+        F.lit(0).alias("__tag"),
+        F.struct(*payload_cols).alias("__payload"),
     )
     unioned = lt.select(rt.columns).unionByName(rt)
 
@@ -69,9 +74,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *[c for c in unioned.columns if c not in payload_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        *[c for c in unioned.columns if c != "__payload"],
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
-    return filled.filter(F.col("__tag") == 1).drop("__tag").select(
-        *left.columns, *payload_cols
+    return filled.filter(F.col("__tag") == 1).select(
+        *left.columns,
+        *[F.col(f"__payload.{c}").alias(c) for c in payload_cols],
     )

@@ -379,36 +379,50 @@ def _dense_bitmap_allpairs(
         len(starts)
     )
     t = float(threshold)
+    # The AND-temporary is (ichunk × jchunk × nwords) int64 — bound its
+    # working set DIRECTLY (64 MB, ~2× that transient with the pop8
+    # fallback's uint16 lookup), independent of n and parallelism. The
+    # per-task i-block only sets task granularity; the kernel walks it
+    # in i-subchunks so a low-parallelism run on a big corpus (block ~
+    # n/4 rows) cannot materialize a multi-GB temporary and OOM the
+    # executor.
+    jchunk = 4096
+    nwords = bits.shape[1]
+    ichunk = max(1, (64 << 20) // (jchunk * nwords * 8))
 
     def gen(pdf_iter):
         ids_, bits_, sizes_ = bc.value
         for chunk in pdf_iter:
             for s in chunk["start"]:
-                i0 = int(s)
-                i1 = min(i0 + block, len(ids_))
-                a = bits_[i0:i1]
-                for j0 in range(i0, len(ids_), 4096):
-                    j1 = min(j0 + 4096, len(ids_))
-                    inter = _np_popcount_rows(
-                        a[:, None, :] & bits_[None, j0:j1, :]
-                    ).astype(np.float64)
-                    union = sizes_[i0:i1, None] + sizes_[None, j0:j1] - inter
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        jac = np.where(union > 0.0, inter / union, 1.0)
-                    ii, jj = np.nonzero(jac >= t)
-                    gi, gj = ii + i0, jj + j0
-                    keep = gi < gj
-                    if keep.any():
-                        # Spark round() is HALF_UP; np.round is
-                        # half-even — match Spark for positive values
-                        jv = np.floor(jac[ii[keep], jj[keep]] * 1e6 + 0.5) / 1e6
-                        yield pd.DataFrame(
-                            {
-                                "id_a": ids_[gi[keep]],
-                                "id_b": ids_[gj[keep]],
-                                "jaccard": jv,
-                            }
-                        )
+                b0 = int(s)
+                b1 = min(b0 + block, len(ids_))
+                for i0 in range(b0, b1, ichunk):
+                    i1 = min(i0 + ichunk, b1)
+                    a = bits_[i0:i1]
+                    for j0 in range(i0, len(ids_), jchunk):
+                        j1 = min(j0 + jchunk, len(ids_))
+                        inter = _np_popcount_rows(
+                            a[:, None, :] & bits_[None, j0:j1, :]
+                        ).astype(np.float64)
+                        union = sizes_[i0:i1, None] + sizes_[None, j0:j1] - inter
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            jac = np.where(union > 0.0, inter / union, 1.0)
+                        ii, jj = np.nonzero(jac >= t)
+                        gi, gj = ii + i0, jj + j0
+                        keep = gi < gj
+                        if keep.any():
+                            # Spark round() is HALF_UP; np.round is
+                            # half-even — match Spark for positive values
+                            jv = (
+                                np.floor(jac[ii[keep], jj[keep]] * 1e6 + 0.5) / 1e6
+                            )
+                            yield pd.DataFrame(
+                                {
+                                    "id_a": ids_[gi[keep]],
+                                    "id_b": ids_[gj[keep]],
+                                    "jaccard": jv,
+                                }
+                            )
 
     return sdf.mapInPandas(gen, out_schema)
 
@@ -419,7 +433,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 5,
     jaccard_threshold: float = 0.5,
-    max_shingle_df: float = 0.5,
+    max_shingle_df: float = 1.0,
     n_docs: int | None = None,
     dense_vocab_max: int = 4096,
     allpairs_max_docs: int = 65536,
@@ -439,12 +453,15 @@ def ngram_jaccard_pairs(
     joins candidates back to the full distinct shingle arrays and
     computes exact |A∩B| / |A∪B|.
 
-    ``max_shingle_df`` (default 0.5) optionally hard-caps the
-    document frequency of join keys as a cost guard for adversarially
-    dense corpora — when < 1.0 it can cost recall for pairs whose
-    entire prefix is stop-shingles; the lossless scale path for dense
-    data is ``minhash_lsh_pairs``. Thresholds come from
-    caller-supplied ``n_docs`` or a 1-row count broadcast.
+    ``max_shingle_df`` (default 1.0 = lossless, every result
+    identical to brute force) optionally hard-caps the document
+    frequency of join keys as an EXPLICIT OPT-IN cost guard for
+    adversarially dense corpora — when < 1.0 it can cost recall for
+    pairs whose entire prefix is stop-shingles, and the DuckDB oracle
+    does not model the cap, so opting in trades oracle parity for
+    cost; the lossless scale path for dense data is
+    ``minhash_lsh_pairs``. Thresholds come from caller-supplied
+    ``n_docs`` or a 1-row count broadcast.
 
     ADAPTIVE REGIMES (probe: collect at most dense_vocab_max+1 rows of
     the vocabulary-sized docfreq table — an aggregation the prefix
@@ -466,12 +483,15 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    # NULL-text rows are short-circuited out of the pair search: a NULL
+    # document shingles to [NULL], which the bitmap cannot represent and
+    # the vocab sort cannot order — and "two missing documents are
+    # near-duplicates" is not a meaningful answer anyway.
     shingler = _char_shingles_arrow(n)
-    base = df.select(
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    base = df.filter(txt.isNotNull()).select(
         F.col(id_col).alias("__id"),
-        shingler(F.col(text_col) if isinstance(text_col, str) else text_col).alias(
-            "__sh"
-        ),
+        shingler(txt).alias("__sh"),
     )
     sh = base.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
@@ -484,13 +504,22 @@ def ngram_jaccard_pairs(
     vocab: dict[str, int] | None = None
     if dense_vocab_max > 0:
         # bounded probe: vocab-sized table, cached so the prefix
-        # ordering below reuses it instead of re-aggregating
+        # ordering below reuses it instead of re-aggregating. ``base``
+        # is ALSO cached across the probe: the probe's docfreq agg and
+        # the dense path's bitmap pack are two actions over the same
+        # shingle computation — caching halves the cold cost (one
+        # Arrow-kernel shingle pass instead of two). Unpersisted on
+        # every exit path; in the prefix fallthrough that restores the
+        # recompute-per-branch status quo rather than leaking storage
+        # into a lazily-returned plan nobody can unpersist.
+        base = base.cache()
         docfreq_full = docfreq_full.cache()
         probe = docfreq_full.select("shingle").limit(dense_vocab_max + 1).collect()
         if len(probe) <= dense_vocab_max:
             vocab = {s: i for i, s in enumerate(sorted(p["shingle"] for p in probe))}
         else:
             docfreq_full.unpersist()
+            base.unpersist()
 
     if vocab is not None:
         # DENSE + BOUNDED: prefix filtering degenerates on dense
@@ -518,12 +547,14 @@ def ngram_jaccard_pairs(
             )
             if len(packed_pdf) <= allpairs_max_docs:
                 docfreq_full.unpersist()
+                base.unpersist()
                 return _dense_bitmap_allpairs(
                     df.sparkSession,
                     packed_pdf,
                     df.schema[id_col].dataType,
                     jaccard_threshold,
                 )
+        base.unpersist()
 
     docfreq = docfreq_full
     if max_shingle_df < 1.0:

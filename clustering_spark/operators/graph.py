@@ -3,30 +3,69 @@
 GROUPS (one canonical doc kept per component, e.g. the classic
 MinHash-cluster dedup stage of LLM corpus pipelines).
 
-Algorithm: iterative hash-min label propagation. Every node starts
-labelled with its own id; each round every node adopts the minimum
-label among itself and its neighbors; at the fixpoint each component
-carries its minimum member id as the component id. Rounds needed =
-graph diameter (near-dup components are small and dense — single
-digits in practice).
+Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+O(log n)-round replacement for hash-min label propagation, whose round
+count is the graph DIAMETER. Near-dup graphs are usually shallow, but
+quote-chains and boilerplate families at 100 TB can be arbitrarily
+long paths; this converges on a path graph of n nodes in ~log2(n)
+rounds where hash-min needs n rounds.
+
+* large-star: every node u links each STRICTLY LARGER neighbor to
+  m(u) = min(N(u) ∪ {u}) — long chains collapse toward small ids
+  without ever creating an edge pointing "up".
+* small-star: orient edges (big, small); every node u links its
+  smaller neighbors AND ITSELF to m(u) — flattens local trees into
+  stars.
+At the fixpoint the edge set IS the component map: every non-minimum
+node carries exactly one edge (node, component-min).
 
 Scale design:
-* each round is ONE shuffle pair (join edges⋈labels + groupBy dst) on
-  (node, label) longs — never document payloads;
+* each round is two groupBy-join passes over (long, long) edges —
+  never document payloads; shuffle volume is O(|E|) per round and |E|
+  shrinks monotonically toward one edge per non-root node;
 * lineage is cut per round with ``localCheckpoint`` — without it the
-  plan doubles every iteration and the job dies by round ~15 (this is
-  the standard iterative-algorithm pattern; the eager materialization
-  is inherent to a driver-controlled fixpoint loop, unlike the
-  mid-operator actions we avoid in single-pass operators);
-* convergence is detected with a 1-row sum aggregate: labels only ever
-  decrease, so an unchanged sum(label) IS the fixpoint — no
-  full-column old-vs-new comparison join.
+  plan doubles every iteration (the standard iterative-algorithm
+  pattern; the eager materialization is inherent to a
+  driver-controlled fixpoint loop);
+* convergence is detected EXACTLY: same edge count + empty anti-join
+  against the previous round (two tiny jobs over checkpointed edges —
+  no fingerprint-collision risk on a correctness-gated operator).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Emit (v, min(N(u) ∪ {u})) for every neighbor v > u."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv"))
+    return (
+        sym.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient (big, small); emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m,
+    where m = min(N(u) ∪ {u}) = min neighbor under the orientation."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(mins, on="u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -37,40 +76,47 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id of its connected component.
-    Undirected: edges are symmetrized. Raises if the fixpoint is not
-    reached within ``max_iter`` rounds (pathological diameter — use a
-    doubling scheme before raising the cap)."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint()
+    Undirected; self-loops contribute their node but no linkage.
+    Converges in O(log n) large-star/small-star rounds independent of
+    graph diameter; ``max_iter`` is a defensive cap only."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
 
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("comp")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_cnt = e.count()
 
+    converged = prev_cnt == 0
     for _ in range(max_iter):
-        prop = (
-            sym.join(labels, sym.u == labels.node)
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        labels = (
-            labels.join(prop, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
+        if converged:
+            break
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        cnt = nxt.count()
+        # exact fixpoint test: equal cardinality + no edge outside the
+        # previous set (both sets are distinct by construction)
+        if cnt == prev_cnt and nxt.join(e, on=["u", "v"], how="left_anti").isEmpty():
+            converged = True
+        e, prev_cnt = nxt, cnt
+    else:
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
             )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
-            return labels
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+
+    # fixpoint edges are star edges (node -> component min); roots and
+    # isolated/self-loop-only nodes label themselves
+    star = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return (
+        nodes.join(star, on="node", how="left")
+        .select("node", F.coalesce(F.col("comp"), F.col("node")).alias("comp"))
     )
 
 

@@ -61,6 +61,7 @@ def knn_join(
     query_vec: str,
     query_id: str,
     k: int = 5,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """For every query row: its k nearest corpus rows by cosine.
 
@@ -75,14 +76,28 @@ def knn_join(
     Semantics identical to the relational form: rank by ROUNDED (6dp,
     HALF_UP) cosine desc then corpus_id; zero-norm vectors get NULL
     cosine and rank last (partials include the per-partition smallest
-    zero-norm ids so tiny-corpus results stay exact)."""
+    zero-norm ids so tiny-corpus results stay exact).
+
+    The query-side collect is GUARDED: the fetch is limited to
+    ``max_query_rows`` + 1 rows and raises if the limit is hit, so a
+    caller passing a large frame gets a clear error instead of a driver
+    OOM (mirrors the parity-mode 200-segment cap). The bound costs no
+    extra job — the limit rides the same collect."""
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    qpdf = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
-    ).toPandas()
+    qpdf = (
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"))
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(qpdf) > max_query_rows:
+        raise ValueError(
+            f"knn_join: query side exceeds max_query_rows={max_query_rows}; "
+            "it is broadcast to every task and must stay small — raise the "
+            "cap explicitly or swap sides / use cosine_topk per query batch"
+        )
     out_fields = [
         T.StructField("query_id", queries.schema[query_id].dataType),
         T.StructField("corpus_id", corpus.schema[corpus_id].dataType),

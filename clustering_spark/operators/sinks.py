@@ -189,9 +189,18 @@ def latest_document(
         & (F.col("micro_col") == micro_col)
         & (exact | swapped)
     ).withColumn("__rank", F.when(exact, 0).otherwise(1))
-    # unpartitioned window is safe here by construction: the filter
-    # reduces to one row per historical run of a single grid cell
-    w = Window.orderBy(F.col("__rank"), F.col("version").desc())
+    # window partitioned by the grid cell's 5-tuple (pair
+    # orientation-normalized with least/greatest so exact and swapped
+    # rows land in ONE partition): correctness no longer depends on the
+    # caller's filter scoping to a single cell, and the shuffle keys on
+    # the cell instead of funnelling all history through one task
+    w = Window.partitionBy(
+        F.col("algorithm"),
+        F.col("macro_col"),
+        F.col("micro_col"),
+        F.least(F.col("x_col"), F.col("y_col")),
+        F.greatest(F.col("x_col"), F.col("y_col")),
+    ).orderBy(F.col("__rank"), F.col("version").desc())
     return (
         scoped.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

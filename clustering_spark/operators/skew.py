@@ -27,7 +27,22 @@ def salted_join(
     the same join result), the small side is replicated once per salt
     value, and the join key becomes (key..., salt). Output = exactly
     ``big.join(small, on, how)``; replication costs
-    salt_buckets × |small|, so keep the small side genuinely small."""
+    salt_buckets × |small|, so keep the small side genuinely small.
+
+    ``how`` is restricted to the joins where replica rows cannot leak:
+    inner/left/left_semi/left_anti preserve semantics because every
+    output row is driven by exactly one big-side row (whose single salt
+    matches exactly one replica). right/full-outer would emit one
+    null-padded row PER UNMATCHED REPLICA of a small-side record (up to
+    salt_buckets duplicates) — so they raise instead of corrupting."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not semantics-preserving under "
+            f"small-side replication; use one of {sorted(allowed)} or a "
+            "plain join for right/full outer"
+        )
     b = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),

@@ -187,6 +187,32 @@ class TestConnectedComponents:
         assert set(got.values()) == {100}
         assert len(got) == 12
 
+    def test_path_10k_converges_in_log_rounds(self, spark):
+        # 10k-node path graph: diameter 10k, so hash-min label
+        # propagation would need ~10k rounds; large-star/small-star
+        # must finish within ~log2(n) rounds — max_iter=15 enforces it
+        from clustering_spark.operators.graph import connected_components
+
+        edges = spark.range(10_000).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        out = connected_components(edges, "id_a", "id_b", max_iter=15)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("comp").alias("ncomp"),
+            F.min("comp").alias("mincomp"),
+        ).collect()[0]
+        assert (agg.n, agg.ncomp, agg.mincomp) == (10_001, 1, 0)
+
+    def test_empty_and_self_loop_edges(self, spark):
+        from clustering_spark.operators.graph import connected_components
+
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(empty, "id_a", "id_b").count() == 0
+        # self-loop-only node labels itself; no linkage created
+        got = self._cc(spark, [(5, 5), (1, 2)])
+        assert got == {5: 5, 1: 1, 2: 1}
+
     def test_assign_and_dedup(self, spark):
         from clustering_spark.operators.graph import (
             assign_components,
