@@ -1,23 +1,33 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
 
 Each query is forced end-to-end with the `noop` sink (full computation,
-no driver-side collect bottleneck). Wall-clock per query; `value` is the
-total. A warmup query absorbs JVM/session spin-up so numbers reflect
-query execution, not bootstrap.
+no driver-side collect bottleneck) and run $SPARK_GRAFT_BENCH_RUNS times
+(default 3). Reported per-query number = MEDIAN of the runs, so the
+headline `value` is regression-detectable rather than a one-shot sample:
+a plan regression moves the median; JVM/GC/page-cache jitter does not.
+The first (cold) run per query is reported separately in `queries_cold`
+— it bundles per-query one-time costs (broadcast builds, codegen,
+shuffle-file warm-up) that are real but amortized in steady state; the
+per-query min/max spread lands in `queries_spread` so a reader can see
+whether a median shift exceeds the run-to-run noise band. A session
+warmup absorbs JVM + Python-worker-pool spin-up before any query is
+timed.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # headline set: scan+agg, join-heavy, window, per-segment scaling,
 # full clustering pipeline, and the beyond-reference operators.
@@ -67,13 +77,20 @@ def main() -> None:
     if unknown:
         raise KeyError(f"headline queries not in registry: {unknown}")
 
-    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        medians[name] = round(statistics.median(samples), 3)
+        cold[name] = round(samples[0], 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     sf = 0.1
     if "sf0.01" in SF_DIR:
@@ -84,10 +101,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(medians.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
+                "runs_per_query": RUNS,
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
+                "queries_spread": spread,
             }
         )
     )

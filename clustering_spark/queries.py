@@ -705,6 +705,138 @@ def q_stream_sessions(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_window_events_parquet(spark, sf_dir):
+    """§2.8: the DURABLE-SINK form of ``stream_window_events`` —
+    watermarked tumbling windows drained through the append-mode
+    parquet file sink (exactly-once via the sink's _spark_metadata
+    transaction log), then read back from disk. Append mode only emits
+    a window once the watermark passes its end, so a bounded replay
+    would silently withhold the last <watermark> hours of windows; a
+    SENTINEL event 20 h past the real data advances the watermark so
+    every real window finalizes (Spark then runs a no-data batch that
+    flushes them — SPARK-24156), and the sentinel's own window — still
+    inside the final watermark — is never emitted. The read-back parquet
+    must therefore EXACTLY equal the batch/oracle result: the durable
+    path rides the same hash-checked gate as the memory-sink form."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from clustering_spark.streaming.events_stream import (
+        run_stream_to_parquet,
+        windowed_event_counts,
+    )
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    src_dir = _as_stream_dir(f"{sf_dir}/events.parquet")
+    max_ts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    sentinel_ts = int(max_ts) + 20 * 3600 * 1_000_000_000  # +20 h, in ns
+    spark.createDataFrame(
+        [(-1, -1, "__sentinel__", sentinel_ts, 0.0)], raw_schema
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "zz_sentinel.parquet")
+    )
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    agg = windowed_event_counts(
+        ev, window="1 hour", watermark="2 hours", ts_col="ts_utc"
+    )
+    out_dir = tempfile.mkdtemp(prefix="sink_swin_" + uuid.uuid4().hex[:8])
+    run_stream_to_parquet(agg, out_dir, tempfile.mkdtemp(prefix="ckpt_swinp_"))
+    return spark.read.parquet(out_dir).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+
+
+def q_stream_stateful_user_stats(spark, sf_dir):
+    """§2.8: the custom stateful operator (``applyInPandasWithState``)
+    — per-user running totals with event-time-timeout eviction — over
+    the events stream, drained in update mode. Latest-wins per user
+    (T3) reduces the per-batch emissions to final per-user totals.
+    Rows-only: arbitrary-state streaming is not ANSI-SQL-expressible;
+    invariants (timeout finalization, state eviction, exact totals vs
+    batch) are covered in tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    from clustering_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        stateful_user_stats,
+    )
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    stats = stateful_user_stats(ev, ts_col="ts_utc", watermark="2 hours")
+    name = "stream_state_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(
+        stats, name, tempfile.mkdtemp(prefix="ckpt_state_"), output_mode="update"
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("closed").desc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            F.unix_timestamp("last_seen").alias("last_seen_epoch"),
+        )
+    )
+
+
+# final per-user running totals from the stateful operator must equal
+# the batch aggregate: update-mode emissions are monotone snapshots and
+# latest-wins keeps the last one (closed rows carry the same totals)
+SQL_STATEFUL_USER_STATS = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       max(epoch_ns(ts) // 1000000000) AS last_seen_epoch
+FROM events
+GROUP BY user_id
+"""
+
+
 SQL_STREAM_SESSIONS = f"""
 WITH t AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
@@ -789,11 +921,12 @@ def q_result_doc_d3(spark, sf_dir):
     return d3_documents(res, "n_name", "c_mktsegment", run_date="r")
 
 
-def q_optimal_k(spark, sf_dir):
+def _optimal_k(spark, sf_dir, algorithm):
     """M5-M9: the optimal-k tuner — k sweep (2..10) x seed search with
-    elbow + top-3-silhouette decision, per segment, in ONE
-    applyInPandas shuffle (vs the reference's 27 MLlib fits per
-    segment; optimal_k.py). Rows-only (iterative ML)."""
+    elbow + top-3-silhouette decision (GMM: plain argmax-silhouette,
+    optimal_k.py:188-190), per segment, in ONE applyInPandas shuffle
+    (vs the reference's 27 MLlib fits per segment; optimal_k.py).
+    Rows-only (iterative ML)."""
     from clustering_spark.functions.scaling import scale_segments, scaled_name
     from clustering_spark.operators.segmentation import drop_null_metrics
     from clustering_spark.operators.tuner import optimal_k_sweep
@@ -811,12 +944,31 @@ def q_optimal_k(spark, sf_dir):
         scaled.select(*seg_cols, *feats),
         seg_cols,
         feats,
-        algorithm="KMeans",
+        algorithm=algorithm,
         seeds=tuple(cfg.seeds(cfg.iter_num)),
         start_k=cfg.start_k,
         stop_k=cfg.stop_k,
         silhouette_threshold=cfg.silhouette_threshold,
     )
+
+
+def q_optimal_k(spark, sf_dir):
+    """M5-M9: KMeans optimal-k tuner (see _optimal_k)."""
+    return _optimal_k(spark, sf_dir, "KMeans")
+
+
+def q_optimal_k_bisecting(spark, sf_dir):
+    """M5-M9 for BisectingKMeans (reference optimal_k.py:382-389 tunes
+    all three algorithms): elbow + top-3-silhouette decision over
+    bisecting fits. Rows-only (iterative ML)."""
+    return _optimal_k(spark, sf_dir, "BisectingKMeans")
+
+
+def q_optimal_k_gmm(spark, sf_dir):
+    """M5-M9 for GaussianMixture: the reference skips computeCost for
+    GMM and takes argmax-silhouette (optimal_k.py:188-190). Rows-only
+    (iterative ML)."""
+    return _optimal_k(spark, sf_dir, "GaussianMixture")
 
 
 # =====================================================================
@@ -1390,10 +1542,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_events": q_stream_window_events,
     "stream_sliding_windows": q_stream_sliding_windows,
     "stream_sessions": q_stream_sessions,
+    "stream_window_events_parquet": q_stream_window_events_parquet,
+    "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
     "optimal_k": q_optimal_k,
+    "optimal_k_bisecting": q_optimal_k_bisecting,
+    "optimal_k_gmm": q_optimal_k_gmm,
     "result_doc_original": q_result_doc_original,
     "result_doc_d3": q_result_doc_d3,
     "dedup_exact": q_dedup_exact,
@@ -1441,6 +1597,8 @@ ORACLES: dict[str, str] = {
     "stream_window_events": SQL_WINDOW_EVENTS,
     "stream_sliding_windows": SQL_SLIDING_WINDOW_EVENTS,
     "stream_sessions": SQL_STREAM_SESSIONS,
+    "stream_window_events_parquet": SQL_WINDOW_EVENTS,
+    "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "hash_split_counts": SQL_HASH_SPLIT_COUNTS,

@@ -193,6 +193,37 @@ def stateful_user_stats(
     )
 
 
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the stream with availableNow into a DURABLE parquet sink —
+    the production path (the memory sink in ``run_stream_to_memory`` is
+    harness scaffolding only). The file sink is append-only: a windowed
+    aggregate emits each window exactly once, when the watermark passes
+    its end — i.e. the sink holds only FINALIZED windows, and restarts
+    resume from the checkpoint without rewriting them. Exactly-once to
+    the directory comes from the sink's transaction log
+    (_spark_metadata), which is how a 1000-executor cluster writes a
+    stream safely with no coordinator beyond the driver.
+
+    Note for bounded replays: windows still inside the watermark at
+    end-of-input are NOT emitted (they could still change). A caller
+    replaying a static directory who wants every window finalized must
+    advance the watermark past the data — e.g. the sentinel-row pattern
+    in ``q_stream_window_events_parquet``."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
