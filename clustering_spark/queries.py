@@ -56,15 +56,47 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _with_ts_utc(e: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column — which the driver has shipped
+    as TIMESTAMP(NANOS)-as-long in one round and timestamp[us] (read by
+    Spark as TIMESTAMP_NTZ) in another — to two canonical columns:
+    ``ts_utc`` (TIMESTAMP, session tz forced to UTC upstream) and
+    ``ts_us`` (bigint epoch microseconds, for exact integer arithmetic
+    that can't drift vs the DuckDB oracles). Downstream queries use ONLY
+    these, never raw ``ts``."""
+    t = dict(e.dtypes)["ts"]
+    if t == "bigint":  # legacy: ns-since-epoch surfaced as long
+        e = e.withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+    else:  # timestamp / timestamp_ntz: NTZ wall-clock == UTC instant here
+        e = e.withColumn("ts_utc", F.col("ts").cast("timestamp"))
+    return e.withColumn("ts_us", F.unix_micros("ts_utc"))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) — Spark's reader rejects
-    it unless nanos are surfaced as long. We read ns-since-epoch and
-    derive a proper microsecond ``ts_utc`` timestamp column; exact
-    integer arithmetic (DIV) keeps oracle comparisons drift-free."""
+    """Batch read of events.parquet with ``ts`` normalized to
+    ``ts_utc``/``ts_us`` (see _with_ts_utc); tolerant of both timestamp
+    encodings the test-data generator has used."""
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+    return _with_ts_utc(e)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream source over events.parquet. File streams require an
+    explicit schema; deriving it from a one-off batch read keeps the
+    stream in lockstep with whatever encoding the generator used, and
+    the same _with_ts_utc normalization applies."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(_as_stream_dir(path))
+    )
+    return _with_ts_utc(ev)
 
 
 # =====================================================================
@@ -334,7 +366,7 @@ def q_latest_event_per_user(spark, sf_dir):
 
     e = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.col("ts_us").desc(), F.col("event_id").desc()
     )
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -343,7 +375,7 @@ def q_latest_event_per_user(spark, sf_dir):
             "user_id",
             "event_id",
             "event_type",
-            F.expr("ts DIV 1000000000").alias("ts_epoch"),
+            F.expr("ts_us DIV 1000000").alias("ts_epoch"),
         )
     )
 
