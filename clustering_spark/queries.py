@@ -62,13 +62,22 @@ def _with_ts_utc(e: DataFrame) -> DataFrame:
     Spark as TIMESTAMP_NTZ) in another — to two canonical columns:
     ``ts_utc`` (TIMESTAMP, session tz forced to UTC upstream) and
     ``ts_us`` (bigint epoch microseconds, for exact integer arithmetic
-    that can't drift vs the DuckDB oracles). Downstream queries use ONLY
-    these, never raw ``ts``."""
+    that can't drift vs the DuckDB oracles), plus ``ts_ord`` — the
+    FULL-PRECISION ordering key (raw ns for the legacy encoding, µs
+    otherwise) so latest-wins tie-breaks match an oracle that orders by
+    the un-truncated source column. Downstream queries use ONLY these,
+    never raw ``ts``."""
+    # The NTZ->timestamp cast resolves wall-clock via the session tz;
+    # force UTC here so correctness never depends on the caller having
+    # remembered to (the instant would silently shift otherwise).
+    _utc(e.sparkSession)
     t = dict(e.dtypes)["ts"]
     if t == "bigint":  # legacy: ns-since-epoch surfaced as long
         e = e.withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
+        e = e.withColumn("ts_ord", F.col("ts"))
     else:  # timestamp / timestamp_ntz: NTZ wall-clock == UTC instant here
         e = e.withColumn("ts_utc", F.col("ts").cast("timestamp"))
+        e = e.withColumn("ts_ord", F.unix_micros("ts_utc"))
     return e.withColumn("ts_us", F.unix_micros("ts_utc"))
 
 
@@ -82,11 +91,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_ts_utc(e)
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, src_dir: str | None = None
+) -> DataFrame:
     """readStream source over events.parquet. File streams require an
     explicit schema; deriving it from a one-off batch read keeps the
     stream in lockstep with whatever encoding the generator used, and
-    the same _with_ts_utc normalization applies."""
+    the same _with_ts_utc normalization applies. ``src_dir`` lets a
+    caller pre-stage the stream directory (e.g. to add a sentinel
+    file) and still get identical ingestion."""
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
@@ -94,7 +107,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
-        .parquet(_as_stream_dir(path))
+        .parquet(src_dir or _as_stream_dir(path))
     )
     return _with_ts_utc(ev)
 
@@ -365,8 +378,11 @@ def q_latest_event_per_user(spark, sf_dir):
     from pyspark.sql import Window
 
     e = load_events(spark, sf_dir)
+    # ts_ord is the FULL-precision key (raw ns under the legacy
+    # encoding): the oracle orders by un-truncated ts, so ordering by
+    # µs-truncated ts_us could break ties differently there.
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts_us").desc(), F.col("event_id").desc()
+        F.col("ts_ord").desc(), F.col("event_id").desc()
     )
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -621,29 +637,12 @@ def q_stream_window_events(spark, sf_dir):
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
     from clustering_spark.streaming.events_stream import (
         run_stream_to_memory,
         windowed_event_counts,
     )
 
-    _utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType(), True),
-            T.StructField("user_id", T.LongType(), True),
-            T.StructField("event_type", T.StringType(), True),
-            T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
-            T.StructField("value", T.DoubleType(), True),
-        ]
-    )
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
-        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    ev = _events_stream(spark, sf_dir)
     agg = windowed_event_counts(
         ev, window="1 hour", watermark="2 hours", ts_col="ts_utc"
     )
@@ -662,29 +661,12 @@ def q_stream_sliding_windows(spark, sf_dir):
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
     from clustering_spark.streaming.events_stream import (
         run_stream_to_memory,
         windowed_event_counts,
     )
 
-    _utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType(), True),
-            T.StructField("user_id", T.LongType(), True),
-            T.StructField("event_type", T.StringType(), True),
-            T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
-            T.StructField("value", T.DoubleType(), True),
-        ]
-    )
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
-        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    ev = _events_stream(spark, sf_dir)
     agg = windowed_event_counts(
         ev,
         window="1 hour",
@@ -706,29 +688,12 @@ def q_stream_sessions(spark, sf_dir):
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
     from clustering_spark.streaming.events_stream import (
         run_stream_to_memory,
         session_event_stats,
     )
 
-    _utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType(), True),
-            T.StructField("user_id", T.LongType(), True),
-            T.StructField("event_type", T.StringType(), True),
-            T.StructField("ts", T.LongType(), True),
-            T.StructField("value", T.DoubleType(), True),
-        ]
-    )
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
-        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    ev = _events_stream(spark, sf_dir)
     sess = session_event_stats(
         ev, gap="30 minutes", watermark="4 hours", ts_col="ts_utc"
     )
@@ -754,8 +719,6 @@ def q_stream_window_events_parquet(spark, sf_dir):
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
     from clustering_spark.streaming.events_stream import (
         run_stream_to_parquet,
         windowed_event_counts,
@@ -763,33 +726,40 @@ def q_stream_window_events_parquet(spark, sf_dir):
 
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType(), True),
-            T.StructField("user_id", T.LongType(), True),
-            T.StructField("event_type", T.StringType(), True),
-            T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
-            T.StructField("value", T.DoubleType(), True),
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    # Sentinel is written in the SOURCE's own ts encoding (derived from
+    # the batch schema, same as _events_stream) so it survives the
+    # generator flipping between ns-as-long and timestamp[us].
+    max_us = int(
+        _with_ts_utc(batch).agg(F.max("ts_us").alias("m")).collect()[0]["m"]
+    )
+    sent_us = max_us + 20 * 3600 * 1_000_000  # +20 h, in µs
+    ts_type = dict(batch.dtypes)["ts"]
+    if ts_type == "bigint":
+        ts_expr = F.lit(sent_us * 1000).cast("long")  # legacy ns-as-long
+    else:
+        ts_expr = F.timestamp_micros(F.lit(sent_us)).cast(
+            batch.schema["ts"].dataType
+        )
+    sent_exprs = {
+        "event_id": F.lit(-1).cast("long"),
+        "user_id": F.lit(-1).cast("long"),
+        "event_type": F.lit("__sentinel__"),
+        "ts": ts_expr,
+        "value": F.lit(0.0),
+    }
+    sentinel = spark.range(1).select(
+        *[
+            sent_exprs.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in batch.schema.fields
         ]
     )
-    src_dir = _as_stream_dir(f"{sf_dir}/events.parquet")
-    max_ts = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .agg(F.max("ts").alias("m"))
-        .collect()[0]["m"]
-    )
-    sentinel_ts = int(max_ts) + 20 * 3600 * 1_000_000_000  # +20 h, in ns
-    spark.createDataFrame(
-        [(-1, -1, "__sentinel__", sentinel_ts, 0.0)], raw_schema
-    ).coalesce(1).write.mode("overwrite").parquet(
+    src_dir = _as_stream_dir(path)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src_dir, "zz_sentinel.parquet")
     )
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(src_dir)
-        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    ev = _events_stream(spark, sf_dir, src_dir=src_dir)
     agg = windowed_event_counts(
         ev, window="1 hour", watermark="2 hours", ts_col="ts_utc"
     )
@@ -812,29 +782,13 @@ def q_stream_stateful_user_stats(spark, sf_dir):
     import uuid
 
     from pyspark.sql import Window as W
-    from pyspark.sql import types as T
 
     from clustering_spark.streaming.events_stream import (
         run_stream_to_memory,
         stateful_user_stats,
     )
 
-    _utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType(), True),
-            T.StructField("user_id", T.LongType(), True),
-            T.StructField("event_type", T.StringType(), True),
-            T.StructField("ts", T.LongType(), True),
-            T.StructField("value", T.DoubleType(), True),
-        ]
-    )
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
-        .withColumn("ts_utc", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    ev = _events_stream(spark, sf_dir)
     stats = stateful_user_stats(ev, ts_col="ts_utc", watermark="2 hours")
     name = "stream_state_" + uuid.uuid4().hex[:8]
     run_stream_to_memory(
