@@ -108,16 +108,35 @@ def kmeans_fit(
     return labels, centers, wssse
 
 
-def bisecting_kmeans_fit(
-    X: np.ndarray, k: int, seed: int
+def _labels_to_fit(
+    X: np.ndarray, labels: np.ndarray, n_clusters: int
 ) -> tuple[np.ndarray, np.ndarray, float]:
-    """Top-down bisecting KMeans: repeatedly 2-means-split the cluster
-    with the largest SSE until k clusters exist (MLlib BisectingKMeans
-    semantics, greedy-largest variant)."""
+    centers = np.vstack(
+        [
+            X[labels == c].mean(axis=0) if (labels == c).any() else np.zeros(X.shape[1])
+            for c in range(n_clusters)
+        ]
+    )
+    _, d2 = _assign(X, centers)
+    wssse = float(d2[np.arange(len(X)), labels].sum())
+    return labels, centers, wssse
+
+
+def bisecting_kmeans_path(
+    X: np.ndarray, k_max: int, seed: int
+) -> dict[int, tuple[np.ndarray, np.ndarray, float]]:
+    """Top-down bisecting KMeans, returning a SNAPSHOT at every
+    intermediate cluster count 1..k_max: {k: (labels, centers, wssse)}.
+
+    Because the greedy split order for a given seed is deterministic,
+    the k-cluster fit is exactly the (k-1)-split prefix of the k_max
+    hierarchy — so a k sweep needs ONE hierarchy build per seed, not
+    one per k (the per-k refit measured ~9x this cost at stop_k=10)."""
     rng = np.random.RandomState(seed)
     labels = np.zeros(len(X), dtype=np.int64)
     n_clusters = 1
-    while n_clusters < k:
+    out = {1: _labels_to_fit(X, labels.copy(), 1)}
+    while n_clusters < k_max:
         # pick the splittable cluster with largest SSE
         sses = []
         for c in range(n_clusters):
@@ -135,15 +154,18 @@ def bisecting_kmeans_fit(
         idx = np.where(mask)[0]
         labels[idx[sub_labels == 1]] = new_label
         n_clusters += 1
-    centers = np.vstack(
-        [
-            X[labels == c].mean(axis=0) if (labels == c).any() else np.zeros(X.shape[1])
-            for c in range(n_clusters)
-        ]
-    )
-    _, d2 = _assign(X, centers)
-    wssse = float(d2[np.arange(len(X)), labels].sum())
-    return labels, centers, wssse
+        out[n_clusters] = _labels_to_fit(X, labels.copy(), n_clusters)
+    return out
+
+
+def bisecting_kmeans_fit(
+    X: np.ndarray, k: int, seed: int
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Top-down bisecting KMeans: repeatedly 2-means-split the cluster
+    with the largest SSE until k clusters exist (MLlib BisectingKMeans
+    semantics, greedy-largest variant)."""
+    path = bisecting_kmeans_path(X, k, seed)
+    return path[max(path)]
 
 
 def gmm_fit(
@@ -165,27 +187,27 @@ def gmm_fit(
     weights = np.clip(weights, 1e-12, None)
     weights /= weights.sum()
 
-    def log_gauss(X, mu, cov):
-        d = X.shape[1]
-        cov = cov + np.eye(d) * 1e-9
+    def log_gauss_all(X, means, covs):
+        # batched over components: one stacked Cholesky + triangular
+        # solve instead of a per-component Python loop
+        covs = covs + np.eye(d)[None, :, :] * 1e-9
         try:
-            chol = np.linalg.cholesky(cov)
+            chol = np.linalg.cholesky(covs)  # (k, d, d)
         except np.linalg.LinAlgError:
-            cov = cov + np.eye(d) * 1e-3
-            chol = np.linalg.cholesky(cov)
-        diff = X - mu
-        y = np.linalg.solve(chol, diff.T).T
-        maha = (y**2).sum(axis=1)
-        logdet = 2.0 * np.log(np.diag(chol)).sum()
-        return -0.5 * (d * np.log(2 * np.pi) + logdet + maha)
+            covs = covs + np.eye(d)[None, :, :] * 1e-3
+            chol = np.linalg.cholesky(covs)
+        diff = X[None, :, :] - means[:, None, :]  # (k, n, d)
+        y = np.linalg.solve(chol, diff.transpose(0, 2, 1))  # (k, d, n)
+        maha = (y**2).sum(axis=1)  # (k, n)
+        logdet = 2.0 * np.log(
+            np.diagonal(chol, axis1=1, axis2=2)
+        ).sum(axis=1)  # (k,)
+        return -0.5 * (d * np.log(2 * np.pi) + logdet[:, None] + maha)
 
     prev_ll = -np.inf
     resp = np.zeros((n, k))
     for _ in range(max_iter):
-        logp = np.stack(
-            [np.log(weights[c]) + log_gauss(X, means[c], covs[c]) for c in range(k)],
-            axis=1,
-        )
+        logp = (np.log(weights)[:, None] + log_gauss_all(X, means, covs)).T
         m = logp.max(axis=1, keepdims=True)
         lse = m[:, 0] + np.log(np.exp(logp - m).sum(axis=1))
         resp = np.exp(logp - lse[:, None])
@@ -193,9 +215,12 @@ def gmm_fit(
         nk = resp.sum(axis=0) + 1e-12
         weights = nk / n
         means = (resp.T @ X) / nk[:, None]
-        for c in range(k):
-            diff = X - means[c]
-            covs[c] = (resp[:, c][:, None] * diff).T @ diff / nk[c] + np.eye(d) * 1e-6
+        diff = X[None, :, :] - means[:, None, :]  # (k, n, d)
+        covs = (
+            np.einsum("nk,knd,kne->kde", resp, diff, diff)
+            / nk[:, None, None]
+            + np.eye(d)[None, :, :] * 1e-6
+        )
         if abs(ll - prev_ll) < tol * max(1.0, abs(prev_ll)):
             break
         prev_ll = ll
@@ -227,23 +252,26 @@ def squared_euclidean_silhouette(X: np.ndarray, labels: np.ndarray) -> float:
     uniq = np.unique(labels)
     if len(uniq) < 2:
         return 0.0
-    mus, msq = {}, {}
-    for c in uniq:
-        pts = X[labels == c]
-        mus[c] = pts.mean(axis=0)
-        msq[c] = float((pts**2).sum(axis=1).mean())
+    n = len(X)
+    idx = np.searchsorted(uniq, labels)  # label -> dense cluster index
+    counts = np.bincount(idx, minlength=len(uniq)).astype(np.float64)
+    mus = np.zeros((len(uniq), X.shape[1]))
+    np.add.at(mus, idx, X)
+    mus /= counts[:, None]
     xsq = (X**2).sum(axis=1)
-    scores = np.empty(len(X))
-    for i in range(len(X)):
-        a = b = None
-        for c in uniq:
-            val = max(xsq[i] - 2.0 * X[i] @ mus[c] + msq[c], 0.0)
-            if c == labels[i]:
-                a = val
-            else:
-                b = val if b is None else min(b, val)
-        denom = max(a, b)
-        scores[i] = 0.0 if denom <= 0 else (b - a) / denom
+    msq = np.zeros(len(uniq))
+    np.add.at(msq, idx, xsq)
+    msq /= counts
+    # D[i,c] = avg sq-dist from x_i to cluster c (one GEMM, no per-point loop)
+    D = xsq[:, None] - 2.0 * X @ mus.T + msq[None, :]
+    np.maximum(D, 0.0, out=D)
+    rows = np.arange(n)
+    a = D[rows, idx]
+    D[rows, idx] = np.inf
+    b = D.min(axis=1)
+    denom = np.maximum(a, b)
+    with np.errstate(invalid="ignore"):
+        scores = np.where(denom <= 0, 0.0, (b - a) / denom)
     return float(scores.mean())
 
 

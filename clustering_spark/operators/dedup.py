@@ -891,6 +891,66 @@ def simhash_pairs(
 # ------------------------------------------------------------- embedding
 
 
+def _dense_cosine_allpairs(
+    base: DataFrame, threshold: float, max_rows: int = 65_536
+) -> DataFrame:
+    """Exact all-pairs cosine for the BOUNDED opt-in path: one capped
+    driver collect, then block-row float64 GEMM tasks over a broadcast
+    matrix — the same dense-regime kernel shape as
+    ``_dense_bitmap_allpairs``. Replaces the previous cross-join +
+    per-pair HOF cosine, which evaluated n²/2 aggregate lambdas
+    (measured ~8x slower at n=500). float64 keeps the 6-decimal
+    rounding in lockstep with the DuckDB oracle."""
+    from pyspark.sql import types as T
+
+    spark = base.sparkSession
+    id_type = base.schema["__id"].dataType
+    rows = base.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"exact all-pairs cosine is capped at {max_rows} rows; "
+            "use the LSH path (lsh_planes>0) at scale"
+        )
+    ids = np.asarray([r["__id"] for r in rows])
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((X**2).sum(axis=1))
+    norms[norms == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, X, norms))
+    n = len(ids)
+    blk = 512
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(pdf_iter):
+        ids_, X_, norms_ = bc.value
+        for pdf in pdf_iter:
+            for s in pdf["s"]:
+                i0 = int(s)
+                i1 = min(i0 + blk, n)
+                C = (X_[i0:i1] @ X_.T) / np.outer(norms_[i0:i1], norms_)
+                C = np.round(C, 6)
+                ii, jj = np.nonzero(C >= threshold)
+                gi = ii + i0
+                keep = jj > gi  # strict upper triangle: each pair once
+                gi, jj = gi[keep], jj[keep]
+                a, b = ids_[gi], ids_[jj]
+                lo = np.minimum(a, b)  # emit with id_a < id_b by value
+                hi = np.maximum(a, b)
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine": C[ii[keep], jj]}
+                )
+
+    starts = spark.createDataFrame(
+        [(i,) for i in range(0, n, blk)], "s long"
+    ).repartition(max(1, (n + blk - 1) // blk))
+    return starts.mapInPandas(gen, out_schema)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -921,59 +981,63 @@ def embedding_neardup_pairs(
     which made the verify step quadratic in disguise.
 
     Brute-force all-pairs (the oracle / small-N path) is EXPLICIT
-    opt-in via ``lsh_planes=0`` — it cross-joins the table with
-    itself and must never run at scale.
+    opt-in via ``lsh_planes=0`` — a capped-collect + blocked GEMM
+    kernel (see ``_dense_cosine_allpairs``) that must never run at
+    scale.
     """
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
-    if lsh_planes > 0:
-        if dim is None:
-            raise ValueError(
-                "dim (embedding dimensionality) is required for the LSH "
-                "path; pass lsh_planes=0 to explicitly opt into "
-                "brute-force all-pairs"
-            )
-        assert lsh_planes % lsh_bands == 0
-        bits_per_band = lsh_planes // lsh_bands
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((lsh_planes, dim))
-
-        # the signature is a dense matrix product (batch x dim) @
-        # (dim x planes) — an Arrow-batched numpy kernel; interpreted
-        # per-element HOF lambdas measured ~5x slower on this shape
-        from pyspark.sql.functions import pandas_udf
-
-        def _band_keys(vecs):
-            if len(vecs) == 0:
-                return pd.Series([], dtype=object)
-            X = np.vstack(vecs.to_numpy())
-            bits = (X @ planes.T) > 0  # (batch, lsh_planes)
-            weights = (1 << np.arange(bits_per_band, dtype=np.int64))
-            keys = [
-                bits[:, b * bits_per_band : (b + 1) * bits_per_band].astype(np.int64)
-                @ weights
-                for b in range(lsh_bands)
-            ]
-            stacked = np.stack(keys, axis=1)  # (batch, bands)
-            return pd.Series([row.tolist() for row in stacked])
-
-        _band_keys.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-        band_keys = pandas_udf(_band_keys, "array<long>")
-
-        banded = (
-            base.withColumn("__keys", band_keys("__v"))
-            .select(
-                "__id",
-                "__v",
-                F.posexplode("__keys").alias("band_idx", "band_key"),
-            )
+    if lsh_planes == 0:
+        return _dense_cosine_allpairs(base, threshold)
+    if lsh_planes < 0:
+        raise ValueError("lsh_planes must be >= 0")
+    if dim is None:
+        raise ValueError(
+            "dim (embedding dimensionality) is required for the LSH "
+            "path; pass lsh_planes=0 to explicitly opt into "
+            "brute-force all-pairs"
         )
-        join_cols = ["band_idx", "band_key"]
-    else:
-        banded = base.withColumn("band_idx", F.lit(0)).withColumn(
-            "band_key", F.lit(0)
-        )
-        join_cols = ["band_idx", "band_key"]
+    assert lsh_planes % lsh_bands == 0
+    bits_per_band = lsh_planes // lsh_bands
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((lsh_planes, dim))
+
+    # the signature is a dense matrix product (batch x dim) @
+    # (dim x planes) — an Arrow-batched numpy kernel; interpreted
+    # per-element HOF lambdas measured ~5x slower on this shape
+    from pyspark.sql.functions import pandas_udf
+
+    def _band_keys(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(vecs.to_numpy())
+        bits = (X @ planes.T) > 0  # (batch, lsh_planes)
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        keys = [
+            bits[:, b * bits_per_band : (b + 1) * bits_per_band].astype(np.int64)
+            @ weights
+            for b in range(lsh_bands)
+        ]
+        stacked = np.stack(keys, axis=1)  # (batch, bands)
+        return pd.Series([row.tolist() for row in stacked])
+
+    _band_keys.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    band_keys = pandas_udf(_band_keys, "array<long>")
+
+    # materialize the SLIM (id, keys) projection once: both sides of
+    # the self-join read it, and without the checkpoint the banding
+    # UDF (an embedding scan + GEMM) re-executes per side. ~8 longs +
+    # id per row, so executor storage stays tiny even at fact scale;
+    # the RDD is unpersisted by the ContextCleaner when the plan is
+    # garbage-collected.
+    keyed = (
+        base.select("__id", band_keys("__v").alias("__keys"))
+        .localCheckpoint(eager=False)
+    )
+    join_cols = ["band_idx", "band_key"]
+    banded = keyed.select(
+        "__id", F.posexplode("__keys").alias("band_idx", "band_key")
+    )
 
     # SLIM band join (same shape as minhash_lsh_pairs): band rows carry
     # only (id, band_idx, band_key) — the ~8*dim-byte vectors never ride

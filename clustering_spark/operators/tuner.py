@@ -114,9 +114,33 @@ def sweep_k(
     matrix — callers in Spark invoke this inside the per-segment Arrow
     task. k is capped at the number of distinct points."""
     n_distinct = len(np.unique(X, axis=0))
+    k_hi = min(stop_k, n_distinct)
     wssse_by_k: dict[int, float] = {}
     silhouettes: list[tuple[int, float]] = []
-    for k in range(start_k, min(stop_k, n_distinct) + 1):
+    if algorithm == "BisectingKMeans":
+        # the k-cluster bisecting fit is a prefix of the k_hi hierarchy:
+        # one path build per seed covers every k (identical results to
+        # per-k refits, ~9x less fitting work at stop_k=10)
+        from clustering_spark.operators.clustering import (
+            bisecting_kmeans_path,
+            squared_euclidean_silhouette,
+        )
+
+        paths = [bisecting_kmeans_path(X, k_hi, s) for s in seeds]
+        for k in range(start_k, k_hi + 1):
+            best = None
+            for path in paths:
+                if k not in path:
+                    continue
+                labels, _, wssse = path[k]
+                sil = squared_euclidean_silhouette(X, labels)
+                if best is None or sil > best[0]:
+                    best = (sil, wssse)
+            if best is not None:
+                wssse_by_k[k] = best[1]
+                silhouettes.append((k, best[0]))
+        return wssse_by_k, silhouettes
+    for k in range(start_k, k_hi + 1):
         _, _, sil, wssse = best_of_seeds(X, k, algorithm, seeds)
         wssse_by_k[k] = wssse
         silhouettes.append((k, sil))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -78,9 +79,11 @@ def main() -> int:
     spark = get_spark("verify_oracle")
     con = duck_con(sf_dir)
     failures = 0
+    t_all = time.monotonic()
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
@@ -88,9 +91,13 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        dt = time.monotonic() - t0
         if name not in ORACLES:
             status = "ROWS-ONLY" if len(spark_pdf) >= 0 else "EMPTY"
-            print(f"ok   {name}: {len(spark_pdf)} rows ({status}, no oracle)")
+            print(
+                f"ok   {name}: {len(spark_pdf)} rows ({status}, no oracle)"
+                f" [{dt:.1f}s]"
+            )
             continue
         try:
             duck_pdf = con.execute(ORACLES[name]).fetchdf()
@@ -103,7 +110,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
-            print(f"ok   {name}: {len(spark_pdf)} rows match oracle")
+            print(f"ok   {name}: {len(spark_pdf)} rows match oracle [{dt:.1f}s]")
+    print(f"total: {time.monotonic() - t_all:.1f}s")
     return 1 if failures else 0
 
 
