@@ -26,4 +26,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # csv_ingest's oracle reads a generated file; materialize it now so
+    # the oracle is runnable even if the driver runs SQL before Spark
+    from clustering_spark.queries import _write_ingest_csv
+
+    _write_ingest_csv()
     return dict(ORACLES)

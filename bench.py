@@ -46,6 +46,10 @@ HEADLINE = [
     "simhash_neardup",
     "embedding_neardup_lsh",
     "knn_join",
+    # streaming: availableNow drain of the watermarked tumbling-window
+    # agg (memory sink) — a state-store or ingestion regression moves
+    # this number the same way batch plan regressions move the others
+    "stream_window_events",
 ]
 
 

@@ -425,6 +425,85 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
 
 
 # =====================================================================
+# S3: CSV engine-mode ingestion (explicit schema + PERMISSIVE +
+# corrupt-record capture) on the driver's hash gate, not just pytest
+# =====================================================================
+
+_CSV_INGEST_PATH = "/tmp/spark_graft_csv_ingest/container_stats.csv"
+
+
+def _write_ingest_csv() -> str:
+    """Deterministic dirty CSV in the reference's container-stats shape
+    (FIXTURES.md §1): 2000 rows, every 97th carries a non-numeric
+    cpu_percent token — the row shape Spark's PERMISSIVE mode flags as
+    corrupt and DuckDB's TRY_CAST can flag identically. Written
+    atomically to a FIXED path so the static oracle SQL can read the
+    same bytes."""
+    import os
+    import tempfile
+
+    os.makedirs(os.path.dirname(_CSV_INGEST_PATH), exist_ok=True)
+    lines = [
+        "ram_usage,cpu_percent,node_id,io_usage,application_id,"
+        "ram_limit,container_id,customer_id,time,network_usage,pids"
+    ]
+    for i in range(2000):
+        cpu = "garbage" if i % 97 == 0 else f"{(i * 37) % 1000 / 10:.1f}"
+        lines.append(
+            f"{i * 1.5:.1f},{cpu},node{i % 7},{(i * 13) % 500}.0,"
+            f"app{i % 11},4096.0,c{i:05d},cust{i % 23},"
+            f"{1700000000 + i * 60},{(i * 7) % 900}.0,{(i % 40) + 1}.0"
+        )
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_CSV_INGEST_PATH))
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, _CSV_INGEST_PATH)
+    return _CSV_INGEST_PATH
+
+
+def q_csv_ingest(spark, sf_dir):
+    """S3 engine mode end-to-end: explicit-schema PERMISSIVE CSV scan,
+    corrupt rows captured as rows (never silent type demotion —
+    SURVEY §4.3.9; reference preprocess.py:31-71 relies on
+    inferSchema demoting mixed columns to string). Output: per-node
+    aggregate over CLEAN rows plus one '__corrupt__' row counting the
+    quarantined records, so both branches of the split ride the hash
+    gate."""
+    from clustering_spark.sources.csv_source import read_csv, split_corrupt
+
+    path = _write_ingest_csv()
+    clean, corrupt = split_corrupt(read_csv(spark, path))
+    per_node = clean.groupBy("node_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("cpu_percent"), ROUND).alias("avg_cpu"),
+        F.round(F.sum("ram_usage"), ROUND_SUM).alias("ram_sum"),
+    )
+    bad = corrupt.agg(
+        F.lit("__corrupt__").alias("node_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("avg_cpu"),
+        F.lit(None).cast("double").alias("ram_sum"),
+    )
+    return per_node.unionByName(bad)
+
+
+SQL_CSV_INGEST = f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{_CSV_INGEST_PATH}', header=true,
+                         all_varchar=true)
+), flagged AS (
+  SELECT *, (TRY_CAST(cpu_percent AS DOUBLE) IS NULL) AS bad FROM raw
+)
+SELECT node_id, count(*) AS n_rows,
+       round(avg(TRY_CAST(cpu_percent AS DOUBLE)), {ROUND}) AS avg_cpu,
+       round(sum(TRY_CAST(ram_usage AS DOUBLE)), {ROUND_SUM}) AS ram_sum
+FROM flagged WHERE NOT bad GROUP BY node_id
+UNION ALL
+SELECT '__corrupt__', count(*), NULL, NULL FROM flagged WHERE bad
+"""
+
+
+# =====================================================================
 # §1.4 / P9: hierarchy rollup (pre-JSON exploded rows)
 # =====================================================================
 
@@ -1520,6 +1599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_segments": q_topk_segments,
     "latest_event_per_user": q_latest_event_per_user,
     "row_cap": q_row_cap,
+    "csv_ingest": q_csv_ingest,
     "hierarchy_rollup": q_hierarchy_rollup,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1575,6 +1655,7 @@ ORACLES: dict[str, str] = {
     "topk_segments": SQL_TOPK,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "row_cap": SQL_ROW_CAP,
+    "csv_ingest": SQL_CSV_INGEST,
     "hierarchy_rollup": SQL_HIERARCHY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
