@@ -1061,3 +1061,48 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------------- contamination
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    min_shared: int = 3,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: (test doc, train doc) pairs that
+    share >= ``min_shared`` distinct word n-grams — the n-gram-overlap
+    decontamination rule used for LLM eval hygiene (GPT-3 appendix C
+    shape, re-expressed relationally).
+
+    Scale design: the TEST side is an eval benchmark — small by
+    construction — so its exploded shingle table is broadcast
+    (``broadcast_test``) and the train corpus is scanned ONCE,
+    exploded, and hash-joined with no shuffle of train data; the only
+    shuffle is the (test_id, train_id) count, whose key space is the
+    match set, not the corpus. Set ``broadcast_test=False`` if the
+    test side exceeds broadcast size; the join then shuffles both
+    sides by shingle (still never all-pairs). Shingle arrays are
+    distinct per doc, so the per-pair count IS the distinct shared
+    count."""
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(text_col, shingle_words)).alias("shingle"),
+    )
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(word_shingles(text_col, shingle_words)).alias("shingle"),
+    )
+    if broadcast_test:
+        te = F.broadcast(te)
+    return (
+        tr.join(te, "shingle")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

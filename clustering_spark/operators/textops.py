@@ -146,3 +146,40 @@ def rolling_hash_fingerprint(
         lambda i: F.xxhash64(F.substring(F.col(text_col), i, window)),
     )
     return df.withColumn(out_col, F.array_min(grams))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — the standard
+    context-window packing step of a training-data pipeline. Chunk i
+    covers [i*stride, i*stride+size); the last chunk is short rather
+    than padded; empty documents produce no chunks.
+
+    Scale design: a pure native explode — each document fans into
+    ceil(len/stride) rows inside the same task (no shuffle, no UDF),
+    so the plan is scan -> generate -> project and stays in
+    whole-stage codegen. Output carries (id, chunk_idx, chunk_start,
+    chunk_len, chunk_md5), not the chunk text, so downstream exact
+    dedup of chunks shuffles 16-byte hashes, never text; re-derive a
+    chunk's text from (id, chunk_start) when needed."""
+    n = F.length(F.col(text_col))
+    n_chunks = F.floor((n - F.lit(1)) / F.lit(stride)) + F.lit(1)
+    out = (
+        df.filter(n > 0)
+        .withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+        )
+        .withColumn("__chunk", F.expr(f"substring({text_col}, chunk_idx * {stride} + 1, {size})"))
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+        F.length("__chunk").cast("long").alias("chunk_len"),
+        F.md5("__chunk").alias("chunk_md5"),
+    )

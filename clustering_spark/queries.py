@@ -902,6 +902,43 @@ GROUP BY user_id
 """
 
 
+def q_stream_distinct_event_types(spark, sf_dir):
+    """§2.8 extension: streaming DISTINCT via keyed-state aggregation.
+    count(DISTINCT) is not a supported streaming aggregate and
+    dropDuplicates→agg would be a chained-stateful-operator plan, so
+    the (user, type) groupBy IS the distinct state — bounded at
+    O(users × event types) with no watermark needed — and the drained
+    complete-mode table is collapsed to per-user distinct-type counts
+    as a batch projection."""
+    import tempfile
+    import uuid
+
+    from clustering_spark.streaming.events_stream import run_stream_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = "stream_dtypes_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sdt_"))
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+
+
+SQL_STREAM_DISTINCT_TYPES = """
+SELECT user_id,
+       count(DISTINCT event_type) AS n_types,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 SQL_STREAM_SESSIONS = f"""
 WITH t AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
@@ -1481,6 +1518,75 @@ FROM documents
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (textops.chunk_documents): 200-char
+    chunks, 150-char stride, hashes not text on the wire. Native
+    explode — no shuffle, no UDF."""
+    from clustering_spark.operators.textops import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text", size=200, stride=150
+    )
+
+
+SQL_DOC_CHUNKS = """
+SELECT doc_id, i AS chunk_idx, i * 150 AS chunk_start,
+       length(substr(text, (i * 150 + 1)::INT, 200)) AS chunk_len,
+       md5(substr(text, (i * 150 + 1)::INT, 200)) AS chunk_md5
+FROM documents, unnest(range((length(text) - 1) // 150 + 1)) AS u(i)
+WHERE length(text) > 0
+"""
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination sweep (dedup.contamination_pairs): the
+    documents table is hash-split 90/10 into pseudo train/eval, then
+    (test, train) pairs sharing >= 3 distinct word 3-grams are
+    flagged — the n-gram-overlap decontamination rule. The small test
+    side is broadcast; the train corpus is scanned once."""
+    from clustering_spark.operators.dedup import contamination_pairs
+    from clustering_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "test": 0.1},
+        salt="contam",
+    )
+    return contamination_pairs(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        "doc_id",
+        "text",
+        shingle_words=3,
+        min_shared=3,
+    )
+
+
+SQL_CONTAMINATION = r"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(doc_id::VARCHAR || 'contam'), 1, 8) < 'e6666666'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents),
+sh AS (
+  SELECT doc_id, split, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(len(w) - 2),
+                             i -> array_to_string(w[i+1:i+3], ' '))
+         ELSE [array_to_string(w, ' ')] END)) AS shingle
+  FROM (SELECT doc_id, split,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM sp))
+SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+       count(*) AS n_shared
+FROM sh te JOIN sh tr USING (shingle)
+WHERE te.split = 'test' AND tr.split = 'train'
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k against a fixed query vector —
     scan-bound, TakeOrderedAndProject keeps k rows per partition."""
@@ -1610,6 +1716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": q_stream_sessions,
     "stream_window_events_parquet": q_stream_window_events_parquet,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
+    "stream_distinct_event_types": q_stream_distinct_event_types,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
@@ -1632,6 +1739,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "doc_chunks": q_doc_chunks,
+    "contamination_check": q_contamination_check,
     "cosine_topk": q_cosine_topk,
     "knn_join": q_knn_join,
     "embedding_neardup": q_embedding_neardup,
@@ -1666,6 +1775,7 @@ ORACLES: dict[str, str] = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_window_events_parquet": SQL_WINDOW_EVENTS,
     "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
+    "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
@@ -1680,6 +1790,8 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "contamination_check": SQL_CONTAMINATION,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -234,3 +234,58 @@ class TestConnectedComponents:
         assert lab == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
         kept = sorted(r.doc_id for r in dedup_by_component(docs, "doc_id", comp).collect())
         assert kept == [1, 7, 9]
+
+
+class TestContamination:
+    def _docs(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated training content here now"),
+            ],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            # doc 10 shares a long run with train doc 1 (many 3-grams);
+            # doc 11 shares nothing
+            [
+                (10, "quick brown fox jumps over the lazy cat"),
+                (11, "totally different evaluation text sample words"),
+            ],
+            "doc_id long, text string",
+        )
+        return train, test
+
+    def test_flags_overlapping_pair_only(self, spark):
+        from clustering_spark.operators.dedup import contamination_pairs
+
+        train, test = self._docs(spark)
+        out = contamination_pairs(
+            train, test, "doc_id", "text", shingle_words=3, min_shared=3
+        ).toPandas()
+        assert set(zip(out.test_id, out.train_id)) == {(10, 1)}
+        # "quick brown fox jumps over the lazy" = 7 shared tokens
+        # -> 5 shared 3-grams
+        assert int(out.n_shared.iloc[0]) == 5
+
+    def test_min_shared_threshold_excludes(self, spark):
+        from clustering_spark.operators.dedup import contamination_pairs
+
+        train, test = self._docs(spark)
+        out = contamination_pairs(
+            train, test, "doc_id", "text", shingle_words=3, min_shared=6
+        ).toPandas()
+        assert out.empty
+
+    def test_shuffle_join_path_matches_broadcast(self, spark):
+        from clustering_spark.operators.dedup import contamination_pairs
+
+        train, test = self._docs(spark)
+        a = contamination_pairs(
+            train, test, "doc_id", "text", broadcast_test=True
+        ).toPandas()
+        b = contamination_pairs(
+            train, test, "doc_id", "text", broadcast_test=False
+        ).toPandas()
+        key = ["test_id", "train_id"]
+        assert a.sort_values(key).values.tolist() == b.sort_values(key).values.tolist()

@@ -84,3 +84,48 @@ def test_rolling_hash_fingerprint_stable(spark):
     a = one(textops.rolling_hash_fingerprint(df, "text"), "winnow_fp")
     b = one(textops.rolling_hash_fingerprint(df, "text"), "winnow_fp")
     assert a == b and isinstance(a, int)
+
+
+def test_chunk_documents_shapes(spark):
+    import hashlib
+
+    from clustering_spark.operators.textops import chunk_documents
+
+    short = "x" * 80          # < size: one chunk, full length
+    exact = "y" * 150         # == stride: exactly one chunk
+    two = "z" * 151           # stride+1: second chunk of length 1
+    empty = ""                # no chunks
+    df = spark.createDataFrame(
+        [(1, short), (2, exact), (3, two), (4, empty)],
+        "doc_id long, text string",
+    )
+    out = (
+        chunk_documents(df, "doc_id", "text", size=200, stride=150)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert out[out.doc_id == 4].empty
+    assert list(out[out.doc_id == 1].chunk_len) == [80]
+    assert list(out[out.doc_id == 2].chunk_len) == [150]
+    assert list(out[out.doc_id == 3].chunk_len) == [151, 1]
+    assert list(out[out.doc_id == 3].chunk_start) == [0, 150]
+    assert (
+        out[out.doc_id == 1].chunk_md5.iloc[0]
+        == hashlib.md5(short.encode()).hexdigest()
+    )
+
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    from clustering_spark.operators.textops import chunk_documents
+
+    text = "".join(chr(97 + i % 26) for i in range(520))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = (
+        chunk_documents(df, "doc_id", "text", size=200, stride=150)
+        .toPandas()
+        .sort_values("chunk_idx")
+    )
+    # starts advance by stride; chunks jointly cover every character
+    assert list(out.chunk_start) == [0, 150, 300, 450]
+    assert int(out.chunk_start.iloc[-1] + out.chunk_len.iloc[-1]) == len(text)
