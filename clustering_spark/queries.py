@@ -939,6 +939,36 @@ FROM events GROUP BY user_id
 """
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: the events ``props`` JSON column
+    parsed with a SCHEMA'D from_json (JVM-side, codegen — never a
+    Python json.loads UDF) and aggregated per event type. At scale the
+    parse cost is the scan's: one pass, no shuffle beyond the tiny
+    per-type agg."""
+    e = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), ROUND).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS_STATS = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 SQL_STREAM_SESSIONS = f"""
 WITH t AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
@@ -1717,6 +1747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_events_parquet": q_stream_window_events_parquet,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_distinct_event_types": q_stream_distinct_event_types,
+    "json_props_stats": q_json_props_stats,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
@@ -1776,6 +1807,7 @@ ORACLES: dict[str, str] = {
     "stream_window_events_parquet": SQL_WINDOW_EVENTS,
     "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
+    "json_props_stats": SQL_JSON_PROPS_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
