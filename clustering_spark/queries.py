@@ -939,6 +939,39 @@ FROM events GROUP BY user_id
 """
 
 
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-mitigated equi-join (operators/skew.py): lineitem salted
+    over 8 buckets against the replicated supplier dim, then revenue
+    per supplier nation. Salting is semantics-preserving — the oracle
+    is the PLAIN join — so the driver's hash gate proves the physical
+    rewrite changes nothing. The tool for hot keys AQE can't split
+    (one build key > task memory, or forced co-partitioning)."""
+    from clustering_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, on=["suppkey"], salt_buckets=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            ROUND_SUM,
+        ).alias("revenue"),
+    )
+
+
+SQL_SALTED_JOIN_REVENUE = f"""
+SELECT s_nationkey, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SUM}) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: the events ``props`` JSON column
     parsed with a SCHEMA'D from_json (JVM-side, codegen — never a
@@ -1748,6 +1781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_distinct_event_types": q_stream_distinct_event_types,
     "json_props_stats": q_json_props_stats,
+    "salted_join_revenue": q_salted_join_revenue,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
@@ -1808,6 +1842,7 @@ ORACLES: dict[str, str] = {
     "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
     "json_props_stats": SQL_JSON_PROPS_STATS,
+    "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "hash_split_counts": SQL_HASH_SPLIT_COUNTS,

@@ -167,3 +167,27 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     a = [tuple(r) for r in got.collect()]
     b = [tuple(r) for r in mem.collect()]
     assert a == b and len(a) == 5
+
+
+def test_doc_chunks_is_pruned_generate(spark):
+    """doc_chunks: scan reads only (doc_id, text); the explode is a
+    Generate with no shuffle anywhere in the plan."""
+    df = QUERIES["doc_chunks"](spark, SF_DIR)
+    scans = scan_schema_columns(df)
+    assert scans and set(scans[0]) == {"doc_id", "text"}
+    assert count_shuffles(df) == 0
+    assert "Generate" in plan_tree(df)
+
+
+def test_contamination_broadcasts_test_side(spark):
+    """contamination_check: the test-side shingle table must broadcast
+    (the train corpus is never shuffled pre-join)."""
+    df = QUERIES["contamination_check"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_json_props_scan_is_pruned(spark):
+    """json_props_stats: the events scan reads only (event_type, props)."""
+    df = QUERIES["json_props_stats"](spark, SF_DIR)
+    scans = scan_schema_columns(df)
+    assert scans and set(scans[0]) == {"event_type", "props"}
