@@ -939,6 +939,56 @@ FROM events GROUP BY user_id
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_event_counts(spark, sf_dir):
+    """Pivot: per-user event counts spread into one column per event
+    type. The pivot values are EXPLICIT — with them, Spark skips the
+    extra distinct-values job and the plan is a single groupBy with
+    conditional aggregates (exactly what the oracle spells out); at
+    scale an implicit pivot would add a full scan just to learn the
+    column set."""
+    e = load(spark, sf_dir, "events")
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, [*_EVENT_TYPES])
+    )
+    return piv.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+SQL_PIVOT_USER_EVENT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ cardinality (approx_count_distinct, rsd=0.01) —
+    THE 100 TB distinct-count tool: constant memory per group vs a
+    distinct shuffle whose state is the key set itself. Rows-only
+    (estimates are implementation-specific; tests pin the estimate to
+    within 5x rsd of the exact count), with the exact count alongside
+    for eyeball parity at test scale."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+    )
+
+
 def q_salted_join_revenue(spark, sf_dir):
     """Skew-mitigated equi-join (operators/skew.py): lineitem salted
     over 8 buckets against the replicated supplier dim, then revenue
@@ -1782,6 +1832,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_distinct_event_types": q_stream_distinct_event_types,
     "json_props_stats": q_json_props_stats,
     "salted_join_revenue": q_salted_join_revenue,
+    "pivot_user_event_counts": q_pivot_user_event_counts,
+    "approx_distinct_users": q_approx_distinct_users,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_bisecting": q_cluster_bisecting,
     "cluster_gmm": q_cluster_gmm,
@@ -1843,6 +1895,9 @@ ORACLES: dict[str, str] = {
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
+    "pivot_user_event_counts": SQL_PIVOT_USER_EVENT_COUNTS,
+    # approx_distinct_users: rows-only (HLL estimates are
+    # implementation-specific; tolerance pinned in tests)
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "hash_split_counts": SQL_HASH_SPLIT_COUNTS,

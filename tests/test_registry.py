@@ -10,6 +10,7 @@ import pytest
 
 from clustering_spark.operators import similarity
 from clustering_spark.queries import ORACLES, QUERIES
+from tests.conftest import SF_DIR
 
 
 def test_every_oracle_has_a_query():
@@ -68,3 +69,14 @@ def test_ivf_search_covers_bruteforce_topk(spark):
     # cell assignment is total and in range
     cells = indexed.select("cell").distinct().toPandas().cell
     assert cells.between(0, 3).all()
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL estimate must land within 5x the requested rsd (1%) of the
+    exact count — the rows-only CORRECTNESS entry's real check."""
+    from clustering_spark.queries import QUERIES
+
+    out = QUERIES["approx_distinct_users"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    rel_err = (out.approx_users - out.exact_users).abs() / out.exact_users
+    assert (rel_err <= 0.05).all()
