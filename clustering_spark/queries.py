@@ -902,6 +902,44 @@ GROUP BY user_id
 """
 
 
+def q_stream_window_events_incremental(spark, sf_dir):
+    """§2.8: the MULTI-BATCH form of ``stream_window_events`` — the
+    events table is re-written as 2 files and streamed with
+    maxFilesPerTrigger=1, so the tumbling-window state is built
+    incrementally across micro-batches (checkpoint-tracked file
+    source) instead of one availableNow gulp. The drained complete-mode
+    table must STILL exactly equal the batch oracle: incremental state
+    accumulation is what Structured Streaming guarantees, and this
+    query puts that guarantee on the hash gate."""
+    import tempfile
+    import uuid
+
+    from clustering_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    src_dir = tempfile.mkdtemp(prefix="stream_inc_")
+    # 2 deterministic files (hash-partitioned by event_id); file order
+    # doesn't matter — windows are event-time, not arrival-time
+    batch.repartition(2, "event_id").write.mode("overwrite").parquet(src_dir)
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = windowed_event_counts(
+        _with_ts_utc(ev), window="1 hour", watermark="2 hours", ts_col="ts_utc"
+    )
+    name = "stream_inc_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sinc_"))
+    return spark.table(name)
+
+
 def q_stream_distinct_event_types(spark, sf_dir):
     """§2.8 extension: streaming DISTINCT via keyed-state aggregation.
     count(DISTINCT) is not a supported streaming aggregate and
@@ -1830,6 +1868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_events_parquet": q_stream_window_events_parquet,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_distinct_event_types": q_stream_distinct_event_types,
+    "stream_window_events_incremental": q_stream_window_events_incremental,
     "json_props_stats": q_json_props_stats,
     "salted_join_revenue": q_salted_join_revenue,
     "pivot_user_event_counts": q_pivot_user_event_counts,
@@ -1893,6 +1932,7 @@ ORACLES: dict[str, str] = {
     "stream_window_events_parquet": SQL_WINDOW_EVENTS,
     "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
+    "stream_window_events_incremental": SQL_WINDOW_EVENTS,
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
     "pivot_user_event_counts": SQL_PIVOT_USER_EVENT_COUNTS,

@@ -129,3 +129,49 @@ def test_chunk_documents_covers_text_with_overlap(spark):
     # starts advance by stride; chunks jointly cover every character
     assert list(out.chunk_start) == [0, 150, 300, 450]
     assert int(out.chunk_start.iloc[-1] + out.chunk_len.iloc[-1]) == len(text)
+
+
+def test_chunk_documents_matches_python_chunker_property(spark):
+    """Property (hypothesis): for arbitrary ASCII texts, the Spark
+    chunker's (start, len, md5) triples equal a trivially-correct
+    Python slicer."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from clustering_spark.operators.textops import chunk_documents
+
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        max_size=700,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(ascii_text, min_size=1, max_size=8), st.data())
+    def prop(texts, data):
+        size = data.draw(st.integers(min_value=1, max_value=300))
+        stride = data.draw(st.integers(min_value=1, max_value=size))
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = (
+            chunk_documents(df, "doc_id", "text", size=size, stride=stride)
+            .toPandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        exp = []
+        for i, t in enumerate(texts):
+            for ci, s in enumerate(range(0, len(t), stride)):
+                piece = t[s : s + size]
+                exp.append(
+                    (i, ci, s, len(piece), hashlib.md5(piece.encode()).hexdigest())
+                )
+        assert [tuple(r) for r in got.itertuples(index=False)] == sorted(exp)
+
+    prop()
