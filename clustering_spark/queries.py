@@ -910,7 +910,12 @@ def q_stream_window_events_incremental(spark, sf_dir):
     source) instead of one availableNow gulp. The drained complete-mode
     table must STILL exactly equal the batch oracle: incremental state
     accumulation is what Structured Streaming guarantees, and this
-    query puts that guarantee on the hash gate."""
+    query puts that guarantee on the hash gate.
+
+    The re-write is HARNESS SCAFFOLDING only — the driver's testdata is
+    one file, and a file stream needs >1 file to form >1 micro-batch.
+    Production never copies the fact table: a real events directory is
+    already many files and streams incrementally as-is."""
     import tempfile
     import uuid
 
