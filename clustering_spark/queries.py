@@ -987,20 +987,19 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q_pivot_user_event_counts(spark, sf_dir):
     """Pivot: per-user event counts spread into one column per event
-    type. The pivot values are EXPLICIT — with them, Spark skips the
-    extra distinct-values job and the plan is a single groupBy with
-    conditional aggregates (exactly what the oracle spells out); at
-    scale an implicit pivot would add a full scan just to learn the
-    column set."""
+    type, with a FIXED value set. Implemented as conditional aggregates
+    (count_if per type) — ONE shuffle, map-side combined — rather than
+    ``df.groupBy().pivot(col, values)``: Spark plans pivot as a
+    (user, type) aggregate plus a second pivotfirst aggregate (2
+    exchanges, measured), and without explicit values it adds a whole
+    distinct-values scan. ``.pivot()`` stays the right call only when
+    the column set is dynamic; a fixed schema is the 100 TB case."""
     e = load(spark, sf_dir, "events")
-    piv = (
-        e.groupBy("user_id")
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-        .na.fill(0, [*_EVENT_TYPES])
-    )
-    return piv.select(
-        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    return e.groupBy("user_id").agg(
+        *[
+            F.count_if(F.col("event_type") == t).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ]
     )
 
 

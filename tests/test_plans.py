@@ -191,3 +191,24 @@ def test_json_props_scan_is_pruned(spark):
     df = QUERIES["json_props_stats"](spark, SF_DIR)
     scans = scan_schema_columns(df)
     assert scans and set(scans[0]) == {"event_type", "props"}
+
+
+def test_pivot_is_single_aggregation(spark):
+    """Explicit pivot values: one shuffle (the groupBy), no extra
+    distinct-values job hidden in the plan."""
+    df = QUERIES["pivot_user_event_counts"](spark, SF_DIR)
+    assert count_shuffles(df) == 1
+
+
+def test_salted_join_replicates_small_side_only(spark):
+    """The salted join must keep the big side un-replicated: the only
+    Generate (explode) in the plan feeds the supplier dim, and the join
+    remains an equi-join on (key, salt)."""
+    df = QUERIES["salted_join_revenue"](spark, SF_DIR)
+    tree = plan_tree(df)
+    assert tree.count("Generate") == 1
+    strategies = join_strategies(df)
+    assert strategies and all(
+        s in {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
+        for s in strategies
+    )
