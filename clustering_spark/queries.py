@@ -945,6 +945,50 @@ def q_stream_window_events_incremental(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_dedup_replay(spark, sf_dir):
+    """§2.8: ``dropDuplicatesWithinWatermark`` — the at-least-once →
+    exactly-once repair. The events file is deliberately staged TWICE
+    in the stream directory (a duplicated replay, the failure mode of
+    at-least-once upstream delivery); keyed dedup state on event_id,
+    bounded by the watermark, must collapse the replay so the drained
+    per-type totals hash-match the SINGLE-copy batch oracle. State is
+    O(events inside the watermark), not O(stream): expired keys are
+    evicted, which is why this beats plain dropDuplicates at scale."""
+    import os
+    import tempfile
+    import uuid
+
+    from clustering_spark.streaming.events_stream import run_stream_to_memory
+
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="stream_dup_")
+    for copy in ("a", "b"):  # the duplicated replay
+        os.symlink(
+            os.path.abspath(path), os.path.join(src_dir, f"{copy}_events.parquet")
+        )
+    ev = _with_ts_utc(spark.readStream.schema(schema).parquet(src_dir))
+    deduped = ev.withWatermark("ts_utc", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
+    )
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sdup_"))
+    return spark.table(name)
+
+
+SQL_STREAM_DEDUP_REPLAY = f"""
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), {ROUND_SUM}) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_stream_distinct_event_types(spark, sf_dir):
     """§2.8 extension: streaming DISTINCT via keyed-state aggregation.
     count(DISTINCT) is not a supported streaming aggregate and
@@ -1873,6 +1917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_distinct_event_types": q_stream_distinct_event_types,
     "stream_window_events_incremental": q_stream_window_events_incremental,
+    "stream_dedup_replay": q_stream_dedup_replay,
     "json_props_stats": q_json_props_stats,
     "salted_join_revenue": q_salted_join_revenue,
     "pivot_user_event_counts": q_pivot_user_event_counts,
@@ -1937,6 +1982,7 @@ ORACLES: dict[str, str] = {
     "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
     "stream_window_events_incremental": SQL_WINDOW_EVENTS,
+    "stream_dedup_replay": SQL_STREAM_DEDUP_REPLAY,
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
     "pivot_user_event_counts": SQL_PIVOT_USER_EVENT_COUNTS,
