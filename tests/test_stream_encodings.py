@@ -156,3 +156,33 @@ def test_registered_stream_against_real_testdata(spark):
     got = QUERIES["stream_window_events"](spark, SF_DIR).toPandas()
     exp = _expected_windows(SF_DIR)
     _check_windows(got, exp)
+
+
+def test_registered_stream_dedup_replay_both_encodings(spark, enc_sf_dir):
+    """The duplicated replay must collapse to single-copy totals under
+    either ts encoding (dedup state keys on event_id, but the watermark
+    column comes from the normalizer)."""
+    from clustering_spark.queries import QUERIES
+
+    t, _ = _events_us(f"{enc_sf_dir}/events.parquet")
+    pdf = pd.DataFrame(
+        {
+            "event_type": t.column("event_type").to_pandas(),
+            "value": t.column("value").to_pandas(),
+        }
+    )
+    exp = (
+        pdf.groupby("event_type", as_index=False)
+        .agg(n_events=("value", "size"), total_value=("value", "sum"))
+    )
+    exp["total_value"] = exp.total_value.round(2)
+    exp = exp.sort_values("event_type").reset_index(drop=True)
+    got = (
+        QUERIES["stream_dedup_replay"](spark, enc_sf_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert (got.event_type.values == exp.event_type.values).all()
+    assert (got.n_events.values == exp.n_events.values).all()
+    assert (abs(got.total_value.values - exp.total_value.values) < 1e-6).all()
