@@ -194,8 +194,17 @@ def gmm_fit(
         try:
             chol = np.linalg.cholesky(covs)  # (k, d, d)
         except np.linalg.LinAlgError:
-            covs = covs + np.eye(d)[None, :, :] * 1e-3
-            chol = np.linalg.cholesky(covs)
+            # jitter ONLY the components that fail (matches the old
+            # per-component loop): a blanket jitter would perturb the
+            # healthy components too, changing degenerate-path fits
+            chol = np.empty_like(covs)
+            for c in range(covs.shape[0]):
+                try:
+                    chol[c] = np.linalg.cholesky(covs[c])
+                except np.linalg.LinAlgError:
+                    chol[c] = np.linalg.cholesky(
+                        covs[c] + np.eye(d) * 1e-3
+                    )
         diff = X[None, :, :] - means[:, None, :]  # (k, n, d)
         y = np.linalg.solve(chol, diff.transpose(0, 2, 1))  # (k, d, n)
         maha = (y**2).sum(axis=1)  # (k, n)

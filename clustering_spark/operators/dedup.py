@@ -911,13 +911,6 @@ def _dense_cosine_allpairs(
             f"exact all-pairs cosine is capped at {max_rows} rows; "
             "use the LSH path (lsh_planes>0) at scale"
         )
-    ids = np.asarray([r["__id"] for r in rows])
-    X = np.array([r["__v"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((X**2).sum(axis=1))
-    norms[norms == 0] = 1.0
-    bc = spark.sparkContext.broadcast((ids, X, norms))
-    n = len(ids)
-    blk = 512
     out_schema = T.StructType(
         [
             T.StructField("id_a", id_type),
@@ -925,6 +918,15 @@ def _dense_cosine_allpairs(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    if not rows:  # (0, d) collect: (X**2).sum(axis=1) would raise
+        return spark.createDataFrame([], out_schema)
+    ids = np.asarray([r["__id"] for r in rows])
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((X**2).sum(axis=1))
+    norms[norms == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, X, norms))
+    n = len(ids)
+    blk = 512
 
     def gen(pdf_iter):
         ids_, X_, norms_ = bc.value
@@ -941,8 +943,13 @@ def _dense_cosine_allpairs(
                 a, b = ids_[gi], ids_[jj]
                 lo = np.minimum(a, b)  # emit with id_a < id_b by value
                 hi = np.maximum(a, b)
+                cv = C[ii[keep], jj]
+                # duplicate __id values can collapse a distinct-index
+                # pair into a self-pair after min/max normalization —
+                # the cross-join form's id_a < id_b excluded those
+                ne = lo != hi
                 yield pd.DataFrame(
-                    {"id_a": lo, "id_b": hi, "cosine": C[ii[keep], jj]}
+                    {"id_a": lo[ne], "id_b": hi[ne], "cosine": cv[ne]}
                 )
 
     starts = spark.createDataFrame(

@@ -23,6 +23,17 @@ analog of the reference's driver-side dict .get) — the cache is
 Versioning: callers pass an explicit monotonically increasing integer
 ``version`` (the reference stamps ``str(date.today())``; an explicit
 version keeps tests deterministic and makes ties impossible).
+
+CONCURRENCY CONTRACT (single writer per interval): appends are plain
+parquet file adds with no transaction log, so two interval jobs
+appending the SAME version concurrently could interleave and leave two
+rows for one key at the max version — the latest-wins window would
+then pick one arbitrarily. The scheduler (pipeline.interval_runner,
+like the reference's cron) runs ONE tuner job per interval, which
+makes versions unique per writer; a multi-writer 1000-executor
+deployment should either route all appends through one driver (the
+cheap answer — the cache is #segments rows) or swap the sink for a
+Delta/Iceberg MERGE, which this layout maps onto 1:1.
 """
 
 from __future__ import annotations

@@ -84,7 +84,15 @@ def _with_ts_utc(e: DataFrame) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read of events.parquet with ``ts`` normalized to
     ``ts_utc``/``ts_us`` (see _with_ts_utc); tolerant of both timestamp
-    encodings the test-data generator has used."""
+    encodings the test-data generator has used.
+
+    CONTRACT: this sets ``spark.sql.legacy.parquet.nanosAsLong=true``
+    for the WHOLE session (it cannot be scoped: lazy batch plans and
+    running streams consult it at execution, so a set→read→restore
+    would corrupt them). It is a no-op for µs-encoded files, and
+    ``session.get_spark`` declares the same value at build time, so
+    every supported session state is identical whether or not an
+    events reader ran first."""
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -969,7 +977,14 @@ def q_stream_dedup_replay(spark, sf_dir):
         os.symlink(
             os.path.abspath(path), os.path.join(src_dir, f"{copy}_events.parquet")
         )
-    ev = _with_ts_utc(spark.readStream.schema(schema).parquet(src_dir))
+    # recursiveFileLookup: if the generator ships events.parquet as a
+    # DIRECTORY, each symlink above is a directory and a non-recursive
+    # listing would stream zero files (same pattern as _events_stream)
+    ev = _with_ts_utc(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
     deduped = ev.withWatermark("ts_utc", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -44,6 +44,13 @@ def get_spark(
         # overlapping independent jobs (grid cells) share the session
         # fairly instead of FIFO-starving each other (SURVEY §2.10).
         .config("spark.scheduler.mode", "FAIR")
+        # declared SESSION-WIDE default, not an ambient mutation: the
+        # test-data generator has shipped events.ts as TIMESTAMP(NANOS)
+        # in some rounds, which Spark only reads with this legacy flag.
+        # It is a no-op for µs timestamps, so it is safe globally; event
+        # readers (queries._with_ts_utc / _events_stream) still set it
+        # idempotently for sessions not built through get_spark.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if master is not None:

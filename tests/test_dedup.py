@@ -165,6 +165,32 @@ def test_embedding_lsh_requires_dim(spark, vectors):
         dedup.embedding_neardup_pairs(vectors, "id", "vec")
 
 
+def test_embedding_exact_empty_input(spark):
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    out = dedup.embedding_neardup_pairs(
+        empty, "id", "vec", threshold=0.9, lsh_planes=0
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
+
+
+def test_embedding_exact_duplicate_ids_no_self_pairs(spark):
+    # two rows sharing one id: min/max normalization must never emit
+    # an id_a == id_b pair (the cross-join form's id_a < id_b excluded
+    # those by construction)
+    v = [1.0] * 8
+    rows = [(7, v), (7, v), (9, v)]
+    out = dedup.embedding_neardup_pairs(
+        spark.createDataFrame(rows, "id long, vec array<double>"),
+        "id",
+        "vec",
+        threshold=0.5,
+        lsh_planes=0,
+    ).toPandas()
+    assert (out.id_a != out.id_b).all()
+    assert set(map(tuple, out[["id_a", "id_b"]].values)) == {(7, 9)}
+
+
 class TestConnectedComponents:
     def _cc(self, spark, edges):
         from clustering_spark.operators.graph import connected_components
