@@ -17,8 +17,13 @@ from clustering_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["cluster_kmeans"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Kept on the KMeans leg alone (q_cluster_kmeans, not the merged
+    cluster_fit registry entry) so the smoke schema and cost stay
+    stable across rounds."""
+    from clustering_spark.queries import q_cluster_kmeans
+
+    return q_cluster_kmeans(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

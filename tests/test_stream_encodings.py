@@ -111,7 +111,14 @@ def test_registered_stream_parquet_sink_both_encodings(spark, enc_sf_dir):
 def test_registered_batch_window_events_both_encodings(spark, enc_sf_dir):
     from clustering_spark.queries import QUERIES
 
-    got = QUERIES["window_events"](spark, enc_sf_dir).toPandas()
+    got = QUERIES["windowed_events"](spark, enc_sf_dir).toPandas()
+    # the tumbling branch of the merged batch windowing query must
+    # still match ground truth under both ts encodings
+    got = (
+        got[got.window_kind == "tumbling"]
+        .drop(columns=["window_kind"])
+        .rename(columns={"win_start_epoch": "hour_epoch"})
+    )
     _check_windows(got, _expected_windows(enc_sf_dir))
 
 
