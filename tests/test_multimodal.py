@@ -47,6 +47,50 @@ def test_decode_unknown_format_is_explicit_stub(spark):
     )
 
 
+class TestPngDecode:
+    """The REAL image format behind the decode gate: baseline 8-bit
+    PNG, stdlib encode/decode (no native codec in this container)."""
+
+    def test_gray_png_through_spark(self, spark):
+        samples = bytes(range(12))  # 4x3 gray, mean = 5.5
+        png = mm.make_png(4, 3, samples, color_type=0)
+        df = spark.createDataFrame([(1, png)], "id long, img binary")
+        out = mm.decode_image_meta(df, "img", "id").toPandas().set_index("id")
+        assert (out.loc[1, "width"], out.loc[1, "height"]) == (4, 3)
+        assert out.loc[1, "n_pixels"] == 12
+        assert out.loc[1, "mean_intensity"] == pytest.approx(5.5)
+
+    def test_rgba_drops_alpha(self, spark):
+        # 2x1 RGBA: rgb samples (10,20,30) and (40,50,60), alpha 255
+        samples = bytes([10, 20, 30, 255, 40, 50, 60, 255])
+        png = mm.make_png(2, 1, samples, color_type=6)
+        df = spark.createDataFrame([(1, png)], "id long, img binary")
+        out = mm.decode_image_meta(df, "img", "id").toPandas()
+        assert out.mean_intensity[0] == pytest.approx(35.0)
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("color_type", [0, 2])
+    def test_all_row_filters_roundtrip(self, filter_type, color_type):
+        import random
+
+        rng = random.Random(17 * (filter_type + 1) + color_type)
+        ch = {0: 1, 2: 3}[color_type]
+        w, h = 5, 4
+        samples = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        png = mm.make_png(w, h, samples, color_type, filter_type)
+        gw, gh, gch, got = mm._png_decode(png)
+        assert (gw, gh, gch) == (w, h, ch)
+        assert got == samples
+
+    def test_unsupported_color_type_raises(self):
+        png = mm.make_png(2, 2, bytes(4), color_type=0)
+        # corrupt the IHDR color type to 3 (palette) and re-walk
+        idx = png.index(b"IHDR") + 4 + 9  # IHDR tag + w/h + depth
+        bad = png[:idx] + bytes([3]) + png[idx + 1 :]
+        with pytest.raises(NotImplementedError, match="color type 3"):
+            mm._png_decode(bad)
+
+
 def test_frame_sampling(spark):
     video = b"".join(mm.make_fake_image(2, 2, fill=i * 10) for i in range(6))
     df = spark.createDataFrame([(7, video)], "id long, vid binary")
