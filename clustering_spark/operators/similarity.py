@@ -205,30 +205,34 @@ class IVFIndex:
         return self
 
     def _cell_expr(self, vec_col: str):
-        """argmin over centroids of squared distance — native expr:
-        build array of distances, array_position of the min."""
-        v = F.col(vec_col).cast("array<double>")
-        norm = F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        """argmin over centroids of squared distance, as an
+        Arrow-batched GEMM kernel (X·Cᵀ argmin per batch).
+
+        This REPLACED a 'native' higher-order-function expression
+        (array of nlist aggregate-over-zip_with distances +
+        array_position of the min): nlist × dim interpreted lambda
+        evaluations per row measured ~9 s for 2,000 rows × 16 × 64 at
+        sf0.1 — three orders of magnitude behind the vectorized batch
+        kernel (<10 ms compute). HOFs stay the right call for ONE
+        aggregate per row (see cosine_similarity); at nlist×dim per
+        row the Arrow transfer is noise and numpy wins. Ties break to
+        the lowest cell index in both forms (np.argmin = first min)."""
+        import pandas as pd
+
+        centers = self.centroids
+
+        @F.pandas_udf("int")
+        def cell_of(v: pd.Series) -> pd.Series:
+            X = np.vstack(v.to_numpy()).astype(np.float64)
+            X = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
             )
-        )
-        vn = F.transform(v, lambda x: x / norm)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vn,
-                        F.array(*[F.lit(float(c)) for c in ctr]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for ctr in self.centroids
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant
+            # per row, so argmin needs only the cross and center terms
+            d2 = (centers**2).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        return cell_of(F.col(vec_col).cast("array<double>"))
 
     def transform(self, corpus: DataFrame, vec_col: str) -> DataFrame:
         """Append the ``cell`` assignment column. Persist with
