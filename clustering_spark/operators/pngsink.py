@@ -1,0 +1,139 @@
+"""PNG scatter sink (SURVEY S10; reference cluster.py:138-143).
+
+The reference collects the ENTIRE clustered segment to the driver
+(``toPandas()``) and renders a matplotlib scatter per (macro, micro)
+cell — driver memory scales with segment row count, and matplotlib is
+a native dependency the engine shouldn't require.
+
+Spark-first redesign: rasterize DISTRIBUTEDLY. Points are binned into
+a bounded ``width x height`` pixel grid with native expressions (per-
+segment min/max scan + integer binning + groupBy count), so the data
+that reaches the driver is at most ``width*height`` rows PER SEGMENT
+regardless of segment size — a 10-billion-row segment and a 10-row
+segment produce the same bounded raster. The tiny binned grid is then
+encoded as a real grayscale PNG with the stdlib encoder
+(multimodal.make_png) — no matplotlib, no native codec.
+
+Pixel color = the modal (max-count) cluster of the points in that
+pixel, mapped onto evenly-spaced intensities; empty pixels are 0
+(black). Axis orientation matches a scatter plot: y grows upward, so
+the raster row 0 (PNG top) is the MAX-y bin.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clustering_spark.operators.multimodal import make_png
+
+
+def scatter_bins(
+    df: DataFrame,
+    seg_cols: list[str],
+    x_col: str,
+    y_col: str,
+    cluster_col: str,
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """Bin points into a per-segment ``width x height`` grid.
+
+    One stats aggregation (per-segment min/max of x and y, broadcast
+    back — same shape as the min-max scaler) + one groupBy over
+    (segment, px, py, cluster). Output rows <= segments * width *
+    height * k; the per-pixel modal cluster is resolved here so the
+    sink collects <= width*height rows per segment.
+
+    Degenerate ranges (min == max) land every point in bin 0, like the
+    scaler's degenerate-range rule.
+    """
+    stats = df.groupBy(*seg_cols).agg(
+        F.min(x_col).alias("__xmin"),
+        F.max(x_col).alias("__xmax"),
+        F.min(y_col).alias("__ymin"),
+        F.max(y_col).alias("__ymax"),
+    )
+
+    def _bin(v, lo, hi, n):
+        rng = F.col(hi) - F.col(lo)
+        scaled = F.when(rng > 0, (F.col(v) - F.col(lo)) / rng).otherwise(
+            F.lit(0.0)
+        )
+        return F.least(
+            F.floor(scaled * n).cast("int"), F.lit(n - 1)
+        )
+
+    binned = (
+        df.join(F.broadcast(stats), on=seg_cols)
+        .select(
+            *seg_cols,
+            _bin(x_col, "__xmin", "__xmax", width).alias("px"),
+            _bin(y_col, "__ymin", "__ymax", height).alias("py"),
+            F.col(cluster_col).alias("__cl"),
+        )
+        .groupBy(*seg_cols, "px", "py", "__cl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # modal cluster per pixel (deterministic tiebreak on cluster id)
+    w = Window.partitionBy(*seg_cols, "px", "py").orderBy(
+        F.col("n").desc(), F.col("__cl")
+    )
+    return (
+        binned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*seg_cols, "px", "py", F.col("__cl").alias("cluster"), "n")
+    )
+
+
+def _render_png(
+    rows, width: int, height: int, clusters: list
+) -> bytes:
+    """Grayscale raster from (px, py, cluster) pixel rows: cluster i of
+    k gets intensity round((i+1) * 255 / k); background stays 0."""
+    shade = {
+        c: round((i + 1) * 255 / len(clusters))
+        for i, c in enumerate(sorted(clusters))
+    }
+    img = bytearray(width * height)
+    for px, py, cl in rows:
+        img[(height - 1 - py) * width + px] = shade[cl]  # y grows upward
+    return make_png(width, height, bytes(img), color_type=0)
+
+
+def write_cluster_pngs(
+    results: DataFrame,
+    seg_cols: list[str],
+    out_dir: str,
+    x_col: str = "px",
+    y_col: str = "py",
+    width: int = 64,
+    height: int = 64,
+) -> list[str]:
+    """Encode one PNG per segment from a ``scatter_bins`` output and
+    write ``{out_dir}/{seg values joined by '/'}.png`` (the reference's
+    ClusterPNGs/{...}/{macroID}/{microID} layout, cluster.py:139).
+
+    The collect here is BOUNDED: <= width*height rows per segment (the
+    binned raster), never the point set. Returns written paths.
+    """
+    pdf = results.toPandas()
+    paths = []
+    for seg_vals, part in pdf.groupby(seg_cols, sort=True):
+        if not isinstance(seg_vals, tuple):
+            seg_vals = (seg_vals,)
+        png = _render_png(
+            list(zip(part[x_col], part[y_col], part["cluster"])),
+            width,
+            height,
+            sorted(part["cluster"].unique()),
+        )
+        path = os.path.join(out_dir, *[str(v) for v in seg_vals[:-1]])
+        os.makedirs(path, exist_ok=True)
+        fpath = os.path.join(path, f"{seg_vals[-1]}.png")
+        with open(fpath, "wb") as f:
+            f.write(png)
+        paths.append(fpath)
+    return paths
