@@ -365,11 +365,11 @@ class SegmentedClusterer:
             return self._fit_mllib_loop(df)
         raise ValueError(f"unknown mode {self.mode!r}")
 
-    def _make_search(self):
+    def _make_search(self, algorithm: str | None = None):
         """Per-group seed-search closure: plain best-of-seeds, or the
         M6 thresholded variant when ``old_sil_col`` supplies a cached
         quality bar (early-stops at old_sil * threshold)."""
-        algorithm = self.algorithm
+        algorithm = algorithm or self.algorithm
         seeds = tuple(self.seeds)
         old_sil_col = self.old_sil_col
         thr = self.old_sil_threshold
@@ -436,7 +436,9 @@ class SegmentedClusterer:
         return df.groupBy(*self.segment_cols).applyInPandas(fit_group, out_schema)
 
     # -- scale mode, summary output: one row per (segment, cluster) -------
-    def fit_summarize(self, df: DataFrame) -> DataFrame:
+    def fit_summarize(
+        self, df: DataFrame, algorithms: list[str] | None = None
+    ) -> DataFrame:
         """Fit per segment and emit per-cluster SUMMARIES directly from
         the same Arrow task: cluster_name, cluster_size, center, radius,
         entropy, silhouette, wssse.
@@ -449,16 +451,31 @@ class SegmentedClusterer:
         #segments×k rows. This is the 100 TB plan: fact data is read
         once, shuffled once, and never materialized again.
 
+        ``algorithms``: fit SEVERAL algorithms per segment inside the
+        same Arrow task, emitting an extra ``algorithm`` column. The
+        segment matrix is already in memory, so an n-algorithm sweep
+        costs n fits but only ONE scan + ONE shuffle of the fact table
+        (vs n of each when n single-algorithm pipelines are unioned).
+        Results are bit-identical to the union of single-algorithm runs
+        with the same seeds.
+
         Centers are emitted as SCALAR columns ``center_0..center_{d-1}``
         (one per feature), not an array — flat schemas sort/hash cleanly
         downstream and stay fully typed.
         """
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, StringType
+
+        multi = algorithms is not None
+        algo_list = list(algorithms) if multi else [self.algorithm]
+        for a in algo_list:
+            if a not in _FITTERS:
+                raise ValueError(f"unknown algorithm {a!r}")
 
         center_cols = [f"center_{i}" for i in range(len(self.feature_cols))]
         seg_fields = [df.schema[c] for c in self.segment_cols]
         out_schema = StructType(
             [StructField(f.name, f.dataType, True) for f in seg_fields]
+            + ([StructField("algorithm", StringType(), False)] if multi else [])
             + [
                 StructField("cluster_name", IntegerType(), False),
                 StructField("cluster_size", LongType(), False),
@@ -475,7 +492,7 @@ class SegmentedClusterer:
         segment_cols = list(self.segment_cols)
         k_col = self.k_col
         default_k = self.default_k
-        search = self._make_search()
+        searches = {a: self._make_search(a) for a in algo_list}
 
         def summarize_group(pdf: pd.DataFrame) -> pd.DataFrame:
             X = pdf[feature_cols].to_numpy(dtype=np.float64)
@@ -486,41 +503,52 @@ class SegmentedClusterer:
                 if pd.notna(kv):
                     k = int(kv)
             n_distinct = len(np.unique(X, axis=0))
-            if n_distinct < 2 or len(X) < 2:
-                labels = np.zeros(len(X), dtype=np.int64)
-                sil, wssse = 0.0, 0.0
-            else:
-                k = max(2, min(k, n_distinct))
-                labels, _, sil, wssse = search(X, k, pdf)
-            uniq, counts = np.unique(labels, return_counts=True)
-            # size-desc, first-occurrence relabel (same rule as
-            # fit_predict) so both outputs agree
-            order = sorted(
-                uniq, key=lambda c: (-counts[list(uniq).index(c)], int(np.argmax(labels == c)))
-            )
-            p = counts / counts.sum()
-            entropy = float(-(p * np.log2(p)).sum()) if len(uniq) > 1 else 0.0
             rows = []
-            for rank, c in enumerate(order):
-                pts = X[labels == c]
-                ctr = pts.mean(axis=0)
-                radius = float(np.sqrt(((pts - ctr) ** 2).sum(axis=1).max()))
-                rows.append(
-                    {
-                        **seg_vals,
-                        "cluster_name": rank,
-                        "cluster_size": int(len(pts)),
-                        **{
-                            center_cols[i]: float(ctr[i])
-                            for i in range(len(center_cols))
-                        },
-                        "radius": radius,
-                        "entropy": abs(entropy),
-                        SILHOUETTE_COL: sil,
-                        "wssse": wssse,
-                    }
+            for algo in algo_list:
+                if n_distinct < 2 or len(X) < 2:
+                    labels = np.zeros(len(X), dtype=np.int64)
+                    sil, wssse = 0.0, 0.0
+                else:
+                    kk = max(2, min(k, n_distinct))
+                    labels, _, sil, wssse = searches[algo](X, kk, pdf)
+                uniq, counts = np.unique(labels, return_counts=True)
+                # size-desc, first-occurrence relabel (same rule as
+                # fit_predict) so both outputs agree
+                order = sorted(
+                    uniq,
+                    key=lambda c: (
+                        -counts[list(uniq).index(c)],
+                        int(np.argmax(labels == c)),
+                    ),
                 )
-            return pd.DataFrame(rows)
+                p = counts / counts.sum()
+                entropy = (
+                    float(-(p * np.log2(p)).sum()) if len(uniq) > 1 else 0.0
+                )
+                algo_val = {"algorithm": algo} if multi else {}
+                for rank, c in enumerate(order):
+                    pts = X[labels == c]
+                    ctr = pts.mean(axis=0)
+                    radius = float(
+                        np.sqrt(((pts - ctr) ** 2).sum(axis=1).max())
+                    )
+                    rows.append(
+                        {
+                            **seg_vals,
+                            **algo_val,
+                            "cluster_name": rank,
+                            "cluster_size": int(len(pts)),
+                            **{
+                                center_cols[i]: float(ctr[i])
+                                for i in range(len(center_cols))
+                            },
+                            "radius": radius,
+                            "entropy": abs(entropy),
+                            SILHOUETTE_COL: sil,
+                            "wssse": wssse,
+                        }
+                    )
+            return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
         return df.groupBy(*self.segment_cols).applyInPandas(
             summarize_group, out_schema

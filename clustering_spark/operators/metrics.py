@@ -89,9 +89,13 @@ def d3_normalize(
     value_col: str = "radius",
     out_col: str = "size",
     d3_max: float = 50.0,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Affine-normalize ``value_col`` into [1, d3_max] across the whole
     result set (metrics.py:151-171 `scaleD3`); degenerate range -> 1.0.
+    ``partition_cols`` scopes the min/max per partition value instead —
+    e.g. per ``algorithm`` when one frame carries several runs, which
+    must normalize exactly as the runs would separately.
 
     The reference computes min/max with a driver-side nested loop (and a
     bug: its `elif` skips the max update when a value also won the min —
@@ -107,7 +111,7 @@ def d3_normalize(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy()
+    w = Window.partitionBy(*(partition_cols or []))
     mn = F.min(value_col).over(w)
     mx = F.max(value_col).over(w)
     scaled = F.when(mx == mn, F.lit(1.0)).otherwise(

@@ -173,6 +173,7 @@ def optimal_k_sweep(
     start_k: int = 2,
     stop_k: int = 10,
     silhouette_threshold: float = 0.9,
+    algorithms: list[str] | None = None,
 ) -> DataFrame:
     """Tune k for EVERY segment in one shuffle: groupBy(segment)
     .applyInPandas, sweep + decision rule per Arrow task. Output: one
@@ -181,10 +182,22 @@ def optimal_k_sweep(
     This is the reference's optimal_k.py driver re-planned for scale:
     segments tune in parallel across executors, and the per-segment
     sweep touches only in-memory numpy data.
+
+    ``algorithms``: tune SEVERAL algorithms per segment inside the same
+    Arrow task (reference optimal_k.py:382-389 tunes all three) —
+    output gains a leading ``algorithm`` column, one row per
+    (algorithm, segment), and the input is scanned + shuffled once
+    instead of once per algorithm. Identical to unioning per-algorithm
+    sweeps (same seeds).
     """
+    from pyspark.sql.types import StringType
+
+    multi = algorithms is not None
+    algo_list = list(algorithms) if multi else [algorithm]
     seg_fields = [df.schema[c] for c in segment_cols]
     out_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in seg_fields]
+        ([StructField("algorithm", StringType(), False)] if multi else [])
+        + [StructField(f.name, f.dataType, True) for f in seg_fields]
         + [
             StructField("chosen_k", IntegerType(), False),
             StructField("silhouette", DoubleType(), False),
@@ -196,12 +209,17 @@ def optimal_k_sweep(
 
     def tune_group(pdf: pd.DataFrame) -> pd.DataFrame:
         X = pdf[feature_cols].to_numpy(dtype=np.float64)
-        k, sil = tune_k(
-            X, algorithm, seeds, start_k, stop_k, silhouette_threshold
-        )
-        row = {c: pdf[c].iloc[0] for c in segment_cols}
-        row["chosen_k"] = int(k)
-        row["silhouette"] = float(sil)
-        return pd.DataFrame([row])
+        seg_vals = {c: pdf[c].iloc[0] for c in segment_cols}
+        rows = []
+        for algo in algo_list:
+            k, sil = tune_k(
+                X, algo, seeds, start_k, stop_k, silhouette_threshold
+            )
+            row = {"algorithm": algo} if multi else {}
+            row.update(seg_vals)
+            row["chosen_k"] = int(k)
+            row["silhouette"] = float(sil)
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.groupBy(*segment_cols).applyInPandas(tune_group, out_schema)

@@ -55,6 +55,7 @@ def cluster_segments(
     config: PipelineConfig | None = None,
     k: int = 3,
     k_col: str | None = None,
+    algorithms: list[str] | None = None,
 ) -> DataFrame:
     """Run one grid cell end-to-end; returns the flat results table.
 
@@ -62,8 +63,18 @@ def cluster_segments(
       na.drop on metrics (preprocess.py:89) → per-segment scaling
       (preprocess.py:73-111) → per-segment fit+label (cluster.py:44-71)
       → single-pass summaries + entropy (metrics.py) → d3 size.
+
+    ``algorithms`` (scale mode only): fit SEVERAL algorithms in the
+    same single shuffle — the segment matrix is fit once per algorithm
+    inside one Arrow task, emitting per-algorithm rows identical to
+    running the pipeline once per algorithm and unioning (same seeds;
+    d3 size normalization is scoped per algorithm to preserve that
+    equivalence). An n-algorithm grid costs ONE fact-table scan +
+    shuffle instead of n.
     """
     config = config or PipelineConfig()
+    if algorithms is not None and config.fit_mode != "scale":
+        raise ValueError("multi-algorithm fit requires fit_mode='scale'")
     segment_cols = [macro_col, micro_col]
     metric_cols = [x_col, y_col]
 
@@ -87,10 +98,10 @@ def cluster_segments(
     if config.fit_mode == "scale":
         # single-pass plan: fit AND summarize inside one Arrow task per
         # segment — the fact table is shuffled exactly once (the groupBy)
-        # and the model is fit exactly once (see fit_summarize docstring).
-        summaries = clusterer.fit_summarize(narrowed).withColumnRenamed(
-            "cluster_name", PREDICTION_COL
-        )
+        # and each model is fit exactly once (see fit_summarize docstring).
+        summaries = clusterer.fit_summarize(
+            narrowed, algorithms=algorithms
+        ).withColumnRenamed("cluster_name", PREDICTION_COL)
     else:
         # parity mode keeps the labeled-rows path: MLlib fit + relational
         # metrics block (metrics.py), matching reference numerics.
@@ -101,9 +112,11 @@ def cluster_segments(
             how="left",
         )
 
+    if algorithms is None:
+        summaries = summaries.withColumn("algorithm", F.lit(algorithm))
+    # else: the kernel emitted the per-row algorithm column itself
     out = (
-        summaries.withColumn("algorithm", F.lit(algorithm))
-        .withColumn("macro_col", F.lit(macro_col))
+        summaries.withColumn("macro_col", F.lit(macro_col))
         .withColumn("micro_col", F.lit(micro_col))
         .withColumn("x_col", F.lit(x_col))
         .withColumn("y_col", F.lit(y_col))
@@ -113,7 +126,13 @@ def cluster_segments(
         .withColumn("macro_id", F.col(macro_col).cast("string"))
         .withColumn("micro_id", F.col(micro_col).cast("string"))
     )
-    out = d3_normalize(out, "radius", "size", config.d3_normalize_max)
+    out = d3_normalize(
+        out,
+        "radius",
+        "size",
+        config.d3_normalize_max,
+        partition_cols=None if algorithms is None else ["algorithm"],
+    )
     return out.select(*RESULT_COLUMNS, "size")
 
 

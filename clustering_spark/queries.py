@@ -1209,17 +1209,27 @@ def q_cluster_fit(spark, sf_dir):
     the flagship pipeline under all three reference algorithms —
     KMeans, BisectingKMeans (one hierarchy per seed), GaussianMixture
     (centers = per-cluster empirical means, reference semantics
-    metrics.py:32-54) — unioned; rows are distinguished by the
-    ``algorithm`` grid column the pipeline already carries. Rows-only
-    (iterative ML); per-algorithm invariants + planted-blob recovery
-    are pinned in tests/test_clustering_invariants.py. (Merged from
-    the former cluster_kmeans / cluster_bisecting / cluster_gmm
-    registry entries — three independent jobs under FAIR scheduling,
-    same work as the three entries recorded separately.)"""
-    return (
-        q_cluster_kmeans(spark, sf_dir)
-        .unionByName(_flagship(spark, sf_dir, "BisectingKMeans"))
-        .unionByName(_flagship(spark, sf_dir, "GaussianMixture"))
+    metrics.py:32-54) — in ONE shuffle: each Arrow task already holds
+    its segment matrix, so all three fits run inside the same task
+    (SegmentedClusterer.fit_summarize(algorithms=...)), and the fact
+    table is scanned + shuffled once instead of three times. Output
+    identical to the union of the three single-algorithm runs (same
+    seeds; d3 size normalized per algorithm) — pinned by
+    tests/test_clustering_invariants.py. Rows-only (iterative ML).
+    (Merged from the former cluster_kmeans / cluster_bisecting /
+    cluster_gmm registry entries.)"""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    df = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    return cluster_segments(
+        df,
+        macro_col="n_name",
+        micro_col="c_mktsegment",
+        x_col="c_acctbal",
+        y_col="c_custkey",
+        config=PipelineConfig(dont_scale=[]),
+        k=3,
+        algorithms=["KMeans", "BisectingKMeans", "GaussianMixture"],
     )
 
 
@@ -1242,11 +1252,12 @@ def q_result_docs(spark, sf_dir):
     )
 
 
-def _optimal_k(spark, sf_dir, algorithm):
+def _optimal_k(spark, sf_dir, algorithm, algorithms=None):
     """M5-M9: the optimal-k tuner — k sweep (2..10) x seed search with
     elbow + top-3-silhouette decision (GMM: plain argmax-silhouette,
     optimal_k.py:188-190), per segment, in ONE applyInPandas shuffle
     (vs the reference's 27 MLlib fits per segment; optimal_k.py).
+    ``algorithms`` sweeps several algorithms inside that same shuffle.
     Rows-only (iterative ML)."""
     from clustering_spark.functions.scaling import scale_segments, scaled_name
     from clustering_spark.operators.segmentation import drop_null_metrics
@@ -1270,6 +1281,7 @@ def _optimal_k(spark, sf_dir, algorithm):
         start_k=cfg.start_k,
         stop_k=cfg.stop_k,
         silhouette_threshold=cfg.silhouette_threshold,
+        algorithms=algorithms,
     )
 
 
@@ -1278,20 +1290,18 @@ def q_optimal_k(spark, sf_dir):
     tunes all three), one registry entry tagged by ``algorithm``:
     KMeans and BisectingKMeans use elbow + top-3-silhouette; for
     GaussianMixture the reference skips computeCost and takes
-    argmax-silhouette (optimal_k.py:188-190). Rows-only (iterative
-    ML); decision-rule math is pinned in tests/test_tuner.py. (Merged
-    from the former optimal_k / optimal_k_bisecting / optimal_k_gmm
-    registry entries.)"""
-    parts = [
-        _optimal_k(spark, sf_dir, algo).select(
-            F.lit(algo).alias("algorithm"), "*"
-        )
-        for algo in ("KMeans", "BisectingKMeans", "GaussianMixture")
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    argmax-silhouette (optimal_k.py:188-190). All three sweeps run
+    inside ONE applyInPandas shuffle (optimal_k_sweep(algorithms=...))
+    — the scaled segment frame crosses the wire once, not three times.
+    Rows-only (iterative ML); decision-rule math is pinned in
+    tests/test_tuner.py. (Merged from the former optimal_k /
+    optimal_k_bisecting / optimal_k_gmm registry entries.)"""
+    return _optimal_k(
+        spark,
+        sf_dir,
+        "KMeans",
+        algorithms=["KMeans", "BisectingKMeans", "GaussianMixture"],
+    )
 
 
 # =====================================================================

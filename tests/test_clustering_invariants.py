@@ -140,6 +140,35 @@ def test_fit_summarize_agrees_with_fit_predict(spark):
     assert abs(summary.entropy.iloc[0] - np.log2(3)) < 0.1
 
 
+def test_multi_algorithm_equals_union_of_singles(spark):
+    """fit_summarize(algorithms=[...]) must be bit-identical to running
+    each algorithm alone (same seeds) — this pins the single-shuffle
+    multi-algorithm path used by the cluster_fit registry query."""
+    df = _blob_df(spark, segs=("a", "b"))
+    kw = dict(segment_cols=["seg"], feature_cols=["fx", "fy"], default_k=3, seeds=(42,))
+    algos = ["KMeans", "BisectingKMeans", "GaussianMixture"]
+    multi = (
+        SegmentedClusterer(**kw)
+        .fit_summarize(df, algorithms=algos)
+        .toPandas()
+        .sort_values(["algorithm", "seg", "cluster_name"])
+        .reset_index(drop=True)
+    )
+    singles = []
+    for a in algos:
+        s = SegmentedClusterer(algorithm=a, **kw).fit_summarize(df).toPandas()
+        s.insert(1, "algorithm", a)
+        singles.append(s)
+    import pandas as pd
+
+    expect = (
+        pd.concat(singles)
+        .sort_values(["algorithm", "seg", "cluster_name"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(multi[expect.columns], expect)
+
+
 def test_degenerate_segment_single_cluster(spark):
     df = spark.createDataFrame(
         [("s", 1.0, 1.0)] * 5, "seg string, fx double, fy double"

@@ -86,6 +86,17 @@ def test_cluster_pipeline_single_wide_shuffle(spark):
     assert "SortMergeJoin" not in tree
 
 
+def test_cluster_fit_multi_algo_is_one_shuffle(spark):
+    """The merged cluster_fit query fits all THREE algorithms inside
+    one Arrow task: exactly one FlatMapGroupsInPandas in the plan (a
+    union of three single-algorithm pipelines would show three, each
+    re-scanning and re-shuffling the fact table)."""
+    df = QUERIES["cluster_fit"](spark, SF_DIR)
+    tree = plan_tree(df)
+    assert tree.count("FlatMapGroupsInPandas") == 1
+    assert "SortMergeJoin" not in tree
+
+
 def test_topk_uses_take_ordered(spark):
     """topk_segments must plan TakeOrderedAndProject (bounded memory),
     not a global sort."""

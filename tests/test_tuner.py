@@ -120,3 +120,33 @@ def test_optimal_k_sweep_spark(spark):
     got = dict(zip(out.seg, out.chosen_k))
     assert got == {"a": 2, "b": 3}
     assert (out.silhouette > 0.9).all()
+
+
+def test_optimal_k_sweep_multi_algo_equals_singles(spark):
+    """The single-shuffle multi-algorithm sweep must equal the union
+    of per-algorithm sweeps (same seeds) — pins the merged optimal_k
+    registry query's kernel."""
+    import pandas as pd
+
+    rows = []
+    for seg, k_true in (("a", 2), ("b", 3)):
+        X, _ = planted_blobs(k=k_true, n_per=30)
+        rows += [(seg, float(x), float(y)) for x, y in X]
+    df = spark.createDataFrame(rows, "seg string, fx double, fy double")
+    algos = ["KMeans", "BisectingKMeans", "GaussianMixture"]
+    kw = dict(seeds=(42,), start_k=2, stop_k=5)
+    multi = (
+        optimal_k_sweep(df, ["seg"], ["fx", "fy"], algorithms=algos, **kw)
+        .toPandas()
+        .sort_values(["algorithm", "seg"])
+        .reset_index(drop=True)
+    )
+    singles = []
+    for a in algos:
+        s = optimal_k_sweep(df, ["seg"], ["fx", "fy"], algorithm=a, **kw).toPandas()
+        s.insert(0, "algorithm", a)
+        singles.append(s)
+    expect = (
+        pd.concat(singles).sort_values(["algorithm", "seg"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(multi, expect)
