@@ -138,11 +138,25 @@ def intra_cluster_mean_pairdist(
     the correctness oracle is DuckDB's naive O(n²) self-join, which
     proves the identity on real data. Clusters with n < 2 yield NULL
     (the reference divides by n(n-1))."""
+    g = _cluster_moments(df, cluster_cols, feature_cols)
+    return _intra_from_moments(g, cluster_cols, feature_cols, out_col)
+
+
+def _cluster_moments(
+    df: DataFrame, cluster_cols: list[str], feature_cols: list[str]
+) -> DataFrame:
+    """Per-cluster (n, sum x, sum x²) — the shared sufficient statistic
+    for BOTH pairwise-distance metrics; one map-side-combinable agg."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in feature_cols:
         aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
         aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__s2_{c}"))
-    g = df.groupBy(*cluster_cols).agg(*aggs)
+    return df.groupBy(*cluster_cols).agg(*aggs)
+
+
+def _intra_from_moments(
+    g: DataFrame, cluster_cols: list[str], feature_cols: list[str], out_col: str
+) -> DataFrame:
     n = F.col("__n").cast("double")
     total = None
     for c in feature_cols:
@@ -169,11 +183,13 @@ def inter_cluster_mean_pairdist(
     → one per-cluster moment aggregation, then a join over CLUSTER
     PAIRS (k² rows — model-sized, never point-sized). Emits one row
     per unordered pair (a < b on the cluster key tuple)."""
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in feature_cols:
-        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
-        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__s2_{c}"))
-    g = df.groupBy(*cluster_cols).agg(*aggs)
+    g = _cluster_moments(df, cluster_cols, feature_cols)
+    return _inter_from_moments(g, cluster_cols, feature_cols, out_col)
+
+
+def _inter_from_moments(
+    g: DataFrame, cluster_cols: list[str], feature_cols: list[str], out_col: str
+) -> DataFrame:
     a = g.select(
         *[F.col(c).alias(f"{c}_a") for c in cluster_cols],
         F.col("__n").alias("__n_a"),
@@ -204,3 +220,33 @@ def inter_cluster_mean_pairdist(
         *[F.col(f"{c}_b") for c in cluster_cols],
         (total / (na * nb)).alias(out_col),
     )
+
+
+def pairdist_stats(
+    df: DataFrame,
+    cluster_cols: list[str],
+    feature_cols: list[str],
+    out_col: str = "mean_pair_dist2",
+) -> DataFrame:
+    """Intra AND inter mean pairwise squared distances from ONE scan:
+    both metrics are functions of the same per-cluster moments
+    (n, Σx, Σx²), so the fact table is aggregated once, the k-row
+    moment frame is localCheckpointed (without it each union branch
+    re-plans the scan — verified 3 scans, 0 exchange reuse), and the
+    two branches are tiny projections/joins of it. Output: one row per
+    cluster (scope='intra', seg_a = seg_b) plus one per unordered
+    cluster pair (scope='inter')."""
+    g = _cluster_moments(df, cluster_cols, feature_cols).localCheckpoint()
+    intra = _intra_from_moments(g, cluster_cols, feature_cols, out_col).select(
+        F.lit("intra").alias("scope"),
+        *[F.col(c).alias(f"{c}_a") for c in cluster_cols],
+        *[F.col(c).alias(f"{c}_b") for c in cluster_cols],
+        F.col(out_col),
+    )
+    inter = _inter_from_moments(g, cluster_cols, feature_cols, out_col).select(
+        F.lit("inter").alias("scope"),
+        *[F.col(f"{c}_a") for c in cluster_cols],
+        *[F.col(f"{c}_b") for c in cluster_cols],
+        F.col(out_col),
+    )
+    return intra.unionByName(inter)

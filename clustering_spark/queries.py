@@ -631,27 +631,44 @@ def q_windowed_events(spark, sf_dir):
     sliding = explode each event into its 4 window starts via an
     unnested range."""
     e = load_events(spark, sf_dir)
+    # ONE events scan for both window shapes: pre-aggregate to 15-min
+    # buckets (the gcd of slide and width; exact integer µs DIV — no
+    # float boundary drift), localCheckpoint the bucket frame (bounded:
+    # #buckets × #types), then both windows are tiny rollups of it —
+    # tumbling-1h = 4 aligned buckets, sliding-1h/15m = each bucket
+    # feeds its 4 covering windows. Without the checkpoint each union
+    # branch re-scans the fact table (verified: 2 scans, 0 reuse).
+    buckets = (
+        e.groupBy(
+            F.expr("ts_us DIV 900000000").alias("__bkt"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("value").alias("__v"))
+        .localCheckpoint()
+    )
 
-    def agg(win):
+    def rollup(frame, start_expr, kind):
         return (
-            e.groupBy(win.alias("w"), "event_type")
+            frame.groupBy(start_expr.alias("win_start_epoch"), "event_type")
             .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
+                F.sum("__n").alias("n_events"),
+                F.round(F.sum("__v"), ROUND_SUM).alias("total_value"),
             )
             .select(
-                F.unix_timestamp(F.col("w.start")).alias("win_start_epoch"),
+                F.lit(kind).alias("window_kind"),
+                "win_start_epoch",
                 "event_type",
                 "n_events",
                 "total_value",
             )
         )
 
-    tumb = agg(F.window("ts_utc", "1 hour")).select(
-        F.lit("tumbling").alias("window_kind"), "*"
-    )
-    slide = agg(F.window("ts_utc", "1 hour", "15 minutes")).select(
-        F.lit("sliding").alias("window_kind"), "*"
+    tumb = rollup(buckets, F.expr("(__bkt DIV 4) * 3600"), "tumbling")
+    slide = rollup(
+        buckets.select(
+            "*", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i")
+        ),
+        (F.col("__bkt") - F.col("__i")) * 900,
+        "sliding",
     )
     return tumb.unionByName(slide)
 
@@ -1490,31 +1507,20 @@ def q_pairdist(spark, sf_dir):
       never point-sized).
 
     The oracle is DuckDB's naive self-join on both branches, which
-    proves the moment identities on real data. (Merged from the former
-    intra_pairdist + inter_pairdist registry entries.)"""
-    from clustering_spark.operators.metrics import (
-        inter_cluster_mean_pairdist,
-        intra_cluster_mean_pairdist,
-    )
+    proves the moment identities on real data. Both scopes derive from
+    the SAME per-cluster moments (n, Σx, Σx²), so the fact table is
+    scanned and aggregated once (metrics.pairdist_stats). (Merged from
+    the former intra_pairdist + inter_pairdist registry entries.)"""
+    from clustering_spark.operators.metrics import pairdist_stats
 
     c = load(spark, sf_dir, "customer")
-    intra = intra_cluster_mean_pairdist(
-        c, ["c_mktsegment"], ["c_acctbal", "c_nationkey"]
-    ).select(
-        F.lit("intra").alias("scope"),
-        F.col("c_mktsegment").alias("seg_a"),
-        F.col("c_mktsegment").alias("seg_b"),
-        F.round("mean_pair_dist2", ROUND_SUM).alias("mean_pair_dist2"),
-    )
-    inter = inter_cluster_mean_pairdist(
-        c, ["c_mktsegment"], ["c_acctbal", "c_nationkey"]
-    ).select(
-        F.lit("inter").alias("scope"),
+    out = pairdist_stats(c, ["c_mktsegment"], ["c_acctbal", "c_nationkey"])
+    return out.select(
+        "scope",
         F.col("c_mktsegment_a").alias("seg_a"),
         F.col("c_mktsegment_b").alias("seg_b"),
         F.round("mean_pair_dist2", ROUND_SUM).alias("mean_pair_dist2"),
     )
-    return intra.unionByName(inter)
 
 
 SQL_PAIRDIST = f"""

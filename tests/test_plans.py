@@ -86,6 +86,17 @@ def test_cluster_pipeline_single_wide_shuffle(spark):
     assert "SortMergeJoin" not in tree
 
 
+def test_shared_partial_queries_scan_fact_once(spark):
+    """pairdist and windowed_events derive both union branches from one
+    localCheckpointed partial aggregate: the final plan must contain NO
+    parquet scan at all (the single fact scan ran in the checkpoint
+    job) — a regression re-introduces one scan per branch."""
+    for name in ("pairdist", "windowed_events"):
+        df = QUERIES[name](spark, SF_DIR)
+        tree = plan_tree(df)
+        assert "Scan parquet" not in tree, name
+
+
 def test_cluster_fit_multi_algo_is_one_shuffle(spark):
     """The merged cluster_fit query fits all THREE algorithms inside
     one Arrow task: exactly one FlatMapGroupsInPandas in the plan (a
