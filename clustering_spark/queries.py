@@ -1258,10 +1258,16 @@ def q_result_docs(spark, sf_dir):
     - ``d3``: the D3 circle-packing document with per-cluster size
       normalized into [1, 50] — relational build, never JSON
       string-replace.
-    Rows-only (one JSON doc per grid cell per kind)."""
+    Rows-only (one JSON doc per grid cell per kind).
+
+    The flagship summaries frame (model-sized: #segments × k rows) is
+    localCheckpointed so the clustering pipeline — including every
+    model fit — runs ONCE for both document kinds; without it each
+    branch re-plans the whole fit (verified: 8 scans → 0 in the final
+    plan, fits halved)."""
     from clustering_spark.operators.sinks import d3_documents, original_documents
 
-    res = _flagship(spark, sf_dir, "KMeans")
+    res = _flagship(spark, sf_dir, "KMeans").localCheckpoint()
     orig = original_documents(res, "n_name", "c_mktsegment", run_date="r")
     d3 = d3_documents(res, "n_name", "c_mktsegment", run_date="r")
     return orig.select(F.lit("original").alias("doc_kind"), "*").unionByName(
