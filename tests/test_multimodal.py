@@ -82,6 +82,38 @@ class TestPngDecode:
         assert (gw, gh, gch) == (w, h, ch)
         assert got == samples
 
+    def test_random_images_roundtrip_property(self):
+        """Hypothesis sweep: any 8-bit image, any color type, any row
+        filter must encode→decode to the exact original samples."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 12),
+            h=st.integers(1, 12),
+            color_type=st.sampled_from([0, 2, 4, 6]),
+            filter_type=st.integers(0, 4),
+            data=st.data(),
+        )
+        def check(w, h, color_type, filter_type, data):
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+            samples = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * ch,
+                        max_size=w * h * ch,
+                    )
+                )
+            )
+            png = mm.make_png(w, h, samples, color_type, filter_type)
+            gw, gh, gch, got = mm._png_decode(png)
+            assert (gw, gh, gch) == (w, h, ch)
+            assert got == samples
+
+        check()
+
     def test_unsupported_color_type_raises(self):
         png = mm.make_png(2, 2, bytes(4), color_type=0)
         # corrupt the IHDR color type to 3 (palette) and re-walk
