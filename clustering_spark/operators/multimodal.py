@@ -206,6 +206,80 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = "id long, width int, height int, image binary"
+
+
+def resize_images(
+    df: DataFrame, bin_col: str, id_col: str, out_w: int, out_h: int
+) -> DataFrame:
+    """Nearest-neighbor resize to (out_w, out_h), Arrow-batched.
+
+    Decodes via the same gate as ``decode_image_meta`` (FAKE container
+    or baseline 8-bit PNG — stdlib only) and re-emits each image in its
+    ORIGINAL container format so resize composes with the other stages
+    (a resized PNG is still a PNG; a resized FAKE frame still feeds
+    ``sample_frames``). Vectorized numpy index-gather per image; the
+    batch never leaves the task."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                if b[:4] == MAGIC:
+                    w, h = _parse_header(b)
+                    arr = np.frombuffer(
+                        b[HEADER_LEN : HEADER_LEN + w * h], dtype=np.uint8
+                    ).reshape(h, w)[:, :, None]
+                    ch = 1
+                    fmt = "fake"
+                elif b[: len(PNG_MAGIC)] == PNG_MAGIC:
+                    w, h, ch, samples = _png_decode(b)
+                    arr = np.frombuffer(samples, dtype=np.uint8).reshape(
+                        h, w, ch
+                    )
+                    fmt = "png"
+                else:
+                    raise NotImplementedError(
+                        "resize supports the FAKE container and baseline "
+                        "8-bit PNG in this environment"
+                    )
+                # nearest-neighbor sample grid (pixel-center rule)
+                ys = np.minimum(
+                    ((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1
+                )
+                xs = np.minimum(
+                    ((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1
+                )
+                resized = arr[ys][:, xs]
+                if fmt == "fake":
+                    payload = resized[:, :, 0].tobytes()
+                    blob_out = (
+                        MAGIC + struct.pack(">HH", out_w, out_h) + payload
+                    )
+                else:
+                    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+                    blob_out = make_png(
+                        out_w, out_h, resized.tobytes(), color_type
+                    )
+                out.append(
+                    {
+                        "id": rid,
+                        "width": out_w,
+                        "height": out_h,
+                        "image": blob_out,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "image"]
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, RESIZE_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "id long, frame_idx int, frame binary"
 
 

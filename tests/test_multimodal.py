@@ -123,6 +123,47 @@ class TestPngDecode:
             mm._png_decode(bad)
 
 
+class TestResize:
+    def test_fake_downscale_and_compose(self, spark):
+        df = spark.createDataFrame(
+            [(1, mm.make_fake_image(4, 4, fill=42))], "id long, img binary"
+        )
+        out = mm.resize_images(df, "img", "id", 2, 2)
+        meta = mm.decode_image_meta(out, "image", "id").toPandas()
+        assert (meta.width[0], meta.height[0]) == (2, 2)
+        assert meta.mean_intensity[0] == 42.0
+
+    def test_png_resize_nearest_pixels(self, spark):
+        # 4x1 gray gradient -> 2x1: pixel centers 0.5,1.5 of 4 map to
+        # source columns 1 and 3
+        png = mm.make_png(4, 1, bytes([10, 20, 30, 40]), color_type=0)
+        df = spark.createDataFrame([(1, png)], "id long, img binary")
+        blob = mm.resize_images(df, "img", "id", 2, 1).collect()[0]["image"]
+        w, h, ch, samples = mm._png_decode(bytes(blob))
+        assert (w, h, ch) == (2, 1, 1)
+        assert list(samples) == [20, 40]
+
+    def test_png_upscale_preserves_format_and_channels(self, spark):
+        samples = bytes([10, 20, 30, 40, 50, 60])  # 2x1 RGB
+        png = mm.make_png(2, 1, samples, color_type=2)
+        df = spark.createDataFrame([(1, png)], "id long, img binary")
+        blob = mm.resize_images(df, "img", "id", 4, 2).collect()[0]["image"]
+        w, h, ch, got = mm._png_decode(bytes(blob))
+        assert (w, h, ch) == (4, 2, 3)
+        # each source pixel replicated 2x2
+        assert list(got[:6]) == [10, 20, 30, 10, 20, 30]
+
+    def test_unknown_format_raises(self, spark):
+        df = spark.createDataFrame([(1, b"JPEGnope")], "id long, img binary")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception) as exc:
+            mm.resize_images(df, "img", "id", 2, 2).collect()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
+
+
 def test_frame_sampling(spark):
     video = b"".join(mm.make_fake_image(2, 2, fill=i * 10) for i in range(6))
     df = spark.createDataFrame([(7, video)], "id long, vid binary")
