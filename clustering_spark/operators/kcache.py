@@ -94,6 +94,28 @@ class KCache:
             .drop("__rn")
         )
 
+    def version_conflicts(self, spark: SparkSession) -> DataFrame:
+        """Keys holding MORE THAN ONE row at their max version — the
+        signature of two writers appending the same version (see the
+        single-writer contract in the module docstring). Empty under
+        the supported one-tuner-per-interval scheduling; a multi-writer
+        deployment can assert on this after each interval, or migrate
+        the sink to a Delta/Iceberg MERGE."""
+        try:
+            raw = spark.read.parquet(self.path)
+        except Exception:
+            return spark.createDataFrame([], "version long").limit(0)
+        w = Window.partitionBy(*KEY_COLS).orderBy(F.col("version").desc())
+        ranked = raw.withColumn(
+            "__rk", F.rank().over(w)  # rank, not row_number: ties share 1
+        )
+        return (
+            ranked.filter(F.col("__rk") == 1)
+            .groupBy(*KEY_COLS, "version")
+            .agg(F.count(F.lit(1)).alias("n_writers"))
+            .filter(F.col("n_writers") > 1)
+        )
+
     def lookup(
         self,
         spark: SparkSession,

@@ -60,6 +60,27 @@ def test_empty_cache_reads(spark, tmp_path):
     cache = KCache(str(tmp_path / "nope"))
     assert cache.read_latest(spark).count() == 0
     assert cache.lookup(spark, "KMeans", "m", "u", "x", "y").count() == 0
+    assert cache.version_conflicts(spark).count() == 0
+
+
+def test_version_conflict_detection(spark, tmp_path):
+    """Two writers appending the SAME version for one key (the case the
+    single-writer contract forbids) must be visible to the detector;
+    distinct versions must not trip it."""
+    cache = KCache(str(tmp_path / "kc"))
+    entry = spark.createDataFrame(
+        [("KMeans", "m", "u", "x", "y", "a", "b")],
+        "algorithm string, macro_col string, micro_col string, "
+        "x_col string, y_col string, macro_id string, micro_id string",
+    )
+    e = entry.withColumn("k", F.lit(3)).withColumn("silhouette", F.lit(0.5))
+    cache.append(e, version=1)
+    cache.append(e.withColumn("k", F.lit(5)), version=2)
+    assert cache.version_conflicts(spark).count() == 0  # distinct versions
+    cache.append(e.withColumn("k", F.lit(7)), version=2)  # concurrent writer
+    bad = cache.version_conflicts(spark).collect()
+    assert len(bad) == 1
+    assert bad[0].version == 2 and bad[0].n_writers == 2
 
 
 def test_miss_tune_hit_flow(spark, tmp_path, seg_df):
