@@ -111,15 +111,20 @@ def test_registered_stream_parquet_sink_both_encodings(spark, enc_sf_dir):
 def test_registered_batch_window_events_both_encodings(spark, enc_sf_dir):
     from clustering_spark.queries import QUERIES
 
-    got = QUERIES["windowed_events"](spark, enc_sf_dir).toPandas()
+    both = QUERIES["windowed_events"](spark, enc_sf_dir).toPandas()
     # the tumbling branch of the merged batch windowing query must
     # still match ground truth under both ts encodings
     got = (
-        got[got.window_kind == "tumbling"]
+        both[both.window_kind == "tumbling"]
         .drop(columns=["window_kind"])
         .rename(columns={"win_start_epoch": "hour_epoch"})
     )
     _check_windows(got, _expected_windows(enc_sf_dir))
+    # sliding branch: every event lands in exactly window/slide = 4
+    # overlapping windows, so its event total is 4x the tumbling total
+    slide = both[both.window_kind == "sliding"]
+    assert slide.n_events.sum() == 4 * got.n_events.sum()
+    assert abs(slide.total_value.sum() - 4 * got.total_value.sum()) < 1e-4
 
 
 def test_registered_latest_event_both_encodings(spark, enc_sf_dir):
