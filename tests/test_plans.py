@@ -86,6 +86,16 @@ def test_cluster_pipeline_single_wide_shuffle(spark):
     assert "SortMergeJoin" not in tree
 
 
+def test_text_profile_single_scan_no_join(spark):
+    """The merged text profile (lang-ID + token counts + fingerprint)
+    must stay ONE documents scan of pure native expressions — no join
+    (the DuckDB oracle joins; the Spark plan must not need to)."""
+    df = QUERIES["text_profile"](spark, SF_DIR)
+    tree = plan_tree(df)
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+
+
 def test_shared_partial_queries_scan_fact_once(spark):
     """pairdist and windowed_events derive both union branches from one
     localCheckpointed partial aggregate: the final plan must contain NO
