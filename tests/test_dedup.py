@@ -111,6 +111,25 @@ def test_ngram_jaccard_matches_python(spark, docs):
     assert j.loc[(1, 2)] == 1.0
 
 
+def test_ngram_dense_overflow_falls_through_to_prefix_join(spark, docs):
+    """The dense-bitmap kernel is capped at allpairs_max_docs; above
+    the cap the operator must fall through to the bucketed prefix
+    equi-join and return the SAME pairs (the cap is a plan choice,
+    never a result change) — this is the regime a 100 TB corpus hits."""
+    kw = dict(n=5, jaccard_threshold=0.3, max_shingle_df=1.0)
+    dense = dedup.ngram_jaccard_pairs(docs, "id", "text", **kw).toPandas()
+    overflow = dedup.ngram_jaccard_pairs(
+        docs, "id", "text", n_docs=4, allpairs_max_docs=2, **kw
+    ).toPandas()
+    key = ["id_a", "id_b"]
+    assert sorted(map(tuple, dense[key].values)) == sorted(
+        map(tuple, overflow[key].values)
+    )
+    ja = dense.sort_values(key).jaccard.values
+    jb = overflow.sort_values(key).jaccard.values
+    assert (abs(ja - jb) < 1e-9).all()
+
+
 def test_ngram_jaccard_explicit_ndocs_matches_derived(spark, docs):
     # max_shingle_df < 1 activates the df cap; supplying n_docs must
     # give the same threshold as deriving it in-plan
