@@ -224,6 +224,63 @@ def run_stream_to_parquet(
     q.awaitTermination()
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    upper_us: int = 3_600_000_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: pairs every left row with
+    the right rows whose event time falls in (left_ts, left_ts +
+    upper_us µs] — the streaming form of the batch binned range join
+    (operators/rangejoin.py; e.g. clicks within 1 h of each signup).
+
+    Spark refuses stream-stream joins WITHOUT an equality predicate
+    (the state store is keyed by the equi-columns), so this uses the
+    same bucket trick as the batch operator: left rows explode into
+    their window bucket and the next (≤2×, exact — a right row in
+    (t, t+upper] lies in bucket(t) or bucket(t)+1), right rows carry
+    their own bucket, and the join is an EQUI-join on bucket plus the
+    exact event-time range as a residual TIMESTAMP comparison (kept as
+    raw column comparisons so Spark's watermark analysis derives state
+    eviction bounds from it).
+
+    Scale contract: both sides watermarked + the range condition →
+    join state is O(events inside watermark + upper), not O(stream).
+    Inner matches emit as soon as both rows have arrived (the
+    watermark only bounds state/lateness), so an availableNow replay
+    over a static directory drains the COMPLETE pair set — pinned by
+    the batch-equivalence test.
+
+    Column names must be disjoint (rename before calling)."""
+    l = (
+        left.withWatermark(left_ts, watermark)
+        .withColumn(
+            "__bkt_l",
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros({left_ts}) DIV {upper_us}"),
+                    F.expr(f"unix_micros({left_ts}) DIV {upper_us} + 1"),
+                )
+            ),
+        )
+    )
+    r = right.withWatermark(right_ts, watermark).withColumn(
+        "__bkt_r", F.expr(f"unix_micros({right_ts}) DIV {upper_us}")
+    )
+    cond = (
+        (F.col("__bkt_l") == F.col("__bkt_r"))
+        & (F.col(right_ts) > F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper_us} MICROSECOND")
+        )
+    )
+    return l.join(r, cond, "inner").drop("__bkt_l", "__bkt_r")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

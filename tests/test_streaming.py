@@ -69,6 +69,60 @@ def test_stream_window_counts_match_batch(spark, events_dir, tmp_path):
     assert (abs(a.total_value.values - b.total_value.values) < 1e-6).all()
 
 
+def test_stream_interval_join_matches_batch_range_join(spark, events_dir, tmp_path):
+    """Stream-stream interval join (signup ⋈ clicks in the next hour)
+    drained over a static directory must produce exactly the batch
+    binned range join's pair set — per-signup counts compared."""
+    from clustering_spark.operators.rangejoin import time_range_join
+    from clustering_spark.streaming.events_stream import stream_interval_join
+
+    signups = (
+        read_events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("s_id"), F.col("ts").alias("s_ts"))
+    )
+    clicks = (
+        read_events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"))
+    )
+    pairs = stream_interval_join(
+        signups, clicks, "s_ts", "c_ts", upper_us=3_600_000_000, watermark="2 hours"
+    )
+    assert pairs.isStreaming
+    run_stream_to_memory(
+        pairs, "sjoin_pairs", str(tmp_path / "ckpt_sjoin"), output_mode="append"
+    )
+    # per-signup counts as a batch projection of the drained pair set
+    got = (
+        spark.table("sjoin_pairs")
+        .groupBy("s_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+        .toPandas()
+        .sort_values("s_id")
+        .reset_index(drop=True)
+    )
+
+    e = spark.read.parquet(events_dir)
+    bs = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), F.unix_micros("ts").alias("s_us")
+    )
+    bc = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.unix_micros("ts").alias("c_us")
+    )
+    expect = (
+        time_range_join(bs, bc, "s_us", "c_us", lower_us=0, upper_us=3_600_000_000)
+        .groupBy("s_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+        .toPandas()
+        .sort_values("s_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect) > 0
+    assert (got.s_id.values == expect.s_id.values).all()
+    assert (got.n_clicks_1h.values == expect.n_clicks_1h.values).all()
+
+
 def test_stream_sliding_window_counts_match_batch(spark, events_dir, tmp_path):
     """Sliding windows (1h window / 15min slide): every event lands in 4
     overlapping windows; the drained complete-mode table must equal the
