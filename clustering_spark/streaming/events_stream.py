@@ -281,6 +281,61 @@ def stream_interval_join(
     return l.join(r, cond, "inner").drop("__bkt_l", "__bkt_r")
 
 
+def run_stream_upsert_parquet(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Update-mode drain through ``foreachBatch`` into a LATEST-WINS
+    parquet state table — the streaming analog of the reference's
+    Mongo upsert sinks (S9): each micro-batch's emissions merge into
+    the table keyed by ``key_cols``, keeping the row with the highest
+    ``order_cols`` per key (batch rows win ties, so monotone snapshot
+    re-emissions converge).
+
+    The state table is KEY-SPACE-sized (e.g. one row per user), so the
+    merge rewrites it wholesale each batch: read current → union →
+    latest-wins window → localCheckpoint (materialize BEFORE the
+    overwrite clobbers the files being read) → overwrite. That is the
+    honest dependency-free version; a production deployment swaps the
+    body for a Delta/Iceberg ``MERGE`` (same keys, same ordering) and
+    gets atomicity + O(changed keys) writes. foreachBatch + the
+    checkpoint give at-least-once batch delivery; the merge is
+    idempotent (same batch re-applied = same table), which upgrades
+    the sink to effectively-once."""
+    from pyspark.sql import Window
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols], F.col("__is_new").desc()
+        )
+        new = batch_df.withColumn("__is_new", F.lit(1))
+        try:
+            cur = spark.read.parquet(path).withColumn("__is_new", F.lit(0))
+            merged = cur.unionByName(new)
+        except Exception:  # first batch: no table yet
+            merged = new
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__is_new")
+            .localCheckpoint()  # cut lineage off the files we overwrite
+        )
+        latest.write.mode("overwrite").parquet(path)
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -217,6 +217,49 @@ def test_stateful_user_stats_match_batch(spark, events_dir, tmp_path):
     assert (a.last_seen.values == b.last_seen.values).all()
 
 
+def test_foreach_batch_upsert_sink_latest_wins(spark, events_dir, tmp_path):
+    """The foreachBatch upsert sink over multi-batch update-mode
+    emissions must converge to the batch per-user totals: monotone
+    snapshot re-emissions merge latest-wins on n_events."""
+    from clustering_spark.streaming.events_stream import (
+        run_stream_upsert_parquet,
+        stateful_user_stats,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    stats = stateful_user_stats(stream, ts_col="ts", watermark="2 hours")
+    out = str(tmp_path / "user_state")
+    run_stream_upsert_parquet(
+        stats.drop("closed"),
+        key_cols=["user_id"],
+        order_cols=["n_events"],
+        path=out,
+        checkpoint_dir=str(tmp_path / "ckpt_upsert"),
+    )
+    got = (
+        spark.read.parquet(out)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("tv"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    expect = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect) > 0
+    assert (got.user_id.values == expect.user_id.values).all()
+    assert (got.n_events.values == expect.n_events.values).all()
+    assert (abs(got.tv.values - expect.tv.values) < 1e-6).all()
+
+
 def test_stateful_user_stats_timeout_finalizes_idle_user(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1): user 2 is idle past the
     event-time timeout once the watermark advances after batch 1, so
