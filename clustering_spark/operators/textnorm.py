@@ -1,0 +1,149 @@
+"""Text normalization, PII redaction, and repetition-quality signals
+for training-data pipelines (beyond-reference scope, SURVEY §7.6 —
+companions to textops.py's quality/lang-ID/fingerprint stack).
+
+Everything here is native string/array expressions (regexp_replace,
+regexp_count, higher-order array functions) so the hot path stays
+JVM-side in whole-stage codegen; each operator is SQL-expressible and
+oracle-checkable. Regex patterns deliberately stay inside the subset
+shared by Java regex (Spark) and RE2 (DuckDB) so the same semantics
+hold on both sides of the gate.
+
+Scale design: all operators are per-row projections over a single
+scan — no shuffle, no UDF, no driver action. At 100 TB they run at
+scan speed and compose with the chunker/dedup stages for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared Java/RE2-compatible patterns. Simple by design: the goal is a
+# deterministic, auditable scrub (the standard pre-training hygiene
+# pass), not perfect recall.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # category -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+# Order matters: ssn before phone (a 3-2-4 digit group also matches
+# nothing in the phone pattern, but keep the more specific first for
+# future pattern edits), ipv4 before phone (dotted quads contain no
+# 3-3-4 runs today; same rationale).
+PII_ORDER = ["email", "ssn", "ipv4", "phone"]
+
+
+def normalize_text(text: Column | str, lowercase: bool = False) -> Column:
+    """Canonical whitespace form: control characters (C0 minus \\t \\n
+    \\r) stripped, all whitespace runs collapsed to single spaces,
+    trimmed. The standard pre-tokenization cleanup; with
+    ``lowercase=True`` it is exactly the normalization underneath
+    textops.fingerprint."""
+    t = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        t = F.lower(t)
+    no_ctrl = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+
+
+def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Append one ``n_pii_<category>`` long column per PII category
+    (match counts, not spans) plus ``n_pii_total``. Counting instead of
+    extracting keeps the output fixed-width — the filter/reporting
+    stage of a scrub pipeline only needs counts."""
+    t = F.col(text_col)
+    cols: dict[str, Column] = {}
+    total = F.lit(0).cast("long")
+    for cat in PII_ORDER:
+        pat, _ = PII_PATTERNS[cat]
+        c = F.regexp_count(t, F.lit(pat)).cast("long")
+        cols[f"n_pii_{cat}"] = c
+        total = total + c
+    cols["n_pii_total"] = total
+    return df.withColumns(cols)
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str = "text_redacted") -> DataFrame:
+    """Replace every PII match with its category token (<EMAIL>, <SSN>,
+    <IP>, <PHONE>), applied in PII_ORDER so earlier replacements cannot
+    create later matches. Pure regexp_replace chain — one projection."""
+    t = F.col(text_col)
+    for cat in PII_ORDER:
+        pat, token = PII_PATTERNS[cat]
+        t = F.regexp_replace(t, F.lit(pat), F.lit(token))
+    return df.withColumn(out_col, t)
+
+
+def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals, all native:
+
+    - ``dup_line_ratio``: 1 - distinct/total over non-empty lines —
+      boilerplate pages repeat nav/footer lines.
+    - ``rep_2gram_ratio``: 1 - distinct/total over word 2-grams —
+      generated/spun text repeats short phrases.
+    - ``top_token_ratio``: occurrences of the most frequent token over
+      total tokens, computed by a max-run scan over the SORTED token
+      array (O(n log n) comparisons, no per-distinct-token rescan, no
+      explode/groupBy shuffle).
+
+    High values on any signal flag a document for the quality gate;
+    thresholds are the caller's policy (Rae et al. 2021 use
+    dup_line_ratio > 0.3, top-2-gram > 0.2).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(0.0)
+
+    trimmed = F.trim(t)
+    toks = F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    n_toks = F.size(toks)
+    grams = F.when(n_toks >= 2, F.transform(
+        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+        lambda w, i: F.concat_ws("\x1f", w, F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    rep_2gram = F.when(
+        n_grams > 0,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / n_grams,
+    ).otherwise(0.0)
+
+    # max run length over sorted tokens: acc = (prev, run, best)
+    scan = F.aggregate(
+        F.sort_array(F.transform(toks, F.lower)),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(w), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(w), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_tok = F.when(
+        n_toks > 0, scan["best"].cast("double") / n_toks
+    ).otherwise(0.0)
+
+    return df.withColumns(
+        {
+            "dup_line_ratio": F.round(dup_line, 6),
+            "rep_2gram_ratio": F.round(rep_2gram, 6),
+            "top_token_ratio": F.round(top_tok, 6),
+        }
+    )

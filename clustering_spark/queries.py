@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from clustering_spark.config import PipelineConfig
 from clustering_spark.functions.scaling import scale_segments
-from clustering_spark.operators import dedup, similarity, textops
+from clustering_spark.operators import dedup, similarity, textnorm, textops
 from clustering_spark.pipeline import cluster_segments
 
 ROUND = 6  # decimals for per-row arithmetic / averages
@@ -1624,9 +1624,15 @@ FROM documents
 
 def q_text_quality(spark, sf_dir):
     """Quality-signal features per document (length/punct/digit/
-    stopword ratios + composite score) — pure native expressions."""
+    stopword ratios + composite score), Gopher-style repetition
+    signals (duplicate-line / repeated-2-gram / top-token ratios,
+    textnorm.repetition_signals), and PII match counts
+    (textnorm.pii_counts) — pure native expressions, one scan."""
     d = load_spread(spark, sf_dir, "documents")
-    return textops.quality_features(d, "text").select(
+    d = textops.quality_features(d, "text")
+    d = textnorm.repetition_signals(d, "text")
+    d = textnorm.pii_counts(d, "text")
+    return d.select(
         "doc_id",
         "n_tokens",
         "avg_token_len",
@@ -1634,29 +1640,63 @@ def q_text_quality(spark, sf_dir):
         "digit_ratio",
         "stopword_ratio",
         "quality_score",
+        "dup_line_ratio",
+        "rep_2gram_ratio",
+        "top_token_ratio",
+        "n_pii_email",
+        "n_pii_total",
     )
 
 
-SQL_TEXT_QUALITY = r"""
+def _pii_count_sql(cat: str) -> str:
+    """DuckDB match-count expression for one PII category, derived
+    from the SAME pattern table Spark uses (textnorm.PII_PATTERNS) so
+    the two sides of the gate cannot drift."""
+    pat = textnorm.PII_PATTERNS[cat][0].replace("'", "''")
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+_PII_EMAIL_SQL = _pii_count_sql("email")
+_PII_TOTAL_SQL = " + ".join(_pii_count_sql(c) for c in textnorm.PII_ORDER)
+
+SQL_TEXT_QUALITY = rf"""
 WITH base AS (
   SELECT doc_id, text, len(text) AS n_chars,
          CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\s+') END AS tk
+              ELSE string_split_regex(trim(text), '\s+') END AS tk,
+         list_filter(string_split(text, chr(10)),
+                     x -> len(trim(x)) > 0) AS lines
   FROM documents),
 m AS (
-  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+  SELECT doc_id, n_chars, tk, lines, len(tk) AS n_tokens,
          CASE WHEN len(tk) > 0 THEN n_chars::DOUBLE / len(tk) ELSE 0.0 END AS avg_tok,
          len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
          len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
          len(list_filter(tk, w -> list_contains(
            ['the','a','of','and','to','in','is','that','it','for'], lower(w))))
-           AS n_stop
+           AS n_stop,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(range(1, len(tk)), i -> tk[i] || chr(31) || tk[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS grams,
+         list_sort(list_transform(tk, x -> lower(x))) AS st,
+         {_PII_EMAIL_SQL} AS n_pii_email,
+         {_PII_TOTAL_SQL} AS n_pii_total
   FROM base),
 r AS (
-  SELECT doc_id, n_tokens, avg_tok,
+  SELECT doc_id, n_tokens, avg_tok, n_pii_email, n_pii_total,
          CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
          CASE WHEN n_chars > 0 THEN n_digit::DOUBLE / n_chars ELSE 0.0 END AS digit_ratio,
-         CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio
+         CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+              ELSE 0.0 END AS dup_line,
+         CASE WHEN len(grams) > 0
+              THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+              ELSE 0.0 END AS rep_2gram,
+         CASE WHEN n_tokens > 0 THEN
+           (SELECT max(cnt) FROM (
+              SELECT count(*) AS cnt FROM unnest(st) AS u(w) GROUP BY w))::DOUBLE
+           / n_tokens ELSE 0.0 END AS top_tok
   FROM m)
 SELECT doc_id, n_tokens,
        round(avg_tok, 6) AS avg_token_len,
@@ -1666,7 +1706,11 @@ SELECT doc_id, n_tokens,
        round((CASE WHEN avg_tok >= 3.0 AND avg_tok <= 10.0 THEN 1.0 ELSE 0.0 END
               + (1.0 - least(punct_ratio * 5.0, 1.0))
               + (1.0 - least(digit_ratio * 5.0, 1.0))
-              + least(stop_ratio * 5.0, 1.0)) / 4.0, 6) AS quality_score
+              + least(stop_ratio * 5.0, 1.0)) / 4.0, 6) AS quality_score,
+       round(dup_line, 6) AS dup_line_ratio,
+       round(rep_2gram, 6) AS rep_2gram_ratio,
+       round(top_tok, 6) AS top_token_ratio,
+       n_pii_email, n_pii_total
 FROM r
 """
 

@@ -1,0 +1,142 @@
+"""Normalization / PII / repetition-signal semantics: hand-computed
+docs plus a DuckDB cross-check of every signal that rides the oracle
+gate (the same SQL shapes used in queries.SQL_TEXT_QUALITY).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import textnorm
+
+from tests.conftest import SF_DIR
+
+
+def one(df, col="v"):
+    return df.collect()[0][col]
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  a\t\tb\x00c\n  d  ",)], "t string")
+    out = one(df.select(textnorm.normalize_text("t").alias("v")))
+    assert out == "a bc d"
+
+
+def test_normalize_lowercase_matches_fingerprint_norm(spark):
+    df = spark.createDataFrame([("  Mixed   CASE\ttext ",)], "t string")
+    out = one(df.select(textnorm.normalize_text("t", lowercase=True).alias("v")))
+    assert out == "mixed case text"
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "mail a@b.com or x.y-z@sub.example.org, call 555-123-4567, "
+        "ssn 123-45-6789, host 10.0.0.1"
+    )
+    df = spark.createDataFrame([(text,)], "t string")
+    row = textnorm.pii_counts(df, "t").collect()[0]
+    assert row.n_pii_email == 2
+    assert row.n_pii_phone == 1
+    assert row.n_pii_ssn == 1
+    assert row.n_pii_ipv4 == 1
+    assert row.n_pii_total == 5
+
+    red = one(textnorm.redact_pii(df, "t").select(F.col("text_redacted").alias("v")))
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<SSN>" in red and "<IP>" in red
+    assert "a@b.com" not in red and "123-45-6789" not in red and "10.0.0.1" not in red
+
+
+def test_redaction_order_ssn_not_eaten_by_phone(spark):
+    # 123-45-6789 must become <SSN>, not a partial phone redaction
+    df = spark.createDataFrame([("id 123-45-6789 end",)], "t string")
+    red = one(textnorm.redact_pii(df, "t").select(F.col("text_redacted").alias("v")))
+    assert red == "id <SSN> end"
+
+
+def test_repetition_signals_hand_computed(spark):
+    # 4 non-empty lines, 2 distinct -> dup_line_ratio 0.5
+    # tokens: a b a b a b -> 2-grams: ab ba ab ba ab (5 total, 2 distinct)
+    text = "a b a b\na b a b\nx\nx"
+    df = spark.createDataFrame([(text.replace("\\n", "\n"),)], "t string")
+    row = textnorm.repetition_signals(df, "t").collect()[0]
+    assert abs(row.dup_line_ratio - 0.5) < 1e-6
+    # tokens across lines: a b a b a b a b x x (split on \s+ incl \n)
+    # 2-grams: 9 total -> [ab,ba]*... distinct = {ab, ba, bx, xx} = 4
+    assert abs(row.rep_2gram_ratio - (1 - 4 / 9)) < 1e-6
+    # top token: a or b, 4/10 occurrences
+    assert abs(row.top_token_ratio - 0.4) < 1e-6
+
+
+def test_repetition_signals_empty_and_single(spark):
+    df = spark.createDataFrame([("",), ("word",)], "t string")
+    rows = textnorm.repetition_signals(df, "t").collect()
+    for r in rows[:1]:
+        assert r.dup_line_ratio == 0.0
+        assert r.rep_2gram_ratio == 0.0
+        assert r.top_token_ratio == 0.0
+    assert rows[1].top_token_ratio == 1.0
+    assert rows[1].rep_2gram_ratio == 0.0
+
+
+def test_top_token_case_insensitive(spark):
+    df = spark.createDataFrame([("The the THE word",)], "t string")
+    row = textnorm.repetition_signals(df, "t").collect()[0]
+    assert abs(row.top_token_ratio - 0.75) < 1e-6
+
+
+def test_signals_match_duckdb_on_documents(spark):
+    """Cross-check the oracle SQL shapes on real testdata."""
+    sp = (
+        textnorm.pii_counts(
+            textnorm.repetition_signals(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"), "text"
+            ),
+            "text",
+        )
+        .select(
+            "doc_id", "dup_line_ratio", "rep_2gram_ratio", "top_token_ratio",
+            "n_pii_email", "n_pii_total",
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    dk = con.execute(
+        rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)),
+                             x -> len(trim(x)) > 0) AS lines,
+                 CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS tk
+          FROM read_parquet('{SF_DIR}/documents.parquet')),
+        g AS (
+          SELECT doc_id, text, lines, tk,
+                 CASE WHEN len(tk) >= 2 THEN
+                   list_transform(range(1, len(tk)),
+                     i -> tk[i] || chr(31) || tk[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END AS grams,
+                 list_sort(list_transform(tk, x -> lower(x))) AS st
+          FROM base)
+        SELECT doc_id,
+          round(CASE WHEN len(lines) > 0
+            THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+            ELSE 0.0 END, 6) AS dup_line_ratio,
+          round(CASE WHEN len(grams) > 0
+            THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+            ELSE 0.0 END, 6) AS rep_2gram_ratio,
+          round(CASE WHEN len(tk) > 0 THEN
+            (SELECT max(cnt) FROM (
+               SELECT count(*) AS cnt FROM unnest(st) AS u(w) GROUP BY w))::DOUBLE
+            / len(tk) ELSE 0.0 END, 6) AS top_token_ratio,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}')) AS n_pii_email
+        FROM g ORDER BY doc_id
+        """
+    ).df()
+    assert len(sp) == len(dk)
+    for col in ["dup_line_ratio", "rep_2gram_ratio", "top_token_ratio"]:
+        assert (sp[col] - dk[col]).abs().max() < 1e-6, col
+    assert (sp["n_pii_email"].astype("int64") == dk["n_pii_email"].astype("int64")).all()
