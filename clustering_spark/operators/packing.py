@@ -1,0 +1,125 @@
+"""Sequence packing for LLM training pipelines (beyond-reference
+scope): assign documents to fixed-token-budget training sequences
+("packs") so concatenated samples waste as little context window as
+possible.
+
+Exact global bin packing is NP-hard and inherently serial; the
+standard distributed practice is bucket-local first-fit-decreasing
+(FFD): shard documents into deterministic hash buckets, pack each
+bucket independently, and namespace pack ids by bucket. Packing
+quality is within a constant of optimal per bucket (FFD <= 11/9 OPT +
+6/9 bins) and buckets are embarrassingly parallel, so the operator
+scales horizontally: 100 TB of documents is just more buckets.
+
+Only (id, token_count) ride the shuffle and the Python worker — never
+text. The output is an assignment table (doc -> pack); callers join it
+back to the payload to materialize packed sequences, which keeps this
+operator's shuffle narrow no matter how wide the documents are.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# pack_id = bucket * _BUCKET_STRIDE + local bin index; stride leaves
+# room for 1e9 bins per bucket (a bucket would need ~1e9 docs to
+# overflow — repartition first if so).
+_BUCKET_STRIDE = 1_000_000_000
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_tokens: int,
+    num_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """FFD-pack documents into sequences of at most ``max_tokens``.
+
+    Returns (``id_col``, ``n_tokens`` long, ``pack_id`` long,
+    ``oversize`` boolean). Documents with ``token_col > max_tokens``
+    cannot fit any pack; they come back as single-doc packs flagged
+    ``oversize=true`` so the caller can chunk (textops.chunk_documents)
+    or drop them — silently truncating here would corrupt counts.
+
+    Deterministic: bucket = xxhash64(salt, id) % num_buckets, and each
+    bucket packs its docs in (token_count desc, id) order, so the
+    assignment is a pure function of the input set — independent of
+    input partitioning, task scheduling, or prior transformations.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    slim = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(num_buckets))
+        .cast("int")
+        .alias("__bucket"),
+    )
+
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "n_tokens long, pack_id long, oversize boolean"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["__bucket"].iloc[0])
+        base = bucket * _BUCKET_STRIDE
+        srt = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        )
+        ids = srt[id_col].to_numpy()
+        toks = srt["n_tokens"].to_numpy()
+        # bins: remaining capacity per open pack. FFD with a simple
+        # linear scan — fine because per-bucket doc counts are bounded
+        # by the bucket sharding, and toks is sorted so early bins
+        # fill and stop matching quickly.
+        remaining: list[int] = []
+        assign = [0] * len(ids)
+        oversize = [False] * len(ids)
+        for i, t in enumerate(toks):
+            t = int(t)
+            if t > max_tokens:
+                remaining.append(0)  # dedicated, already-full pack
+                assign[i] = len(remaining) - 1
+                oversize[i] = True
+                continue
+            for b, cap in enumerate(remaining):
+                if cap >= t:
+                    remaining[b] = cap - t
+                    assign[i] = b
+                    break
+            else:
+                remaining.append(max_tokens - t)
+                assign[i] = len(remaining) - 1
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_tokens": toks,
+                "pack_id": [base + a for a in assign],
+                "oversize": oversize,
+            }
+        )
+
+    return slim.groupBy("__bucket").applyInPandas(_pack, out_schema)
+
+
+def pack_stats(assignment: DataFrame, max_tokens: int) -> DataFrame:
+    """Per-pack summary of a pack_sequences assignment: doc count,
+    token total, fill ratio. One narrow groupBy — the monitoring query
+    a pipeline runs after packing to watch fill-rate regressions."""
+    return (
+        assignment.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("total_tokens") / F.lit(float(max_tokens)), 6),
+        )
+    )

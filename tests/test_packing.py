@@ -1,0 +1,81 @@
+"""Sequence-packing invariants: exactly-once assignment, budget
+respected, oversize flagging, determinism under repartitioning, and
+FFD fill quality on real testdata token counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import packing, textops
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return d.select(
+        "doc_id", textops.token_count("text").alias("n_tok")
+    ).cache()
+
+
+def test_exactly_once_and_budget(spark, doc_tokens):
+    a = packing.pack_sequences(doc_tokens, "doc_id", "n_tok", max_tokens=256)
+    n_docs = doc_tokens.count()
+    assert a.count() == n_docs
+    assert a.select("doc_id").distinct().count() == n_docs
+
+    stats = packing.pack_stats(a, 256)
+    bad = stats.filter((F.col("total_tokens") > 256) & (~F.col("oversize")))
+    assert bad.count() == 0
+    # oversize packs are single-doc by construction
+    over = a.filter("oversize").groupBy("pack_id").count()
+    assert over.filter("count > 1").count() == 0
+
+
+def test_oversize_flagged(spark):
+    rows = [("big", 1000), ("a", 100), ("b", 100)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long")
+    a = packing.pack_sequences(df, "doc_id", "n_tok", max_tokens=256, num_buckets=1)
+    got = {r.doc_id: r for r in a.collect()}
+    assert got["big"].oversize
+    assert not got["a"].oversize and not got["b"].oversize
+    # a and b fit one shared pack
+    assert got["a"].pack_id == got["b"].pack_id
+    assert got["big"].pack_id != got["a"].pack_id
+
+
+def test_deterministic_under_repartition(spark, doc_tokens):
+    a1 = packing.pack_sequences(doc_tokens, "doc_id", "n_tok", 512).orderBy("doc_id")
+    a2 = packing.pack_sequences(
+        doc_tokens.repartition(13), "doc_id", "n_tok", 512
+    ).orderBy("doc_id")
+    assert [tuple(r) for r in a1.collect()] == [tuple(r) for r in a2.collect()]
+
+
+def test_fill_quality(spark, doc_tokens):
+    """FFD should fill packs well: mean fill of non-tail packs >= 0.7
+    on real token-count distributions (loose bound; regression guard
+    against e.g. an accidental one-doc-per-pack assignment)."""
+    max_tokens = 512
+    buckets = 4
+    a = packing.pack_sequences(
+        doc_tokens, "doc_id", "n_tok", max_tokens, num_buckets=buckets
+    )
+    stats = packing.pack_stats(a, max_tokens).filter("NOT oversize")
+    n_packs = stats.count()
+    total = stats.agg(F.sum("total_tokens")).collect()[0][0]
+    # lower bound on possible packs = ceil(total/max); FFD within 1.3x
+    # plus at most one partial tail pack per bucket
+    import math
+
+    assert n_packs <= math.ceil(total / max_tokens) * 1.3 + buckets
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id string, n_tok long")
+    a = packing.pack_sequences(df, "doc_id", "n_tok", 128)
+    assert a.count() == 0
+    assert a.columns == ["doc_id", "n_tokens", "pack_id", "oversize"]
