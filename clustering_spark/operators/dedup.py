@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clustering_spark.functions.vector import cosine_similarity
@@ -219,37 +219,25 @@ def minhash_signature_from_hashes(
     )
 
 
-def minhash_lsh_pairs(
+def _staged_minhash(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_words: int = 3,
-    jaccard_threshold: float = 0.5,
-    seed: int = 42,
+    num_hashes: int,
+    shingle_words: int,
+    seed: int,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding + exact-Jaccard
-    verification on the shingle-hash sets.
-
-    Plan shape: project (id, sig, shingle_hashes) → explode bands →
-    self-equi-join on (band, band_hash) → distinct candidate pairs →
-    verify with exact Jaccard (array_intersect on shingle hashes).
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
-    """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-
-    # STAGED projections: tokenization -> hashes -> signature. Each
-    # stage references the previous through a named column, so the
-    # expensive shingle pipeline runs once per row — inlining it into
-    # the 64 hash expressions re-evaluates it 64x (measured: ~60x
-    # wall-clock on the sf0.1 documents table). Tokenization itself is
-    # the Arrow-batched kernel: one eval per row, never cloned into the
-    # downstream hash/distinct projections the way Catalyst inlines a
-    # non-cheap expression tree; xxhash64 stays JVM-side.
+    """STAGED projections (id, __sig, __sh): tokenization -> hashes ->
+    signature. Each stage references the previous through a named
+    column, so the expensive shingle pipeline runs once per row —
+    inlining it into the 64 hash expressions re-evaluates it 64x
+    (measured: ~60x wall-clock on the sf0.1 documents table).
+    Tokenization itself is the Arrow-batched kernel: one eval per row,
+    never cloned into the downstream hash/distinct projections the way
+    Catalyst inlines a non-cheap expression tree; xxhash64 stays
+    JVM-side."""
     shingler = _word_shingles_arrow(shingle_words)
-    base = (
+    return (
         df.select(
             F.col(id_col).alias("__id"),
             shingler(
@@ -272,14 +260,18 @@ def minhash_lsh_pairs(
         )
     )
 
-    # SLIM band join: the 16x-exploded band table carries ONLY
-    # (id, band_idx, band_hash) — never the shingle-hash arrays.
-    # Shuffling the ~400B/doc arrays through the explode would
-    # multiply shuffle volume by the band count; instead the (small,
-    # LSH-selected) deduped pair list joins BACK to the per-doc array
-    # table for verification, so the arrays are scanned twice but
-    # shuffled at most once, un-exploded.
-    banded = base.select(
+
+def _banded(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """SLIM band table (id, band_idx, band_hash): the bands-x-exploded
+    rows carry ONLY the 3 narrow columns — never the shingle-hash
+    arrays. Shuffling the ~400B/doc arrays through the explode would
+    multiply shuffle volume by the band count; instead the (small,
+    LSH-selected) deduped pair list joins BACK to the per-doc array
+    table for verification, so the arrays are scanned twice but
+    shuffled at most once, un-exploded."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    return base.select(
         "__id",
         F.explode(
             F.transform(
@@ -293,6 +285,28 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("__id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact-Jaccard
+    verification on the shingle-hash sets.
+
+    Plan shape: project (id, sig, shingle_hashes) → explode bands →
+    self-equi-join on (band, band_hash) → distinct candidate pairs →
+    verify with exact Jaccard (array_intersect on shingle hashes).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base = _staged_minhash(df, id_col, text_col, num_hashes, shingle_words, seed)
+    banded = _banded(base, num_hashes, bands)
 
     left = banded.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
@@ -315,6 +329,98 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def novel_exact(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_df`` whose
+    normalized-content fingerprint (lower-cased, whitespace-collapsed
+    md5 — textops.fingerprint semantics) does NOT already appear in
+    ``corpus_df``, with in-batch duplicates also collapsed to the
+    min-id survivor.
+
+    The anti-join ships only (fingerprint) for the corpus side and
+    (fingerprint, id) for the new side — at 100 TB the corpus scan
+    reduces to a 16-byte-per-doc digest exchange, and in the steady
+    state the corpus fingerprints are a precomputed column, making
+    ingest-novelty one pruned scan + one hash anti-join."""
+    fp = lambda c: F.md5(  # noqa: E731 — tiny local expression
+        F.regexp_replace(F.trim(F.lower(F.col(c))), r"\s+", " ")
+    )
+    new_fp = new_df.withColumn("__fp", fp(text_col))
+    corpus_fp = corpus_df.select(fp(text_col).alias("__fp")).distinct()
+    survivors = (
+        new_fp.join(corpus_fp, on="__fp", how="left_anti")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .drop("__fp", "__rk")
+    )
+    return survivors
+
+
+def novel_minhash(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental NEAR-dup filter: rows of ``new_df`` that are not
+    within ``jaccard_threshold`` of any ``corpus_df`` document.
+
+    Same staged-signature + slim-band machinery as minhash_lsh_pairs,
+    but the band join is new-vs-corpus instead of a self-join, and the
+    verified hits feed a half-join back: candidates -> exact-Jaccard
+    verify -> distinct hit ids -> left_anti against new_df. The corpus
+    side never materializes pairs among itself, so incremental ingest
+    cost is O(new x band collisions), independent of corpus-internal
+    duplication. In-batch near-dups are NOT collapsed here — run
+    minhash_lsh_pairs + the CC keep-filter on the survivors for that;
+    keeping the two stages separate keeps each one's shuffle narrow.
+    """
+    base_new = _staged_minhash(
+        new_df, id_col, text_col, num_hashes, shingle_words, seed
+    )
+    base_corp = _staged_minhash(
+        corpus_df, id_col, text_col, num_hashes, shingle_words, seed
+    )
+    bn = _banded(base_new, num_hashes, bands).withColumnsRenamed(
+        {"__id": "id_new"}
+    )
+    bc = _banded(base_corp, num_hashes, bands).withColumnsRenamed(
+        {"__id": "id_corp"}
+    )
+    cands = (
+        bn.join(bc, on=["band_idx", "band_hash"])
+        .select("id_new", "id_corp")
+        .dropDuplicates(["id_new", "id_corp"])
+    )
+    fa = base_new.select(F.col("__id").alias("id_new"), F.col("__sh").alias("sh_a"))
+    fb = base_corp.select(F.col("__id").alias("id_corp"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    hits = (
+        cands.join(fa, on="id_new")
+        .join(fb, on="id_corp")
+        .filter(jac >= jaccard_threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(hits, on=id_col, how="left_anti")
 
 
 def _bitmap_pack_udf(vocab: dict[str, int], nwords: int):
