@@ -175,6 +175,79 @@ def knn_join(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, out_col: str = "qvec"
+) -> DataFrame:
+    """Direction-preserving int8 quantization: q = round(127 * v/||v||)
+    per vector, stored as ``array<tinyint>``.
+
+    Cosine only needs the direction, so normalizing before quantizing
+    folds the scale factor away — no per-row scale column to carry, and
+    approximate cosine between two quantized vectors is just their
+    int-dot over their int-norms. The payload drops 4x (float32) to 8x
+    (float64) — at 100 TB that is the difference between shuffling
+    25 TB and 3 TB of vectors through every ANN stage, and the scan
+    side of brute-force search becomes int8-wide.
+
+    Pure native expressions (two O(dim) HOF aggregates per row), so
+    quantization runs at scan speed; zero vectors quantize to all-zero
+    (callers' NULL/zero-norm handling is unchanged)."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    qv = F.transform(
+        v,
+        lambda x: F.round(x * 127.0 / norm).cast("tinyint"),
+    )
+    zero = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    return df.withColumn(out_col, F.when(norm > 0.0, qv).otherwise(zero))
+
+
+def topk_quantized_rerank(
+    df: DataFrame,
+    vec_col: str,
+    qvec_col: str,
+    query: list[float],
+    id_col: str,
+    k: int = 10,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-stage top-k: score the int8 column with an Arrow-batched
+    integer GEMV, keep k*rerank_factor candidates, then rerank exactly
+    on the float column. The wide float vectors are touched only for
+    the tiny candidate set (semi-join back to the corpus), so the scan
+    is int8-wide and the result ties out to exact cosine for any
+    candidate set that covers the true top-k — the standard
+    quantize-then-rerank ANN recipe (e.g. FAISS SQ8).
+
+    Output schema matches cosine_topk (id, cosine) so callers can swap
+    the exact scan for this without downstream changes."""
+    qv = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    if qn == 0.0:
+        raise ValueError("topk_quantized_rerank: zero-norm query")
+    qq = np.round(qv * 127.0 / qn).astype(np.int32)
+    qqn = float(np.linalg.norm(qq))
+
+    @F.pandas_udf("double")
+    def approx_cos(col: pd.Series) -> pd.Series:
+        Q = np.vstack(col.to_numpy()).astype(np.int32)
+        dots = Q @ qq
+        norms = np.sqrt((Q * Q).sum(axis=1, dtype=np.int64).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = dots / (norms * qqn)
+        return pd.Series(np.where(norms > 0, s, np.nan))
+
+    cands = (
+        df.select(F.col(id_col), approx_cos(F.col(qvec_col)).alias("__acos"))
+        .orderBy(F.col("__acos").desc_nulls_last(), F.col(id_col))
+        .limit(k * rerank_factor)
+        .select(id_col)
+    )
+    return cosine_topk(
+        df.join(cands, on=id_col, how="left_semi"), vec_col, query, id_col, k
+    )
+
+
 class IVFIndex:
     """Inverted-file ANN index: nlist k-means cells over a sample,
     cell-pruned search.
