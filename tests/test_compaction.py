@@ -1,0 +1,88 @@
+"""Compacted-writer behavior: file count tracks the size target,
+round-trip fidelity, range-sorted file pruning stats, and hive
+partitioning composition.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.sources import compaction
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def _files(path):
+    return [
+        f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ]
+
+
+def test_estimate_bytes_sane(spark, lineitem):
+    est = compaction.estimate_bytes(lineitem)
+    n = lineitem.count()
+    # lineitem rows are ~100-200 logical bytes
+    assert est > n * 50 and est < n * 1000
+
+
+def test_file_count_tracks_target(spark, lineitem, tmp_path):
+    est = compaction.estimate_bytes(lineitem)
+    target = est // 4 + 1
+    n = compaction.write_compacted(lineitem, str(tmp_path / "a"), target)
+    assert n == 4
+    assert len(_files(str(tmp_path / "a"))) == 4
+    back = spark.read.parquet(str(tmp_path / "a"))
+    assert back.count() == lineitem.count()
+
+
+def test_single_file_when_target_large(spark, lineitem, tmp_path):
+    n = compaction.write_compacted(
+        lineitem, str(tmp_path / "b"), 10 * 1024 * 1024 * 1024
+    )
+    assert n == 1
+    assert len(_files(str(tmp_path / "b"))) == 1
+
+
+def test_range_sorted_files_disjoint(spark, lineitem, tmp_path):
+    est = compaction.estimate_bytes(lineitem)
+    compaction.write_compacted(
+        lineitem, str(tmp_path / "c"), est // 4 + 1, sort_col="l_orderkey"
+    )
+    spark_ = lineitem.sparkSession
+    ranges = []
+    for f in _files(str(tmp_path / "c")):
+        r = (
+            spark_.read.parquet(f)
+            .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+            .collect()[0]
+        )
+        if r.lo is not None:
+            ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # files cover disjoint key ranges -> pruning works
+
+
+def test_hive_partitioning(spark, tmp_path):
+    df = spark.range(1000).withColumn("part", (F.col("id") % 3).cast("int"))
+    compaction.write_compacted(
+        df, str(tmp_path / "d"), 1 << 30, partition_cols=["part"]
+    )
+    dirs = sorted(os.listdir(str(tmp_path / "d")))
+    assert [d for d in dirs if d.startswith("part=")] == [
+        "part=0", "part=1", "part=2"
+    ]
+
+
+def test_bad_target_raises(spark, lineitem):
+    with pytest.raises(ValueError):
+        compaction.plan_file_count(100, 0)
