@@ -40,6 +40,51 @@ def hash_sample(
     return df.filter(_hex_bucket(key_col, salt) < F.lit(_hex_threshold(fraction)))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    hash fraction (e.g. downsample 'en' to 10%, keep low-resource
+    languages whole — the standard corpus rebalancing move). Same
+    pushdown-friendly md5-threshold filter as hash_sample, just with a
+    per-stratum threshold literal; unknown strata keep
+    ``default_fraction``. Membership stays a pure function of
+    (key, stratum), so rebalanced corpora are reproducible and rows
+    never flip strata when the corpus grows."""
+    bucket = _hex_bucket(key_col, salt)
+    strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    thr = F.lit(_hex_threshold(min(max(default_fraction, 0.0), 1.0)))
+    for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        thr = F.when(
+            strata == F.lit(value),
+            F.lit(_hex_threshold(min(max(float(frac), 0.0), 1.0))),
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def hash_topn_sample(
+    df: DataFrame, key_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """EXACTLY-n deterministic uniform sample: order by the key hash,
+    keep the first n. Unlike fraction sampling this hits a precise
+    sample size (eval sets, human-review batches). Plan is
+    TakeOrderedAndProject — each partition keeps n candidates, only
+    P*n rows reach the driver-side merge, nothing else shuffles. The
+    sample is stable under partitioning changes; adding rows to the
+    corpus can only swap members whose hashes cross the nth boundary
+    (it is a bottom-n-by-hash set, the same property MinHash relies
+    on)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return df.orderBy(
+        F.xxhash64(key.cast("string"), F.lit(salt)).asc(), key.asc()
+    ).limit(n)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
@@ -50,7 +95,13 @@ def hash_split(
     """Assign every row a split label by cumulative hash ranges, e.g.
     {'train': 0.8, 'val': 0.1, 'test': 0.1}. Fractions must sum to 1;
     the last split absorbs the hash-range remainder so every row is
-    labelled."""
+    labelled.
+
+    Leakage-safe splits: pass the GROUP key (url domain, author,
+    near-dup component id from graph.connected_components) as
+    ``key_col`` and every row of a group lands in the same split —
+    train/test contamination through near-duplicates is exactly
+    splitting on doc id when dup clusters straddle the boundary."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")

@@ -5,7 +5,14 @@ from __future__ import annotations
 
 import pytest
 
-from clustering_spark.operators.sampling import hash_sample, hash_split
+from pyspark.sql import functions as F
+
+from clustering_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    hash_topn_sample,
+    stratified_hash_sample,
+)
 
 
 def test_sample_deterministic_and_stable_under_growth(spark):
@@ -49,3 +56,48 @@ def test_split_fractions_must_sum_to_one(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         hash_split(df, "id", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_per_stratum_fraction(spark):
+    df = spark.range(20000).withColumn(
+        "lang", F.when(F.col("id") % 4 == 0, "de").otherwise("en")
+    )
+    out = stratified_hash_sample(df, "id", "lang", {"en": 0.1, "de": 1.0})
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["de"] == 5000  # fraction 1.0 keeps the whole stratum
+    assert 1200 < counts["en"] < 1800  # ~10% of 15000
+    # per-stratum membership == plain hash_sample at that fraction
+    en_only = hash_sample(df.filter("lang = 'en'"), "id", 0.1)
+    assert sorted(r.id for r in out.filter("lang = 'en'").collect()) == sorted(
+        r.id for r in en_only.collect()
+    )
+
+
+def test_stratified_unknown_stratum_default(spark):
+    df = spark.range(1000).withColumn("s", F.lit("other"))
+    assert stratified_hash_sample(df, "id", "s", {"en": 0.5}).count() == 0
+    assert (
+        stratified_hash_sample(
+            df, "id", "s", {"en": 0.5}, default_fraction=1.0
+        ).count()
+        == 1000
+    )
+
+
+def test_topn_exact_and_stable(spark):
+    df = spark.range(10000)
+    s1 = sorted(r.id for r in hash_topn_sample(df, "id", 100).collect())
+    assert len(s1) == 100
+    s2 = sorted(
+        r.id for r in hash_topn_sample(df.repartition(17), "id", 100).collect()
+    )
+    assert s1 == s2
+    # growing the corpus only swaps members across the hash boundary:
+    # the new sample is NOT disjoint from the old one
+    s3 = sorted(
+        r.id for r in hash_topn_sample(spark.range(20000), "id", 100).collect()
+    )
+    assert len(set(s1) & set(s3)) > 30
