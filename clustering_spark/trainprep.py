@@ -1,0 +1,178 @@
+"""End-to-end training-data preparation: the composition layer that
+chains the engine's LLM-pipeline operators in their canonical order.
+
+    raw documents
+      -> normalize + redact PII              (textnorm, scan-speed)
+      -> quality + repetition gate           (textops/textnorm filters)
+      -> exact in-batch dedup                (dedup.exact_dedup key)
+      -> novelty vs existing corpus          (dedup.novel_exact/minhash)
+      -> near-dup collapse                   (minhash LSH + CC survivor)
+      -> leakage-safe train/val/test split   (sampling.hash_split on the
+                                              near-dup COMPONENT id)
+      -> context chunking + sequence packing (textops.chunk_documents,
+                                              packing.pack_sequences)
+
+Each stage is the already-tested operator; this module only wires
+them, so the 100 TB story is the sum of the per-operator shapes
+documented in PERFORMANCE.md — nothing here adds a shuffle, collect,
+or UDF of its own. Stages toggle off independently (corpus=None skips
+novelty; thresholds=None skips the gate) so callers can run partial
+pipelines without forking the composition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import dedup, packing, sampling, textnorm, textops
+from clustering_spark.operators.graph import connected_components
+
+
+@dataclass
+class QualityThresholds:
+    """Gate policy (Rae et al. 2021-flavored defaults, deliberately
+    loose — tighten per corpus)."""
+
+    min_quality_score: float = 0.25
+    max_dup_line_ratio: float = 0.5
+    max_rep_2gram_ratio: float = 0.6
+    max_top_token_ratio: float = 0.5
+    min_tokens: int = 5
+
+
+@dataclass
+class PrepConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    thresholds: QualityThresholds | None = field(default_factory=QualityThresholds)
+    redact: bool = True
+    jaccard_threshold: float = 0.8
+    shingle_words: int = 3
+    split_fractions: dict = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    chunk_size: int = 2000
+    chunk_stride: int = 1800
+    pack_max_tokens: int = 2048
+    seed: int = 42
+
+
+def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+    """Score + filter. Keeps the signal columns on the output so the
+    kept/dropped decision is auditable downstream."""
+    t = cfg.thresholds
+    scored = textnorm.repetition_signals(
+        textops.quality_features(df, cfg.text_col), cfg.text_col
+    )
+    if t is None:
+        return scored
+    return scored.filter(
+        (F.col("quality_score") >= t.min_quality_score)
+        & (F.col("dup_line_ratio") <= t.max_dup_line_ratio)
+        & (F.col("rep_2gram_ratio") <= t.max_rep_2gram_ratio)
+        & (F.col("top_token_ratio") <= t.max_top_token_ratio)
+        & (F.col("n_tokens") >= t.min_tokens)
+    )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    cfg: PrepConfig | None = None,
+    corpus: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full prep chain. Returns the named intermediate frames
+    (all lazy — callers materialize what they need):
+
+    - ``clean``      normalized/redacted docs + quality columns (gated)
+    - ``unique``     exact + near-dup survivors, novelty-filtered,
+                     with ``component`` (near-dup cluster id)
+    - ``split``      ``unique`` + leakage-safe ``split`` label keyed on
+                     the near-dup component, so near-identical docs can
+                     never straddle train/test
+    - ``chunks``     context-window chunks of the survivors
+    - ``packs``      doc -> pack assignment at ``pack_max_tokens``
+    """
+    cfg = cfg or PrepConfig()
+    id_c, text_c = cfg.id_col, cfg.text_col
+
+    # 1. normalize (+ optional redaction), then gate on quality
+    normed = df.withColumn(text_c, textnorm.normalize_text(text_c))
+    if cfg.redact:
+        normed = textnorm.redact_pii(normed, text_c, out_col=text_c)
+    clean = quality_gate(normed, cfg)
+
+    # 2. exact in-batch dedup (min-id survivor)
+    exact_keep = dedup.exact_dedup(clean, [text_c], id_c).select(
+        F.col(id_c).alias("__keep")
+    )
+    deduped = clean.join(
+        exact_keep, on=clean[id_c] == F.col("__keep"), how="left_semi"
+    )
+
+    # 3. novelty vs the existing corpus (skip when corpus is None)
+    if corpus is not None:
+        deduped = dedup.novel_exact(deduped, corpus, id_c, text_c)
+        deduped = dedup.novel_minhash(
+            deduped,
+            corpus,
+            id_c,
+            text_c,
+            shingle_words=cfg.shingle_words,
+            jaccard_threshold=cfg.jaccard_threshold,
+            seed=cfg.seed,
+        )
+
+    # 4. in-batch near-dup collapse: LSH pairs -> connected components
+    #    -> min-id survivor per component. Docs with no near-dup are
+    #    their own component (component = own id).
+    pairs = dedup.minhash_lsh_pairs(
+        deduped,
+        id_c,
+        text_c,
+        shingle_words=cfg.shingle_words,
+        jaccard_threshold=cfg.jaccard_threshold,
+        seed=cfg.seed,
+    )
+    comp = connected_components(pairs)  # (node, comp)
+    with_comp = (
+        deduped.join(
+            comp.withColumnRenamed("node", id_c), on=id_c, how="left"
+        )
+        .withColumn("component", F.coalesce("comp", F.col(id_c)))
+        .drop("comp")
+    )
+    unique = (
+        with_comp.withColumn(
+            "__is_min",
+            F.col(id_c) == F.min(id_c).over(Window.partitionBy("component")),
+        )
+        .filter("__is_min")
+        .drop("__is_min")
+    )
+
+    # 5. leakage-safe split on the COMPONENT id
+    split = sampling.hash_split(
+        unique, "component", cfg.split_fractions, salt="prep"
+    )
+
+    # 6. chunk + pack the survivors
+    chunks = textops.chunk_documents(
+        unique, id_c, text_c, size=cfg.chunk_size, stride=cfg.chunk_stride
+    )
+    packs = packing.pack_sequences(
+        unique.withColumn("__ntok", textops.token_count(text_c)),
+        id_c,
+        "__ntok",
+        cfg.pack_max_tokens,
+    )
+
+    return {
+        "clean": clean,
+        "unique": unique,
+        "split": split,
+        "chunks": chunks,
+        "packs": packs,
+    }

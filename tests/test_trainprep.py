@@ -1,0 +1,106 @@
+"""End-to-end training-data prep composition: planted fixture walks
+every stage (gate, exact dedup, novelty, near-dup collapse,
+leakage-safe split, chunking, packing) and checks the cross-stage
+invariants no single-operator test can see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark import trainprep
+from clustering_spark.trainprep import PrepConfig, QualityThresholds
+
+GOOD_A = (
+    "The quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the afternoon sun with great interest."
+)
+GOOD_A_NEAR = (
+    "The quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the evening sun with great interest."
+)
+GOOD_B = (
+    "Streaming watermarks bound the state a window aggregation keeps "
+    "so that late events older than the threshold can be dropped safely."
+)
+JUNK_REPEAT = "spam spam spam spam spam spam spam spam spam spam spam spam"
+PII_DOC = (
+    "Contact the author at jane.doe@example.com for the dataset and "
+    "cite the archive when you publish results based on these files."
+)
+
+
+@pytest.fixture(scope="module")
+def prepped(spark):
+    df = spark.createDataFrame(
+        [
+            (1, GOOD_A),
+            (2, GOOD_A),          # exact dup of 1
+            (3, GOOD_A_NEAR),     # near dup of 1
+            (4, GOOD_B),
+            (5, JUNK_REPEAT),     # killed by top_token_ratio
+            (6, PII_DOC),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([(100, GOOD_B)], "doc_id long, text string")
+    cfg = PrepConfig(
+        thresholds=QualityThresholds(min_quality_score=0.0),
+        jaccard_threshold=0.5,
+        shingle_words=2,
+        chunk_size=60,
+        chunk_stride=50,
+        pack_max_tokens=40,
+    )
+    out = trainprep.prepare_corpus(df, cfg, corpus=corpus)
+    return {k: v.cache() for k, v in out.items()}
+
+
+def test_gate_drops_repetitive_doc(prepped):
+    ids = {r.doc_id for r in prepped["clean"].select("doc_id").collect()}
+    assert 5 not in ids
+    assert {1, 2, 3, 4, 6} <= ids
+
+
+def test_dedup_novelty_and_collapse(prepped):
+    ids = {r.doc_id for r in prepped["unique"].select("doc_id").collect()}
+    # 2 (exact dup) collapses into 1; 3 (near dup) collapses into 1;
+    # 4 is dropped by novelty vs the corpus; 6 survives
+    assert ids == {1, 6}
+
+
+def test_pii_redacted_in_survivors(prepped):
+    texts = {r.doc_id: r.text for r in prepped["unique"].collect()}
+    assert "<EMAIL>" in texts[6]
+    assert "jane.doe@example.com" not in texts[6]
+
+
+def test_split_labels_every_survivor(prepped):
+    rows = prepped["split"].select("doc_id", "split").collect()
+    assert len(rows) == 2
+    assert all(r.split in ("train", "val", "test") for r in rows)
+
+
+def test_chunks_cover_survivors_only(prepped):
+    chunk_ids = {r.doc_id for r in prepped["chunks"].select("doc_id").collect()}
+    assert chunk_ids == {1, 6}
+    # stride 50 < size 60 -> overlapping chunks, more chunks than docs
+    assert prepped["chunks"].count() > 2
+
+
+def test_packs_assign_each_survivor_once(prepped):
+    rows = prepped["packs"].collect()
+    assert sorted(r.doc_id for r in rows) == [1, 6]
+    assert all(not r.oversize for r in rows)
+
+
+def test_no_corpus_skips_novelty(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD_A), (2, GOOD_B)], "doc_id long, text string"
+    )
+    cfg = PrepConfig(
+        thresholds=None, jaccard_threshold=0.5, shingle_words=2
+    )
+    out = trainprep.prepare_corpus(df, cfg, corpus=None)
+    assert {r.doc_id for r in out["unique"].select("doc_id").collect()} == {1, 2}
