@@ -78,6 +78,66 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str = "text_redacted") -> 
     return df.withColumn(out_col, t)
 
 
+# Java/RE2-shared URL pattern; capture group 1 = host.
+_URL_PATTERN = r"https?://([A-Za-z0-9.\-]+)(?:[/?#][^\s]*)?"
+
+
+def extract_domains(
+    df: DataFrame, text_col: str, out_col: str = "domains"
+) -> DataFrame:
+    """Append the array of distinct lower-cased hosts of every http(s)
+    URL in the text. Native regexp_extract_all — scan-speed. The host
+    is the policy unit of corpus curation (allow/block lists, per-site
+    caps), so only group 1 is kept."""
+    return df.withColumn(
+        out_col,
+        F.array_distinct(
+            F.transform(
+                F.regexp_extract_all(F.col(text_col), F.lit(_URL_PATTERN), 1),
+                F.lower,
+            )
+        ),
+    )
+
+
+def filter_domain_blocklist(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocked: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents citing ANY blocked domain (subdomains of a
+    blocked domain count: ads.example.com matches example.com).
+
+    Shape: extract hosts -> explode (ids only) -> broadcast-join the
+    blocklist on the suffix condition -> distinct hit ids -> left_anti
+    back on the id. The blocklist is a DataFrame (curation lists live
+    in tables, not code) and is broadcast — blocklists are small by
+    nature; only (id, host) rides the explode, documents without URLs
+    never enter it."""
+    from pyspark.sql.functions import broadcast
+
+    hosts = (
+        extract_domains(df.select(id_col, text_col), text_col, "__domains")
+        .filter(F.size("__domains") > 0)
+        .select(F.col(id_col), F.explode("__domains").alias("__host"))
+    )
+    b = broadcast(
+        blocked.select(F.lower(F.col(domain_col)).alias("__blocked")).distinct()
+    )
+    hit_ids = (
+        hosts.join(
+            b,
+            (F.col("__host") == F.col("__blocked"))
+            | F.col("__host").endswith(F.concat(F.lit("."), F.col("__blocked"))),
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hit_ids, on=id_col, how="left_anti")
+
+
 def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style repetition quality signals, all native:
 

