@@ -15,7 +15,7 @@ is involved: a filter the optimizer can push to the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,6 +65,32 @@ def stratified_hash_sample(
             F.lit(_hex_threshold(min(max(float(frac), 0.0), 1.0))),
         ).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by
+    key hash (per-domain / per-source caps — the anti-overfitting
+    rebalance after blocklist filtering). A single window over
+    (group, hash(key)): each group's survivors are a uniform,
+    reproducible sample of itself, stable under partitioning; growing
+    a group only swaps members across its nth hash boundary. One keyed
+    shuffle; no skew amplification (the window ranks within the
+    natural group key)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(key.cast("string"), F.lit(salt)).asc(), key.asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
 
 
 def hash_topn_sample(

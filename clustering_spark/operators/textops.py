@@ -148,6 +148,66 @@ def rolling_hash_fingerprint(
     return df.withColumn(out_col, F.array_min(grams))
 
 
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    top_terms_per_doc: int | None = None,
+) -> DataFrame:
+    """Relational TF-IDF: (id, term, tf, df, tfidf) in long form —
+    SURVEY §7.6's text-analysis TF-IDF, kept as a plain table instead
+    of an opaque vector type so every downstream (top-terms, cosine on
+    shared terms, keyword search) is ordinary relational algebra.
+
+    tf    = term count within the doc (lower-cased whitespace tokens)
+    df    = number of docs containing the term
+    tfidf = tf * (ln((N+1)/(df+1)) + 1)   (sklearn-style smooth idf)
+
+    Scale shape: explode -> groupBy(id, term) [shuffle 1, map-side
+    combined] -> groupBy(term) for df [shuffle 2 over the VOCABULARY,
+    tiny] -> join tf x idf on term (idf side is vocab-sized —
+    broadcastable). N comes from a 1-row aggregate cross-joined in, so
+    the plan stays fully lazy (no driver count). ``min_df`` prunes
+    hapax noise before the join; ``top_terms_per_doc`` bounds output
+    per doc (rank by tfidf desc, term asc)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("__n")
+    )  # 1-row frame, cross-joined (BroadcastNestedLoopJoin on 1 row)
+    idf = dfreq.crossJoin(n_docs).select(
+        "term",
+        "df",
+        (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("__idf"),
+    )
+    out = tf.join(idf, on="term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("__idf"), 6).alias("tfidf"),
+    )
+    if top_terms_per_doc is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= top_terms_per_doc)
+            .drop("__rk")
+        )
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",
