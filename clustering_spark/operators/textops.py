@@ -170,7 +170,13 @@ def tfidf_terms(
     broadcastable). N comes from a 1-row aggregate cross-joined in, so
     the plan stays fully lazy (no driver count). ``min_df`` prunes
     hapax noise before the join; ``top_terms_per_doc`` bounds output
-    per doc (rank by tfidf desc, term asc)."""
+    per doc (rank by tfidf desc, term asc).
+
+    Known cost (same policy as the self-join operators, see
+    PERFORMANCE.md): the tf subtree is referenced by both the join
+    and the df aggregate, so Catalyst evaluates it twice — callers
+    running tfidf repeatedly should persist the tf stage themselves;
+    forcing it here would make a one-shot call slower."""
     from pyspark.sql import Window
 
     toks = df.select(

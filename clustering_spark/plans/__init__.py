@@ -3,6 +3,7 @@
 
 from clustering_spark.plans.audit import (  # noqa: F401
     count_shuffles,
+    exchange_blocks,
     formatted_plan,
     join_strategies,
     plan_tree,

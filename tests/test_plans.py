@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from clustering_spark.functions.scaling import scale_segments
 from clustering_spark.plans import (
     count_shuffles,
+    exchange_blocks,
     formatted_plan,
     join_strategies,
     plan_tree,
@@ -246,3 +247,67 @@ def test_salted_join_replicates_small_side_only(spark):
         s in {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
         for s in strategies
     )
+
+
+def test_tfidf_partial_aggregation_and_broadcast_idf(spark):
+    """tfidf_terms: the tf aggregation must be map-side combined
+    (partial_count before the exchange) and the tf x idf join must be
+    a broadcast, never a sort-merge (the idf side is vocab-sized; at
+    sf scale AQE may flip which side builds — either is fine, a
+    SortMergeJoin is not)."""
+    from clustering_spark.operators import textops
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = textops.tfidf_terms(d, "doc_id", "text")
+    fp = formatted_plan(out)
+    assert "partial_count" in fp  # map-side combine on (doc, term)
+    assert "BroadcastHashJoin" in join_strategies(out)
+    assert "SortMergeJoin" not in plan_tree(out)
+
+
+def test_packing_shuffles_only_narrow_columns(spark):
+    """pack_sequences: the only exchange carries (id, n_tokens,
+    bucket) — text never reaches the Python worker or the shuffle."""
+    from clustering_spark.operators import packing, textops
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", textops.token_count("text").alias("n_tok")
+    )
+    out = packing.pack_sequences(d, "doc_id", "n_tok", 2048)
+    blocks = exchange_blocks(out)
+    assert blocks, "expected the bucket exchange"
+    assert all("text" not in b for b in blocks)
+    assert "FlatMapGroupsInPandas" in plan_tree(out)
+
+
+def test_novel_exact_anti_join_on_digest(spark):
+    """novel_exact: the corpus side must collapse to a digest-only
+    exchange (16-byte __fp, never the corpus text) feeding a broadcast
+    LeftAnti; the ONE wide-row exchange allowed is the new-batch
+    in-batch-survivor window shuffle."""
+    from clustering_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.novel_exact(d, corpus, "doc_id", "text")
+    tree = plan_tree(out)
+    assert "LeftAnti" in tree
+    blocks = exchange_blocks(out)
+    # a digest-only exchange exists (the corpus branch)...
+    assert any("__fp" in b and "text" not in b for b in blocks)
+    # ...and at most one exchange carries the wide rows (the window)
+    assert sum(1 for b in blocks if "text" in b) <= 1
+
+
+def test_blocklist_filter_broadcasts_list(spark):
+    """filter_domain_blocklist: the suffix-match join is non-equi, so
+    it plans as BroadcastNestedLoopJoin — acceptable ONLY because the
+    blocklist side is broadcast (tiny by contract). Pin that the
+    build side is broadcast, not the documents."""
+    from clustering_spark.operators import textnorm
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    out = textnorm.filter_domain_blocklist(d, "doc_id", "text", blocked)
+    tree = plan_tree(out)
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
