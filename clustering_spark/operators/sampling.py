@@ -67,6 +67,57 @@ def stratified_hash_sample(
     return df.filter(bucket < thr)
 
 
+def plan_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    target_weights: dict,
+) -> dict:
+    """Per-stratum sampling fractions that hit a token (or any
+    weight) budget: fraction_s = min(1, target_s / actual_s).
+
+    The pretraining mixture move: 'cap web at 100B tokens, keep code
+    whole'. One groupBy over the strata (driver receives #strata rows
+    — bounded by construction: strata are sources/languages, not
+    keys). Upsampling (fraction > 1, i.e. epoch repetition) is out of
+    scope here — this plans the DOWN-sample; repeat epochs at the
+    data-loader layer where shuffling between epochs belongs. Strata
+    absent from ``target_weights`` get fraction 0.0 (explicit budgets
+    only — a silent keep-all would blow the total budget).
+    """
+    actual = {
+        r.s: r.w
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    out = {}
+    for stratum, target in target_weights.items():
+        a = actual.get(stratum, 0)
+        out[stratum] = 1.0 if a <= target else float(target) / float(a)
+    return out
+
+
+def apply_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weight_col: str,
+    target_weights: dict,
+    salt: str = "mix",
+) -> DataFrame:
+    """plan_mixture + stratified_hash_sample in one call: documents
+    are kept with per-stratum probability proportional to the weight
+    budget, deterministically by key hash. Because membership is
+    doc-level, the realized weight per stratum concentrates around the
+    target for any corpus whose per-doc weights are not dominated by a
+    few outliers (chunk first if they are)."""
+    fractions = plan_mixture(df, strata_col, weight_col, target_weights)
+    return stratified_hash_sample(
+        df, key_col, strata_col, fractions, default_fraction=0.0, salt=salt
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

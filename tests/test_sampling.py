@@ -101,3 +101,43 @@ def test_topn_exact_and_stable(spark):
         r.id for r in hash_topn_sample(spark.range(20000), "id", 100).collect()
     )
     assert len(set(s1) & set(s3)) > 30
+
+
+def test_plan_mixture_fractions(spark):
+    from clustering_spark.operators.sampling import plan_mixture
+
+    df = spark.createDataFrame(
+        [(i, "web", 100) for i in range(100)]
+        + [(i + 1000, "code", 100) for i in range(10)],
+        "id long, src string, n_tok long",
+    )
+    plan = plan_mixture(df, "src", "n_tok", {"web": 2000, "code": 5000})
+    assert abs(plan["web"] - 0.2) < 1e-9  # 10000 actual -> 2000 target
+    assert plan["code"] == 1.0            # under budget -> keep all
+    # absent stratum with a budget but no data -> keep-all is harmless
+    plan2 = plan_mixture(df, "src", "n_tok", {"books": 100})
+    assert plan2["books"] == 1.0
+
+
+def test_apply_mixture_hits_budget(spark):
+    from clustering_spark.operators.sampling import apply_mixture
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        F.lit("web").alias("src"),
+        F.lit(100).alias("n_tok"),
+    )
+    out = apply_mixture(df, "id", "src", "n_tok", {"web": 100_000})
+    kept = out.agg(F.sum("n_tok")).collect()[0][0]
+    # 500k actual, 100k target -> fraction 0.2; doc-level hash noise
+    assert 80_000 < kept < 120_000
+    # unbudgeted strata are dropped
+    df2 = df.union(
+        spark.range(100).select(
+            (F.col("id") + 10_000).alias("id"),
+            F.lit("junk").alias("src"),
+            F.lit(100).alias("n_tok"),
+        )
+    )
+    out2 = apply_mixture(df2, "id", "src", "n_tok", {"web": 100_000})
+    assert out2.filter("src = 'junk'").count() == 0
