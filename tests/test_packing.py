@@ -79,3 +79,56 @@ def test_empty_input(spark):
     a = packing.pack_sequences(df, "doc_id", "n_tok", 128)
     assert a.count() == 0
     assert a.columns == ["doc_id", "n_tokens", "pack_id", "oversize"]
+
+
+def test_packing_properties_random_inputs(spark):
+    """Property sweep: random token multisets through the real
+    operator (one single-bucket Spark job per example — example count
+    kept small to bound suite time), checking exactly-once
+    assignment, budget, and the FFD bin-count guarantee."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from clustering_spark.operators import packing as pk
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=300), max_size=60),
+        max_tokens=st.integers(min_value=50, max_value=400),
+    )
+    def check(toks, max_tokens):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(toks)),
+                "n_tokens": toks,
+                "__bucket": [7] * len(toks),
+            }
+        )
+        if len(pdf) == 0:
+            return
+        slim = spark.createDataFrame(
+            pdf, "doc_id long, n_tokens long, __bucket int"
+        )
+        # reuse the real operator on a single bucket, via the public API
+        out = pk.pack_sequences(
+            slim.withColumnRenamed("n_tokens", "t"), "doc_id", "t",
+            max_tokens, num_buckets=1,
+        ).toPandas()
+        assert sorted(out.doc_id) == sorted(range(len(toks)))
+        g = out.groupby("pack_id").agg(
+            tot=("n_tokens", "sum"), over=("oversize", "max"),
+            n=("doc_id", "count"),
+        )
+        ok = g[~g.over]
+        assert (ok.tot <= max_tokens).all()
+        assert (g[g.over].n == 1).all()
+        # FFD guarantee: bins <= ceil(11/9 * OPT) + 1 where
+        # OPT >= ceil(total/max) over the fitting docs
+        import math
+
+        fitting = [t for t in toks if t <= max_tokens]
+        if fitting:
+            lower = math.ceil(sum(fitting) / max_tokens)
+            assert len(ok) <= math.ceil(11 / 9 * lower) + 1
+
+    check()
