@@ -131,8 +131,11 @@ def cap_per_group(
     (group, hash(key)): each group's survivors are a uniform,
     reproducible sample of itself, stable under partitioning; growing
     a group only swaps members across its nth hash boundary. One keyed
-    shuffle; no skew amplification (the window ranks within the
-    natural group key)."""
+    shuffle. SKEW CAVEAT: a group holding a large share of the corpus
+    lands on one window task — pre-thin dominant groups first with
+    stratified_hash_sample (fraction ~ 10n/|group|) and the window
+    then ranks a bounded remnant; membership stays deterministic
+    because both stages hash the same key."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     w = Window.partitionBy(group_col).orderBy(
         F.xxhash64(key.cast("string"), F.lit(salt)).asc(), key.asc()
