@@ -138,6 +138,82 @@ def filter_domain_blocklist(
     return df.join(hit_ids, on=id_col, how="left_anti")
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_docs: int = 5,
+    max_doc_frac: float = 0.5,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Remove per-group boilerplate lines (nav bars, footers, cookie
+    banners): a line is boilerplate within a group (site/source) when
+    it appears in more than ``max_doc_frac`` of the group's documents,
+    provided the group has at least ``min_docs`` documents (small
+    groups keep everything — a 2-doc site makes every shared line
+    'frequent').
+
+    Shape (CCNet-style, fully relational):
+      1. explode distinct (group, line_hash) per doc -> groupBy count
+         [shuffle of hashes, map-side combined];
+      2. per-group doc counts from the same exploded frame;
+      3. the flagged (group, line_hash) set joins back to the doc's
+         line ARRAY (not its exploded rows): the doc table carries its
+         split lines, the join key is the group, and the filter is an
+         array_except against the group's flagged hashes gathered by
+         collect_set [one shuffle of the small flagged set].
+    Only hashes ride every shuffle; text stays in its original row.
+    Line order is preserved; line-level whitespace is preserved
+    verbatim (only exact repeated lines are removed)."""
+    lines = F.split(F.col(text_col), "\n")
+    base = df.withColumn("__lines", lines)
+
+    exploded = base.select(
+        F.col(id_col),
+        F.col(group_col).alias("__grp"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.col("__lines"), lambda x: F.length(F.trim(x)) > 0)
+            )
+        ).alias("__line"),
+    ).select(id_col, "__grp", F.xxhash64("__line").alias("__lh"))
+
+    line_counts = exploded.groupBy("__grp", "__lh").agg(
+        F.count("*").alias("__n_docs_with_line")
+    )
+    grp_counts = df.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    flagged = (
+        line_counts.join(grp_counts, on="__grp")
+        .filter(
+            (F.col("__n_docs") >= min_docs)
+            & (
+                F.col("__n_docs_with_line")
+                > F.col("__n_docs") * F.lit(float(max_doc_frac))
+            )
+        )
+        .groupBy("__grp")
+        .agg(F.collect_set("__lh").alias("__flagged"))
+    )
+
+    joined = base.join(
+        flagged, on=base[group_col] == flagged["__grp"], how="left"
+    )
+    kept = F.filter(
+        F.col("__lines"),
+        lambda x: ~F.array_contains(
+            F.coalesce(F.col("__flagged"), F.array().cast("array<bigint>")),
+            F.xxhash64(x),
+        ),
+    )
+    return (
+        joined.withColumn(out_col, F.array_join(kept, "\n"))
+        .drop("__lines", "__flagged", "__grp")
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style repetition quality signals, all native:
 

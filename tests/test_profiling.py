@@ -1,0 +1,50 @@
+"""profile_table: one-scan report correctness on a hand-built frame
+and single-aggregation plan shape on real testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators.profiling import profile_table
+from clustering_spark.plans import plan_tree
+
+from tests.conftest import SF_DIR
+
+
+def test_profile_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, [1.0, 2.0]),
+            (2, None, -3.0, [0.5]),
+            (3, "b", None, None),
+            (4, "a", 2.5, [1.0, 2.0, 3.0]),
+        ],
+        "id long, s string, v double, arr array<double>",
+    )
+    p = {r.column: r for r in profile_table(df).collect()}
+    assert p["id"].n_rows == 4 and p["id"].n_nulls == 0
+    assert p["id"].min == "1" and p["id"].max == "4"
+    assert p["s"].n_nulls == 1 and abs(p["s"].null_frac - 0.25) < 1e-9
+    assert p["s"].approx_distinct == 2
+    assert p["v"].min == "-3.0" and p["v"].max == "2.5"
+    # arrays report length bounds, no distinct
+    assert p["arr"].min == "1" and p["arr"].max == "3"
+    assert p["arr"].approx_distinct is None
+
+
+def test_profile_empty_frame(spark):
+    df = spark.createDataFrame([], "id long, s string")
+    p = {r.column: r for r in profile_table(df).collect()}
+    assert p["id"].n_rows == 0 and p["id"].null_frac == 0.0
+
+
+def test_profile_is_single_scan_single_aggregate(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = profile_table(df)
+    tree = plan_tree(out)
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    rows = out.collect()
+    assert len(rows) == len(df.columns)

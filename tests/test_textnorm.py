@@ -180,3 +180,69 @@ def test_domain_blocklist_empty_blocklist_keeps_all(spark):
     df = spark.createDataFrame([(1, "x https://a.com")], "id long, t string")
     blocked = spark.createDataFrame([], "domain string")
     assert textnorm.filter_domain_blocklist(df, "id", "t", blocked).count() == 1
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, src string, text string")
+
+
+def test_strip_boilerplate_removes_frequent_lines(spark):
+    footer = "(c) example inc - all rights reserved"
+    rows = [
+        (i, "siteA", f"unique content {i}\n{footer}") for i in range(10)
+    ] + [(100, "siteA", "no footer here")]
+    out = {
+        r.id: r.text_clean
+        for r in textnorm.strip_boilerplate(
+            _mk_docs(spark, rows), "id", "text", "src", min_docs=5,
+            max_doc_frac=0.5,
+        ).collect()
+    }
+    for i in range(10):
+        assert out[i] == f"unique content {i}"  # footer stripped
+    assert out[100] == "no footer here"
+
+
+def test_strip_boilerplate_group_scoped(spark):
+    # the same line is boilerplate on siteA but unique on siteB
+    shared = "subscribe to our newsletter"
+    rows = [(i, "siteA", f"a{i}\n{shared}") for i in range(6)] + [
+        (50, "siteB", f"b-doc\n{shared}")
+    ] + [(51 + i, "siteB", f"other {i}") for i in range(6)]
+    out = {
+        r.id: r.text_clean
+        for r in textnorm.strip_boilerplate(
+            _mk_docs(spark, rows), "id", "text", "src", min_docs=5,
+            max_doc_frac=0.5,
+        ).collect()
+    }
+    assert all(shared not in out[i] for i in range(6))
+    assert shared in out[50]  # siteB: 1/7 docs -> kept
+
+
+def test_strip_boilerplate_small_groups_untouched(spark):
+    rows = [(1, "tiny", "x\ny"), (2, "tiny", "x\nz")]
+    out = {
+        r.id: r.text_clean
+        for r in textnorm.strip_boilerplate(
+            _mk_docs(spark, rows), "id", "text", "src", min_docs=5
+        ).collect()
+    }
+    assert out[1] == "x\ny" and out[2] == "x\nz"
+
+
+def test_strip_boilerplate_preserves_order_and_duplicate_lines(spark):
+    # a NON-boilerplate line repeated within one doc stays repeated,
+    # in order
+    rows = [(i, "s", f"u{i}\ncommon") for i in range(6)] + [
+        (99, "s", "keep\nkeep\nunique1")
+    ]
+    out = {
+        r.id: r.text_clean
+        for r in textnorm.strip_boilerplate(
+            _mk_docs(spark, rows), "id", "text", "src", min_docs=5,
+            max_doc_frac=0.6,
+        ).collect()
+    }
+    assert out[99] == "keep\nkeep\nunique1"
+    assert out[0] == "u0"
