@@ -49,6 +49,10 @@ class PrepConfig:
     text_col: str = "text"
     thresholds: QualityThresholds | None = field(default_factory=QualityThresholds)
     redact: bool = True
+    # group column for per-site boilerplate stripping (None = skip)
+    boilerplate_group_col: str | None = None
+    boilerplate_min_docs: int = 5
+    boilerplate_max_doc_frac: float = 0.5
     jaccard_threshold: float = 0.8
     shingle_words: int = 3
     split_fractions: dict = field(
@@ -97,6 +101,19 @@ def prepare_corpus(
     """
     cfg = cfg or PrepConfig()
     id_c, text_c = cfg.id_col, cfg.text_col
+
+    # 0. per-group boilerplate stripping FIRST (normalization collapses
+    #    the newlines the line-level pass needs)
+    if cfg.boilerplate_group_col is not None:
+        df = textnorm.strip_boilerplate(
+            df,
+            id_c,
+            text_c,
+            cfg.boilerplate_group_col,
+            min_docs=cfg.boilerplate_min_docs,
+            max_doc_frac=cfg.boilerplate_max_doc_frac,
+            out_col=text_c,
+        )
 
     # 1. normalize (+ optional redaction), then gate on quality
     normed = df.withColumn(text_c, textnorm.normalize_text(text_c))

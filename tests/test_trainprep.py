@@ -104,3 +104,25 @@ def test_no_corpus_skips_novelty(spark):
     )
     out = trainprep.prepare_corpus(df, cfg, corpus=None)
     assert {r.doc_id for r in out["unique"].select("doc_id").collect()} == {1, 2}
+
+
+def test_boilerplate_stage_in_pipeline(spark):
+    footer = "all rights reserved by the example corporation site"
+    rows = [
+        (i, "siteA", f"document body number {i} with plenty of unique words\n{footer}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    cfg = PrepConfig(
+        thresholds=None,
+        jaccard_threshold=0.9,
+        shingle_words=2,
+        boilerplate_group_col="source",
+        boilerplate_min_docs=5,
+        boilerplate_max_doc_frac=0.5,
+    )
+    out = trainprep.prepare_corpus(df, cfg)
+    texts = [r.text for r in out["clean"].collect()]
+    assert texts and all(footer not in t for t in texts)
+    # without the footer the docs are genuinely distinct -> all survive
+    assert out["unique"].count() == 8
