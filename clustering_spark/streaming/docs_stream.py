@@ -65,3 +65,44 @@ def corpus_fingerprint_table(corpus: DataFrame, text_col: str) -> DataFrame:
     """Static-side digest table for novel_documents_stream — compute
     once, persist, broadcast-join per micro-batch."""
     return corpus.select(_fingerprint(text_col).alias("fingerprint")).distinct()
+
+
+def prep_documents_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    corpus_fingerprints: DataFrame | None = None,
+    min_quality_score: float = 0.25,
+    max_top_token_ratio: float = 0.5,
+    redact: bool = True,
+) -> DataFrame:
+    """Streaming face of trainprep's scan stages: normalize + redact +
+    quality/repetition gate, then the novelty stage. Every gate
+    expression is a stateless per-row projection (textnorm/textops are
+    pure column functions), so they ride the stream with NO extra
+    state — the only stateful operator remains the fingerprint
+    dropDuplicates inside novel_documents_stream.
+
+    Near-dup collapse and packing are deliberately absent: both need
+    cross-document state proportional to the corpus (LSH band tables,
+    open packs) and belong in a periodic batch compaction over the
+    sunk output, not in the ingest stream. This split — stateless
+    hygiene at ingest, heavy dedup in batch behind it — is the
+    standard lambda shape for corpus pipelines."""
+    from clustering_spark.operators import textnorm, textops
+
+    cleaned = docs.withColumn(text_col, textnorm.normalize_text(text_col))
+    if redact:
+        cleaned = textnorm.redact_pii(cleaned, text_col, out_col=text_col)
+    gated = (
+        textnorm.repetition_signals(
+            textops.quality_features(cleaned, text_col), text_col
+        )
+        .filter(
+            (F.col("quality_score") >= min_quality_score)
+            & (F.col("top_token_ratio") <= max_top_token_ratio)
+        )
+    )
+    # fingerprint AFTER normalization/redaction so the dedup key meets
+    # the same text the sink stores
+    gated = gated.withColumn("fingerprint", _fingerprint(text_col))
+    return novel_documents_stream(gated, corpus_fingerprints)

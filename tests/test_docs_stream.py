@@ -78,3 +78,33 @@ def test_stream_novelty_without_corpus(spark, staged, tmp_path):
         r.doc_id for r in spark.sql("SELECT doc_id FROM novel_docs_nc_t").collect()
     }
     assert 3 in got and 4 in got and len(got) == 3
+
+
+def test_stream_prep_gates_and_redacts(spark, tmp_path):
+    good = (
+        "Contact jane.doe@example.com about the dataset and cite the "
+        "archive when publishing any results derived from these files."
+    )
+    junk = "spam spam spam spam spam spam spam spam spam spam"
+    df = spark.createDataFrame(
+        [(1, good), (2, junk), (3, good)],  # 3 dups 1 after normalize
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "prep_src")
+    df.coalesce(1).write.parquet(src)
+    stream = docs_stream.read_documents_stream(spark, src, df.schema)
+    prepped = docs_stream.prep_documents_stream(
+        stream, "text", min_quality_score=0.0, max_top_token_ratio=0.5
+    )
+    run_stream_to_memory(
+        prepped.select("doc_id", "text"),
+        "prep_docs_t",
+        str(tmp_path / "ckpt3"),
+        output_mode="append",
+    )
+    rows = spark.sql("SELECT doc_id, text FROM prep_docs_t").collect()
+    ids = {r.doc_id for r in rows}
+    assert 2 not in ids              # repetition gate
+    assert len(ids & {1, 3}) == 1    # fingerprint dedup collapses dup
+    assert all("<EMAIL>" in r.text for r in rows)  # redacted at ingest
+    assert all("jane.doe@example.com" not in r.text for r in rows)
