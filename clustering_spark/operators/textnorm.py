@@ -238,7 +238,10 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
         1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
     ).otherwise(0.0)
 
-    trimmed = F.trim(t)
+    # regexp strip, not F.trim: trim removes spaces only — "\n"-only
+    # text would split into phantom empty tokens (same rule as
+    # textops.tokens; the DuckDB oracle mirrors it)
+    trimmed = F.regexp_replace(t, r"^\s+|\s+$", "")
     toks = F.when(
         F.length(trimmed) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(trimmed, r"\s+"))

@@ -25,9 +25,13 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    """Whitespace tokens of stripped text (empty/whitespace-only text
+    -> empty array). Stripping is ALL whitespace (regexp), not
+    F.trim — trim removes spaces only, so a "\\n"-only document would
+    otherwise split into two phantom empty tokens (caught by the
+    repetition-signal property test)."""
     t = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(t)
+    trimmed = F.regexp_replace(t, r"^\s+|\s+$", "")
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

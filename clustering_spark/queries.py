@@ -1662,8 +1662,8 @@ _PII_TOTAL_SQL = " + ".join(_pii_count_sql(c) for c in textnorm.PII_ORDER)
 SQL_TEXT_QUALITY = rf"""
 WITH base AS (
   SELECT doc_id, text, len(text) AS n_chars,
-         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\s+') END AS tk,
+         CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS tk,
          list_filter(string_split(text, chr(10)),
                      x -> len(trim(x)) > 0) AS lines
   FROM documents),
@@ -1750,8 +1750,8 @@ def _lang_values_sql() -> str:
 SQL_TEXT_PROFILE = rf"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\s+') END AS tk
+         CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS tk
   FROM documents),
 scored AS (
   SELECT doc_id, lang,
@@ -1766,8 +1766,8 @@ best AS (
 SELECT b.doc_id,
        CASE WHEN score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
        round(score, 6) AS lang_score,
-       CASE WHEN len(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+       CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+            ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_ws_tokens,
        len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])'))
          AS n_bpe_tokens,
        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -109,8 +109,8 @@ def test_signals_match_duckdb_on_documents(spark):
           SELECT doc_id, text,
                  list_filter(string_split(text, chr(10)),
                              x -> len(trim(x)) > 0) AS lines,
-                 CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE string_split_regex(trim(text), '\s+') END AS tk
+                 CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS tk
           FROM read_parquet('{SF_DIR}/documents.parquet')),
         g AS (
           SELECT doc_id, text, lines, tk,
@@ -246,3 +246,49 @@ def test_strip_boilerplate_preserves_order_and_duplicate_lines(spark):
     }
     assert out[99] == "keep\nkeep\nunique1"
     assert out[0] == "u0"
+
+
+def test_repetition_signals_property_vs_python(spark):
+    """Hypothesis sweep: the native column expressions agree with a
+    direct Python computation on arbitrary small texts (batched into
+    ONE Spark job — a job per example would take minutes)."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    texts_strategy = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab x\n.")), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    def py_signals(text):
+        lines = [x for x in text.split("\n") if x.strip()]
+        dup_line = 1 - len(set(lines)) / len(lines) if lines else 0.0
+        toks = _re.split(r"\s+", text.strip()) if text.strip() else []
+        grams = [
+            toks[i] + "\x1f" + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+        rep2 = 1 - len(set(grams)) / len(grams) if grams else 0.0
+        low = [t.lower() for t in toks]
+        top = max((low.count(w) for w in set(low)), default=0)
+        topr = top / len(toks) if toks else 0.0
+        return round(dup_line, 6), round(rep2, 6), round(topr, 6)
+
+    @settings(max_examples=30, deadline=None)
+    @given(texts=texts_strategy)
+    def check(texts):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "i long, t string")
+        got = {
+            r.i: (r.dup_line_ratio, r.rep_2gram_ratio, r.top_token_ratio)
+            for r in textnorm.repetition_signals(df, "t").collect()
+        }
+        for i, t in enumerate(texts):
+            exp = py_signals(t)
+            for g, e in zip(got[i], exp):
+                assert abs(g - e) < 1e-6, (t, got[i], exp)
+
+    check()

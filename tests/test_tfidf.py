@@ -73,8 +73,8 @@ def test_tfidf_matches_duckdb_on_documents(spark):
         WITH toks AS (
           SELECT doc_id, lower(u.t) AS term
           FROM read_parquet('{SF_DIR}/documents.parquet'),
-               unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                           ELSE string_split_regex(trim(text), '\s+') END) AS u(t)),
+               unnest(CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END) AS u(t)),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         n AS (SELECT count(DISTINCT doc_id) AS nd
