@@ -107,6 +107,53 @@ def pack_sequences(
     return slim.groupBy("__bucket").applyInPandas(_pack, out_schema)
 
 
+def materialize_packs(
+    docs: DataFrame,
+    assignment: DataFrame,
+    id_col: str,
+    text_col: str,
+    separator: str = "\x1e",  # ASCII record separator; callers swap in
+    # their tokenizer's EOS string
+) -> DataFrame:
+    """Turn a pack_sequences assignment into actual training
+    sequences: one row per pack with the member texts concatenated in
+    (n_tokens desc, id) order — the SAME order FFD placed them, so
+    materialization is deterministic given the assignment.
+
+    Shape: semi-join payload to assignment (narrow key), ONE keyed
+    shuffle of the text to co-locate pack members (inherent — a pack's
+    docs must meet somewhere), sort-within-group via the struct trick
+    (array_sort on (neg tokens, id, text) structs — no second window
+    shuffle). This is the step to run right before the sink; keep
+    everything upstream of it working on (id, token) columns only."""
+    joined = assignment.join(
+        docs.select(F.col(id_col), F.col(text_col)), on=id_col
+    )
+    member = F.struct(
+        (-F.col("n_tokens")).alias("s1"),
+        F.col(id_col).alias("s2"),
+        F.col(text_col).alias("txt"),
+    )
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.array_sort(F.collect_list(member)).alias("__m"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count("*").alias("n_docs"),
+            F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+        )
+        .select(
+            "pack_id",
+            "n_docs",
+            "total_tokens",
+            "oversize",
+            F.array_join(
+                F.transform(F.col("__m"), lambda m: m["txt"]), separator
+            ).alias("sequence"),
+        )
+    )
+
+
 def pack_stats(assignment: DataFrame, max_tokens: int) -> DataFrame:
     """Per-pack summary of a pack_sequences assignment: doc count,
     token total, fill ratio. One narrow groupBy — the monitoring query

@@ -132,3 +132,33 @@ def test_packing_properties_random_inputs(spark):
             assert len(ok) <= math.ceil(11 / 9 * lower) + 1
 
     check()
+
+
+def test_materialize_packs(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "bee"), (3, "ceee")],
+        "doc_id long, text string",
+    )
+    toks = spark.createDataFrame(
+        [(1, 10), (2, 3), (3, 4)], "doc_id long, n_tok long"
+    )
+    a = packing.pack_sequences(toks, "doc_id", "n_tok", 20, num_buckets=1)
+    out = packing.materialize_packs(docs, a, "doc_id", "text", separator="|")
+    rows = out.collect()
+    # all three fit one pack (10+4+3 <= 20); FFD order: 1 (10), 3 (4), 2 (3)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.sequence == "alpha text|ceee|bee"
+    assert r.n_docs == 3 and r.total_tokens == 17 and not r.oversize
+
+
+def test_materialize_packs_deterministic_order_on_ties(spark):
+    docs = spark.createDataFrame(
+        [(5, "five"), (2, "two"), (9, "nine")], "doc_id long, text string"
+    )
+    toks = spark.createDataFrame(
+        [(5, 4), (2, 4), (9, 4)], "doc_id long, n_tok long"
+    )
+    a = packing.pack_sequences(toks, "doc_id", "n_tok", 100, num_buckets=1)
+    out = packing.materialize_packs(docs, a, "doc_id", "text", separator="|")
+    assert out.collect()[0].sequence == "two|five|nine"  # id-ordered ties
