@@ -98,6 +98,8 @@ def prepare_corpus(
                      never straddle train/test
     - ``chunks``     context-window chunks of the survivors
     - ``packs``      doc -> pack assignment at ``pack_max_tokens``
+    - ``sequences``  one row per pack: members concatenated in FFD
+                     placement order (the sink-ready training data)
     """
     cfg = cfg or PrepConfig()
     id_c, text_c = cfg.id_col, cfg.text_col
@@ -185,6 +187,7 @@ def prepare_corpus(
         "__ntok",
         cfg.pack_max_tokens,
     )
+    sequences = packing.materialize_packs(unique, packs, id_c, text_c)
 
     return {
         "clean": clean,
@@ -192,4 +195,5 @@ def prepare_corpus(
         "split": split,
         "chunks": chunks,
         "packs": packs,
+        "sequences": sequences,
     }

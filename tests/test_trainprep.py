@@ -126,3 +126,10 @@ def test_boilerplate_stage_in_pipeline(spark):
     assert texts and all(footer not in t for t in texts)
     # without the footer the docs are genuinely distinct -> all survive
     assert out["unique"].count() == 8
+
+
+def test_sequences_cover_survivors(prepped):
+    seqs = prepped["sequences"].collect()
+    assert sum(r.n_docs for r in seqs) == 2  # both survivors packed
+    joined = "\x1e".join(r.sequence for r in seqs)
+    assert "<EMAIL>" in joined  # redacted text flows to the sink
