@@ -46,13 +46,29 @@ def read_documents_stream(
 def novel_documents_stream(
     docs: DataFrame,
     corpus_fingerprints: DataFrame | None = None,
+    watermark_col: str | None = None,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Stream-side novelty: state-backed exact dedup on the
     fingerprint, then (optionally) a stream-static left_anti join
     against the corpus fingerprint table. Returns a streaming frame of
     first-seen novel documents; sink it with run_stream_to_memory /
-    run_stream_to_parquet (append mode)."""
-    deduped = docs.dropDuplicates(["fingerprint"])
+    run_stream_to_parquet (append mode).
+
+    State bound: without ``watermark_col`` the dedup state grows with
+    the distinct-fingerprint count (exact novelty has no horizon —
+    size it as ~50 B x distinct docs). With ``watermark_col`` (an
+    event-time column) + ``watermark_delay``, state switches to
+    dropDuplicatesWithinWatermark: fingerprints older than the
+    watermark are evicted, so state holds only the delay window — the
+    right mode when the standing corpus anti-join (refreshed
+    periodically) already covers older history."""
+    if watermark_col is not None:
+        deduped = docs.withWatermark(
+            watermark_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(["fingerprint"])
+    else:
+        deduped = docs.dropDuplicates(["fingerprint"])
     if corpus_fingerprints is None:
         return deduped
     corp = corpus_fingerprints.select(

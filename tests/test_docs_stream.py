@@ -108,3 +108,33 @@ def test_stream_prep_gates_and_redacts(spark, tmp_path):
     assert len(ids & {1, 3}) == 1    # fingerprint dedup collapses dup
     assert all("<EMAIL>" in r.text for r in rows)  # redacted at ingest
     assert all("jane.doe@example.com" not in r.text for r in rows)
+
+
+def test_watermarked_novelty_bounded_state(spark, tmp_path):
+    """With a watermark, in-window duplicates still collapse and the
+    query plans dropDuplicatesWithinWatermark (evictable state)."""
+    from datetime import datetime
+
+    rows = [
+        (1, DOC_A, datetime(2026, 1, 1, 10, 0, 0)),
+        (2, DOC_A, datetime(2026, 1, 1, 10, 5, 0)),   # dup inside window
+        (3, DOC_C, datetime(2026, 1, 1, 11, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "wm_src")
+    df.coalesce(1).write.parquet(src)
+    stream = docs_stream.read_documents_stream(spark, src, df.schema)
+    novel = docs_stream.novel_documents_stream(
+        stream, None, watermark_col="ts", watermark_delay="30 minutes"
+    )
+    run_stream_to_memory(
+        novel.select("doc_id"),
+        "novel_docs_wm_t",
+        str(tmp_path / "ckpt_wm"),
+        output_mode="append",
+    )
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM novel_docs_wm_t").collect()
+    }
+    assert 3 in got
+    assert len(got & {1, 2}) == 1  # in-window dup collapsed
