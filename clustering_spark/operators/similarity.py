@@ -321,17 +321,30 @@ class IVFIndex:
         query: list[float],
         k: int = 10,
         nprobe: int = 4,
+        qvec_col: str | None = None,
+        rerank_factor: int = 4,
     ) -> DataFrame:
-        """Top-k by cosine among the nprobe cells nearest the query."""
+        """Top-k by cosine among the nprobe cells nearest the query.
+
+        With ``qvec_col`` (an int8 column from quantize_embeddings) the
+        probed subset is scored IVF-SQ8 style: integer GEMV over the
+        quantized column, exact rerank on the float column — composing
+        the two scale levers (partition pruning cuts the scan to
+        nprobe/nlist of the corpus, quantization cuts the bytes of
+        what remains by 4-8x)."""
         assert self.centroids is not None, "fit first"
         qv = np.asarray(query, dtype=np.float64)
         qn = qv / max(np.linalg.norm(qv), 1e-12)
         d2 = ((self.centroids - qn) ** 2).sum(axis=1)
         probe_cells = [int(c) for c in np.argsort(d2)[:nprobe]]
+        probed = indexed.filter(F.col("cell").isin(probe_cells))
+        if qvec_col is not None:
+            return topk_quantized_rerank(
+                probed, vec_col, qvec_col, query, id_col, k, rerank_factor
+            )
         q = F.array(*[F.lit(float(x)) for x in query])
         return (
-            indexed.filter(F.col("cell").isin(probe_cells))
-            .select(
+            probed.select(
                 F.col(id_col),
                 F.round(
                     cosine_similarity(F.col(vec_col).cast("array<double>"), q), 6

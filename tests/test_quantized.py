@@ -70,3 +70,19 @@ def test_zero_query_raises(spark, emb):
         similarity.topk_quantized_rerank(
             emb, "embedding", "qvec", [0.0] * 64, "vec_id"
         )
+
+
+def test_ivf_quantized_matches_ivf_exact(spark, emb):
+    """IVF + SQ8: same probed cells, quantized scoring + rerank must
+    return the same top-k as the exact IVF scan."""
+    query = [float(np.sin(i * 0.7)) for i in range(64)]
+    idx = similarity.IVFIndex(nlist=8, seed=42).fit(emb, "embedding")
+    indexed = idx.transform(emb, "embedding").cache()
+    exact = idx.search(indexed, "embedding", "vec_id", query, k=10, nprobe=4)
+    fast = idx.search(
+        indexed, "embedding", "vec_id", query, k=10, nprobe=4,
+        qvec_col="qvec", rerank_factor=4,
+    )
+    assert [(r.vec_id, r.cosine) for r in exact.collect()] == [
+        (r.vec_id, r.cosine) for r in fast.collect()
+    ]
