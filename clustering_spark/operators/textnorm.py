@@ -16,6 +16,7 @@ scan speed and compose with the chunker/dedup stages for free.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +49,33 @@ def normalize_text(text: Column | str, lowercase: bool = False) -> Column:
         t = F.lower(t)
     no_ctrl = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
     return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str, form: str = "NFC", out_col: str | None = None
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the step that makes
+    'café' (e + combining acute) and 'café' (precomposed) the same
+    bytes BEFORE fingerprinting/dedup, or nothing downstream agrees.
+
+    This is one of the few deliberate Python-path operators: Spark has
+    no native unicode-normalize expression, so the kernel is an
+    Arrow-batched pandas_udf over stdlib unicodedata — one
+    vectorized-transfer pass, no JVM round-trips per row (the
+    row-at-a-time UDF ban holds; the batch form is the sanctioned
+    escape hatch for exactly this no-native-equivalent case)."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
 
 
 def pii_counts(df: DataFrame, text_col: str) -> DataFrame:

@@ -292,3 +292,31 @@ def test_repetition_signals_property_vs_python(spark):
                 assert abs(g - e) < 1e-6, (t, got[i], exp)
 
     check()
+
+
+def test_normalize_unicode_nfc(spark):
+    decomposed = "cafe\u0301"  # e + combining acute
+    precomposed = "caf\u00e9"  # precomposed e-acute
+    assert decomposed != precomposed  # the two encodings really differ
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, precomposed), (3, None)], "id long, t string"
+    )
+    out = {r.id: r.t for r in
+           textnorm.normalize_unicode(df, "t", "NFC").collect()}
+    assert out[1] == precomposed == out[2]
+    assert out[3] is None
+    # fingerprint now agrees across the two encodings
+    fp = textnorm.normalize_unicode(df.filter("t IS NOT NULL"), "t", "NFC")
+    fps = {
+        r.id: r.fp
+        for r in fp.select(
+            "id", F.md5(F.lower(F.col("t"))).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2]
+
+
+def test_normalize_unicode_bad_form(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, t string")
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        textnorm.normalize_unicode(df, "t", "NFX")
