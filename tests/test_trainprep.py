@@ -133,3 +133,24 @@ def test_sequences_cover_survivors(prepped):
     assert sum(r.n_docs for r in seqs) == 2  # both survivors packed
     joined = "\x1e".join(r.sequence for r in seqs)
     assert "<EMAIL>" in joined  # redacted text flows to the sink
+
+
+def test_split_corpus_partitioned_write(spark, prepped, tmp_path):
+    """Integration: the split output lands as hive-partitioned,
+    size-targeted parquet (the 100 TB sink shape: downstream training
+    jobs read ONLY their split's directory)."""
+    import os
+
+    from clustering_spark.sources import compaction
+
+    out_dir = str(tmp_path / "corpus")
+    compaction.write_compacted(
+        prepped["split"], out_dir, 1 << 30, partition_cols=["split"]
+    )
+    dirs = {d for d in os.listdir(out_dir) if d.startswith("split=")}
+    assert dirs  # at least one split materialized
+    back = spark.read.parquet(out_dir)
+    assert back.count() == prepped["split"].count()
+    assert set(back.select("split").distinct().toPandas()["split"]) == {
+        d.split("=")[1] for d in dirs
+    }
