@@ -1,0 +1,84 @@
+"""Character-trigram language-model scoring — the CCNet-style quality
+signal: score each document by how probable its character sequence is
+under a reference corpus's trigram distribution. Gibberish, wrong-
+language, and boilerplate-ish text score low; fluent text like the
+reference scores high. (CCNet uses a KenLM 5-gram; a char-trigram LM
+is the dependency-free relational analog with the same filtering
+behavior at corpus scale.)
+
+Everything is relational and SQL-expressible:
+- fit: explode normalized char trigrams -> groupBy count. The model
+  is VOCABULARY-sized (charset³, bounded), so it broadcasts.
+- score: explode doc trigrams -> broadcast-join the model -> per-doc
+  mean log-prob with add-one smoothing (unseen trigrams get
+  log(1/(total + V))).
+
+At 100 TB: fit is one map-side-combined shuffle over a bounded key
+space; scoring is scan + broadcast join + one keyed aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _char_trigrams(text: Column | str) -> Column:
+    """Lower-cased, whitespace-collapsed character trigrams. Docs
+    shorter than 3 normalized chars produce an empty array."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    n = F.length(norm)
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.substring(norm, i, 3),
+        )
+    )
+
+
+def fit_trigram_lm(corpus: DataFrame, text_col: str) -> DataFrame:
+    """(gram, n) counts over the reference corpus — the model table.
+    Persist/broadcast it; refit when the reference corpus changes."""
+    return (
+        corpus.select(F.explode(_char_trigrams(text_col)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def score_lm(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "lm_logp",
+) -> DataFrame:
+    """Append per-doc mean trigram log-prob (add-one smoothed; empty
+    docs score NULL). Higher = more like the reference corpus; gate
+    with a percentile threshold, not an absolute one — the scale
+    shifts with the charset."""
+    from pyspark.sql.functions import broadcast
+
+    totals = model.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__v")
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(_char_trigrams(text_col)).alias("gram")
+    )
+    scored = (
+        grams.join(broadcast(model), on="gram", how="left")
+        .crossJoin(broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+                / (F.col("__total") + F.col("__v"))
+            ).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__lp"), 6).alias(out_col))
+    )
+    return docs.join(scored, on=id_col, how="left")
