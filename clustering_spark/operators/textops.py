@@ -52,15 +52,23 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(pieces)
 
 
-def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str, lang_col: str | None = None
+) -> DataFrame:
     """Append quality-signal columns: n_chars_m (measured), n_tokens,
-    avg_token_len, punct_ratio, digit_ratio, stopword_ratio (en),
+    avg_token_len, punct_ratio, digit_ratio, stopword_ratio,
     and a composite quality_score in [0,1].
 
     Score = mean of four unit-range signals: token-length plausibility,
     low punctuation, low digits, stopword presence. Deliberately simple
     + fully SQL-replicable (oracle-checked).
-    """
+
+    ``lang_col``: optional language column (e.g. lang_id's output) —
+    the stopword list is then selected per row via a chained CASE over
+    LANG_STOPWORDS (still pure native expressions); unknown languages
+    fall back to the English list, matching the default behavior. A
+    French document full of 'le/la/des' stops scoring as stopword-free
+    gibberish."""
     t = F.col(text_col)
     toks = tokens(text_col)
     n_chars = F.length(t)
@@ -70,8 +78,16 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
     digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
-    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en, F.lower(w))))
+    if lang_col is None:
+        stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    else:
+        stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+        for code in sorted(LANG_STOPWORDS):
+            stops = F.when(
+                F.col(lang_col) == F.lit(code),
+                F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]]),
+            ).otherwise(stops)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, F.lower(w))))
     stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
 
     tok_len_ok = F.when((avg_tok >= 3.0) & (avg_tok <= 10.0), 1.0).otherwise(0.0)

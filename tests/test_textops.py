@@ -175,3 +175,18 @@ def test_chunk_documents_matches_python_chunker_property(spark):
         assert [tuple(r) for r in got.itertuples(index=False)] == sorted(exp)
 
     prop()
+
+
+def test_quality_lang_aware_stopwords(spark):
+    fr = "le chat est dans la maison et il dort"
+    df = spark.createDataFrame([(fr, "fr"), (fr, "en"), (fr, "xx")],
+                               "text string, lang string")
+    out = textops.quality_features(df, "text", lang_col="lang").collect()
+    by_lang = {r.lang: r.stopword_ratio for r in out}
+    assert by_lang["fr"] > by_lang["en"]       # French stops now count
+    assert by_lang["xx"] == by_lang["en"]      # unknown falls back to en
+    # default (no lang_col) unchanged
+    base = textops.quality_features(
+        spark.createDataFrame([(fr,)], "text string"), "text"
+    ).collect()[0]
+    assert base.stopword_ratio == by_lang["en"]
