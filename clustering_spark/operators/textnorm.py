@@ -259,24 +259,46 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
     dup_line_ratio > 0.3, top-2-gram > 0.2).
     """
     t = F.col(text_col)
-    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+
+    # STAGED projection: tokenization and line-splitting land in named
+    # columns FIRST, and every signal below references the attribute.
+    # Two reasons (both measured on the sf0.1 text_quality bench):
+    # subexpression elimination does not reach inside higher-order-
+    # function lambdas, so an expression-form `toks` inside the 2-gram
+    # lambda would re-split the document PER ELEMENT (O(n²) in tokens);
+    # and CollapseProject keeps the stage because split/filter are
+    # non-cheap aliases referenced more than once — the same staging
+    # pattern as dedup._staged_minhash.
+    # regexp strip, not F.trim: trim removes spaces only — "\n"-only
+    # text would split into phantom empty tokens (same rule as
+    # textops.tokens; the DuckDB oracle mirrors it)
+    trimmed = F.regexp_replace(t, r"^\s+|\s+$", "")
+    staged = df.withColumns(
+        {
+            "__rs_toks": F.when(
+                F.length(trimmed) == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(trimmed, r"\s+")),
+            "__rs_lines": F.filter(
+                F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+            ),
+        }
+    )
+    toks = F.col("__rs_toks")
+    lines = F.col("__rs_lines")
+
     n_lines = F.size(lines)
     dup_line = F.when(
         n_lines > 0,
         1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
     ).otherwise(0.0)
 
-    # regexp strip, not F.trim: trim removes spaces only — "\n"-only
-    # text would split into phantom empty tokens (same rule as
-    # textops.tokens; the DuckDB oracle mirrors it)
-    trimmed = F.regexp_replace(t, r"^\s+|\s+$", "")
-    toks = F.when(
-        F.length(trimmed) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(trimmed, r"\s+"))
     n_toks = F.size(toks)
-    grams = F.when(n_toks >= 2, F.transform(
-        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
-        lambda w, i: F.concat_ws("\x1f", w, F.element_at(toks, i + 2)),
+    # zip_with over the two shifted slices: each slice evaluates the
+    # (cheap) token attribute once — no element_at-per-element
+    grams = F.when(n_toks >= 2, F.zip_with(
+        F.slice(toks, 1, n_toks - 1),
+        F.slice(toks, 2, n_toks - 1),
+        lambda a, b: F.concat_ws("\x1f", a, b),
     )).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(grams)
     rep_2gram = F.when(
@@ -307,10 +329,10 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
         n_toks > 0, scan["best"].cast("double") / n_toks
     ).otherwise(0.0)
 
-    return df.withColumns(
+    return staged.withColumns(
         {
             "dup_line_ratio": F.round(dup_line, 6),
             "rep_2gram_ratio": F.round(rep_2gram, 6),
             "top_token_ratio": F.round(top_tok, 6),
         }
-    )
+    ).drop("__rs_toks", "__rs_lines")

@@ -1,0 +1,110 @@
+"""File-level incremental batch ingest ledger (beyond-reference scope;
+the reference re-reads its whole HDFS drop directory every cron run —
+hdfs_operations.py — and relies on moving files aside to avoid
+reprocessing, which loses the audit trail and breaks if the move
+fails mid-run).
+
+Structured Streaming already tracks processed files in its checkpoint,
+but plenty of pipeline stages are BATCH jobs run on a schedule. The
+ledger gives those the same exactly-once-per-file discipline without
+adopting streaming: a small parquet table of (file, bytes, mtime)
+records every file a previous run consumed; the next run lists the
+source, anti-joins the ledger, processes only the remainder, and
+appends what it processed. Re-listing is cheap (driver-side Hadoop FS
+call, #files rows); the anti-join is broadcast (the file list is tiny
+next to the data).
+
+Semantics: at-least-once per file. Record AFTER the processing commit
+— a crash between processing and recording reprocesses that batch,
+which downstream idempotent sinks (exact dedup, latest-wins upsert,
+novelty anti-join — all in this repo) absorb. A file is re-ingested if
+its size OR mtime changes: appends-in-place show up as changed bytes,
+rewrites as changed mtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LEDGER_SCHEMA = "file string, bytes long, mtime_ms long"
+
+
+def list_source_files(spark: SparkSession, pattern: str) -> DataFrame:
+    """(file, bytes, mtime_ms) for every file matching ``pattern``
+    (glob, e.g. ``/drop/*.jsonl``) via the Hadoop FileSystem API —
+    works on any Hadoop-compatible FS. Directories matched by the glob
+    are expanded one level (a parquet "file" that is really a
+    directory of part files is listed as its parts)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(jpath) or []
+    rows = []
+    for st in matches:
+        if st.isDirectory():
+            for sub in fs.listStatus(st.getPath()):
+                name = sub.getPath().getName()
+                if sub.isFile() and not name.startswith(("_", ".")):
+                    rows.append(
+                        (
+                            sub.getPath().toString(),
+                            sub.getLen(),
+                            sub.getModificationTime(),
+                        )
+                    )
+        else:
+            rows.append(
+                (st.getPath().toString(), st.getLen(), st.getModificationTime())
+            )
+    return spark.createDataFrame(rows, LEDGER_SCHEMA)
+
+
+def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """The processed-file ledger; empty frame if no run recorded yet."""
+    try:
+        return spark.read.parquet(ledger_path).select("file", "bytes", "mtime_ms")
+    except Exception:
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+
+
+def unprocessed(files: DataFrame, ledger: DataFrame) -> DataFrame:
+    """Files not yet consumed: anti-join on the FULL identity
+    (file, bytes, mtime) so a changed file re-qualifies. Ledger side
+    broadcast — it is #files rows by construction."""
+    return files.join(
+        F.broadcast(ledger), on=["file", "bytes", "mtime_ms"], how="left_anti"
+    )
+
+
+def record_processed(files: DataFrame, ledger_path: str) -> None:
+    """Append the consumed batch to the ledger. Call AFTER the
+    processing commit (at-least-once contract — module docstring).
+    Single-writer per ledger, same contract as the k-cache
+    (operators/kcache.py): schedulers running one instance of a given
+    ingest job satisfy it by construction."""
+    files.select("file", "bytes", "mtime_ms").coalesce(1).write.mode(
+        "append"
+    ).parquet(ledger_path)
+
+
+def incremental_batch(
+    spark: SparkSession,
+    pattern: str,
+    ledger_path: str,
+    fmt: str = "parquet",
+) -> tuple[DataFrame | None, DataFrame]:
+    """One incremental ingest step: list → anti-join ledger → load.
+
+    Returns ``(data, new_files)`` where ``data`` reads ONLY the new
+    files (None when there are none — callers skip the run) and
+    ``new_files`` is what to pass to :func:`record_processed` after
+    the processing commit. The driver collect is the file list — #new
+    files rows, the same bounded listing every batch scheduler does.
+    """
+    new = unprocessed(list_source_files(spark, pattern), read_ledger(spark, ledger_path))
+    paths = [r.file for r in new.collect()]
+    if not paths:
+        return None, new
+    data = spark.read.format(fmt).load(paths)
+    return data, new

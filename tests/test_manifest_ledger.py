@@ -1,0 +1,121 @@
+"""Manifest (dataset inventory + integrity diff) and ledger
+(incremental batch ingest) scenario tests over tmp_path datasets.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from clustering_spark.sources import ledger as L
+from clustering_spark.sources import manifest as M
+
+
+def _write_ds(spark, path, n=100, parts=4):
+    spark.range(n).withColumn("v", F.col("id") * 2).repartition(
+        parts
+    ).write.mode("overwrite").parquet(path)
+
+
+# -- manifest ---------------------------------------------------------
+
+
+def test_manifest_counts_and_sizes(spark, tmp_path):
+    p = str(tmp_path / "ds")
+    _write_ds(spark, p, n=100, parts=4)
+    m = M.write_manifest(spark, p).collect()
+    assert sum(r.n_rows for r in m) == 100
+    assert all(r.bytes > 0 for r in m)
+    assert all(r.file.endswith(".parquet") for r in m)
+    # manifest lives under the dataset but does NOT pollute reads
+    assert spark.read.parquet(p).count() == 100
+    # round-trips through the stored copy
+    stored = M.read_manifest(spark, p).collect()
+    assert sorted((r.file, r.n_rows) for r in stored) == sorted(
+        (r.file, r.n_rows) for r in m
+    )
+
+
+def test_verify_manifest_clean_dataset(spark, tmp_path):
+    p = str(tmp_path / "ds")
+    _write_ds(spark, p)
+    M.write_manifest(spark, p)
+    assert M.verify_manifest(spark, p).count() == 0
+
+
+def test_verify_manifest_detects_missing_and_unexpected(spark, tmp_path):
+    p = str(tmp_path / "ds")
+    _write_ds(spark, p, n=60, parts=3)
+    m = M.write_manifest(spark, p).collect()
+    # delete one manifested data file
+    victim = next(r.file for r in m)
+    os.remove(victim)
+    # drop in a stray extra file (simulated partial write from another
+    # run): copy one surviving part under a new data-looking name
+    survivor = next(r.file for r in m if r.file != victim)
+    stray = os.path.join(os.path.dirname(survivor), "part-stray.parquet")
+    with open(survivor, "rb") as s, open(stray, "wb") as d:
+        d.write(s.read())
+    problems = {r.file: r.problem for r in M.verify_manifest(spark, p).collect()}
+    assert problems[victim] == "missing"
+    assert problems[stray] == "unexpected"
+    assert len(problems) == 2
+
+
+# -- ledger -----------------------------------------------------------
+
+
+def test_incremental_batch_processes_each_file_once(spark, tmp_path):
+    src = tmp_path / "drop"
+    src.mkdir()
+    led = str(tmp_path / "ledger")
+    spark.range(10).coalesce(1).write.parquet(str(src / "a.parquet"))
+    spark.range(5).coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    data, new = L.incremental_batch(spark, f"{src}/*", led)
+    assert data.count() == 15
+    assert new.count() == 2  # two parquet part files, one per dataset
+    L.record_processed(new, led)
+
+    # nothing new -> no work
+    data2, new2 = L.incremental_batch(spark, f"{src}/*", led)
+    assert data2 is None and new2.count() == 0
+
+    # a third drop arrives -> only it is read
+    spark.range(7).coalesce(1).write.parquet(str(src / "c.parquet"))
+    data3, new3 = L.incremental_batch(spark, f"{src}/*", led)
+    assert data3.count() == 7
+    assert new3.count() == 1
+    L.record_processed(new3, led)
+    assert L.read_ledger(spark, led).count() == 3
+
+
+def test_changed_file_requalifies(spark, tmp_path):
+    src = tmp_path / "drop"
+    src.mkdir()
+    led = str(tmp_path / "ledger")
+    spark.range(10).coalesce(1).write.parquet(str(src / "a.parquet"))
+    _, new = L.incremental_batch(spark, f"{src}/*", led)
+    L.record_processed(new, led)
+    assert L.incremental_batch(spark, f"{src}/*", led)[0] is None
+
+    # rewrite the dataset with different contents: size/mtime change
+    time.sleep(0.05)
+    spark.range(99).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "a.parquet")
+    )
+    data, new2 = L.incremental_batch(spark, f"{src}/*", led)
+    assert data is not None and data.count() == 99
+    assert new2.count() >= 1
+
+
+def test_list_source_files_skips_metadata(spark, tmp_path):
+    src = tmp_path / "drop"
+    src.mkdir()
+    spark.range(3).coalesce(1).write.parquet(str(src / "a.parquet"))
+    files = L.list_source_files(spark, f"{src}/*").collect()
+    names = [os.path.basename(r.file) for r in files]
+    assert all(not n.startswith(("_", ".")) for n in names)
+    assert all(r.bytes > 0 and r.mtime_ms > 0 for r in files)
