@@ -1219,3 +1219,53 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Per-document repeated-PASSAGE statistics: what fraction of a
+    document's chunks also appear (verbatim) in other documents. The
+    chunk-granular approximation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee
+    et al. 2022): document-level dedup keeps two distinct pages that
+    share a long boilerplate passage, and models memorize exactly
+    those shared passages. Output (doc_id, n_chunks, n_shared_chunks,
+    shared_chunk_frac) is the quality-gate signal — a caller drops or
+    down-weights docs above a shared-fraction threshold, or routes
+    flagged (doc, chunk_start) spans to a surgical cutter.
+
+    Scale shape: textops.chunk_documents emits (id, idx, start, md5)
+    — never chunk text — so everything downstream shuffles 16-byte
+    hashes: groupBy(chunk_md5) counting DISTINCT docs (self-repeats
+    within one doc are repetition_signals' job, not cross-doc
+    duplication), an equi-join back on the hash (both sides narrow,
+    AQE-splittable), and one per-doc count. No all-pairs stage at any
+    point; cost is linear in total chunks.
+    """
+    from clustering_spark.operators.textops import chunk_documents
+
+    chunks = chunk_documents(df, id_col, text_col, size=size, stride=stride)
+    copies = (
+        chunks.groupBy("chunk_md5")
+        .agg(F.countDistinct(id_col).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_copies)
+        .select("chunk_md5")
+    )
+    marked = chunks.join(
+        copies.withColumn("__shared", F.lit(1)), on="chunk_md5", how="left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.coalesce(F.col("__shared"), F.lit(0))).alias("n_shared_chunks"),
+        F.round(
+            F.sum(F.coalesce(F.col("__shared"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("shared_chunk_frac"),
+    )

@@ -353,3 +353,47 @@ class IVFIndex:
             .orderBy(F.col("cosine").desc(), F.col(id_col))
             .limit(k)
         )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_vec: str,
+    corpus_id: str,
+    eval_vec: str,
+    eval_id: str,
+    threshold: float = 0.95,
+    k: int = 5,
+    max_eval_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-space eval contamination: (eval row, train row,
+    cosine) for every training doc within ``threshold`` cosine of an
+    eval doc. The semantic complement of dedup.contamination_pairs —
+    n-gram overlap misses paraphrases; embedding proximity catches
+    them (and is exactly the near-dup notion embedding_neardup_pairs
+    uses WITHIN the corpus, applied ACROSS train/eval).
+
+    Composition: knn_join (eval side broadcast — an eval benchmark is
+    small by contract, and the guard raises past ``max_eval_rows``;
+    train corpus scanned once, never shuffled) then a threshold
+    filter. k bounds matches per eval row; raise it if a benchmark
+    doc can plausibly have more than k near-copies in training data.
+    Returns (eval_id, train_id, cosine, rank) ordered within each
+    eval doc by similarity.
+    """
+    nn = knn_join(
+        corpus,
+        eval_set,
+        corpus_vec,
+        corpus_id,
+        eval_vec,
+        eval_id,
+        k=k,
+        max_query_rows=max_eval_rows,
+    )
+    return nn.filter(F.col("cosine") >= float(threshold)).select(
+        F.col("query_id").alias("eval_id"),
+        F.col("corpus_id").alias("train_id"),
+        "cosine",
+        "rank",
+    )

@@ -334,3 +334,61 @@ class TestContamination:
         ).toPandas()
         key = ["test_id", "train_id"]
         assert a.sort_values(key).values.tolist() == b.sort_values(key).values.tolist()
+
+
+class TestPassageDupStats:
+    def _docs(self, spark):
+        # 200-char shared boilerplate passage planted at chunk-aligned
+        # offsets in docs 1 and 2; doc 3 is unique text
+        shared = ("All rights reserved. Subscribe to our newsletter. " * 4)[:200]
+        uniq = lambda c: (c * 300)[:300]
+        rows = [
+            (1, shared + uniq("a")),
+            (2, shared + uniq("b")),
+            (3, uniq("c") + uniq("d")),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_passage_flagged_per_doc(self, spark):
+        from clustering_spark.operators.dedup import passage_dup_stats
+
+        out = {
+            r.doc_id: r
+            for r in passage_dup_stats(
+                self._docs(spark), size=200, stride=200
+            ).collect()
+        }
+        assert len(out) == 3
+        # docs 1 and 2 share exactly their first chunk (chunk-aligned)
+        assert out[1].n_shared_chunks >= 1
+        assert out[2].n_shared_chunks >= 1
+        assert out[3].n_shared_chunks == 0
+        for r in out.values():
+            assert 0.0 <= r.shared_chunk_frac <= 1.0
+            assert r.n_shared_chunks <= r.n_chunks
+
+    def test_duplicate_free_corpus_all_zero(self, spark):
+        from clustering_spark.operators.dedup import passage_dup_stats
+
+        df = spark.createDataFrame(
+            [(i, f"{'x' * i} unique document number {i} " * 20) for i in range(1, 6)],
+            "doc_id long, text string",
+        )
+        out = passage_dup_stats(df).collect()
+        assert all(r.n_shared_chunks == 0 for r in out)
+
+    def test_self_repetition_not_cross_doc(self, spark):
+        """A doc repeating ITS OWN passage is not cross-doc shared
+        (countDistinct doc guard)."""
+        from clustering_spark.operators.dedup import passage_dup_stats
+
+        block = ("repeat me " * 30)[:200]
+        df = spark.createDataFrame(
+            [(1, block + block), (2, "totally unrelated text " * 20)],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in passage_dup_stats(df, size=200, stride=200).collect()
+        }
+        assert out[1].n_shared_chunks == 0

@@ -79,3 +79,28 @@ def test_knn_no_corpus_shuffle(spark, corpus):
     df = knn_join(corpus, q, "embedding", "vec_id", "qvec", "qid", k=3)
     assert join_strategies(df) == []
     assert plan_tree(df).count("Exchange") <= 2  # partials shuffle (+AQE read)
+
+
+def test_embedding_contamination_flags_planted_copy(spark):
+    from clustering_spark.operators.similarity import embedding_contamination
+
+    rng = np.random.RandomState(11)
+    M = rng.randn(50, 8)
+    train = spark.createDataFrame(
+        [(i, [float(v) for v in M[i]]) for i in range(50)],
+        "tid long, v array<double>",
+    )
+    # eval doc 100 = near-copy of train 7 (tiny perturbation);
+    # eval doc 101 = fresh random direction
+    e0 = M[7] + 0.001 * rng.randn(8)
+    e1 = rng.randn(8) * 5
+    ev = spark.createDataFrame(
+        [(100, [float(v) for v in e0]), (101, [float(v) for v in e1])],
+        "eid long, v array<double>",
+    )
+    hits = embedding_contamination(
+        train, ev, "v", "tid", "v", "eid", threshold=0.99
+    ).collect()
+    assert [(r.eval_id, r.train_id) for r in hits] == [(100, 7)]
+    assert hits[0].cosine >= 0.99
+    assert hits[0].rank == 1
