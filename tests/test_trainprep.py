@@ -154,3 +154,49 @@ def test_split_corpus_partitioned_write(spark, prepped, tmp_path):
     assert set(back.select("split").distinct().toPandas()["split"]) == {
         d.split("=")[1] for d in dirs
     }
+
+
+def test_capstone_sequences_to_sharded_manifested_dataset(
+    spark, prepped, tmp_path
+):
+    """Capstone handoff chain: prep sequences -> deterministic epoch
+    shuffle -> partitioned parquet write -> manifest -> integrity
+    verify -> ledger-driven incremental consumption. The full
+    corpus-build story the individual suites cover piecewise."""
+    from clustering_spark.operators.shuffling import epoch_shuffle
+    from clustering_spark.sources import ledger as L
+    from clustering_spark.sources import manifest as M
+
+    seqs = prepped["sequences"]
+    n_seqs = seqs.count()
+    assert n_seqs > 0
+
+    out = str(tmp_path / "corpus_epoch0")
+    shuffled = epoch_shuffle(seqs, "pack_id", n_shards=2, epoch=0)
+    shuffled.write.partitionBy("shard").mode("overwrite").parquet(out)
+    mf = M.write_manifest(spark, out)
+    assert sum(r.n_rows for r in mf.collect()) == n_seqs
+    assert M.verify_manifest(spark, out).count() == 0
+
+    # a training-side consumer ingests the shards exactly once
+    led = str(tmp_path / "ledger")
+    data, new = L.incremental_batch(spark, f"{out}/shard=*", led)
+    assert data.count() == n_seqs
+    L.record_processed(new, led)
+    again, _ = L.incremental_batch(spark, f"{out}/shard=*", led)
+    assert again is None
+
+    # replaying the same epoch reproduces the same per-shard order
+    a = [
+        (r.shard, r.shuffle_order)
+        for r in epoch_shuffle(seqs, "pack_id", 2, epoch=0)
+        .select("shard", "shuffle_order")
+        .collect()
+    ]
+    b = [
+        (r.shard, r.shuffle_order)
+        for r in epoch_shuffle(seqs, "pack_id", 2, epoch=0)
+        .select("shard", "shuffle_order")
+        .collect()
+    ]
+    assert a == b
