@@ -62,6 +62,11 @@ class PrepConfig:
     chunk_stride: int = 1800
     pack_max_tokens: int = 2048
     seed: int = 42
+    # cross-doc repeated-passage gate (dedup.passage_dup_stats): drop
+    # near-dup SURVIVORS whose shared-chunk fraction still exceeds
+    # this — docs that are distinct pages but mostly boilerplate/
+    # copied passages. None = stage off (no extra jobs).
+    max_shared_chunk_frac: float | None = None
 
 
 def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
@@ -171,6 +176,29 @@ def prepare_corpus(
         .filter("__is_min")
         .drop("__is_min")
     )
+
+    # 4b. optional repeated-passage gate AFTER the near-dup collapse:
+    #     near-dup handles whole-document similarity; this drops
+    #     survivors that are still mostly passages shared with OTHER
+    #     surviving docs (chunk-hash shuffles only — dedup.
+    #     passage_dup_stats). Running it post-collapse keeps dup
+    #     clusters from inflating each other's shared fractions.
+    if cfg.max_shared_chunk_frac is not None:
+        frac = dedup.passage_dup_stats(
+            unique,
+            id_c,
+            text_c,
+            size=cfg.chunk_size,
+            stride=cfg.chunk_stride,
+        ).select(id_c, "shared_chunk_frac")
+        unique = (
+            unique.join(frac, on=id_c, how="left")
+            .filter(
+                F.coalesce(F.col("shared_chunk_frac"), F.lit(0.0))
+                <= cfg.max_shared_chunk_frac
+            )
+            .drop("shared_chunk_frac")
+        )
 
     # 5. leakage-safe split on the COMPONENT id
     split = sampling.hash_split(

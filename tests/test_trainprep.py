@@ -200,3 +200,53 @@ def test_capstone_sequences_to_sharded_manifested_dataset(
         .collect()
     ]
     assert a == b
+
+
+def test_passage_gate_drops_boilerplate_heavy_survivor(spark):
+    """Two distinct pages sharing their (chunk-aligned) body except a
+    short unique tail: near-dup collapse keeps both when jaccard is
+    strict, but the passage gate drops both (each is mostly shared
+    passages); a fully unique doc survives."""
+    shared = ("Legal disclaimer boilerplate common to every page. " * 5)[:200]
+    docs = spark.createDataFrame(
+        [
+            (1, shared + shared + "unique alpha tail one two three"),
+            (2, shared + shared + "different beta ending four five six"),
+            (3, "entirely original content " * 12),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = PrepConfig(
+        thresholds=None,
+        redact=False,
+        jaccard_threshold=0.95,  # strict: docs 1/2 NOT near-dups
+        chunk_size=200,
+        chunk_stride=200,
+        pack_max_tokens=4096,
+        max_shared_chunk_frac=0.5,
+    )
+    kept = {
+        r.doc_id
+        for r in trainprep.prepare_corpus(docs, cfg)["unique"]
+        .select("doc_id")
+        .collect()
+    }
+    assert 3 in kept
+    assert 1 not in kept and 2 not in kept
+
+    # stage off -> all three survive (no silent default-on)
+    cfg_off = PrepConfig(
+        thresholds=None,
+        redact=False,
+        jaccard_threshold=0.95,
+        chunk_size=200,
+        chunk_stride=200,
+        pack_max_tokens=4096,
+    )
+    kept_off = {
+        r.doc_id
+        for r in trainprep.prepare_corpus(docs, cfg_off)["unique"]
+        .select("doc_id")
+        .collect()
+    }
+    assert kept_off == {1, 2, 3}
