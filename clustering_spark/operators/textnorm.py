@@ -336,3 +336,59 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
             "top_token_ratio": F.round(top_tok, 6),
         }
     ).drop("__rs_toks", "__rs_lines")
+
+
+# tracking parameters every web-corpus canonicalizer strips (public
+# convention: Google/Facebook/Mailchimp click attribution)
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical DEDUP KEY form of an http(s) URL — the first step of
+    web-corpus curation (URL-level dedup, per-site caps, recrawl
+    detection): two crawls of the same page must collapse to one key
+    even when the fetch URLs differ by case, default port, fragment,
+    tracking parameters, or query-parameter order.
+
+    Normalizations (all native regexp/array expressions, scan-speed):
+    lowercase scheme and host; drop a default :80/:443 port; drop the
+    #fragment; drop tracking parameters (utm_*/gclid/fbclid/...); SORT
+    the surviving query parameters (order is almost never semantic,
+    and unordered keys collapse permutations); strip trailing slashes
+    from the path. The output is a canonical KEY — parameter sorting
+    means it is not guaranteed to be a byte-identical fetchable URL.
+    Non-http(s) input (no scheme match) passes through unchanged so
+    callers can canonicalize mixed columns without a pre-filter.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment first
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[^:/?#]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")))
+        .otherwise(F.lit("")),
+    )
+    return F.when(
+        scheme.isin("http", "https") & (F.length(host) > 0), canon
+    ).otherwise(u)
+
+
+def url_dedup_key(df: DataFrame, url_col: str, out_col: str = "url_key") -> DataFrame:
+    """Append md5(canonical URL) — the 16-byte join/groupBy key for
+    URL-level exact dedup and per-URL latest-crawl-wins upserts."""
+    return df.withColumn(out_col, F.md5(canonicalize_url(url_col)))

@@ -320,3 +320,53 @@ def test_normalize_unicode_bad_form(spark):
     df = spark.createDataFrame([(1, "x")], "id long, t string")
     with pytest.raises(ValueError, match="unknown normalization form"):
         textnorm.normalize_unicode(df, "t", "NFX")
+
+
+class TestCanonicalizeUrl:
+    def _canon(self, spark, urls):
+        from clustering_spark.operators.textnorm import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        return [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+
+    def test_tracking_fragment_port_case(self, spark):
+        got = self._canon(
+            spark,
+            [
+                "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+                "http://example.com:80/a/b/",
+                "https://example.com/a?fbclid=abc&gclid=def",
+            ],
+        )
+        assert got[0] == "https://example.com/Path?q=1"
+        assert got[1] == "http://example.com/a/b"
+        assert got[2] == "https://example.com/a"
+
+    def test_param_order_collapses(self, spark):
+        a, b = self._canon(
+            spark,
+            [
+                "https://example.com/s?b=2&a=1",
+                "https://example.com/s?a=1&b=2",
+            ],
+        )
+        assert a == b == "https://example.com/s?a=1&b=2"
+
+    def test_non_url_passthrough(self, spark):
+        got = self._canon(spark, ["not a url", "ftp://example.com/x"])
+        assert got == ["not a url", "ftp://example.com/x"]
+
+    def test_dedup_key_collapses_variants(self, spark):
+        from clustering_spark.operators.textnorm import url_dedup_key
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://Example.com/page?utm_campaign=z&id=7#top"),
+                (2, "https://example.com:443/page/?id=7"),
+                (3, "https://example.com/other"),
+            ],
+            "doc_id long, url string",
+        )
+        keys = {r.doc_id: r.url_key for r in url_dedup_key(df, "url").collect()}
+        assert keys[1] == keys[2]
+        assert keys[3] != keys[1]
