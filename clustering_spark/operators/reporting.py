@@ -1,0 +1,101 @@
+"""Corpus data-card reporting (beyond-reference scope; the reference's
+only reporting surface is the GUI dropdown query, views.py — there is
+no corpus-level summary anywhere in it).
+
+Every dataset release ships a data card: how many documents and
+tokens, from which sources/languages in what proportion, how much
+duplication, how clean. ``corpus_report`` derives all of it from ONE
+per-document feature projection (quality features + fingerprint + PII
+counts — the same operators the prep pipeline gates on, so the card
+and the gate can never disagree about definitions) and aggregates it
+three ways. Everything is lazy; a caller producing all three frames
+over a large corpus should ``.persist()`` the ``features`` frame
+first — the known multi-consumer cost policy (PERFORMANCE.md), left
+to the caller so a single-frame use doesn't pay a cache write.
+
+Scale shape: the feature projection is scan-speed native expressions;
+``overall`` is a single 1-row aggregate (HLL for distinct
+fingerprints — no exact-distinct shuffle of md5s); the per-stratum
+frames are one narrow groupBy each over a bounded key space
+(languages / sources, not documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import textnorm, textops
+
+
+def corpus_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The shared per-document feature frame: quality signals,
+    normalized-content fingerprint, PII counts."""
+    out = textops.quality_features(df, text_col)
+    out = textops.fingerprint(out, text_col)
+    return textnorm.pii_counts(out, text_col)
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_cols: tuple[str, ...] = (),
+    rsd: float = 0.05,
+) -> dict[str, DataFrame]:
+    """Data-card frames for a document corpus.
+
+    Returns ``{"features": per-doc frame, "overall": 1-row summary,
+    "by_<stratum>": one frame per requested stratum column}``.
+
+    ``overall`` columns: n_docs, total_tokens, total_chars,
+    approx_distinct_fingerprints (HLL at ``rsd``), est_dup_frac
+    (1 − distinct/total — duplication AFTER whitespace/case
+    normalization), docs_with_pii, pii_doc_frac, and quality-score
+    quantiles (p10/p50/p90, approx_percentile at 1e-4 accuracy).
+    Per-stratum frames carry doc/token counts and corpus share.
+    """
+    feats = corpus_features(df, id_col, text_col)
+    n = F.count(F.lit(1))
+    overall = feats.agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.length(F.col(text_col))).alias("total_chars"),
+        F.approx_count_distinct("fingerprint", rsd).alias(
+            "approx_distinct_fingerprints"
+        ),
+        F.round(
+            1.0 - F.approx_count_distinct("fingerprint", rsd) / n.cast("double"),
+            6,
+        ).alias("est_dup_frac"),
+        F.sum((F.col("n_pii_total") > 0).cast("long")).alias("docs_with_pii"),
+        F.round(
+            F.sum((F.col("n_pii_total") > 0).cast("long")) / n.cast("double"), 6
+        ).alias("pii_doc_frac"),
+        F.round(
+            F.percentile_approx("quality_score", 0.1, 10_000), 6
+        ).alias("quality_p10"),
+        F.round(
+            F.percentile_approx("quality_score", 0.5, 10_000), 6
+        ).alias("quality_p50"),
+        F.round(
+            F.percentile_approx("quality_score", 0.9, 10_000), 6
+        ).alias("quality_p90"),
+    )
+    report: dict[str, DataFrame] = {"features": feats, "overall": overall}
+    for col in strata_cols:
+        per = feats.groupBy(col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        total = per.agg(F.sum("total_tokens").alias("__t"))
+        report[f"by_{col}"] = (
+            per.crossJoin(F.broadcast(total))
+            .withColumn(
+                "token_share",
+                F.round(F.col("total_tokens") / F.col("__t"), 6),
+            )
+            .drop("__t")
+        )
+    return report

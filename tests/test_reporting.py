@@ -1,0 +1,44 @@
+"""Corpus data-card report: overall totals, duplication estimate, PII
+fraction, and per-stratum shares against hand-computable fixtures.
+"""
+
+from __future__ import annotations
+
+from clustering_spark.operators.reporting import corpus_report
+
+
+def _corpus(spark):
+    doc = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, doc, "en", "web"),
+        (2, doc, "en", "web"),              # exact dup of 1
+        (3, doc.upper(), "en", "books"),    # dup after case-normalization
+        (4, "completely different content with plenty of words here", "en", "books"),
+        (5, "mail me at a.b@example.com about the dataset license", "de", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_overall_summary(spark):
+    rep = corpus_report(_corpus(spark), strata_cols=("lang", "source"))
+    o = rep["overall"].collect()[0]
+    assert o.n_docs == 5
+    assert o.total_tokens > 0 and o.total_chars > 0
+    # 3 distinct fingerprints among 5 docs (1,2,3 collapse)
+    assert o.approx_distinct_fingerprints == 3
+    assert abs(o.est_dup_frac - (1 - 3 / 5)) < 0.05
+    assert o.docs_with_pii == 1
+    assert abs(o.pii_doc_frac - 0.2) < 1e-6
+    assert 0.0 <= o.quality_p10 <= o.quality_p50 <= o.quality_p90 <= 1.0
+
+
+def test_per_stratum_shares(spark):
+    rep = corpus_report(_corpus(spark), strata_cols=("lang",))
+    by_lang = {r.lang: r for r in rep["by_lang"].collect()}
+    assert by_lang["en"].n_docs == 4 and by_lang["de"].n_docs == 1
+    assert abs(sum(r.token_share for r in by_lang.values()) - 1.0) < 1e-4
+
+
+def test_features_frame_carries_gate_columns(spark):
+    cols = set(corpus_report(_corpus(spark))["features"].columns)
+    assert {"quality_score", "fingerprint", "n_pii_total", "n_tokens"} <= cols
