@@ -27,7 +27,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+# 5 runs, not 3: this VM shows transient multi-second stalls (CPU
+# steal — see PERFORMANCE.md "Bench environment note"); a median of 5
+# tolerates two polluted runs per query where a median of 3 tolerates
+# one. The spread field still exposes the noise band.
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
 # headline set: scan+agg, join-heavy, window, per-segment scaling,
 # full clustering pipeline, and the beyond-reference operators.
