@@ -65,12 +65,20 @@ def corpus_report(
             "approx_distinct_fingerprints"
         ),
         F.round(
-            1.0 - F.approx_count_distinct("fingerprint", rsd) / n.cast("double"),
+            F.when(
+                n > 0,
+                1.0
+                - F.approx_count_distinct("fingerprint", rsd) / n.cast("double"),
+            ).otherwise(0.0),
             6,
         ).alias("est_dup_frac"),
         F.sum((F.col("n_pii_total") > 0).cast("long")).alias("docs_with_pii"),
         F.round(
-            F.sum((F.col("n_pii_total") > 0).cast("long")) / n.cast("double"), 6
+            F.when(
+                n > 0,
+                F.sum((F.col("n_pii_total") > 0).cast("long")) / n.cast("double"),
+            ).otherwise(0.0),
+            6,
         ).alias("pii_doc_frac"),
         F.round(
             F.percentile_approx("quality_score", 0.1, 10_000), 6

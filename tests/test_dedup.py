@@ -392,3 +392,10 @@ class TestPassageDupStats:
             for r in passage_dup_stats(df, size=200, stride=200).collect()
         }
         assert out[1].n_shared_chunks == 0
+
+
+def test_passage_dup_stats_empty_input(spark):
+    from clustering_spark.operators.dedup import passage_dup_stats
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert passage_dup_stats(empty).count() == 0

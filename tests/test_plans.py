@@ -311,3 +311,42 @@ def test_blocklist_filter_broadcasts_list(spark):
     out = textnorm.filter_domain_blocklist(d, "doc_id", "text", blocked)
     tree = plan_tree(out)
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_passage_dup_stats_hash_only_shuffles(spark):
+    """passage_dup_stats: no cartesian/BNLJ stage, and document text
+    never rides an exchange — only chunk hashes and ids shuffle."""
+    from clustering_spark.operators.dedup import passage_dup_stats
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = passage_dup_stats(d)
+    tree = plan_tree(out)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    blocks = exchange_blocks(out)
+    assert blocks
+    assert all("text" not in b for b in blocks)
+
+
+def test_corpus_report_overall_single_scan_single_exchange(spark):
+    """The 1-row data-card aggregate: one parquet scan, one exchange
+    (partial -> final agg) — no per-metric extra jobs."""
+    from clustering_spark.operators.reporting import corpus_report
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = corpus_report(d)
+    o = rep["overall"]
+    assert count_shuffles(o) == 1
+    assert plan_tree(o).count("Scan parquet") == 1
+
+
+def test_epoch_shuffle_on_real_table_one_exchange(spark):
+    """epoch_shuffle over the parquet documents table keeps the
+    single-exchange, no-global-sort contract on a real scan too."""
+    from clustering_spark.operators.shuffling import epoch_shuffle
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = epoch_shuffle(d, "doc_id", 64, epoch=2)
+    tree = plan_tree(out)
+    assert count_shuffles(out) == 1
+    assert "rangepartitioning" not in tree.lower()

@@ -42,3 +42,13 @@ def test_per_stratum_shares(spark):
 def test_features_frame_carries_gate_columns(spark):
     cols = set(corpus_report(_corpus(spark))["features"].columns)
     assert {"quality_score", "fingerprint", "n_pii_total", "n_tokens"} <= cols
+
+
+def test_corpus_report_empty_corpus(spark):
+    """An empty corpus still yields a 1-row overall summary with
+    zeroed counts (report jobs run on empty partitions too)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rep = corpus_report(empty, strata_cols=("doc_id",))
+    o = rep["overall"].collect()[0]
+    assert o.n_docs == 0
+    assert rep["by_doc_id"].count() == 0

@@ -133,3 +133,14 @@ def test_shuffle_key_separator_prevents_collisions(spark):
         shuffle_key("k", epoch=11).alias("h")
     ).collect()[0].h
     assert k_a1_e1 != k_a_e11
+
+
+def test_empty_input_ok(spark):
+    """Empty corpora flow through (scheduled pipelines hit empty
+    batches): shuffle yields 0 rows with the right schema, stats
+    yields 0 shards."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = epoch_shuffle(empty, "doc_id", 4)
+    assert out.count() == 0
+    assert "shard" in out.columns and "shuffle_order" in out.columns
+    assert shard_stats(out).count() == 0
