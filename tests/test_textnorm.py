@@ -370,3 +370,24 @@ class TestCanonicalizeUrl:
         keys = {r.doc_id: r.url_key for r in url_dedup_key(df, "url").collect()}
         assert keys[1] == keys[2]
         assert keys[3] != keys[1]
+
+    def test_canonicalization_is_idempotent(self, spark):
+        """canon(canon(u)) == canon(u) — keys derived from already-
+        canonical URLs must not drift (re-canonicalization happens
+        whenever two pipelines hand each other URL columns)."""
+        from clustering_spark.operators.textnorm import canonicalize_url
+
+        urls = [
+            "HTTPS://Example.COM:443/Path/?utm_source=x&q=1&a=2#frag",
+            "http://example.com:80/a/b/",
+            "https://example.com/s?b=2&a=1",
+            "https://example.com",
+            "not a url",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        once = df.select(canonicalize_url("u").alias("c1"))
+        twice = once.select(
+            F.col("c1"), canonicalize_url(F.col("c1")).alias("c2")
+        ).collect()
+        for r in twice:
+            assert r.c2 == r.c1
