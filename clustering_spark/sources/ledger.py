@@ -82,7 +82,12 @@ def record_processed(files: DataFrame, ledger_path: str) -> None:
     processing commit (at-least-once contract — module docstring).
     Single-writer per ledger, same contract as the k-cache
     (operators/kcache.py): schedulers running one instance of a given
-    ingest job satisfy it by construction."""
+    ingest job satisfy it by construction.
+
+    Each run appends one small file; after ~thousands of runs, compact
+    the ledger offline (read_ledger → overwrite via
+    sources.compaction.write_compacted) — the ledger is #files rows,
+    so compaction is trivial and the single-writer window covers it."""
     files.select("file", "bytes", "mtime_ms").coalesce(1).write.mode(
         "append"
     ).parquet(ledger_path)
