@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from clustering_spark.operators import dedup
+from tests.conftest import SF_DIR
 
 DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
 DOC_B = "the quick brown fox jumps over the lazy cat again and again today"
@@ -399,3 +400,45 @@ def test_passage_dup_stats_empty_input(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert passage_dup_stats(empty).count() == 0
+
+
+def test_passage_dup_stats_matches_duckdb_on_real_docs(spark):
+    """Independent DuckDB replay of the chunk-hash pipeline on the
+    real documents table (md5 + substring agree byte-for-byte across
+    engines, so the whole stat is cross-checkable)."""
+    import duckdb
+
+    from clustering_spark.operators.dedup import passage_dup_stats
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = (
+        passage_dup_stats(d, size=200, stride=150)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = duckdb.sql(f"""
+        WITH docs AS (
+          SELECT doc_id, text
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+          WHERE length(text) > 0),
+        chunks AS (
+          SELECT doc_id,
+                 md5(substring(text, (u.i - 1) * 150 + 1, 200)) AS h
+          FROM docs,
+               UNNEST(range(1,
+                 CAST(floor((length(text) - 1) / 150) + 2 AS BIGINT))) AS u(i)),
+        shared AS (
+          SELECT h FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared_chunks,
+               round(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS shared_chunk_frac
+        FROM chunks c LEFT JOIN shared s ON c.h = s.h
+        GROUP BY c.doc_id ORDER BY c.doc_id
+    """).fetchdf()
+    assert len(got) == len(want)
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (got.n_chunks.values == want.n_chunks.values).all()
+    assert (got.n_shared_chunks.values == want.n_shared_chunks.values).all()
+    assert int(want.n_shared_chunks.sum()) > 0  # the check has teeth
