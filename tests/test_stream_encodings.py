@@ -198,3 +198,22 @@ def test_registered_stream_dedup_replay_both_encodings(spark, enc_sf_dir):
     assert (got.event_type.values == exp.event_type.values).all()
     assert (got.n_events.values == exp.n_events.values).all()
     assert (abs(got.total_value.values - exp.total_value.values) < 1e-6).all()
+
+
+def test_stream_query_after_unrelated_query_fresh_conf(spark, enc_sf_dir):
+    """Ordering independence (round-5 advice): a streaming query must
+    work when an UNRELATED query ran first and nobody pre-set the
+    legacy nanos flag — the reader must (re)assert its own conf, not
+    rely on ambient session state left by a previous caller."""
+    from clustering_spark.queries import QUERIES
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        # unrelated lineitem-only query first (never touches events;
+        # runs against the real sf dir — the enc fixture holds only
+        # events.parquet)
+        assert QUERIES["pricing_summary"](spark, SF_DIR).count() > 0
+        out = QUERIES["stream_window_events"](spark, enc_sf_dir)
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
