@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 from clustering_spark.operators import textnorm, textops
 
 
-def corpus_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def corpus_features(df: DataFrame, text_col: str) -> DataFrame:
     """The shared per-document feature frame: quality signals,
-    normalized-content fingerprint, PII counts."""
+    normalized-content fingerprint, PII counts. Row-identity is the
+    document (``n_docs`` downstream counts ROWS — dedup upstream if
+    the frame can carry duplicated ids)."""
     out = textops.quality_features(df, text_col)
     out = textops.fingerprint(out, text_col)
     return textnorm.pii_counts(out, text_col)
@@ -38,7 +40,6 @@ def corpus_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def corpus_report(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     strata_cols: tuple[str, ...] = (),
     rsd: float = 0.05,
@@ -55,7 +56,7 @@ def corpus_report(
     quantiles (p10/p50/p90, approx_percentile at 1e-4 accuracy).
     Per-stratum frames carry doc/token counts and corpus share.
     """
-    feats = corpus_features(df, id_col, text_col)
+    feats = corpus_features(df, text_col)
     n = F.count(F.lit(1))
     overall = feats.agg(
         n.alias("n_docs"),
@@ -102,7 +103,12 @@ def corpus_report(
             per.crossJoin(F.broadcast(total))
             .withColumn(
                 "token_share",
-                F.round(F.col("total_tokens") / F.col("__t"), 6),
+                F.round(
+                    F.when(
+                        F.col("__t") > 0, F.col("total_tokens") / F.col("__t")
+                    ).otherwise(0.0),
+                    6,
+                ),
             )
             .drop("__t")
         )

@@ -77,8 +77,12 @@ def epoch_shuffle(
         (F.conv(F.substring(F.col(order_col), 1, 8), 16, 10).cast("long")
          % n_shards).cast("int"),
     )
+    # sort by (shard, order), not order alone: when two shards hash to
+    # the same task (the balls-in-bins case above) each shard's rows
+    # stay CONTIGUOUS in the task's output, so even a direct parquet
+    # write keeps shard boundaries intact — not just partitionBy
     return out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
-        order_col
+        shard_col, order_col
     )
 
 

@@ -26,33 +26,41 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from clustering_spark.sources.filesource import _fs
 
 LEDGER_SCHEMA = "file string, bytes long, mtime_ms long"
 
 
+def _is_metadata(name: str) -> bool:
+    return name.startswith("_") or name.startswith(".")
+
+
 def list_source_files(spark: SparkSession, pattern: str) -> DataFrame:
-    """(file, bytes, mtime_ms) for every file matching ``pattern``
+    """(file, bytes, mtime_ms) for every data file matching ``pattern``
     (glob, e.g. ``/drop/*.jsonl``) via the Hadoop FileSystem API —
-    works on any Hadoop-compatible FS. Directories matched by the glob
-    are expanded one level (a parquet "file" that is really a
-    directory of part files is listed as its parts)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    works on any Hadoop-compatible FS. Matched directories are
+    expanded RECURSIVELY (a "file" that is really a parquet dataset
+    directory — possibly hive-partitioned — is listed as its leaf
+    part files). ``_``/``.``-prefixed names are skipped at every
+    level: _SUCCESS, .crc sidecars, _spark_metadata are bookkeeping,
+    not data — globs like ``/drop/*`` would otherwise match them and
+    either crash the load or ingest garbage."""
+    fs, jpath, _ = _fs(spark, pattern)
     matches = fs.globStatus(jpath) or []
     rows = []
+    stack = []
     for st in matches:
+        if _is_metadata(st.getPath().getName()):
+            continue
+        stack.append(st)
+    while stack:
+        st = stack.pop()
         if st.isDirectory():
             for sub in fs.listStatus(st.getPath()):
-                name = sub.getPath().getName()
-                if sub.isFile() and not name.startswith(("_", ".")):
-                    rows.append(
-                        (
-                            sub.getPath().toString(),
-                            sub.getLen(),
-                            sub.getModificationTime(),
-                        )
-                    )
+                if not _is_metadata(sub.getPath().getName()):
+                    stack.append(sub)
         else:
             rows.append(
                 (st.getPath().toString(), st.getLen(), st.getModificationTime())
@@ -61,11 +69,16 @@ def list_source_files(spark: SparkSession, pattern: str) -> DataFrame:
 
 
 def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
-    """The processed-file ledger; empty frame if no run recorded yet."""
+    """The processed-file ledger; empty frame when no run has recorded
+    yet (missing path only — any OTHER read failure propagates:
+    swallowing a transient FS/permission error here would silently
+    reprocess the entire source and double-append the ledger)."""
     try:
         return spark.read.parquet(ledger_path).select("file", "bytes", "mtime_ms")
-    except Exception:
-        return spark.createDataFrame([], LEDGER_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], LEDGER_SCHEMA)
+        raise
 
 
 def unprocessed(files: DataFrame, ledger: DataFrame) -> DataFrame:

@@ -16,12 +16,23 @@ Row counts come from ONE distributed scan grouped by
 ``input_file_name()`` (no per-file driver loop — the file count can be
 large); byte sizes come from a driver-side Hadoop FileSystem listing
 (#files rows, bounded, and listing is the operation being notarized).
+
+The ``file`` column stores the FULL resolvable URI (consumers must be
+able to open it). Two normalizations reconcile the scan side with the
+listing side: ``input_file_name`` percent-encodes URIs while
+``Path.toString`` does not (decoded, with ``+`` protected — file URIs
+never use ``+`` for space), and the local file scheme prints as
+``file:/p`` from Path vs ``file:///p`` from the scan (canonicalized to
+the three-slash empty-authority form; remote schemes like hdfs/s3a
+print identically on both sides and pass through untouched).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from clustering_spark.sources.filesource import _fs
 
 MANIFEST_SUBDIR = "_manifest"
 
@@ -32,9 +43,7 @@ def _fs_list_files(spark: SparkSession, path: str):
     local). ``_``/``.``-prefixed entries are skipped — they are
     metadata (this manifest, _SUCCESS, streaming _spark_metadata), not
     data."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath, _ = _fs(spark, path)
     out = []
     stack = [jpath]
     while stack:
@@ -50,11 +59,13 @@ def _fs_list_files(spark: SparkSession, path: str):
     return out
 
 
-def _norm_path(col):
-    """Normalize a file URI to a bare path so the scan side
-    (``input_file_name`` → ``file:///a/b``) and the listing side
-    (Hadoop ``Path.toString`` → ``file:/a/b``) join on equal keys."""
-    return F.regexp_replace(col, r"^[a-zA-Z0-9.+-]+:/+", "/")
+def _norm_uri(col: Column) -> Column:
+    """Canonical full-URI join key (module docstring): percent-decode
+    (protecting literal '+', which URLDecoder would turn into a
+    space), then collapse the local file scheme to the three-slash
+    form. Non-file schemes keep their authority untouched."""
+    decoded = F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+    return F.regexp_replace(decoded, r"^file:/+", "file:///")
 
 
 def build_manifest(spark: SparkSession, path: str) -> DataFrame:
@@ -63,12 +74,12 @@ def build_manifest(spark: SparkSession, path: str) -> DataFrame:
     use a metadata-only column so parquet footers satisfy the scan."""
     counts = (
         spark.read.parquet(path)
-        .groupBy(_norm_path(F.input_file_name()).alias("file"))
+        .groupBy(_norm_uri(F.input_file_name()).alias("file"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     sizes = spark.createDataFrame(
         _fs_list_files(spark, path), "file string, bytes long"
-    ).select(_norm_path(F.col("file")).alias("file"), "bytes")
+    ).select(_norm_uri(F.col("file")).alias("file"), "bytes")
     # outer join: a file missing from either side is itself a finding
     # (0-row file, or a file the scan saw that listing didn't)
     return counts.join(sizes, on="file", how="full").select(
@@ -80,10 +91,13 @@ def build_manifest(spark: SparkSession, path: str) -> DataFrame:
 
 def write_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Build and persist the manifest under ``path/_manifest`` (single
-    small parquet file — #files rows). Returns the manifest frame."""
-    m = build_manifest(spark, path)
-    m.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_SUBDIR}")
-    return m
+    small parquet file — #files rows). Returns the STORED manifest
+    (read back from the written file), so evaluating the return value
+    costs one tiny read — never a second full-dataset scan."""
+    build_manifest(spark, path).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{MANIFEST_SUBDIR}"
+    )
+    return read_manifest(spark, path)
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:

@@ -22,6 +22,12 @@ def _write_ds(spark, path, n=100, parts=4):
 # -- manifest ---------------------------------------------------------
 
 
+def _local(uri: str) -> str:
+    """file:///a/b -> /a/b for direct os-level manipulation."""
+    assert uri.startswith("file:///")
+    return uri[len("file://"):]
+
+
 def test_manifest_counts_and_sizes(spark, tmp_path):
     p = str(tmp_path / "ds")
     _write_ds(spark, p, n=100, parts=4)
@@ -29,6 +35,8 @@ def test_manifest_counts_and_sizes(spark, tmp_path):
     assert sum(r.n_rows for r in m) == 100
     assert all(r.bytes > 0 for r in m)
     assert all(r.file.endswith(".parquet") for r in m)
+    # full RESOLVABLE URIs — a consumer can open every listed file
+    assert all(r.file.startswith("file:///") for r in m)
     # manifest lives under the dataset but does NOT pollute reads
     assert spark.read.parquet(p).count() == 100
     # round-trips through the stored copy
@@ -51,16 +59,16 @@ def test_verify_manifest_detects_missing_and_unexpected(spark, tmp_path):
     m = M.write_manifest(spark, p).collect()
     # delete one manifested data file
     victim = next(r.file for r in m)
-    os.remove(victim)
+    os.remove(_local(victim))
     # drop in a stray extra file (simulated partial write from another
     # run): copy one surviving part under a new data-looking name
     survivor = next(r.file for r in m if r.file != victim)
-    stray = os.path.join(os.path.dirname(survivor), "part-stray.parquet")
-    with open(survivor, "rb") as s, open(stray, "wb") as d:
+    stray = os.path.join(os.path.dirname(_local(survivor)), "part-stray.parquet")
+    with open(_local(survivor), "rb") as s, open(stray, "wb") as d:
         d.write(s.read())
     problems = {r.file: r.problem for r in M.verify_manifest(spark, p).collect()}
     assert problems[victim] == "missing"
-    assert problems[stray] == "unexpected"
+    assert problems["file://" + stray] == "unexpected"
     assert len(problems) == 2
 
 
@@ -119,3 +127,56 @@ def test_list_source_files_skips_metadata(spark, tmp_path):
     names = [os.path.basename(r.file) for r in files]
     assert all(not n.startswith(("_", ".")) for n in names)
     assert all(r.bytes > 0 and r.mtime_ms > 0 for r in files)
+
+
+def test_manifest_roundtrip_with_space_in_path(spark, tmp_path):
+    """input_file_name percent-encodes URIs; the listing side doesn't.
+    A path with a space must still verify clean (join keys reconciled)."""
+    p = str(tmp_path / "run 1" / "ds")
+    _write_ds(spark, p, n=30, parts=2)
+    m = M.write_manifest(spark, p).collect()
+    assert sum(r.n_rows for r in m) == 30
+    assert all(" " in r.file and "%20" not in r.file for r in m)
+    assert M.verify_manifest(spark, p).count() == 0
+
+
+def test_ledger_skips_metadata_at_top_level(spark, tmp_path):
+    """A bare '/drop/*' glob matches _SUCCESS & co; the lister must
+    skip them or the load crashes / ingests bookkeeping files."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    spark.range(4).coalesce(1).write.parquet(str(src / "a.parquet"))
+    (src / "_SUCCESS").write_text("")
+    (src / ".hidden.crc").write_text("x")
+    files = L.list_source_files(spark, f"{src}/*").collect()
+    names = [os.path.basename(r.file) for r in files]
+    assert names and all(not n.startswith(("_", ".")) for n in names)
+    data, new = L.incremental_batch(spark, f"{src}/*", str(tmp_path / "led"))
+    assert data.count() == 4
+
+
+def test_ledger_expands_hive_partitioned_dirs(spark, tmp_path):
+    """A matched directory whose children are PARTITION subdirs must
+    contribute its leaf files (recursive expansion), not silently
+    nothing."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    spark.range(20).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(str(src / "batch1"))
+    files = L.list_source_files(spark, f"{src}/*").collect()
+    assert len(files) >= 2  # one leaf file per partition at minimum
+    assert all(r.file.endswith(".parquet") for r in files)
+
+
+def test_read_ledger_raises_on_corrupt_ledger(spark, tmp_path):
+    """Only a MISSING ledger means 'no runs yet'; a present-but-
+    unreadable ledger must raise, not silently reprocess the world."""
+    import pytest
+
+    led = tmp_path / "ledger"
+    led.mkdir()
+    (led / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception) as e:
+        L.read_ledger(spark, str(led)).collect()
+    assert "PATH_NOT_FOUND" not in str(e.value)

@@ -83,8 +83,17 @@ def test_rows_sorted_within_each_partition(spark):
         by_pid.setdefault(r.pid, []).append(r)
     assert len([p for p, rows in by_pid.items() if rows]) <= 5
     for rows in by_pid.values():
-        keys = [r.shuffle_order for r in rows]
-        assert keys == sorted(keys)
+        # rows sort by (shard, order): each shard's block is
+        # contiguous and internally ordered, so even a direct write
+        # keeps shard boundaries
+        pairs = [(r.shard, r.shuffle_order) for r in rows]
+        assert pairs == sorted(pairs)
+        shards_in_order = [s for s, _ in pairs]
+        seen = []
+        for s in shards_in_order:  # contiguity: no shard reappears
+            if not seen or seen[-1] != s:
+                assert s not in seen
+                seen.append(s)
     # a shard is never SPLIT across tasks (hash partitioning is a
     # function of the shard value); two shards may share a task at
     # tiny n_shards — write.partitionBy still separates their files
