@@ -114,8 +114,15 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
     """Heuristic language ID: per language, score = fraction of tokens
     that are that language's function words; argmax wins, 'und'
     (undetermined) when every score is 0. Ties break by language code
-    order (deterministic)."""
-    toks = tokens(text_col)
+    order (deterministic).
+
+    The token array is STAGED as a named column (same pattern as
+    textnorm.repetition_signals): it feeds one filter lambda per
+    language, and subexpression elimination does not reach inside
+    higher-order-function lambdas — the expression form re-split the
+    text per language (measured ~30% slower at sf0.1)."""
+    staged = df.withColumn("__li_toks", tokens(text_col))
+    toks = F.col("__li_toks")
     n_tokens = F.size(toks)
     scores = []
     for lang in sorted(LANG_STOPWORDS):
@@ -137,9 +144,14 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
         F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
         lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
     )
-    return df.withColumn(
-        out_col, F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
-    ).withColumn("lang_score", F.round(best["score"], 6))
+    return (
+        staged.withColumn(
+            out_col,
+            F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_score", F.round(best["score"], 6))
+        .drop("__li_toks")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
