@@ -191,15 +191,26 @@ def quantize_embeddings(
 
     Pure native expressions (two O(dim) HOF aggregates per row), so
     quantization runs at scan speed; zero vectors quantize to all-zero
-    (callers' NULL/zero-norm handling is unchanged)."""
+    (callers' NULL/zero-norm handling is unchanged).
+
+    The norm is STAGED as a named column before the transform: a
+    norm EXPRESSION inside the per-element lambda would re-run the
+    O(dim) aggregate per element (O(dim²)/row — subexpression
+    elimination does not reach inside HOF lambdas; same pattern as
+    textnorm.repetition_signals)."""
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    staged = df.withColumn(
+        "__qn", F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    )
+    norm = F.col("__qn")
     qv = F.transform(
         v,
         lambda x: F.round(x * 127.0 / norm).cast("tinyint"),
     )
     zero = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
-    return df.withColumn(out_col, F.when(norm > 0.0, qv).otherwise(zero))
+    return staged.withColumn(
+        out_col, F.when(norm > 0.0, qv).otherwise(zero)
+    ).drop("__qn")
 
 
 def topk_quantized_rerank(
