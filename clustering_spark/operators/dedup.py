@@ -69,6 +69,21 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 # -------------------------------------------------------------- shingles
 
 
+def _zip_ngrams(parts: list[Column], sep: str) -> Column:
+    """n-gram strings from n SHIFTED equal-length slices, paired with
+    a chain of ``zip_with``. Every slice is a zip_with ARGUMENT, so
+    each underlying array expression is evaluated once per slice —
+    never inside a per-element lambda. (An index-transform form that
+    slices the token array inside the lambda re-evaluates the whole
+    tokenize/normalize expression PER GRAM: subexpression elimination
+    does not reach inside HOF lambdas, the same O(len²) pathology
+    fixed in repetition_signals / lang_id / quantize_embeddings.)"""
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(sep), b))
+    return g
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lower-cased text (array<string>).
     Empty/short docs yield their full token string as a single shingle."""
@@ -77,9 +92,8 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     k = F.size(tokens)
     grams = F.when(
         k >= n,
-        F.transform(
-            F.sequence(F.lit(0), k - n),
-            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        _zip_ngrams(
+            [F.slice(tokens, j + 1, k - n + 1) for j in range(n)], " "
         ),
     ).otherwise(F.array(F.array_join(tokens, " ")))
     return F.array_distinct(grams)
@@ -89,11 +103,12 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of whitespace-normalized text."""
     t = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    chars = F.split(norm, "")  # one char per element (code units)
     ln = F.length(norm)
     grams = F.when(
         ln >= n,
-        F.transform(
-            F.sequence(F.lit(1), ln - n + 1), lambda i: F.substring(norm, i, n)
+        _zip_ngrams(
+            [F.slice(chars, j + 1, ln - n + 1) for j in range(n)], ""
         ),
     ).otherwise(F.array(norm))
     return F.array_distinct(grams)

@@ -27,15 +27,21 @@ from pyspark.sql import functions as F
 
 def _char_trigrams(text: Column | str) -> Column:
     """Lower-cased, whitespace-collapsed character trigrams. Docs
-    shorter than 3 normalized chars produce an empty array."""
+    shorter than 3 normalized chars produce an empty array.
+
+    Built by zip_with over three shifted char-array slices (the
+    dedup._zip_ngrams pattern): each slice evaluates the normalize
+    expression once as an ARGUMENT — the previous index-transform form
+    re-normalized the whole document per trigram (O(len²); HOF lambdas
+    are opaque to subexpression elimination)."""
+    from clustering_spark.operators.dedup import _zip_ngrams
+
     t = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    chars = F.split(norm, "")
     n = F.length(norm)
     return F.when(n < 3, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.substring(norm, i, 3),
-        )
+        _zip_ngrams([F.slice(chars, j + 1, n - 2) for j in range(3)], "")
     )
 
 
