@@ -35,10 +35,22 @@ from pyspark.sql import functions as F
 def shuffle_key(key_col: str | Column, epoch: int = 0, salt: str = "") -> Column:
     """The order key: md5 of (key, epoch, salt) joined with an ASCII
     unit separator so distinct inputs can't collide by concatenation
-    (('ab','c') vs ('a','bc'))."""
+    (('ab','c') vs ('a','bc')).
+
+    NULL keys map to a '\\x00' sentinel before hashing (concat_ws would
+    otherwise SKIP the NULL, colliding every NULL-key row onto one
+    order key that also equals the empty-salt hash of nothing). The
+    sentinel makes NULL deterministic and distinct from '' — it can
+    only collide with a literal one-byte '\\x00' key, which no real id
+    column contains."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     return F.md5(
-        F.concat_ws("\x1f", key.cast("string"), F.lit(str(int(epoch))), F.lit(salt))
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(key.cast("string"), F.lit("\x00")),
+            F.lit(str(int(epoch))),
+            F.lit(salt),
+        )
     )
 
 
@@ -68,6 +80,14 @@ def epoch_shuffle(
     per-shard FILE layout is exact regardless, because
     ``partitionBy(shard_col)`` splits on the column value, not the
     task id.
+
+    CONTRACT: ``key_col`` values must be UNIQUE for the permutation to
+    be reproducible — rows with identical keys produce identical order
+    keys, so their relative order after the within-partition sort is
+    whatever the executor emits that run. NULL keys are deterministic
+    (mapped to a sentinel in :func:`shuffle_key`) but all NULL-key
+    rows share one order key and therefore tie the same way. Use the
+    document/example id, not a payload column.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")

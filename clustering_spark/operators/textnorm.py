@@ -364,7 +364,14 @@ def canonicalize_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, r"#.*$", "")  # fragment first
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]+)", 1))
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # default-port strip is scheme-conditional: :80 is only the default
+    # for http and :443 only for https — https://host:80/x is a
+    # distinct resource and must keep its port in the key
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     path = F.regexp_replace(
         F.regexp_extract(u, r"^[^:/?#]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
     )

@@ -63,8 +63,23 @@ def _norm_uri(col: Column) -> Column:
     """Canonical full-URI join key (module docstring): percent-decode
     (protecting literal '+', which URLDecoder would turn into a
     space), then collapse the local file scheme to the three-slash
-    form. Non-file schemes keep their authority untouched."""
-    decoded = F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+    form. Non-file schemes keep their authority untouched.
+
+    The decode uses ``try_url_decode`` with a raw-string fallback: the
+    listing side feeds RAW ``Path.toString()`` values, and a filename
+    containing a bare '%' that isn't a valid %XX escape (e.g.
+    ``report 50%.parquet``) is a malformed URL — a plain ``url_decode``
+    would throw and break the whole manifest for that dataset. On
+    decode failure the raw path is used verbatim, which matches the
+    scan side: ``input_file_name()`` percent-ENCODES the bare '%'
+    (``%25``), so its decode succeeds and yields the same raw
+    characters the listing fallback kept. (Residual
+    caveat: a filename that is itself a VALID %XX sequence taken
+    literally decodes differently on the two sides — unresolvable
+    without replicating Hadoop's exact encoder, and not a shape real
+    ingest pipelines emit.)"""
+    protected = F.regexp_replace(col, r"\+", "%2B")
+    decoded = F.coalesce(F.try_url_decode(protected), col)
     return F.regexp_replace(decoded, r"^file:/+", "file:///")
 
 

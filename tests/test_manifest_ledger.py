@@ -140,6 +140,19 @@ def test_manifest_roundtrip_with_space_in_path(spark, tmp_path):
     assert M.verify_manifest(spark, p).count() == 0
 
 
+def test_manifest_roundtrip_with_bare_percent_in_path(spark, tmp_path):
+    """A literal '%' that isn't a valid %XX escape (here '%.p' via the
+    directory name 'report 50%') is a malformed URL on the raw listing
+    side — try_url_decode must fall back to the raw path instead of
+    erroring, and the two sides must still reconcile."""
+    p = str(tmp_path / "report 50%" / "ds")
+    _write_ds(spark, p, n=30, parts=2)
+    m = M.write_manifest(spark, p).collect()
+    assert sum(r.n_rows for r in m) == 30
+    assert all("report 50%" in r.file for r in m)
+    assert M.verify_manifest(spark, p).count() == 0
+
+
 def test_ledger_skips_metadata_at_top_level(spark, tmp_path):
     """A bare '/drop/*' glob matches _SUCCESS & co; the lister must
     skip them or the load crashes / ingests bookkeeping files."""

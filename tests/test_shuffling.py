@@ -45,6 +45,22 @@ def test_shard_and_order_match_hashlib_reference(spark):
         assert r.shard == int(k[:8], 16) % 7
 
 
+def test_null_key_is_deterministic_and_distinct_from_empty(spark):
+    """A NULL key must hash to the '\\x00' sentinel (stable across
+    runs) and must NOT collide with the empty-string key — concat_ws
+    skipping the NULL would have produced exactly that collision."""
+    df = spark.createDataFrame([(None,), ("",), ("a",)], "k string")
+    got = {
+        ("NULL" if r.k is None else r.k): r.h
+        for r in df.select("k", shuffle_key("k", epoch=2, salt="s").alias("h"))
+        .collect()
+    }
+    assert got["NULL"] == hashlib.md5("\x00\x1f2\x1fs".encode()).hexdigest()
+    assert got[""] == hashlib.md5("\x1f2\x1fs".encode()).hexdigest()
+    assert got["NULL"] != got[""]
+    assert len(set(got.values())) == 3
+
+
 def test_shuffle_is_deterministic_across_runs(spark):
     a = epoch_shuffle(_docs(spark), "doc_id", 4, epoch=1).collect()
     b = epoch_shuffle(_docs(spark), "doc_id", 4, epoch=1).collect()

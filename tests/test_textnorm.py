@@ -342,6 +342,25 @@ class TestCanonicalizeUrl:
         assert got[1] == "http://example.com/a/b"
         assert got[2] == "https://example.com/a"
 
+    def test_port_strip_is_scheme_conditional(self, spark):
+        # :80 on https (and :443 on http) is a NON-default port — a
+        # distinct resource that must keep its port in the dedup key
+        got = self._canon(
+            spark,
+            [
+                "https://example.com:80/x",
+                "http://example.com:443/x",
+                "https://example.com:443/x",
+                "http://example.com:80/x",
+                "https://example.com:8443/x",
+            ],
+        )
+        assert got[0] == "https://example.com:80/x"
+        assert got[1] == "http://example.com:443/x"
+        assert got[2] == "https://example.com/x"
+        assert got[3] == "http://example.com/x"
+        assert got[4] == "https://example.com:8443/x"
+
     def test_param_order_collapses(self, spark):
         a, b = self._canon(
             spark,
