@@ -259,14 +259,19 @@ def _staged_minhash(
                 F.col(text_col) if isinstance(text_col, str) else text_col
             ).alias("__shingles"),
         )
+        # ONE xxhash64 pass over the shingle strings; __hmod and __sh
+        # both derive from the staged __h array (hashing the strings
+        # separately for each output doubled the string-hash work)
         .select(
             "__id",
-            F.transform(
-                F.col("__shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
-            ).alias("__hmod"),
-            F.array_distinct(
-                F.transform(F.col("__shingles"), lambda s: F.xxhash64(s))
-            ).alias("__sh"),
+            F.transform(F.col("__shingles"), lambda s: F.xxhash64(s)).alias("__h"),
+        )
+        .select(
+            "__id",
+            F.transform(F.col("__h"), lambda h: F.pmod(h, F.lit(_P))).alias(
+                "__hmod"
+            ),
+            F.array_distinct(F.col("__h")).alias("__sh"),
         )
         .select(
             "__id",
@@ -320,7 +325,17 @@ def minhash_lsh_pairs(
     verify with exact Jaccard (array_intersect on shingle hashes).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = _staged_minhash(df, id_col, text_col, num_hashes, shingle_words, seed)
+    # materialize the staged (id, sig, shingle-hash) projection ONCE:
+    # three plan branches read it (the band explode plus both sides of
+    # the verify join-back), and without the checkpoint each branch
+    # re-executes the Arrow shingle kernel + string hashing — measured
+    # ~3x the signature-build cost at sf0.1. Storage is slim (64
+    # longs + the distinct hash array per doc, never the text), so
+    # executor storage stays small even at fact scale; the RDD is
+    # freed by the ContextCleaner when the plan is garbage-collected.
+    base = _staged_minhash(
+        df, id_col, text_col, num_hashes, shingle_words, seed
+    ).localCheckpoint(eager=False)
     banded = _banded(base, num_hashes, bands)
 
     left = banded.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
@@ -971,6 +986,11 @@ def simhash_pairs(
             ),
         )
         .select("__id", pack("__hashes").alias("sig"))
+        # both sides of the chunk self-join read the signature table;
+        # without the checkpoint the shingle + pack Arrow kernels
+        # re-execute per side (2x the signature-build cost). One long
+        # per doc — negligible executor storage at any scale.
+        .localCheckpoint(eager=False)
     )
     chunks = sigs.select(
         "__id",
@@ -1182,10 +1202,36 @@ def embedding_neardup_pairs(
     )
     fa = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
     fb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+
+    # the per-pair cosine verify is dense float math over the (LSH-
+    # selected, but still band^2-sized) candidate set — an Arrow-batch
+    # numpy kernel; the interpreted aggregate/zip_with HOF form
+    # measured ~4x slower on this shape at sf0.1. NaN marks zero-norm
+    # pairs (numpy has no NULL); the JVM-side when() maps it back to
+    # NULL so the threshold filter drops those pairs exactly like the
+    # expression form's NULL-on-zero-denominator.
+    def _pair_cos(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype=float)
+        A = np.vstack(va.to_numpy())
+        B = np.vstack(vb.to_numpy())
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, np.nan)
+        return pd.Series(out)
+
+    _pair_cos.__annotations__ = {
+        "va": pd.Series,
+        "vb": pd.Series,
+        "return": pd.Series,
+    }
+    pair_cos = pandas_udf(_pair_cos, "double")
+    raw = pair_cos("v_a", "v_b")
     return (
         cands.join(fa, on="id_a")
         .join(fb, on="id_b")
-        .withColumn("cosine", F.round(cosine_similarity("v_a", "v_b"), 6))
+        .withColumn("cosine", F.round(F.when(~F.isnan(raw), raw), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
