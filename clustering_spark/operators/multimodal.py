@@ -129,6 +129,85 @@ def _png_meta(b: bytes) -> tuple[int, int, float]:
     return w, h, (total / n) if n else 0.0
 
 
+JPEG_MAGIC = b"\xff\xd8"
+# SOF0..SOF15 markers carry frame dimensions, EXCEPT the non-frame
+# markers in the same range: DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int, int]:
+    """(width, height, components) from the SOF0/SOF2/... header of a
+    JPEG — a marker-segment walk (ITU-T T.81 B.2.2), no entropy decode
+    and no codec. Mirrors what ``identify``/EXIF readers do: dimensions
+    are metadata, available natively even where pixel decode needs a
+    real codec library."""
+    if b[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST / TEM: bare
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            _prec, h, w, ncomp = struct.unpack(
+                ">BHHB", b[pos + 4 : pos + 10]
+            )
+            return w, h, ncomp
+        if marker == 0xDA:  # SOS: entropy data follows, SOF was missed
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF header")
+
+
+HEADER_META_SCHEMA = "id long, format string, width int, height int"
+
+
+def image_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Dimensions + container format from HEADERS alone — no pixel
+    decode, no codec dependency: FAKE container, PNG (IHDR), JPEG
+    (SOF marker walk). The cheap first pass of an image-curation
+    pipeline (aspect/size filters, resolution buckets) that must work
+    on 100 TB of mixed blobs before any decode stage runs; unknown
+    formats surface as format='unknown' with NULL dims rather than
+    failing the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                fmt, w, h = "unknown", None, None
+                try:
+                    if b[:4] == MAGIC:
+                        fmt = "fake"
+                        w, h = _parse_header(b)
+                    elif b[: len(PNG_MAGIC)] == PNG_MAGIC:
+                        fmt = "png"
+                        ihdr = b[16:24]  # fixed offset: IHDR is first
+                        w, h = struct.unpack(">II", ihdr)
+                    elif b[:2] == JPEG_MAGIC:
+                        fmt = "jpeg"
+                        w, h, _ = _jpeg_dims(b)
+                except (ValueError, struct.error):
+                    fmt, w, h = "corrupt", None, None
+                out.append({"id": rid, "format": fmt, "width": w, "height": h})
+            yield pd.DataFrame(
+                out, columns=["id", "format", "width", "height"]
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, HEADER_META_SCHEMA
+    )
+
+
 def media_metadata(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """Cheap native metadata — no decode: byte size and a sha256
     content hash (dedup key for exact binary duplicates). Stays
@@ -184,6 +263,17 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                     if arr.ndim == 3 and arr.shape[2] in (2, 4):
                         arr = arr[:, :, :-1]  # drop alpha, like _png_meta
                     mean = float(arr.mean()) if arr.size else 0.0
+                elif b[:2] == JPEG_MAGIC:
+                    # dimensions ARE decodable natively (SOF header);
+                    # only the pixel statistics need a real codec —
+                    # fail with the header facts in the message so the
+                    # caller can fall back to image_header_meta
+                    w, h, _ = _jpeg_dims(b)
+                    raise NotImplementedError(
+                        f"JPEG pixel decode needs PIL (absent); header "
+                        f"parsed fine ({w}x{h}) — use image_header_meta "
+                        "for dimensions without a codec"
+                    )
                 else:
                     raise NotImplementedError(
                         "no decoder for this image format in this "

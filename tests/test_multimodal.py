@@ -176,3 +176,70 @@ def test_frame_sampling(spark):
     )
     meta = mm.decode_image_meta(sampled, "img", "id").toPandas()
     assert set(meta.mean_intensity) == {0.0, 20.0, 40.0}
+
+
+class TestJpeg:
+    """Real-JPEG coverage: the committed fixture is a spec-valid
+    baseline JFIF (tests/fixtures/make_jpeg_fixture.py builds it from
+    the public T.81 tables alone). Dimensions come from the native SOF
+    marker walk — no codec; pixel decode goes through PIL when the
+    environment has it and is an explicit NotImplementedError here."""
+
+    @pytest.fixture
+    def jpeg_bytes(self):
+        from pathlib import Path
+
+        p = Path(__file__).parent / "fixtures" / "tiny_gray16x8.jpg"
+        return p.read_bytes()
+
+    def test_jpeg_dims_native(self, jpeg_bytes):
+        w, h, ncomp = mm._jpeg_dims(jpeg_bytes)
+        assert (w, h, ncomp) == (16, 8, 1)
+
+    def test_header_meta_mixed_formats(self, spark, jpeg_bytes):
+        rows = [
+            (1, jpeg_bytes),
+            (2, mm.make_fake_image(4, 3, fill=10)),
+            (3, mm.make_png(5, 2, bytes(10), 0)),
+            (4, b"GIF89a not supported"),
+            (5, b"\xff\xd8\xff\xd9"),  # JPEG SOI+EOI, no SOF: corrupt
+        ]
+        df = spark.createDataFrame(rows, "id long, img binary")
+        out = mm.image_header_meta(df, "img", "id").toPandas().set_index("id")
+        assert out.loc[1, "format"] == "jpeg"
+        assert (out.loc[1, "width"], out.loc[1, "height"]) == (16, 8)
+        assert out.loc[2, "format"] == "fake"
+        assert (out.loc[2, "width"], out.loc[2, "height"]) == (4, 3)
+        assert out.loc[3, "format"] == "png"
+        assert (out.loc[3, "width"], out.loc[3, "height"]) == (5, 2)
+        assert out.loc[4, "format"] == "unknown"
+        assert out.loc[4, "width"] is None or out.isna().loc[4, "width"]
+        assert out.loc[5, "format"] == "corrupt"
+
+    def test_decode_jpeg_without_codec_is_explicit(self, spark, jpeg_bytes):
+        if mm._HAVE_PIL:
+            pytest.skip("PIL present: decode path covered below")
+        df = spark.createDataFrame([(1, jpeg_bytes)], "id long, img binary")
+        with pytest.raises(Exception) as exc:
+            mm.decode_image_meta(df, "img", "id").collect()
+        msg = str(exc.value)
+        assert "NotImplementedError" in msg or isinstance(
+            exc.value, NotImplementedError
+        )
+        # the error names the parsed dimensions: header walk worked
+        assert "16x8" in msg
+
+    @pytest.mark.skipif(not mm._HAVE_PIL, reason="PIL not in container")
+    def test_decode_jpeg_with_pil(self, spark, jpeg_bytes):
+        df = spark.createDataFrame([(1, jpeg_bytes)], "id long, img binary")
+        out = mm.decode_image_meta(df, "img", "id").toPandas().set_index("id")
+        assert (out.loc[1, "width"], out.loc[1, "height"]) == (16, 8)
+        assert out.loc[1, "n_pixels"] == 128
+        # flat mid-gray fixture: every sample is 128
+        assert abs(out.loc[1, "mean_intensity"] - 128.0) < 1e-9
+
+    def test_media_metadata_green_on_jpeg(self, spark, jpeg_bytes):
+        df = spark.createDataFrame([(7, jpeg_bytes)], "id long, img binary")
+        out = mm.media_metadata(df, "img", "id").collect()[0]
+        assert out.n_bytes == len(jpeg_bytes)
+        assert out.content_sha256 == hashlib.sha256(jpeg_bytes).hexdigest()
