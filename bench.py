@@ -66,6 +66,19 @@ HEADLINE = [
     "ivf_topk",
 ]
 
+# Heavy correctness-gate queries tracked at the gate's own scale
+# (sf0.01): they dominate the driver's gate wall-clock, and without a
+# bench row a kernel regression there would surface only as gate
+# slowness nobody attributes. Fewer runs — optimal_k alone is ~17 s.
+GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+GATE_QUERIES = ["optimal_k", "result_docs", "cluster_fit"]
+GATE_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_GATE_RUNS", "3")))
+
+# run-to-run max/min above this flags CPU-steal / contention pollution
+# (PERFORMANCE.md "Bench environment note"): a genuine plan regression
+# moves every run, noise moves a few — judge by the minimums then
+STEAL_RATIO = 3.0
+
 
 def main() -> None:
     from clustering_spark.queries import QUERIES
@@ -95,20 +108,46 @@ def main() -> None:
     if unknown:
         raise KeyError(f"headline queries not in registry: {unknown}")
 
-    medians: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        samples: list[float] = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        medians[name] = round(statistics.median(samples), 3)
-        cold[name] = round(samples[0], 3)
-        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+    def run_set(names, sf_dir, runs):
+        medians: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        spread: dict[str, list[float]] = {}
+        suspects: list[str] = []
+        for name in names:
+            fn = QUERIES[name]
+            samples: list[float] = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            medians[name] = round(statistics.median(samples), 3)
+            cold[name] = round(samples[0], 3)
+            spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+            # judge the ratio over WARM runs only — the first run is
+            # cold by design (codegen, broadcast build) and would flag
+            # every fast query as a false steal suspect
+            warm = samples[1:] if runs > 1 else samples
+            if len(warm) > 1 and min(warm) > 0 and (
+                max(warm) / min(warm) > STEAL_RATIO
+            ):
+                suspects.append(name)
+        return medians, cold, spread, suspects
+
+    medians, cold, spread, suspects = run_set(HEADLINE, SF_DIR, RUNS)
+
+    gate: dict[str, object] = {}
+    if os.path.isdir(GATE_SF_DIR):
+        gm, _gc, gs, gsus = run_set(
+            [n for n in GATE_QUERIES if n in QUERIES], GATE_SF_DIR, GATE_RUNS
+        )
+        gate = {
+            "gate_sf": 0.01,
+            "gate_queries": gm,
+            "gate_spread": gs,
+            "gate_total": round(sum(gm.values()), 3),
+            "gate_steal_suspect": gsus,
+        }
 
     sf = 0.1
     if "sf0.01" in SF_DIR:
@@ -127,6 +166,8 @@ def main() -> None:
                 "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
                 "queries_spread": spread,
+                "steal_suspect": suspects,
+                **gate,
             }
         )
     )
