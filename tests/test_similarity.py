@@ -104,3 +104,115 @@ def test_embedding_contamination_flags_planted_copy(spark):
     assert [(r.eval_id, r.train_id) for r in hits] == [(100, 7)]
     assert hits[0].cosine >= 0.99
     assert hits[0].rank == 1
+
+
+class TestIvfRecall:
+    """Answer-quality pins for the approximate path: ivf_topk is
+    rows-only at the driver gate forever (centroid fit is iterative,
+    not SQL), so a cell-assignment regression could degrade recall
+    with every other check still green.
+
+    Two regimes, because recall on IVF is a property of DATA GEOMETRY:
+    - the sf0.01 embeddings are structureless uniform-ish synthetic
+      vectors, where any cell index's recall is bounded near the
+      scanned fraction (nprobe/nlist) — a flat >=0.9 pin there would
+      really be pinning "scan most of the corpus". Instead we pin what
+      a broken assignment would lose: recall meaningfully ABOVE the
+      random-scan baseline, and monotone in nprobe up to 1.0 at a
+      full probe.
+    - a planted-blob corpus is the regime IVF is FOR (real embedding
+      spaces cluster); there we pin recall@10 >= 0.9 at nprobe=4 and
+      prove the pin has teeth by corrupting the cell column, which
+      must collapse recall."""
+
+    @pytest.fixture(scope="class")
+    def sf001(self, spark):
+        from clustering_spark.operators.similarity import IVFIndex, cosine_topk
+        from clustering_spark.queries import QUERY_VEC, load_spread
+
+        e = load_spread(spark, "/root/testdata/sf0.01", "embeddings")
+        exact = [
+            r.vec_id
+            for r in cosine_topk(e, "embedding", QUERY_VEC, "vec_id", k=10).collect()
+        ]
+        idx = IVFIndex(nlist=16, seed=42).fit(e, "embedding")
+        indexed = idx.transform(e, "embedding").localCheckpoint()
+        return exact, idx, indexed
+
+    @staticmethod
+    def _recall(idx, indexed, exact, nprobe, query, k=10):
+        got = [
+            r.vec_id
+            for r in idx.search(
+                indexed, "embedding", "vec_id", query, k=k, nprobe=nprobe
+            ).collect()
+        ]
+        return len(set(got) & set(exact)) / len(exact)
+
+    def test_sf001_beats_random_scan_and_is_monotone(self, sf001):
+        from clustering_spark.queries import QUERY_VEC
+
+        exact, idx, indexed = sf001
+        r = {
+            n: self._recall(idx, indexed, exact, n, QUERY_VEC)
+            for n in (1, 4, 8, 16)
+        }
+        # nprobe=4 scans ~4/16 of the corpus; a broken (random) cell
+        # assignment would land recall at ~that fraction. Current
+        # geometry gives 0.4; 0.3 is the regression alarm line.
+        assert r[4] >= 0.3, f"recall@10 at nprobe=4 fell to {r[4]}"
+        assert r[1] <= r[4] <= r[8] <= r[16], f"recall not monotone: {r}"
+        # probing every cell IS the exact scan — anything below 1.0
+        # means the assignment DROPPED vectors (the worst regression)
+        assert r[16] == 1.0, f"full probe lost vectors: recall {r[16]}"
+
+    @pytest.fixture(scope="class")
+    def blobs(self, spark):
+        """120 Gaussian blobs (20 points each, sigma=0.05) in 32d —
+        the clustered geometry real embedding spaces have. The query
+        sits at a blob center, so its true top-10 lie inside that
+        blob."""
+        from clustering_spark.operators.similarity import IVFIndex, cosine_topk
+
+        rng = np.random.RandomState(7)
+        centers = rng.standard_normal((120, 32))
+        rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(20):
+                v = c + 0.05 * rng.standard_normal(32)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(16)
+        query = [float(x) for x in centers[3]]
+        exact = [
+            r.vec_id
+            for r in cosine_topk(df, "embedding", query, "vec_id", k=10).collect()
+        ]
+        idx = IVFIndex(nlist=16, seed=42).fit(df, "embedding")
+        indexed = idx.transform(df, "embedding").localCheckpoint()
+        return exact, idx, indexed, query
+
+    def test_blob_recall_at_default_nprobe(self, blobs):
+        exact, idx, indexed, query = blobs
+        assert self._recall(idx, indexed, exact, 4, query) >= 0.9
+
+    def test_pin_has_teeth_corrupted_assignment_collapses_recall(self, blobs):
+        """The regression this pin exists for: if cell assignment ever
+        stops following the centroid geometry (a kernel bug), recall
+        must crater — simulate by rehashing cells pseudo-randomly."""
+        from pyspark.sql import functions as F
+
+        exact, idx, indexed, query = blobs
+        corrupted = indexed.withColumn(
+            "cell", (F.xxhash64("vec_id") % 16).cast("int")
+        )
+        baseline = self._recall(idx, indexed, exact, 4, query)
+        broken = self._recall(idx, corrupted, exact, 4, query)
+        assert broken < baseline, (
+            f"corrupting cells did not reduce recall ({broken} vs "
+            f"{baseline}) — the pin is not measuring cell pruning"
+        )
+        assert broken <= 0.6, f"corrupted-assignment recall too high: {broken}"
