@@ -200,6 +200,19 @@ def prepare_corpus(
             .drop("shared_chunk_frac")
         )
 
+    # stage the survivor table ONCE: split, chunks, packs and the
+    # pack-materialization join all read `unique`, and without the
+    # stage each consumer re-runs the whole normalize→gate→dedup
+    # survivor subtree. Measured at 50k docs: total chain wall-clock
+    # is unchanged for a single-output run (the eager connected-
+    # components iteration dominates), but each ADDITIONAL output a
+    # caller materializes drops from ~16 s of recompute to <1 s of
+    # checkpoint reads. At fact scale the production move is writing
+    # the survivors to parquet and reading back; the lazy
+    # localCheckpoint gives the same single-evaluation shape while
+    # keeping this API lazy.
+    unique = unique.localCheckpoint(eager=False)
+
     # 5. leakage-safe split on the COMPONENT id
     split = sampling.hash_split(
         unique, "component", cfg.split_fractions, salt="prep"

@@ -350,3 +350,37 @@ def test_epoch_shuffle_on_real_table_one_exchange(spark):
     tree = plan_tree(out)
     assert count_shuffles(out) == 1
     assert "rangepartitioning" not in tree.lower()
+
+
+def test_trainprep_composition_adds_no_exchanges(spark):
+    """trainprep.prepare_corpus promises it only WIRES operators —
+    no shuffle, collect, or Python stage of its own. With the survivor
+    table staged (localCheckpoint truncates lineage), every output's
+    remaining plan must contain exactly the exchanges its own terminal
+    operator needs and nothing from the composition glue:
+
+    - clean: scan-speed project+filter — zero exchanges
+    - split: a hash predicate on the staged table — zero
+    - chunks: native explode of the staged table — zero
+    - packs: pack_sequences' single (id, n_tokens) bucket hash — one
+      exchange, and its wire must carry no text
+    - sequences: packs + the materialization join back to the staged
+      text — join exchanges only, bounded at 4
+    """
+    from clustering_spark.trainprep import PrepConfig, prepare_corpus
+
+    rows = [
+        (i, f"document number {i} with some repeated tokens " * 3)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, PrepConfig())
+
+    assert count_shuffles(out["clean"]) == 0
+    assert count_shuffles(out["split"]) == 0
+    assert count_shuffles(out["chunks"]) == 0
+    assert count_shuffles(out["packs"]) == 1
+    # the one packing exchange is the narrow (id, token-count) wire
+    for b in exchange_blocks(out["packs"]):
+        assert "text" not in b, f"pack exchange carries text:\n{b}"
+    assert count_shuffles(out["sequences"]) <= 4
