@@ -433,7 +433,15 @@ class SegmentedClusterer:
             pdf["wssse"] = wssse
             return pdf
 
-        return df.groupBy(*self.segment_cols).applyInPandas(fit_group, out_schema)
+        from clustering_spark.operators.segmentation import spread_groups
+
+        # compute-bound Arrow stage: pre-spread so AQE byte-coalescing
+        # can't serialize per-segment fits (see spread_groups)
+        return (
+            spread_groups(df, self.segment_cols)
+            .groupBy(*self.segment_cols)
+            .applyInPandas(fit_group, out_schema)
+        )
 
     # -- scale mode, summary output: one row per (segment, cluster) -------
     def fit_summarize(
@@ -550,8 +558,12 @@ class SegmentedClusterer:
                     )
             return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-        return df.groupBy(*self.segment_cols).applyInPandas(
-            summarize_group, out_schema
+        from clustering_spark.operators.segmentation import spread_groups
+
+        return (
+            spread_groups(df, self.segment_cols)
+            .groupBy(*self.segment_cols)
+            .applyInPandas(summarize_group, out_schema)
         )
 
     # -- parity mode: MLlib estimators, driver loop over segments ---------

@@ -104,7 +104,16 @@ def pack_sequences(
             }
         )
 
-    return slim.groupBy("__bucket").applyInPandas(_pack, out_schema)
+    from clustering_spark.operators.segmentation import spread_groups
+
+    # buckets are (id, token_count) rows — tiny bytes, FFD-compute-
+    # bound: pre-spread so AQE byte-coalescing can't serialize the
+    # bucket packing onto one worker (see spread_groups)
+    return (
+        spread_groups(slim, ["__bucket"])
+        .groupBy("__bucket")
+        .applyInPandas(_pack, out_schema)
+    )
 
 
 def materialize_packs(

@@ -24,6 +24,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_groups(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Hash-partition ``df`` by the group keys at the session's default
+    parallelism — the pre-shuffle for every compute-heavy
+    ``groupBy(keys).applyInPandas`` in this engine.
+
+    Why it exists: AQE's partition coalescing sizes shuffle partitions
+    by BYTES, and an Arrow-task stage over small segments is compute-
+    bound, not byte-bound — at sf0.01 the tuner's 125 segments total a
+    few hundred KB, so AQE folded them into ONE partition and ran
+    ~22 s of per-segment numpy on a single Python worker (measured:
+    optimal_k 18.5 s -> 2.3 s with this spread). A user-specified
+    repartition count is exempt from coalescing, and because
+    HashPartitioning(keys, n) satisfies the Arrow stage's required
+    ClusteredDistribution, the groupBy adds NO second exchange — same
+    wire, different partition count. At 100 TB the same holds: model
+    fitting per segment is CPU-dominated, so partition count should
+    track cores, not shuffle bytes."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in group_cols])
+
+
 def segment_stats(
     df: DataFrame,
     segment_cols: list[str],

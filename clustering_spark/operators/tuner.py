@@ -222,4 +222,12 @@ def optimal_k_sweep(
             rows.append(row)
         return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    return df.groupBy(*segment_cols).applyInPandas(tune_group, out_schema)
+    from clustering_spark.operators.segmentation import spread_groups
+
+    # compute-bound Arrow stage: pre-spread by the segment keys so AQE
+    # byte-coalescing can't serialize the sweeps (see spread_groups)
+    return (
+        spread_groups(df, segment_cols)
+        .groupBy(*segment_cols)
+        .applyInPandas(tune_group, out_schema)
+    )
