@@ -1330,3 +1330,123 @@ def passage_dup_stats(
             6,
         ).alias("shared_chunk_frac"),
     )
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    nlist: int = 1024,
+    seed: int = 42,
+    max_cell_rows: int = 65_536,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space into
+    ``nlist`` cells, then compare pairs ONLY within each cell with an
+    exact cosine GEMM. The all-pairs O(n²) problem becomes
+    O(n²/nlist) spread across cells — the shape that deduplicated
+    LAION-scale corpora in the paper.
+
+    Plan: centroid fit on a bounded sample (driver numpy, the
+    ``similarity.IVFIndex`` kernel) → one Arrow GEMM pass assigns
+    ``cell`` → ONE shuffle by cell → per-cell dense cosine inside an
+    applyInPandas task (``spread_groups`` keeps AQE byte-coalescing
+    from serializing the compute-bound cells). Vectors cross the wire
+    exactly once.
+
+    Approximation contract (same as the paper): pairs STRADDLING a
+    cell boundary are missed by design — recall is traded for the
+    n²/nlist cost bound. No false positives: every emitted pair is an
+    exactly-computed cosine ≥ threshold. Cells larger than
+    ``max_cell_rows`` raise (pick a bigger nlist) rather than OOM a
+    task — per-cell memory is (rows × dim) float64.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b; compose with
+    ``graph.connected_components`` + min-id (or keep-farthest-from-
+    centroid, the paper's rule) for survivor selection.
+    """
+    from pyspark.sql import types as T
+
+    from clustering_spark.operators.segmentation import spread_groups
+    from clustering_spark.operators.similarity import IVFIndex
+
+    idx = IVFIndex(nlist=nlist, seed=seed).fit(df, vec_col)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    celled = base.withColumn("cell", idx._cell_expr("__v"))
+
+    id_type = base.schema["__id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({c: [] for c in cols})
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup cell holds {n} rows "
+                f"(> max_cell_rows={max_cell_rows}); raise nlist"
+            )
+        ids = pdf["__id"].to_numpy()
+        X = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((X**2).sum(axis=1))
+        norms[norms == 0] = 1.0
+        C = np.round((X @ X.T) / np.outer(norms, norms), 6)
+        ii, jj = np.nonzero(C >= threshold)
+        keep = jj > ii  # strict upper triangle
+        ii, jj = ii[keep], jj[keep]
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        ne = lo != hi  # duplicate id values: drop min/max self-pairs
+        return pd.DataFrame(
+            {"id_a": lo[ne], "id_b": hi[ne], "cosine": C[ii[ne], jj[ne]]}
+        )
+
+    return (
+        spread_groups(celled, ["cell"])
+        .groupBy("cell")
+        .applyInPandas(cell_pairs, out_schema)
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    nlist: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Survivor ids after semantic dedup: pairs → connected components
+    → min-id survivor per component (consistent with every other dedup
+    operator here; the paper's keep-farthest-from-centroid rule is a
+    different tie-break over the same components). Output: the
+    surviving subset of ``df`` ids, one column ``id_col``."""
+    from clustering_spark.operators.graph import connected_components
+
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, threshold=threshold, nlist=nlist, seed=seed
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(
+            comp.withColumnRenamed("node", id_col), on=id_col, how="left"
+        )
+        .withColumn("__comp", F.coalesce("comp", F.col(id_col)))
+        .filter(F.col(id_col) == F.col("__comp"))
+        .select(id_col)
+    )

@@ -442,3 +442,77 @@ def test_passage_dup_stats_matches_duckdb_on_real_docs(spark):
     assert (got.n_chunks.values == want.n_chunks.values).all()
     assert (got.n_shared_chunks.values == want.n_shared_chunks.values).all()
     assert int(want.n_shared_chunks.sum()) > 0  # the check has teeth
+
+
+class TestSemanticDedup:
+    """SemDeDup-style within-cell semantic dedup: exactness of emitted
+    pairs (subset of brute-force all-pairs with identical cosines),
+    planted-duplicate recovery, survivor rule, and the cell-size
+    guard."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(3)
+        rows = []
+        for i in range(120):
+            v = rng.standard_normal(16)
+            rows.append((i, [float(x) for x in v]))
+        # planted near-dup cluster {200, 201, 202}: tiny perturbations
+        base = rng.standard_normal(16)
+        for j, vid in enumerate((200, 201, 202)):
+            v = base + 1e-3 * j * np.ones(16)
+            rows.append((vid, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(8)
+
+    def test_pairs_are_exact_subset_of_bruteforce(self, spark, emb):
+        sem = dedup.semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, nlist=8, seed=1
+        ).toPandas()
+        exact = dedup.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, lsh_planes=0
+        ).toPandas()
+        ex = {
+            (int(r.id_a), int(r.id_b)): r.cosine for _, r in exact.iterrows()
+        }
+        assert len(sem) > 0
+        for _, r in sem.iterrows():
+            key = (int(r.id_a), int(r.id_b))
+            assert key in ex, f"false positive {key}"
+            assert abs(r.cosine - ex[key]) < 1e-9
+            assert r.cosine >= 0.9
+
+    def test_planted_cluster_found(self, spark, emb):
+        sem = dedup.semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.99, nlist=8, seed=1
+        ).toPandas()
+        got = {
+            (int(r.id_a), int(r.id_b)) for _, r in sem.iterrows()
+        }
+        # identical-direction vectors land in one cell: all 3 pairs
+        assert {(200, 201), (200, 202), (201, 202)} <= got
+
+    def test_keep_collapses_planted_cluster_to_min_id(self, spark, emb):
+        kept = {
+            int(r.vec_id)
+            for r in dedup.semantic_dedup_keep(
+                emb, "vec_id", "embedding", threshold=0.99, nlist=8, seed=1
+            ).collect()
+        }
+        assert 200 in kept
+        assert 201 not in kept and 202 not in kept
+        # untouched singletons all survive
+        assert sum(1 for i in range(120) if i in kept) >= 100
+
+    def test_cell_cap_raises(self, spark, emb):
+        with pytest.raises(Exception) as exc:
+            dedup.semantic_dedup_pairs(
+                emb,
+                "vec_id",
+                "embedding",
+                threshold=0.9,
+                nlist=1,
+                max_cell_rows=10,
+            ).collect()
+        assert "max_cell_rows" in str(exc.value)
