@@ -384,3 +384,32 @@ def test_trainprep_composition_adds_no_exchanges(spark):
     for b in exchange_blocks(out["packs"]):
         assert "text" not in b, f"pack exchange carries text:\n{b}"
     assert count_shuffles(out["sequences"]) <= 4
+
+
+def test_compute_bound_arrow_stages_are_spread_past_aqe(spark):
+    """The round-7 serialization fix: every compute-bound
+    groupBy().applyInPandas stage must sit on a USER-NUMBERED hash
+    repartition of its group keys (REPARTITION_BY_NUM) — the only
+    partitioning AQE's byte-based coalescing is forbidden to fold.
+    Without it, AQE folded 125 tuner segments (a few hundred KB) into
+    ONE partition and serialized ~22 s of per-segment numpy on a
+    single Python worker (optimal_k sf0.01: 18.5 s -> 2.8 s).
+    Exactly ONE exchange: the spread satisfies the Arrow stage's
+    required ClusteredDistribution, so the groupBy adds no second
+    wire."""
+    from clustering_spark.operators.clustering import SegmentedClusterer
+    from clustering_spark.operators.tuner import optimal_k_sweep
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, 4.0)], "seg string, x double, y double"
+    )
+
+    sweep = optimal_k_sweep(df, ["seg"], ["x", "y"])
+    p = formatted_plan(sweep)
+    assert "REPARTITION_BY_NUM" in p
+    assert count_shuffles(sweep) == 1
+
+    fit = SegmentedClusterer(["seg"], ["x", "y"], "KMeans").fit_summarize(df)
+    p = formatted_plan(fit)
+    assert "REPARTITION_BY_NUM" in p
+    assert count_shuffles(fit) == 1
