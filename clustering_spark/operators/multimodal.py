@@ -468,3 +468,140 @@ def make_png(
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+# ----------------------------------------------------- perceptual hash
+
+
+def _decode_gray(b: bytes):
+    """(H, W) float64 grayscale array for the codec-free formats (FAKE
+    container, baseline 8-bit PNG); raises NotImplementedError for
+    formats needing a real codec — the same gate as decode_image_meta."""
+    import numpy as np
+
+    if b[:4] == MAGIC:
+        w, h = _parse_header(b)
+        return (
+            np.frombuffer(b[HEADER_LEN : HEADER_LEN + w * h], dtype=np.uint8)
+            .reshape(h, w)
+            .astype(np.float64)
+        )
+    if b[: len(PNG_MAGIC)] == PNG_MAGIC:
+        w, h, ch, samples = _png_decode(b)
+        arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
+        if ch in (2, 4):  # drop alpha
+            arr = arr[:, :, : ch - 1]
+        # ITU-R BT.601 luma for color; identity for gray
+        if arr.shape[2] == 3:
+            return (
+                0.299 * arr[:, :, 0]
+                + 0.587 * arr[:, :, 1]
+                + 0.114 * arr[:, :, 2]
+            )
+        return arr[:, :, 0].astype(np.float64)
+    raise NotImplementedError(
+        "dhash supports the FAKE container and baseline 8-bit PNG "
+        "without codecs"
+    )
+
+
+def _dhash64(gray) -> int:
+    """64-bit difference hash (public dHash scheme: resize to 9x8 by
+    area-mean pooling, bit j = left pixel brighter than its right
+    neighbor). Robust to re-encode / resize / brightness shifts; bit
+    distance tracks perceptual distance."""
+    import numpy as np
+
+    h, w = gray.shape
+    # area-mean resample to 9x8: split rows/cols into (almost) equal
+    # bins — deterministic, no interpolation kernel dependency
+    ys = (np.arange(9, dtype=np.int64) * h) // 8  # 9 edges over 8 rows
+    xs = (np.arange(10, dtype=np.int64) * w) // 9
+    ys = np.clip(ys, 0, h)
+    xs = np.clip(xs, 0, w)
+    small = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        r0, r1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        for c in range(9):
+            c0, c1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            small[r, c] = gray[r0:r1, c0:c1].mean()
+    bits = (small[:, :-1] > small[:, 1:]).reshape(-1)  # 64 bits
+    weights = 1 << np.arange(64, dtype=np.uint64)
+    return int(
+        (bits.astype(np.uint64) * weights).sum(dtype=np.uint64).astype(np.int64)
+    )
+
+
+DHASH_SCHEMA = "id long, dhash long"
+
+
+def image_dhash(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Per-image 64-bit perceptual dHash, Arrow-batched. The image
+    analogue of simhash for text: hamming distance between hashes
+    tracks visual similarity, so exact-duplicate AND near-duplicate
+    (re-encoded, resized, brightness-shifted) images collide within a
+    few bits while the raw bytes (and sha256) differ completely."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                out.append({"id": rid, "dhash": _dhash64(_decode_gray(bytes(blob)))})
+            yield pd.DataFrame(out, columns=["id", "dhash"])
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame, bin_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash signatures +
+    the SAME pigeonhole 16-bit-chunk equi-join and bit_count verify as
+    text SimHash (dedup.simhash_pairs' candidate machinery — hamming
+    <= 3 over 64 bits forces >= 1 identical chunk). Image bytes never
+    leave the scan: only (id, 8-byte hash) rides the explode and the
+    join. Returns (id_a, id_b, hamming), id_a < id_b."""
+    sigs = image_dhash(df, bin_col, id_col).select(
+        F.col("id").alias("__id"), F.col("dhash").alias("sig")
+    )
+    # both chunk-join sides read the signature table; one long per
+    # image — same staging rationale as simhash_pairs
+    sigs = sigs.localCheckpoint(eager=False)
+    chunks = sigs.select(
+        "__id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "sig", "c.chunk_idx", "c.chunk_val")
+    a = chunks.select(
+        F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = chunks.select(
+        F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"),
+        "chunk_idx", "chunk_val",
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -243,3 +243,65 @@ class TestJpeg:
         out = mm.media_metadata(df, "img", "id").collect()[0]
         assert out.n_bytes == len(jpeg_bytes)
         assert out.content_sha256 == hashlib.sha256(jpeg_bytes).hexdigest()
+
+
+class TestImageDhash:
+    """Perceptual near-dup: dHash collides re-encoded / perturbed
+    variants of the same picture while byte hashes (media_metadata's
+    sha256) differ, and the pigeonhole pair join finds them."""
+
+    @staticmethod
+    def _gradient_png(w, h, filter_type=0, bump=0):
+        # horizontal gradient with a vertical stripe: rich dHash signal
+        samples = bytearray()
+        for r in range(h):
+            for c in range(w):
+                v = (c * 255) // max(w - 1, 1)
+                if c in (w // 3, 2 * w // 3):
+                    v = max(0, v - 80)
+                samples.append(min(255, v + bump))
+        return mm.make_png(w, h, bytes(samples), 0, filter_type)
+
+    def test_reencoded_image_same_hash_different_bytes(self, spark):
+        # same pixels, different PNG row filter -> different bytes
+        a = self._gradient_png(32, 24, filter_type=0)
+        b = self._gradient_png(32, 24, filter_type=2)
+        assert a != b
+        df = spark.createDataFrame([(1, a), (2, b)], "id long, img binary")
+        out = mm.image_dhash(df, "img", "id").toPandas().set_index("id")
+        assert out.loc[1, "dhash"] == out.loc[2, "dhash"]
+        meta = mm.media_metadata(df, "img", "id").toPandas()
+        assert meta.content_sha256.nunique() == 2
+
+    def test_brightness_shift_is_near_dup(self, spark):
+        a = self._gradient_png(32, 24)
+        b = self._gradient_png(32, 24, bump=10)  # brighter copy
+        rng_imgs = [
+            (100 + i, mm.make_png(32, 24, bytes((i * 37 + j * 11) % 256 for j in range(32 * 24)), 0))
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(
+            [(1, a), (2, b)] + rng_imgs, "id long, img binary"
+        )
+        pairs = mm.image_neardup_pairs(df, "img", "id", max_hamming=3).toPandas()
+        got = {(int(r.id_a), int(r.id_b)) for _, r in pairs.iterrows()}
+        assert (1, 2) in got
+        # the structured gradient must not collide with the noise images
+        assert all({p[0], p[1]} <= {1, 2} or min(p) >= 100 for p in got)
+
+    def test_fake_container_supported_and_jpeg_gated(self, spark):
+        df = spark.createDataFrame(
+            [(1, mm.make_fake_image(16, 16, fill=77))], "id long, img binary"
+        )
+        out = mm.image_dhash(df, "img", "id").collect()
+        assert out[0].dhash == 0  # flat image: no gradients anywhere
+
+        from pathlib import Path
+
+        jpg = (Path(__file__).parent / "fixtures" / "tiny_gray16x8.jpg").read_bytes()
+        df2 = spark.createDataFrame([(1, jpg)], "id long, img binary")
+        with pytest.raises(Exception) as exc:
+            mm.image_dhash(df2, "img", "id").collect()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
