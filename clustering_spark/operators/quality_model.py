@@ -1,0 +1,128 @@
+"""Learned quality classifier — the fasttext-style quality-filter
+stage of a training-data pipeline (GPT-3 appendix A / CCNet shape:
+label a small curated seed set as positive and a crawl sample as
+negative, train a linear classifier, score the whole corpus),
+re-expressed on MLlib primitives so both training and scoring are
+distributed JVM work.
+
+Features are the engine's own heuristic signals (textops.
+quality_features + textnorm.repetition_signals) — native expressions,
+computed at scan speed — so the classifier learns a weighting over
+interpretable columns instead of opaque n-gram buckets. This keeps the
+whole path Python-free: feature build, LR fit (MLlib's distributed
+L-BFGS), and scoring (a dot product in whole-stage codegen via the
+model transform).
+
+Scale: training input is the labeled SEED set (small by construction —
+curated positives + sampled negatives), while scoring streams over the
+full corpus with no shuffle at all (transform is a per-row projection)
+— the 100 TB pattern: learn tiny, apply wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import textnorm, textops
+
+# the interpretable signal set every stage of this module shares
+FEATURE_COLS = [
+    "n_tokens",
+    "avg_token_len",
+    "punct_ratio",
+    "digit_ratio",
+    "stopword_ratio",
+    "dup_line_ratio",
+    "rep_2gram_ratio",
+    "top_token_ratio",
+]
+
+
+def _with_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the signal columns (idempotent-ish: callers pass raw
+    docs; both builders only ADD columns)."""
+    out = textops.quality_features(df, text_col)
+    out = textnorm.repetition_signals(out, text_col)
+    # n_tokens as double for the assembler; keep the original too
+    return out
+
+
+def fit_quality_classifier(
+    labeled: DataFrame,
+    text_col: str,
+    label_col: str,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+    seed: int = 42,
+):
+    """Fit a logistic-regression quality model on a labeled seed set
+    (label 1 = keep-quality, 0 = reject). Returns the fitted
+    ``PipelineModel`` (assembler + LR) — pass it to
+    :func:`score_quality`.
+
+    MLlib's LR trains with distributed L-BFGS over the assembled
+    feature vector; the seed set is small in practice, but nothing
+    here collects to the driver, so an accidentally-huge labeled set
+    still trains."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    feats = _with_features(labeled, text_col)
+    assembler = VectorAssembler(
+        inputCols=FEATURE_COLS, outputCol="__raw_features"
+    )
+    scaler = StandardScaler(
+        inputCol="__raw_features",
+        outputCol="__features",
+        withMean=True,
+        withStd=True,
+    )
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        probabilityCol="__prob",
+        rawPredictionCol="__rawpred",
+        predictionCol="__pred",
+    )
+    return Pipeline(stages=[assembler, scaler, lr]).fit(feats)
+
+
+def score_quality(
+    df: DataFrame,
+    model,
+    text_col: str,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Append ``out_col`` — P(quality=1) — to every document. Pure
+    per-row projection (feature expressions + the model's linear
+    transform), no shuffle: safe to run over the full corpus at any
+    scale. The helper feature/vector columns are dropped from the
+    output."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _with_features(df, text_col)
+    scored = model.transform(feats)
+    prob = F.round(vector_to_array(F.col("__prob")).getItem(1), 6)
+    helper = [
+        c
+        for c in scored.columns
+        if c.startswith("__") or (c in FEATURE_COLS and c not in df.columns)
+    ] + [c for c in ("n_chars_m", "quality_score") if c not in df.columns]
+    return scored.withColumn(out_col, prob).drop(*helper)
+
+
+def filter_by_quality(
+    df: DataFrame,
+    model,
+    text_col: str,
+    min_prob: float = 0.5,
+) -> DataFrame:
+    """Corpus gate: keep documents the model scores at or above
+    ``min_prob``. The filter sits directly on the scoring projection,
+    so Catalyst keeps the whole gate inside one scan stage."""
+    scored = score_quality(df, model, text_col)
+    return scored.filter(F.col("quality_prob") >= min_prob)

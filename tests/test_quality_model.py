@@ -1,0 +1,88 @@
+"""Learned quality classifier: separability on planted data, scoring
+schema/scale contract, and the no-Python-in-plan property (feature
+build + LR transform are all JVM expressions).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators.quality_model import (
+    FEATURE_COLS,
+    filter_by_quality,
+    fit_quality_classifier,
+    score_quality,
+)
+
+
+def _clean_doc(i: int) -> str:
+    return (
+        f"The quick study number {i} describes how rivers shape the "
+        "landscape over time and why the process matters for the people "
+        "who live along the banks of these old waterways."
+    )
+
+
+def _spam_doc(i: int) -> str:
+    return (
+        f"buy buy buy {i} !!! $$$ 0123456789 " * 6
+        + "click click click\n" * 4
+    )
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [(i, _clean_doc(i), 1.0) for i in range(40)] + [
+        (100 + i, _spam_doc(i), 0.0) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+@pytest.fixture(scope="module")
+def model(labeled):
+    return fit_quality_classifier(labeled, "text", "label")
+
+
+def test_separates_held_out_docs(spark, model):
+    held = spark.createDataFrame(
+        [(1, _clean_doc(999)), (2, _spam_doc(999))], "doc_id long, text string"
+    )
+    got = score_quality(held, model, "text").toPandas().set_index("doc_id")
+    assert got.loc[1, "quality_prob"] > 0.9
+    assert got.loc[2, "quality_prob"] < 0.1
+
+
+def test_scoring_schema_and_bounds(spark, labeled, model):
+    out = score_quality(labeled.drop("label"), model, "text")
+    # original columns + exactly one new column, no helper leakage
+    assert set(out.columns) == {"doc_id", "text", "quality_prob"}
+    probs = [r.quality_prob for r in out.collect()]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_filter_gate(spark, labeled, model):
+    kept = filter_by_quality(labeled, model, "text", min_prob=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    assert all(i < 100 for i in ids)  # every survivor is a clean doc
+    assert len(ids) == 40
+
+
+def test_scoring_plan_is_jvm_only(spark, labeled, model):
+    """Feature build is native expressions and the LR transform is a
+    JVM UDF-free projection: the scoring plan must contain no Python
+    evaluation node and no exchange (scan-shaped at any scale)."""
+    from clustering_spark.plans.audit import count_shuffles, formatted_plan
+
+    out = score_quality(labeled.drop("label"), model, "text")
+    p = formatted_plan(out)
+    assert "EvalPython" not in p and "InPandas" not in p
+    assert count_shuffles(out) == 0
+
+
+def test_feature_cols_exist(spark, labeled):
+    from clustering_spark.operators.quality_model import _with_features
+
+    cols = set(_with_features(labeled, "text").columns)
+    missing = [c for c in FEATURE_COLS if c not in cols]
+    assert not missing, f"feature builder lost columns: {missing}"
