@@ -421,12 +421,16 @@ def novel_minhash(
     minhash_lsh_pairs + the CC keep-filter on the survivors for that;
     keeping the two stages separate keeps each one's shuffle narrow.
     """
+    # each staged side feeds TWO branches (its band explode and its
+    # verify join-back) — same single-evaluation staging as
+    # minhash_lsh_pairs, which matters doubly here because the corpus
+    # side is the big one at ingest time
     base_new = _staged_minhash(
         new_df, id_col, text_col, num_hashes, shingle_words, seed
-    )
+    ).localCheckpoint(eager=False)
     base_corp = _staged_minhash(
         corpus_df, id_col, text_col, num_hashes, shingle_words, seed
-    )
+    ).localCheckpoint(eager=False)
     bn = _banded(base_new, num_hashes, bands).withColumnsRenamed(
         {"__id": "id_new"}
     )
