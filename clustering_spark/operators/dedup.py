@@ -1454,3 +1454,34 @@ def semantic_dedup_keep(
         .filter(F.col(id_col) == F.col("__comp"))
         .select(id_col)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    min_shared: int = 3,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Drop every training document flagged by
+    :func:`contamination_pairs` — the REMOVAL step of eval hygiene
+    (check → drop), as one anti-join on the flagged train-id set.
+    Returns ``train`` minus contaminated rows, schema unchanged. The
+    flagged-id frame is match-set-sized, so the anti-join is broadcast
+    at any corpus scale."""
+    flagged = (
+        contamination_pairs(
+            train,
+            test,
+            id_col,
+            text_col,
+            shingle_words=shingle_words,
+            min_shared=min_shared,
+            broadcast_test=broadcast_test,
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(flagged), on=id_col, how="left_anti")

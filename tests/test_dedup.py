@@ -516,3 +516,45 @@ class TestSemanticDedup:
                 max_cell_rows=10,
             ).collect()
         assert "max_cell_rows" in str(exc.value)
+
+
+def test_decontaminate_drops_flagged_and_keeps_schema(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about cooking pasta sauces"),
+            (3, "another unrelated note on mountain weather patterns"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(900, "quick brown fox jumps over the lazy")],
+        "doc_id long, text string",
+    )
+    out = dedup.decontaminate(train, test, "doc_id", "text", min_shared=3)
+    assert out.columns == train.columns
+    assert {r.doc_id for r in out.collect()} == {2, 3}
+
+
+def test_semantic_dedup_subset_property_random(spark):
+    """Hypothesis-flavored randomized sweep (seeded): for random
+    corpora and several nlist values, every semantic pair must appear
+    in the brute-force pair set with an identical cosine — cell
+    pruning may lose pairs, never invent or mis-score them."""
+    rng = np.random.RandomState(99)
+    for trial, nlist in [(0, 2), (1, 5), (2, 16)]:
+        n = 60 + trial * 17
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)]) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        sem = dedup.semantic_dedup_pairs(
+            df, "vec_id", "embedding", threshold=0.5, nlist=nlist, seed=trial
+        ).toPandas()
+        exact = dedup.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.5, lsh_planes=0
+        ).toPandas()
+        ex = {(int(r.id_a), int(r.id_b)): r.cosine for _, r in exact.iterrows()}
+        for _, r in sem.iterrows():
+            key = (int(r.id_a), int(r.id_b))
+            assert key in ex and abs(r.cosine - ex[key]) < 1e-9
