@@ -399,3 +399,94 @@ def url_dedup_key(df: DataFrame, url_col: str, out_col: str = "url_key") -> Data
     """Append md5(canonical URL) — the 16-byte join/groupBy key for
     URL-level exact dedup and per-URL latest-crawl-wins upserts."""
     return df.withColumn(out_col, F.md5(canonicalize_url(url_col)))
+
+
+# ----------------------------------------------------- HTML extraction
+
+# Entities worth decoding without a full entity table: the named forms
+# plus the numeric code points that actually appear in crawled prose
+# (smart quotes, dashes, nbsp). Rare numeric entities are DROPPED (to
+# a space) rather than left in the text as `&#8455;` markup noise —
+# documented degradation, not silent corruption.
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&#8216;", "\u2018"),
+    ("&#8217;", "\u2019"),
+    ("&#8220;", "\u201c"),
+    ("&#8221;", "\u201d"),
+    ("&#8211;", "\u2013"),
+    ("&#8212;", "\u2014"),
+    ("&#8230;", "\u2026"),
+    # ampersand LAST: decoding it earlier would turn &amp;lt; into a
+    # decodable &lt; — double-decoding the author's literal text
+    ("&amp;", "&"),
+    ("&#38;", "&"),
+]
+
+
+def strip_html(text: Column | str) -> Column:
+    """Plain text from an HTML document — the FIRST transform of a web
+    corpus, before any quality/dedup stage sees the text. Pure native
+    regexp expressions (scan-speed, whole-stage codegen): the
+    pragmatic crawl-pipeline extractor (strip markup, decode common
+    entities, preserve block structure as newlines), not a DOM parser
+    — malformed markup degrades gracefully instead of failing the row.
+
+    Passes, in order (each one regexp/replace projection, fused by
+    codegen into the same stage):
+    1. ``<script>``/``<style>``/``<noscript>``/``<template>`` dropped
+       WITH their payload (case-insensitive, dot-matches-newline);
+       an unclosed tag drops to end-of-document — for training data,
+       losing prose beats keeping JavaScript;
+    2. HTML comments dropped;
+    3. block-level tags (p, br, div, li, ul/ol, h1-6, tr, table,
+       blockquote, section, article) become newlines so paragraph
+       structure survives for the line-level stages
+       (strip_boilerplate, dup_line_ratio);
+    4. inline formatting tags (a, b, i, em, strong, span, code, ...)
+       removed WITHOUT a space (``<b>x</b>.`` → ``x.``); every other
+       remaining tag becomes a space so sibling cells don't fuse;
+    5. the common named/numeric entities decoded (``&amp;`` last so
+       ``&amp;lt;`` stays a literal ``<`` spelled by the author, not a
+       second decode); leftover ``&#...;`` forms dropped to a space;
+    6. horizontal whitespace runs collapsed, 3+ newlines collapsed to
+       2 (paragraph break), result trimmed.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(
+        t, r"(?is)<(script|style|noscript|template)\b.*?(</\1\s*>|$)", " "
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t,
+        r"(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\b[^>]*>",
+        "\n",
+    )
+    # inline formatting tags vanish (no space): "<b>x</b>." must give
+    # "x.", not "x ."; any other remaining tag becomes a space so
+    # words in sibling table cells / unknown elements don't fuse
+    t = F.regexp_replace(
+        t, r"(?i)</?(a|b|i|u|em|strong|span|code|small|sup|sub|mark|abbr|time)\b[^>]*>", ""
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"&#[xX]?[0-9a-fA-F]{1,7};", " ")
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str, out_col: str = "text"
+) -> DataFrame:
+    """DataFrame form of :func:`strip_html`."""
+    return df.withColumn(out_col, strip_html(html_col))

@@ -410,3 +410,75 @@ class TestCanonicalizeUrl:
         ).collect()
         for r in twice:
             assert r.c2 == r.c1
+
+
+class TestStripHtml:
+    def _strip(self, spark, docs):
+        from clustering_spark.operators.textnorm import strip_html
+
+        df = spark.createDataFrame([(d,) for d in docs], "h string")
+        return [r.t for r in df.select(strip_html("h").alias("t")).collect()]
+
+    def test_basic_page(self, spark):
+        html = (
+            "<html><head><title>T</title>"
+            "<style>body { color: red }</style>"
+            "<script>var x = '<p>not text</p>';</script></head>"
+            "<body><h1>Header</h1>"
+            "<p>First paragraph with <b>bold</b> &amp; <i>italics</i>.</p>"
+            "<p>Second&nbsp;paragraph &lt;tagged&gt;.</p>"
+            "<!-- a comment --><div>Footer</div></body></html>"
+        )
+        (got,) = self._strip(spark, [html])
+        assert "color: red" not in got
+        assert "var x" not in got and "not text" not in got
+        assert "a comment" not in got
+        lines = got.split("\n")
+        assert "Header" in lines
+        assert any(l == "First paragraph with bold & italics." for l in lines)
+        assert any(l == "Second paragraph <tagged>." for l in lines)
+        assert "Footer" in lines
+
+    def test_double_encoded_ampersand_not_double_decoded(self, spark):
+        (got,) = self._strip(spark, ["a &amp;lt; b"])
+        # the author WROTE "&lt;": decoding &amp; last keeps it literal
+        assert got == "a &lt; b"
+
+    def test_smart_quotes_and_unknown_numeric(self, spark):
+        (got,) = self._strip(
+            spark, ["&#8220;hi&#8221; &#8212; ok &#8455; end"]
+        )
+        assert got == "“hi” — ok end"
+
+    def test_unclosed_script_drops_to_end(self, spark):
+        (got,) = self._strip(
+            spark, ["<p>keep</p><script>alert(1); trailing junk"]
+        )
+        assert got == "keep"
+
+    def test_block_structure_preserved_for_line_stages(self, spark):
+        (got,) = self._strip(
+            spark, ["<ul><li>one</li><li>two</li></ul><p>three</p>"]
+        )
+        # every list item / paragraph is its own line, in order
+        nonempty = [l for l in got.split("\n") if l]
+        assert nonempty == ["one", "two", "three"]
+
+    def test_plain_text_passthrough_and_null(self, spark):
+        from clustering_spark.operators.textnorm import strip_html
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame([("just text",), (None,)], "h string")
+        got = [r.t for r in df.select(strip_html("h").alias("t")).collect()]
+        assert got[0] == "just text"
+        assert got[1] is None
+
+    def test_plan_is_native(self, spark):
+        from clustering_spark.operators.textnorm import extract_html_text
+        from clustering_spark.plans.audit import count_shuffles, formatted_plan
+
+        df = spark.createDataFrame([("<p>x</p>",)], "h string")
+        out = extract_html_text(df, "h")
+        p = formatted_plan(out)
+        assert "EvalPython" not in p and "InPandas" not in p
+        assert count_shuffles(out) == 0
