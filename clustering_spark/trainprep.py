@@ -47,6 +47,10 @@ class QualityThresholds:
 class PrepConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
+    # text_col holds raw HTML: run textnorm.strip_html first, so the
+    # line-level stages (boilerplate, dup_line_ratio) see extracted
+    # prose with block structure as newlines
+    html: bool = False
     thresholds: QualityThresholds | None = field(default_factory=QualityThresholds)
     redact: bool = True
     # group column for per-site boilerplate stripping (None = skip)
@@ -108,6 +112,11 @@ def prepare_corpus(
     """
     cfg = cfg or PrepConfig()
     id_c, text_c = cfg.id_col, cfg.text_col
+
+    # -1. HTML -> text extraction when the input is raw markup: must
+    #     precede every line-level stage (scan-speed native regexp)
+    if cfg.html:
+        df = df.withColumn(text_c, textnorm.strip_html(text_c))
 
     # 0. per-group boilerplate stripping FIRST (normalization collapses
     #    the newlines the line-level pass needs)

@@ -250,3 +250,24 @@ def test_passage_gate_drops_boilerplate_heavy_survivor(spark):
         .collect()
     }
     assert kept_off == {1, 2, 3}
+
+
+def test_html_input_stage(spark):
+    from clustering_spark.trainprep import PrepConfig, prepare_corpus
+
+    rows = [
+        (
+            i,
+            "<html><script>var t = 'junk';</script><body>"
+            f"<p>Real document number {i} about rivers and valleys and "
+            "the slow work of water on stone.</p></body></html>",
+        )
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, PrepConfig(html=True))
+    clean = out["clean"].select("doc_id", "text").collect()
+    assert len(clean) == 8
+    for r in clean:
+        assert "<p>" not in r.text and "junk" not in r.text
+        assert "Real document" in r.text
