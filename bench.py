@@ -108,6 +108,8 @@ def main() -> None:
     if unknown:
         raise KeyError(f"headline queries not in registry: {unknown}")
 
+    errors: dict[str, str] = {}
+
     def run_set(names, sf_dir, runs):
         medians: dict[str, float] = {}
         cold: dict[str, float] = {}
@@ -116,11 +118,17 @@ def main() -> None:
         for name in names:
             fn = QUERIES[name]
             samples: list[float] = []
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
+            try:
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    df = fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 — one broken query
+                # must not void the whole bench record; the error rides
+                # the JSON so the regression is attributable
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                continue
             medians[name] = round(statistics.median(samples), 3)
             cold[name] = round(samples[0], 3)
             spread[name] = [round(min(samples), 3), round(max(samples), 3)]
@@ -167,6 +175,7 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "queries_spread": spread,
                 "steal_suspect": suspects,
+                "errors": errors,
                 **gate,
             }
         )
