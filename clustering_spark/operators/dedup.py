@@ -1378,13 +1378,10 @@ def semantic_dedup_pairs(
     from clustering_spark.operators.segmentation import spread_groups
     from clustering_spark.operators.similarity import IVFIndex
 
-    idx = IVFIndex(nlist=nlist, seed=seed).fit(df, vec_col)
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    celled = base.withColumn("cell", idx._cell_expr("__v"))
-
     id_type = base.schema["__id"].dataType
     out_schema = T.StructType(
         [
@@ -1393,6 +1390,14 @@ def semantic_dedup_pairs(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    # empty corpus: the centroid fit has no sample to stack — the
+    # answer is an empty pair set, not a numpy stack error (same
+    # guard class as _dense_cosine_allpairs' empty-collect fix)
+    if df.limit(1).count() == 0:
+        return df.sparkSession.createDataFrame([], out_schema)
+
+    idx = IVFIndex(nlist=nlist, seed=seed).fit(df, vec_col)
+    celled = base.withColumn("cell", idx._cell_expr("__v"))
     cols = [f.name for f in out_schema.fields]
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

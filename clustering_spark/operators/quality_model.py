@@ -107,12 +107,9 @@ def score_quality(
     feats = _with_features(df, text_col)
     scored = model.transform(feats)
     prob = F.round(vector_to_array(F.col("__prob")).getItem(1), 6)
-    helper = [
-        c
-        for c in scored.columns
-        if c.startswith("__") or (c in FEATURE_COLS and c not in df.columns)
-    ] + [c for c in ("n_chars_m", "quality_score") if c not in df.columns]
-    return scored.withColumn(out_col, prob).drop(*helper)
+    # contract: EXACTLY the caller's columns plus out_col — robust to
+    # any future column the feature builders grow
+    return scored.withColumn(out_col, prob).select(*df.columns, out_col)
 
 
 def filter_by_quality(

@@ -558,3 +558,9 @@ def test_semantic_dedup_subset_property_random(spark):
         for _, r in sem.iterrows():
             key = (int(r.id_a), int(r.id_b))
             assert key in ex and abs(r.cosine - ex[key]) < 1e-9
+
+
+def test_semantic_dedup_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert dedup.semantic_dedup_pairs(df, "vec_id", "embedding").count() == 0
+    assert dedup.semantic_dedup_keep(df, "vec_id", "embedding").count() == 0
