@@ -110,7 +110,7 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
-    def run_set(names, sf_dir, runs):
+    def run_set(names, sf_dir, runs, err_prefix=""):
         medians: dict[str, float] = {}
         cold: dict[str, float] = {}
         spread: dict[str, list[float]] = {}
@@ -126,8 +126,10 @@ def main() -> None:
                     samples.append(time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001 — one broken query
                 # must not void the whole bench record; the error rides
-                # the JSON so the regression is attributable
-                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                # the JSON so the regression is attributable (prefixed
+                # by run-set so a gate failure can't shadow a headline
+                # failure of the same query)
+                errors[err_prefix + name] = f"{type(e).__name__}: {e}"[:300]
                 continue
             medians[name] = round(statistics.median(samples), 3)
             cold[name] = round(samples[0], 3)
@@ -144,29 +146,41 @@ def main() -> None:
 
     medians, cold, spread, suspects = run_set(HEADLINE, SF_DIR, RUNS)
 
+    def sf_of(path):
+        for cand in ("sf0.001", "sf0.01", "sf0.1", "sf1"):
+            if cand in path:
+                return float(cand[2:])
+        return None
+
     gate: dict[str, object] = {}
     if os.path.isdir(GATE_SF_DIR):
         gm, _gc, gs, gsus = run_set(
-            [n for n in GATE_QUERIES if n in QUERIES], GATE_SF_DIR, GATE_RUNS
+            [n for n in GATE_QUERIES if n in QUERIES],
+            GATE_SF_DIR,
+            GATE_RUNS,
+            err_prefix="gate:",
         )
         gate = {
-            "gate_sf": 0.01,
+            "gate_sf": sf_of(GATE_SF_DIR),
             "gate_queries": gm,
             "gate_spread": gs,
             "gate_total": round(sum(gm.values()), 3),
             "gate_steal_suspect": gsus,
         }
 
-    sf = 0.1
-    if "sf0.01" in SF_DIR:
-        sf = 0.01
-    elif "sf0.001" in SF_DIR:
-        sf = 0.001
+    sf = sf_of(SF_DIR) or 0.1
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(medians.values()), 3),
+                # a missing query must read as a LOUD failure, not a
+                # smaller (faster-looking) sum: null the headline when
+                # any headline query errored
+                "value": (
+                    None
+                    if any(not k.startswith("gate:") for k in errors)
+                    else round(sum(medians.values()), 3)
+                ),
                 "unit": "sec",
                 "queries": medians,
                 "sf": sf,

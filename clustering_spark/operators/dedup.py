@@ -960,6 +960,30 @@ def _sig_from_votes(votes: Column | str) -> Column:
     return sig
 
 
+def _hamming_chunks(max_hamming: int) -> list[tuple[int, int, int]]:
+    """(chunk_idx, shift, width) splitting 64 bits into
+    ``max_hamming + 1`` contiguous chunks — the pigeonhole guarantee:
+    ``h`` differing bits spread over ``h+1`` chunks leave at least one
+    chunk identical, for ANY ``h <= max_hamming``. Widths differ by at
+    most 1 (remainder bits go to the low chunks). Wider radii mean
+    narrower chunks and weaker join keys — selectivity falls as
+    2^width — which is inherent to high-radius hamming search, not a
+    property of this plan."""
+    if not 0 <= max_hamming <= 31:
+        # 32+ chunks of <=2 bits have useless selectivity; refuse
+        raise ValueError(
+            f"max_hamming must be in [0, 31], got {max_hamming}"
+        )
+    n = max_hamming + 1
+    base, rem = divmod(64, n)
+    chunks, shift = [], 0
+    for i in range(n):
+        w = base + (1 if i < rem else 0)
+        chunks.append((i, shift, w))
+        shift += w
+    return chunks
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -968,9 +992,12 @@ def simhash_pairs(
     shingle_words: int = 2,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
-    come from equality on one of 4 disjoint 16-bit chunks (pigeonhole:
-    hamming<=3 over 64 bits forces >=1 identical chunk); verified with
-    bit_count(a XOR b)."""
+    come from equality on one of ``max_hamming + 1`` disjoint bit
+    chunks (pigeonhole — see :func:`_hamming_chunks`; at the default
+    radius 3 that is the classic 4x16-bit split), verified with
+    bit_count(a XOR b). The chunk count ADAPTS to the radius: a fixed
+    4-chunk split is only complete for hamming <= 3 and silently lost
+    pairs at wider radii."""
     # tokenization is the Arrow-batched kernel (one eval per row);
     # hashing stays JVM-side (xxhash64 over the materialized shingle
     # array); the 64-lane bit packing runs as a second Arrow kernel
@@ -1004,13 +1031,13 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("sig"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sig"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk_val"),
                     )
-                    # shift amounts must be Python ints — build the 4
+                    # shift amounts must be Python ints — build the
                     # chunk structs in a Python loop, not F.transform
-                    for i in range(4)
+                    for i, shift, width in _hamming_chunks(max_hamming)
                 ]
             )
         ).alias("c"),

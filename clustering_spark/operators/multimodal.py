@@ -149,6 +149,13 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int]:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker — skip them or the fill byte reads as the marker and
+        # the walk jumps to a garbage segment length
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            break
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI before any SOF
             break
@@ -540,13 +547,23 @@ def image_dhash(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     analogue of simhash for text: hamming distance between hashes
     tracks visual similarity, so exact-duplicate AND near-duplicate
     (re-encoded, resized, brightness-shifted) images collide within a
-    few bits while the raw bytes (and sha256) differ completely."""
+    few bits while the raw bytes (and sha256) differ completely.
+
+    Mixed-corpus contract (same as image_header_meta): blobs without a
+    codec-free decoder (JPEG here, unknown formats, corrupt payloads)
+    get a NULL dhash instead of failing the batch — a mixed 100 TB
+    image table must degrade per row. Pair with image_header_meta to
+    count/route the undecodable residue."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
-                out.append({"id": rid, "dhash": _dhash64(_decode_gray(bytes(blob)))})
+                try:
+                    h = _dhash64(_decode_gray(bytes(blob)))
+                except (NotImplementedError, ValueError, struct.error):
+                    h = None
+                out.append({"id": rid, "dhash": h})
             yield pd.DataFrame(out, columns=["id", "dhash"])
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
@@ -557,14 +574,20 @@ def image_dhash(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
 def image_neardup_pairs(
     df: DataFrame, bin_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Perceptual near-duplicate image pairs: dHash signatures +
-    the SAME pigeonhole 16-bit-chunk equi-join and bit_count verify as
-    text SimHash (dedup.simhash_pairs' candidate machinery — hamming
-    <= 3 over 64 bits forces >= 1 identical chunk). Image bytes never
-    leave the scan: only (id, 8-byte hash) rides the explode and the
-    join. Returns (id_a, id_b, hamming), id_a < id_b."""
-    sigs = image_dhash(df, bin_col, id_col).select(
-        F.col("id").alias("__id"), F.col("dhash").alias("sig")
+    """Perceptual near-duplicate image pairs: dHash signatures + the
+    SAME adaptive pigeonhole chunk equi-join and bit_count verify as
+    text SimHash (``max_hamming + 1`` chunks guarantee a shared chunk
+    for any pair within the radius — dedup._hamming_chunks). Image
+    bytes never leave the scan: only (id, 8-byte hash) rides the
+    explode and the join. Undecodable blobs (NULL dhash from
+    image_dhash) are excluded up front. Returns (id_a, id_b, hamming),
+    id_a < id_b."""
+    from clustering_spark.operators.dedup import _hamming_chunks
+
+    sigs = (
+        image_dhash(df, bin_col, id_col)
+        .filter(F.col("dhash").isNotNull())
+        .select(F.col("id").alias("__id"), F.col("dhash").alias("sig"))
     )
     # both chunk-join sides read the signature table; one long per
     # image — same staging rationale as simhash_pairs
@@ -577,11 +600,11 @@ def image_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("sig"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sig"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk_val"),
                     )
-                    for i in range(4)
+                    for i, shift, width in _hamming_chunks(max_hamming)
                 ]
             )
         ).alias("c"),

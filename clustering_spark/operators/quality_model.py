@@ -39,12 +39,19 @@ FEATURE_COLS = [
 ]
 
 
+_TEXT_TMP = "__qm_text"
+
+
 def _with_features(df: DataFrame, text_col: str) -> DataFrame:
-    """Append the signal columns (idempotent-ish: callers pass raw
-    docs; both builders only ADD columns)."""
-    out = textops.quality_features(df, text_col)
-    out = textnorm.repetition_signals(out, text_col)
-    # n_tokens as double for the assembler; keep the original too
+    """Append the signal columns, computed over a NULL-coalesced copy
+    of the text: a NULL document must score like an empty one (all
+    ratios 0, n_tokens 0 → low quality), not crash the whole job in
+    VectorAssembler's handleInvalid='error' path. The caller's text
+    column is untouched; the temp column never leaves score_quality's
+    final projection."""
+    out = df.withColumn(_TEXT_TMP, F.coalesce(F.col(text_col), F.lit("")))
+    out = textops.quality_features(out, _TEXT_TMP)
+    out = textnorm.repetition_signals(out, _TEXT_TMP)
     return out
 
 
@@ -108,8 +115,10 @@ def score_quality(
     scored = model.transform(feats)
     prob = F.round(vector_to_array(F.col("__prob")).getItem(1), 6)
     # contract: EXACTLY the caller's columns plus out_col — robust to
-    # any future column the feature builders grow
-    return scored.withColumn(out_col, prob).select(*df.columns, out_col)
+    # any future column the feature builders grow, and re-scoring a
+    # frame that already has out_col REPLACES it (no duplicate column)
+    keep = [c for c in df.columns if c != out_col]
+    return scored.withColumn(out_col, prob).select(*keep, out_col)
 
 
 def filter_by_quality(

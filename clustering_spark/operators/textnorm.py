@@ -476,9 +476,18 @@ def strip_html(text: Column | str) -> Column:
         t, r"(?i)</?(a|b|i|u|em|strong|span|code|small|sup|sub|mark|abbr|time)\b[^>]*>", ""
     )
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    # entity order: (a) named/common-numeric decodes, (b) leftover
+    # numeric entities dropped, (c) &amp;/&#38; decoded LAST — after
+    # the catch-all, so an author-escaped "&amp;#160;" surfaces as the
+    # literal text "&#160;" instead of being decoded twice and eaten
     for ent, rep in _HTML_ENTITIES:
+        if rep == "&":
+            continue
         t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.regexp_replace(t, r"&#[xX]?[0-9a-fA-F]{1,7};", " ")
+    for ent, rep in _HTML_ENTITIES:
+        if rep == "&":
+            t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")

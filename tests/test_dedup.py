@@ -564,3 +564,20 @@ def test_semantic_dedup_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert dedup.semantic_dedup_pairs(df, "vec_id", "embedding").count() == 0
     assert dedup.semantic_dedup_keep(df, "vec_id", "embedding").count() == 0
+
+
+def test_simhash_wide_radius_pigeonhole_complete(spark):
+    """The adaptive chunking contract directly: h differing bits over
+    h+1 chunks always leave a shared chunk. For every radius, chunk
+    widths cover exactly 64 bits; and a planted worst-case pair (one
+    flipped bit per 16-bit quadrant = hamming 4) that the old fixed
+    4x16 split lost must be found at max_hamming=4."""
+    for h in (0, 1, 3, 8, 31):
+        ch = dedup._hamming_chunks(h)
+        assert len(ch) == h + 1
+        assert sum(w for _, _, w in ch) == 64
+        assert all(w >= 1 for _, _, w in ch)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup._hamming_chunks(32)

@@ -289,19 +289,48 @@ class TestImageDhash:
         # the structured gradient must not collide with the noise images
         assert all({p[0], p[1]} <= {1, 2} or min(p) >= 100 for p in got)
 
-    def test_fake_container_supported_and_jpeg_gated(self, spark):
-        df = spark.createDataFrame(
-            [(1, mm.make_fake_image(16, 16, fill=77))], "id long, img binary"
-        )
-        out = mm.image_dhash(df, "img", "id").collect()
-        assert out[0].dhash == 0  # flat image: no gradients anywhere
-
+    def test_fake_container_supported_and_undecodable_null(self, spark):
         from pathlib import Path
 
         jpg = (Path(__file__).parent / "fixtures" / "tiny_gray16x8.jpg").read_bytes()
-        df2 = spark.createDataFrame([(1, jpg)], "id long, img binary")
-        with pytest.raises(Exception) as exc:
-            mm.image_dhash(df2, "img", "id").collect()
-        assert "NotImplementedError" in str(exc.value) or isinstance(
-            exc.value, NotImplementedError
+        df = spark.createDataFrame(
+            [
+                (1, mm.make_fake_image(16, 16, fill=77)),
+                (2, jpg),  # no codec-free pixel decoder: NULL, not a crash
+                (3, b"GIF89a nope"),
+            ],
+            "id long, img binary",
         )
+        out = mm.image_dhash(df, "img", "id").toPandas().set_index("id")
+        assert out.loc[1, "dhash"] == 0  # flat image: no gradients
+        assert out.isna().loc[2, "dhash"]
+        assert out.isna().loc[3, "dhash"]
+        # and the pair join simply excludes the undecodable rows
+        pairs = mm.image_neardup_pairs(df, "img", "id").collect()
+        assert pairs == []
+
+    def test_image_neardup_wide_radius_complete(self, spark):
+        """max_hamming > 3 must still be pigeonhole-complete: a pair
+        differing by one bit in EACH of the four 16-bit quadrants
+        (hamming 4) shares no chunk under the old fixed 4x16 split and
+        was silently lost; the adaptive max_hamming+1 chunking must
+        find it. 9x8 FAKE images make the dHash pooling the identity,
+        so each bit is a directly-crafted pixel comparison."""
+        flat = bytearray([100] * 72)  # 9x8: hash = 0
+        bumped = bytearray(flat)
+        for r in (0, 2, 4, 6):  # sets bits r*8+3 = 3, 19, 35, 51
+            bumped[r * 9 + 3] = 110
+        import struct as _s
+
+        mk = lambda payload: mm.MAGIC + _s.pack(">HH", 9, 8) + bytes(payload)
+        df = spark.createDataFrame(
+            [(1, mk(flat)), (2, mk(bumped))], "id long, img binary"
+        )
+        hashes = mm.image_dhash(df, "img", "id").toPandas().set_index("id")
+        assert hashes.loc[1, "dhash"] == 0
+        assert bin(int(hashes.loc[2, "dhash"])).count("1") == 4
+        # old 4x16 chunking (max_hamming clamped at 3) misses it...
+        assert mm.image_neardup_pairs(df, "img", "id", max_hamming=3).count() == 0
+        # ...the adaptive 5-chunk split at the requested radius finds it
+        got = mm.image_neardup_pairs(df, "img", "id", max_hamming=4).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 4)]

@@ -86,3 +86,23 @@ def test_feature_cols_exist(spark, labeled):
     cols = set(_with_features(labeled, "text").columns)
     missing = [c for c in FEATURE_COLS if c not in cols]
     assert not missing, f"feature builder lost columns: {missing}"
+
+
+def test_null_text_scores_as_empty_not_crash(spark, model):
+    df = spark.createDataFrame(
+        [(1, _clean_doc(5)), (2, None)], "doc_id long, text string"
+    )
+    out = score_quality(df, model, "text").toPandas().set_index("doc_id")
+    assert set(out.columns) == {"text", "quality_prob"}
+    assert 0.0 <= out.loc[2, "quality_prob"] <= 1.0
+    assert out.loc[1, "quality_prob"] > out.loc[2, "quality_prob"]
+
+
+def test_rescoring_replaces_column(spark, labeled, model):
+    once = score_quality(labeled.drop("label"), model, "text")
+    twice = score_quality(once, model, "text")
+    assert twice.columns.count("quality_prob") == 1
+    # re-scoring with the same model gives the same probabilities
+    a = {r.doc_id: r.quality_prob for r in once.collect()}
+    b = {r.doc_id: r.quality_prob for r in twice.collect()}
+    assert a == b
