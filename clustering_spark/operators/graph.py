@@ -140,7 +140,19 @@ def assign_components(
 def dedup_by_component(
     df: DataFrame, id_col: str, components: DataFrame
 ) -> DataFrame:
-    """The dedup stage: keep ONE row per component — the minimum id,
-    i.e. the component id itself. Singletons survive unconditionally."""
+    """The dedup stage: keep ONE row per component — the minimum id
+    PRESENT IN ``df``. The survivor is computed over the rows actually
+    in ``df``, not assumed to be the component id: when the component-
+    min doc was filtered out between pair generation and dedup (a
+    quality/length gate in the middle of the chain), the next-smallest
+    member survives instead of the whole component silently vanishing.
+    Singletons survive unconditionally."""
+    from pyspark.sql import Window
+
     labelled = assign_components(df, id_col, components)
-    return labelled.filter(F.col(id_col) == F.col("component")).drop("component")
+    w = Window.partitionBy("component")
+    return (
+        labelled.withColumn("__min_present", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_present"))
+        .drop("component", "__min_present")
+    )

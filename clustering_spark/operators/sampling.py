@@ -21,11 +21,28 @@ from pyspark.sql import functions as F
 
 def _hex_bucket(key_col: str | Column, salt: str) -> Column:
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    # NULL keys map to a '\x00' sentinel (the shuffle_key convention):
+    # a bare concat would be NULL, silently DROPPING every NULL-key
+    # row from samples and shunting them all into hash_split's last
+    # split. With the sentinel they get one deterministic hash — one
+    # sample/split decision for the whole NULL-key class.
+    return F.substring(
+        F.md5(
+            F.concat(F.coalesce(key.cast("string"), F.lit("\x00")), F.lit(salt))
+        ),
+        1,
+        8,
+    )
 
 
 def _hex_threshold(fraction: float) -> str:
-    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+    """8-hex-char cutoff; ``fraction >= 1`` returns 'g', which every
+    hex bucket sorts below — 'ffffffff' as a cutoff would drop rows
+    whose md5 prefix is exactly ffffffff (p=2^-32/row: ~2 rows per
+    10B-row stratum) from a keep-everything stratum."""
+    if fraction >= 1.0:
+        return "g"
+    return format(max(int(fraction * 16**8), 0), "08x")
 
 
 def hash_sample(
@@ -93,7 +110,9 @@ def plan_mixture(
     }
     out = {}
     for stratum, target in target_weights.items():
-        a = actual.get(stratum, 0)
+        # sum() over all-NULL weights is NULL -> treat as 0 (keep
+        # whole) instead of a driver TypeError on the comparison
+        a = actual.get(stratum) or 0
         out[stratum] = 1.0 if a <= target else float(target) / float(a)
     return out
 
@@ -137,8 +156,14 @@ def cap_per_group(
     then ranks a bounded remnant; membership stays deterministic
     because both stages hash the same key."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
+    # CONTRACT: keys must be unique and non-null for a reproducible
+    # choice — identical (or multiple NULL) keys tie on both the hash
+    # and the key tiebreak, so which of THOSE rows survive a cap at
+    # the boundary is executor-order dependent. The coalesce at least
+    # pins NULLs to one deterministic hash position.
+    okey = F.coalesce(key.cast("string"), F.lit("\x00"))
     w = Window.partitionBy(group_col).orderBy(
-        F.xxhash64(key.cast("string"), F.lit(salt)).asc(), key.asc()
+        F.xxhash64(okey, F.lit(salt)).asc(), key.asc_nulls_last()
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -160,8 +185,9 @@ def hash_topn_sample(
     (it is a bottom-n-by-hash set, the same property MinHash relies
     on)."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
+    okey = F.coalesce(key.cast("string"), F.lit("\x00"))
     return df.orderBy(
-        F.xxhash64(key.cast("string"), F.lit(salt)).asc(), key.asc()
+        F.xxhash64(okey, F.lit(salt)).asc(), key.asc_nulls_last()
     ).limit(n)
 
 

@@ -47,10 +47,24 @@ def cosine_topk(
     )
 
 
-def _round6_half_up(a: np.ndarray) -> np.ndarray:
-    """6-decimal rounding matching Spark's HALF_UP ``round`` (numpy's
-    own round is half-even; HALF_UP rounds .5 away from zero)."""
-    return np.where(a >= 0, np.floor(a * 1e6 + 0.5), np.ceil(a * 1e6 - 0.5)) / 1e6
+def _spark_round6(x: float) -> float:
+    """EXACT emulation of Spark's ``round(double, 6)``: Spark goes
+    through ``BigDecimal.valueOf`` — the double's SHORTEST-repr decimal
+    string — then HALF_UP. A float-arithmetic emulation
+    (floor(x*1e6+0.5)) disagrees on shortest-repr boundary values:
+    0.1260295 rounds to 0.126030 in Spark but 0.126029 under the
+    float form (x*1e6 lands just below the .5 boundary). Python's
+    ``repr`` implements the same shortest-round-trip rule as Java's
+    ``Double.toString``, so Decimal(repr(x)) sees the identical
+    decimal value Spark rounds. Called only on bounded candidate sets
+    (per-query partial top-k), never on full score matrices."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
 
 
 def knn_join(
@@ -74,9 +88,13 @@ def knn_join(
     scanned once and never shuffled.
 
     Semantics identical to the relational form: rank by ROUNDED (6dp,
-    HALF_UP) cosine desc then corpus_id; zero-norm vectors get NULL
-    cosine and rank last (partials include the per-partition smallest
-    zero-norm ids so tiny-corpus results stay exact).
+    Spark-exact HALF_UP — see _spark_round6) cosine desc then
+    corpus_id; zero-norm AND NULL vectors get NULL cosine and rank
+    last (partials include the per-partition smallest such ids so
+    tiny-corpus results stay exact). The kernel keeps RAW scores with
+    a 1e-6 margin during the scan and rounds only the bounded
+    candidate set at the end, so selection by rounded order is exact
+    without rounding whole score matrices.
 
     The query-side collect is GUARDED: the fetch is limited to
     ``max_query_rows`` + 1 rows and raises if the limit is hit, so a
@@ -110,7 +128,13 @@ def knn_join(
     if len(qpdf) == 0:
         return spark.createDataFrame([], rank_schema)
 
-    qm = np.vstack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    # NULL query vectors behave like zero-norm ones (NULL cosine
+    # against everything) instead of crashing the vstack
+    qvals = qpdf["qvec"].to_numpy()
+    dim = next((len(v) for v in qvals if v is not None), 1)
+    qm = np.vstack(
+        [np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim) for v in qvals]
+    )
     qnorm = np.linalg.norm(qm, axis=1)
     qok = qnorm > 0.0
     qdir = np.where(qok[:, None], qm / np.where(qok, qnorm, 1.0)[:, None], 0.0)
@@ -130,32 +154,53 @@ def knn_join(
         small_ids = np.empty(0, np.int64)  # smallest ids seen (NULL-rank pool)
         zero_ids = np.empty(0, np.int64)  # smallest zero-norm ids
         for pdf in batches:
-            ids_b = pdf["cid"].to_numpy()
-            V = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+            ids_all = pdf["cid"].to_numpy()
+            cvals = pdf["cvec"]
+            nn = cvals.notna().to_numpy()
+            # NULL corpus vectors join the zero-norm NULL-cosine pool
+            # (the relational form yields NULL cosine for both)
+            null_like = ids_all[~nn]
+            ids_nn = ids_all[nn]
+            small_ids = np.sort(np.concatenate([small_ids, ids_all]))[:kk]
+            if len(ids_nn) == 0:
+                zero_ids = np.sort(np.concatenate([zero_ids, null_like]))[:kk]
+                continue
+            V = np.vstack(cvals[nn].to_numpy()).astype(np.float64)
             vn = np.linalg.norm(V, axis=1)
             nz = vn > 0.0
-            zero_ids = np.sort(np.concatenate([zero_ids, ids_b[~nz]]))[:kk]
-            small_ids = np.sort(np.concatenate([small_ids, ids_b]))[:kk]
+            zero_ids = np.sort(
+                np.concatenate([zero_ids, null_like, ids_nn[~nz]])
+            )[:kk]
             if nz.any():
-                scores = _round6_half_up(
-                    (V[nz] / vn[nz, None]) @ qdir_.T
-                )  # (m, nq)
-                ids_nz = ids_b[nz]
+                # RAW scores; candidates kept with a 1e-6 margin below
+                # the kth value — rounding moves a score by < 1e-6, so
+                # every row that could enter the rounded top-k survives
+                scores = (V[nz] / vn[nz, None]) @ qdir_.T  # (m, nq)
+                ids_nz = ids_nn[nz]
                 for j in range(nq):
                     if not qok_[j]:
                         continue
                     s = np.concatenate([cur_s[j], scores[:, j]])
                     i = np.concatenate([cur_i[j], ids_nz])
-                    order = np.lexsort((i, -s))[:kk]
+                    order = np.lexsort((i, -s))
+                    if len(order) > kk:
+                        kth = s[order[kk - 1]]
+                        order = order[s[order] >= kth - 1e-6]
                     cur_s[j], cur_i[j] = s[order], i[order]
         rows_q, rows_c, rows_s = [], [], []
         for j in range(nq):
             if qok_[j]:
-                rows_q.extend([qids_[j]] * (len(cur_i[j]) + len(zero_ids)))
-                rows_c.extend(cur_i[j].tolist() + zero_ids.tolist())
-                rows_s.extend(cur_s[j].tolist() + [None] * len(zero_ids))
+                # round the BOUNDED candidate set Spark-exactly, then
+                # reselect the kk best by (rounded desc, id asc) — the
+                # same total order the final window applies
+                rs = np.array([_spark_round6(v) for v in cur_s[j]])
+                order = np.lexsort((cur_i[j], -rs))[:kk]
+                sel_s, sel_i = rs[order], cur_i[j][order]
+                rows_q.extend([qids_[j]] * (len(sel_i) + len(zero_ids)))
+                rows_c.extend(sel_i.tolist() + zero_ids.tolist())
+                rows_s.extend(sel_s.tolist() + [None] * len(zero_ids))
             else:
-                # zero-norm QUERY: cosine NULL against every corpus row
+                # zero-norm/NULL QUERY: cosine NULL against every row
                 rows_q.extend([qids_[j]] * len(small_ids))
                 rows_c.extend(small_ids.tolist())
                 rows_s.extend([None] * len(small_ids))
@@ -241,13 +286,24 @@ def topk_quantized_rerank(
 
     @F.pandas_udf("double")
     def approx_cos(col: pd.Series) -> pd.Series:
-        Q = np.vstack(col.to_numpy()).astype(np.int32)
-        dots = Q @ qq
-        norms = np.sqrt((Q * Q).sum(axis=1, dtype=np.int64).astype(np.float64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            s = dots / (norms * qqn)
-        return pd.Series(np.where(norms > 0, s, np.nan))
+        vals = col.to_numpy()
+        nn = col.notna().to_numpy()
+        out = np.full(len(vals), np.nan)
+        if nn.any():
+            Q = np.vstack(vals[nn]).astype(np.int32)
+            dots = Q @ qq
+            norms = np.sqrt(
+                (Q * Q).sum(axis=1, dtype=np.int64).astype(np.float64)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = dots / (norms * qqn)
+            out[nn] = np.where(norms > 0, s, np.nan)
+        return pd.Series(out)
 
+    # NULL qvec rows (quantize_embeddings preserves NULL input vectors)
+    # score NaN -> Arrow NULL -> desc_nulls_last, so they can only
+    # enter the candidate set when fewer than k*rerank_factor real
+    # rows exist — the exact rerank then drops them (NULL float vec).
     cands = (
         df.select(F.col(id_col), approx_cos(F.col(qvec_col)).alias("__acos"))
         .orderBy(F.col("__acos").desc_nulls_last(), F.col(id_col))
@@ -276,8 +332,17 @@ class IVFIndex:
         self.centroids: np.ndarray | None = None
 
     def fit(self, corpus: DataFrame, vec_col: str) -> "IVFIndex":
+        # bottom-n-by-hash sample, NOT limit(): limit takes the first
+        # rows in scan order, so a corpus laid out by source/date would
+        # fit centroids to one source and collapse everything else into
+        # a few cells. Hashing the vector itself is deterministic
+        # (reproducible centroids) and order-independent; the plan is
+        # TakeOrdered — per-partition top-n, no full sort. NULL vectors
+        # are excluded (they cannot be assigned a cell either).
         sample = (
             corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .orderBy(F.xxhash64(F.col("v")).asc())
             .limit(self.sample_rows)
             .toPandas()["v"]
         )
@@ -353,17 +418,9 @@ class IVFIndex:
             return topk_quantized_rerank(
                 probed, vec_col, qvec_col, query, id_col, k, rerank_factor
             )
-        q = F.array(*[F.lit(float(x)) for x in query])
-        return (
-            probed.select(
-                F.col(id_col),
-                F.round(
-                    cosine_similarity(F.col(vec_col).cast("array<double>"), q), 6
-                ).alias("cosine"),
-            )
-            .orderBy(F.col("cosine").desc(), F.col(id_col))
-            .limit(k)
-        )
+        # the exact branch IS cosine_topk over the probed subset —
+        # delegate so NULL/rounding semantics can never diverge
+        return cosine_topk(probed, vec_col, query, id_col, k)
 
 
 def embedding_contamination(

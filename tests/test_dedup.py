@@ -581,3 +581,22 @@ def test_simhash_wide_radius_pigeonhole_complete(spark):
 
     with _pt.raises(ValueError):
         dedup._hamming_chunks(32)
+
+
+def test_dedup_by_component_survives_missing_min_id(spark):
+    """If the component-min doc was filtered out between pair
+    generation and dedup, the next-smallest PRESENT member must
+    survive — not the whole component vanish."""
+    from clustering_spark.operators.graph import (
+        connected_components,
+        dedup_by_component,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges)
+    # doc 1 (the min of component {1,2,3}) is ABSENT from df
+    df = spark.createDataFrame([(2,), (3,), (10,), (11,), (99,)], "doc_id long")
+    kept = sorted(r.doc_id for r in dedup_by_component(df, "doc_id", comp).collect())
+    assert kept == [2, 10, 99]

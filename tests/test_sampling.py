@@ -141,3 +141,41 @@ def test_apply_mixture_hits_budget(spark):
     )
     out2 = apply_mixture(df2, "id", "src", "n_tok", {"web": 100_000})
     assert out2.filter("src = 'junk'").count() == 0
+
+
+def test_fraction_one_keeps_every_row_incl_ffffffff(spark):
+    """A keep-whole stratum must keep ALL rows — the old 'ffffffff'
+    threshold dropped rows whose md5 prefix is exactly ffffffff. The
+    threshold for 1.0 is now 'g', above every hex bucket."""
+    from clustering_spark.operators.sampling import (
+        _hex_threshold,
+        stratified_hash_sample,
+    )
+
+    assert _hex_threshold(1.0) == "g"
+    df = spark.createDataFrame(
+        [(i, "keep") for i in range(500)], "k long, s string"
+    )
+    out = stratified_hash_sample(df, "k", "s", {"keep": 1.0})
+    assert out.count() == 500
+
+
+def test_null_keys_sample_and_split_deterministically(spark):
+    """NULL keys must get ONE deterministic hash decision (the \\x00
+    sentinel), not be silently dropped from samples / shunted into the
+    last split."""
+    from clustering_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(200)] + [(None,)] * 4, "k string"
+    )
+    kept = hash_sample(df, "k", 0.999, salt="s")
+    n_null_kept = kept.filter("k IS NULL").count()
+    assert n_null_kept in (0, 4)  # one decision for the class
+    # at 0.999 the sentinel hash keeps them (and deterministically so)
+    again = hash_sample(df, "k", 0.999, salt="s").filter("k IS NULL").count()
+    assert again == n_null_kept
+
+    splits = hash_split(df, "k", {"a": 0.5, "b": 0.5}, salt="s")
+    labels = {r.split for r in splits.filter("k IS NULL").collect()}
+    assert len(labels) == 1  # all NULLs together, wherever they hash

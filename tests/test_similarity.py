@@ -216,3 +216,55 @@ class TestIvfRecall:
             f"{baseline}) — the pin is not measuring cell pruning"
         )
         assert broken <= 0.6, f"corrupted-assignment recall too high: {broken}"
+
+
+def test_knn_null_vectors_match_relational_form(spark):
+    """NULL corpus/query vectors must behave like the relational form
+    (NULL cosine, ranked last by corpus_id) — not crash the kernel."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, None),
+            (4, [0.0, 0.0]),
+        ],
+        "cid long, v array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)], "qid long, qv array<double>"
+    )
+    got = (
+        knn_join(corpus, qs, "v", "cid", "qv", "qid", k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.corpus_id, r.cosine))
+    # real query: scored rows first, then NULL-cosine rows (3: NULL
+    # vec, 4: zero norm) by corpus_id
+    assert [c for c, _ in by_q[10]] == [1, 2, 3, 4]
+    assert by_q[10][0][1] == 1.0
+    assert by_q[10][2][1] is None and by_q[10][3][1] is None
+    # NULL query: NULL cosine against everything, ranked by corpus_id
+    assert [c for c, _ in by_q[11]] == [1, 2, 3, 4]
+    assert all(c is None for _, c in by_q[11])
+
+
+def test_ivf_fit_sample_is_order_independent(spark):
+    """fit() must not depend on scan order: the same corpus in two
+    different row orders yields identical centroids."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows[::-1], "vec_id long, embedding array<double>")
+    from clustering_spark.operators.similarity import IVFIndex
+
+    ca = IVFIndex(nlist=4, seed=9).fit(a, "embedding").centroids
+    cb = IVFIndex(nlist=4, seed=9).fit(b, "embedding").centroids
+    assert np.allclose(ca, cb)
