@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.sql.utils import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -58,6 +59,16 @@ KEY_COLS = [
     "micro_id",
 ]
 VALUE_COLS = ["k", "silhouette", "version"]
+
+
+def _missing_path(e: Exception) -> bool:
+    """Only a MISSING cache path means 'no cache yet'. Swallowing any
+    other read failure (transient FS error, permissions, corrupt file)
+    would silently re-tune the whole grid with default_k and disable
+    the silhouette regression gate — same contract as
+    sources.ledger.read_ledger."""
+    s = str(e)
+    return "PATH_NOT_FOUND" in s or "Path does not exist" in s
 
 
 @dataclass
@@ -80,7 +91,9 @@ class KCache:
         yet). One window over the (tiny) cache table."""
         try:
             raw = spark.read.parquet(self.path)
-        except Exception:
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
             schema = (
                 "algorithm string, macro_col string, micro_col string, "
                 "x_col string, y_col string, macro_id string, micro_id string, "
@@ -103,8 +116,16 @@ class KCache:
         the sink to a Delta/Iceberg MERGE."""
         try:
             raw = spark.read.parquet(self.path)
-        except Exception:
-            return spark.createDataFrame([], "version long").limit(0)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            # same schema as the populated path, so callers can select
+            # n_writers / key columns before the first run
+            return spark.createDataFrame(
+                [],
+                ", ".join(f"{c} string" for c in KEY_COLS)
+                + ", version long, n_writers long",
+            )
         w = Window.partitionBy(*KEY_COLS).orderBy(F.col("version").desc())
         ranked = raw.withColumn(
             "__rk", F.rank().over(w)  # rank, not row_number: ties share 1
@@ -130,7 +151,9 @@ class KCache:
         the parquet scan before the window."""
         try:
             raw = spark.read.parquet(self.path)
-        except Exception:
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
             return spark.createDataFrame(
                 [], "macro_id string, micro_id string, k int, silhouette double"
             )
@@ -241,8 +264,11 @@ def cluster_with_cache(
                     F.col("silhouette").alias("__cached_sil"),
                 )
             ),
-            (F.col(macro_col).cast("string") == F.col("__mk"))
-            & (F.col(micro_col).cast("string") == F.col("__mi")),
+            # eqNullSafe: a NULL macro/micro segment is a real group
+            # (groupBy keeps it) and must match its own cache row —
+            # plain == re-tunes it every run and ignores the result
+            F.col(macro_col).cast("string").eqNullSafe(F.col("__mk"))
+            & F.col(micro_col).cast("string").eqNullSafe(F.col("__mi")),
             "left",
         ).drop("__mk", "__mi")
 
@@ -271,8 +297,8 @@ def cluster_with_cache(
     cached0 = cache.lookup(spark, algorithm, macro_col, micro_col, x_col, y_col)
     misses = segs.join(
         cached0,
-        (F.col(macro_col).cast("string") == cached0.macro_id)
-        & (F.col(micro_col).cast("string") == cached0.micro_id),
+        F.col(macro_col).cast("string").eqNullSafe(cached0.macro_id)
+        & F.col(micro_col).cast("string").eqNullSafe(cached0.micro_id),
         "left_anti",
     )
     n_miss = misses.count()

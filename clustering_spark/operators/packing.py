@@ -52,9 +52,11 @@ def pack_sequences(
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    # NULL / uncastable token counts become 0 (packed like an empty
+    # doc) instead of NaN-crashing int() inside the Arrow packer
     slim = df.select(
         F.col(id_col),
-        F.col(token_col).cast("long").alias("n_tokens"),
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("n_tokens"),
         F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(num_buckets))
         .cast("int")
         .alias("__bucket"),
@@ -83,7 +85,11 @@ def pack_sequences(
         for i, t in enumerate(toks):
             t = int(t)
             if t > max_tokens:
-                remaining.append(0)  # dedicated, already-full pack
+                # dedicated single-doc pack, marked UNUSABLE (-1): a
+                # 0 here let zero-token docs pass the cap >= t check
+                # and join an oversize pack, breaking the documented
+                # single-doc-oversize contract
+                remaining.append(-1)
                 assign[i] = len(remaining) - 1
                 oversize[i] = True
                 continue

@@ -74,7 +74,14 @@ def quality_features(
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    # \p{L}/\p{N}, not \w: Java \w is ASCII-only, so every accented
+    # letter in multilingual prose would count as punctuation and tank
+    # quality_score for exactly the documents it should pass. Both
+    # Java regex and DuckDB's RE2 support the unicode classes, so the
+    # oracle replays the same semantics.
+    n_punct = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", "")
+    )
     n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
     digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
@@ -110,7 +117,12 @@ def quality_features(
     )
 
 
-def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "lang_pred",
+    score_col: str = "lang_score",
+) -> DataFrame:
     """Heuristic language ID: per language, score = fraction of tokens
     that are that language's function words; argmax wins, 'und'
     (undetermined) when every score is 0. Ties break by language code
@@ -149,7 +161,7 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
             out_col,
             F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und")),
         )
-        .withColumn("lang_score", F.round(best["score"], 6))
+        .withColumn(score_col, F.round(best["score"], 6))
         .drop("__li_toks")
     )
 
@@ -167,7 +179,12 @@ def rolling_hash_fingerprint(
 ) -> Column | DataFrame:
     """Winnowing-style fingerprint: min polynomial rolling hash over
     character windows (document fingerprinting a la MOSS). Native:
-    char n-gram array -> xxhash64 each -> min. Returns df + long col."""
+    char n-gram array -> xxhash64 each -> min. NULL text yields a
+    NULL fingerprint (greatest() SKIPS nulls and xxhash64 hash-skips a
+    NULL argument, so without the guard every NULL doc would share one
+    real-looking constant — and exact-dedup on the fingerprint would
+    collapse all NULL docs into one "content" cluster). Returns df +
+    long col."""
     grams = F.transform(
         F.sequence(
             F.lit(1),
@@ -177,7 +194,8 @@ def rolling_hash_fingerprint(
         ),
         lambda i: F.xxhash64(F.substring(F.col(text_col), i, window)),
     )
-    return df.withColumn(out_col, F.array_min(grams))
+    fp = F.when(F.col(text_col).isNotNull(), F.array_min(grams))
+    return df.withColumn(out_col, fp)
 
 
 def tfidf_terms(
@@ -280,7 +298,17 @@ def chunk_documents(
         .withColumn(
             "chunk_idx", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
         )
-        .withColumn("__chunk", F.expr(f"substring({text_col}, chunk_idx * {stride} + 1, {size})"))
+        # F.substring with Column start (not F.expr string
+        # interpolation): a column name needing backticks or containing
+        # a dot would otherwise mis-parse / resolve as a struct field
+        .withColumn(
+            "__chunk",
+            F.substring(
+                F.col(text_col),
+                (F.col("chunk_idx") * stride + 1).cast("int"),
+                F.lit(size),
+            ),
+        )
     )
     return out.select(
         id_col,

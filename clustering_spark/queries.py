@@ -1670,7 +1670,7 @@ WITH base AS (
 m AS (
   SELECT doc_id, n_chars, tk, lines, len(tk) AS n_tokens,
          CASE WHEN len(tk) > 0 THEN n_chars::DOUBLE / len(tk) ELSE 0.0 END AS avg_tok,
-         len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         len(text) - len(regexp_replace(text, '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS n_punct,
          len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
          len(list_filter(tk, w -> list_contains(
            ['the','a','of','and','to','in','is','that','it','for'], lower(w))))

@@ -37,6 +37,16 @@ def _is_metadata(name: str) -> bool:
     return name.startswith("_") or name.startswith(".")
 
 
+def _static_prefix(pattern: str) -> str:
+    """Directory part of a glob pattern before its first wildcard —
+    the deepest path guaranteed to be an ancestor of every match."""
+    import re
+
+    m = re.search(r"[*?\[{]", pattern)
+    stem = pattern if m is None else pattern[: m.start()]
+    return stem.rsplit("/", 1)[0] or "/"
+
+
 def list_source_files(spark: SparkSession, pattern: str) -> DataFrame:
     """(file, bytes, mtime_ms) for every data file matching ``pattern``
     (glob, e.g. ``/drop/*.jsonl``) via the Hadoop FileSystem API —
@@ -124,5 +134,15 @@ def incremental_batch(
     paths = [r.file for r in new.collect()]
     if not paths:
         return None, new
-    data = spark.read.format(fmt).load(paths)
+    # basePath = the glob's static prefix: list_source_files expands
+    # dataset DIRECTORIES into leaf part files, and loading leaf files
+    # without a basePath makes Spark treat each file's parent as the
+    # root — silently DROPPING every hive partition column (date=...,
+    # lang=...) from the schema. Anchoring at the static prefix
+    # recovers all key=value directory levels below it.
+    data = (
+        spark.read.format(fmt)
+        .option("basePath", _static_prefix(pattern))
+        .load(paths)
+    )
     return data, new

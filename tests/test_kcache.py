@@ -122,3 +122,25 @@ def test_regression_triggers_retune(spark, tmp_path, seg_df):
         .collect()[0]
     )
     assert fixed.k == 3
+
+
+def test_cache_read_errors_distinguish_missing_from_broken(spark, tmp_path):
+    """Missing cache path -> empty frame; a PRESENT but unreadable
+    cache must RAISE (silently re-tuning the grid with default_k is
+    the failure mode the ledger test already pins for ingest)."""
+    from clustering_spark.operators.kcache import KCache
+
+    missing = KCache(str(tmp_path / "nope"))
+    assert missing.read_latest(spark).count() == 0
+    assert missing.version_conflicts(spark).count() == 0
+    # version_conflicts carries its full schema even before first run
+    assert "n_writers" in missing.version_conflicts(spark).columns
+
+    broken_dir = tmp_path / "broken"
+    broken_dir.mkdir()
+    (broken_dir / "part-0.parquet").write_bytes(b"not a parquet file")
+    broken = KCache(str(broken_dir))
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        broken.read_latest(spark).count()

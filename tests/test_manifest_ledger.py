@@ -193,3 +193,24 @@ def test_read_ledger_raises_on_corrupt_ledger(spark, tmp_path):
     with pytest.raises(Exception) as e:
         L.read_ledger(spark, str(led)).collect()
     assert "PATH_NOT_FOUND" not in str(e.value)
+
+
+def test_incremental_batch_recovers_hive_partition_columns(spark, tmp_path):
+    """Loading leaf part files of a hive-partitioned dataset must keep
+    the partition column (basePath anchored at the glob's static
+    prefix) — without it the date=... level silently vanishes."""
+    import clustering_spark.sources.ledger as L
+
+    root = tmp_path / "drop"
+    src = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, date string"
+    )
+    src.write.partitionBy("date").parquet(str(root / "ds"))
+    ledger = str(tmp_path / "ledger")
+    data, new = L.incremental_batch(spark, f"{root}/*", ledger)
+    assert data is not None
+    assert "date" in data.columns
+    assert {str(r.date) for r in data.select("date").collect()} == {
+        "2024-01-01",
+        "2024-01-02",
+    }

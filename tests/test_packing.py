@@ -162,3 +162,18 @@ def test_materialize_packs_deterministic_order_on_ties(spark):
     a = packing.pack_sequences(toks, "doc_id", "n_tok", 100, num_buckets=1)
     out = packing.materialize_packs(docs, a, "doc_id", "text", separator="|")
     assert out.collect()[0].sequence == "two|five|nine"  # id-ordered ties
+
+
+def test_zero_and_null_tokens_never_join_oversize_packs(spark):
+    from clustering_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 5000), ("b", 0), ("c", None), ("d", 100)],
+        "doc_id string, n_tok long",
+    )
+    out = {r.doc_id: r for r in pack_sequences(df, "doc_id", "n_tok", 4096).collect()}
+    assert out["a"].oversize
+    # the oversize pack stays single-doc; 0/NULL-token docs pack elsewhere
+    assert out["b"].pack_id != out["a"].pack_id
+    assert out["c"].pack_id != out["a"].pack_id
+    assert out["c"].n_tokens == 0 and not out["c"].oversize
