@@ -79,8 +79,21 @@ def scale_segments(
             aggs.append(F.min(c).alias(f"__min_{c}"))
             aggs.append(F.max(c).alias(f"__max_{c}"))
         if segment_cols:
+            # eqNullSafe join keys: groupBy keeps a NULL-segment group,
+            # but an on=cols join is null-rejecting — NULL-segment rows
+            # would get NULL bounds and NULL scaled values instead of
+            # their own group's [0,100] scaling
             stats = df.groupBy(*segment_cols).agg(*aggs)
-            out = df.join(F.broadcast(stats), on=segment_cols, how="left")
+            renamed = stats
+            for c in segment_cols:
+                renamed = renamed.withColumnRenamed(c, f"__sk_{c}")
+            cond = None
+            for c in segment_cols:
+                e = F.col(c).eqNullSafe(F.col(f"__sk_{c}"))
+                cond = e if cond is None else (cond & e)
+            out = df.join(F.broadcast(renamed), cond, how="left").drop(
+                *[f"__sk_{c}" for c in segment_cols]
+            )
         else:
             stats = df.agg(*aggs)
             out = df.crossJoin(F.broadcast(stats))

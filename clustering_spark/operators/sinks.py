@@ -33,10 +33,19 @@ from pyspark.sql import functions as F
 GRID_COLS = ["algorithm", "macro_col", "micro_col", "x_col", "y_col"]
 
 
-def _nested_docs(results: DataFrame, cluster_fields: list, micro_key: str):
+def _nested_docs(
+    results: DataFrame,
+    cluster_fields: list,
+    micro_key: str,
+    clusters_key: str = "clusters",
+):
     """Shared two-level collect_list(struct) rollup. ``cluster_fields``
-    are the aliased per-cluster columns; ``micro_key`` names the id
-    field at the micro level."""
+    are the aliased per-cluster columns; ``micro_key``/``clusters_key``
+    name the micro-level id and cluster-array fields (the d3 document
+    calls both 'name'/'children'). EVERY level is sort_array-ed —
+    collect_list aggregates in shuffle-arrival order, so without the
+    sorts two identical runs produce byte-different document JSON
+    (struct sort = first-field order: cluster name / micro id)."""
     cluster_struct = F.struct(*cluster_fields)
     micro = (
         results.groupBy(*GRID_COLS, "macro_id", "micro_id", "entropy", "silhouette")
@@ -46,10 +55,10 @@ def _nested_docs(results: DataFrame, cluster_fields: list, micro_key: str):
         F.col("micro_id").alias(micro_key),
         F.col("entropy"),
         F.col("silhouette"),
-        F.col("__clusters").alias("clusters"),
+        F.col("__clusters").alias(clusters_key),
     )
     macro = micro.groupBy(*GRID_COLS, "macro_id").agg(
-        F.collect_list(micro_struct).alias("__micros")
+        F.sort_array(F.collect_list(micro_struct)).alias("__micros")
     )
     return macro
 
@@ -76,7 +85,7 @@ def original_documents(
         F.col("__micros").alias(f"{micro_col}_List"),
     )
     docs = macro.groupBy(*GRID_COLS).agg(
-        F.collect_list(macro_struct).alias("__list")
+        F.sort_array(F.collect_list(macro_struct)).alias("__list")
     )
     return docs.select(
         *GRID_COLS,
@@ -110,8 +119,13 @@ def d3_documents(
     reference's JSON string replace)."""
     from clustering_spark.operators.metrics import d3_normalize
 
+    # fallback normalization is scoped PER GRID CELL: this frame can
+    # legitimately union several cells/algorithms (one doc per cell is
+    # emitted below), and an unscoped min/max would couple every
+    # document's sizes to every other run's radii — the divergence
+    # d3_normalize's own docstring warns about
     sized = (
-        d3_normalize(results, "radius", "size", d3_max)
+        d3_normalize(results, "radius", "size", d3_max, partition_cols=GRID_COLS)
         if "size" not in results.columns
         else results
     )
@@ -122,25 +136,12 @@ def d3_documents(
         F.col("radius"),
         F.col("size"),
     ]
-    cluster_struct = F.struct(*cluster_fields)
-    micro = (
-        sized.groupBy(*GRID_COLS, "macro_id", "micro_id", "entropy", "silhouette")
-        .agg(F.sort_array(F.collect_list(cluster_struct)).alias("__clusters"))
-    )
-    micro_struct = F.struct(
-        F.col("micro_id").alias("name"),
-        F.col("entropy"),
-        F.col("silhouette"),
-        F.col("__clusters").alias("children"),
-    )
-    macro = micro.groupBy(*GRID_COLS, "macro_id").agg(
-        F.collect_list(micro_struct).alias("__micros")
-    )
+    macro = _nested_docs(sized, cluster_fields, "name", clusters_key="children")
     macro_struct = F.struct(
         F.col("macro_id").alias("name"), F.col("__micros").alias("children")
     )
     docs = macro.groupBy(*GRID_COLS).agg(
-        F.collect_list(macro_struct).alias("__children")
+        F.sort_array(F.collect_list(macro_struct)).alias("__children")
     )
     return docs.select(
         *GRID_COLS,

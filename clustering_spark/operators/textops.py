@@ -166,12 +166,20 @@ def lang_id(
     )
 
 
+def fingerprint_expr(text: Column | str) -> Column:
+    """The fingerprint as a Column: md5 of lower-cased,
+    whitespace-collapsed text. THE single definition of the dedup
+    key — batch (here), streaming (docs_stream) and the corpus digest
+    table all call this, so the three can never silently drift apart."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(t)), r"\s+", " "))
+
+
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
     """Normalized-content fingerprint: md5 of lower-cased,
     whitespace-collapsed text. Stable across formatting-only edits;
     the exact-dedup key for 'same text modulo whitespace/case'."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    return df.withColumn(out_col, F.md5(norm))
+    return df.withColumn(out_col, fingerprint_expr(text_col))
 
 
 def rolling_hash_fingerprint(

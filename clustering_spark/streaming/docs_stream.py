@@ -23,15 +23,17 @@ from pyspark.sql import functions as F
 
 
 def _fingerprint(text_col: str) -> F.Column:
-    """textops.fingerprint semantics (md5 of lower-cased,
-    whitespace-collapsed text) — duplicated expression, single source
-    of truth is textops.fingerprint; kept inline so the streaming
-    module has no batch-module import cycle."""
-    return F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    """Delegates to textops.fingerprint_expr — ONE definition of the
+    dedup key shared by batch, stream, and the corpus digest table
+    (there is no import cycle: this module already imports the batch
+    operators in prep_documents_stream)."""
+    from clustering_spark.operators.textops import fingerprint_expr
+
+    return fingerprint_expr(text_col)
 
 
 def read_documents_stream(
-    spark, src_dir: str, schema, id_col: str = "doc_id", text_col: str = "text"
+    spark, src_dir: str, schema, text_col: str = "text"
 ) -> DataFrame:
     """File-source stream of documents with the fingerprint column
     appended at ingest (scan-speed, before any stateful operator)."""
@@ -77,10 +79,31 @@ def novel_documents_stream(
     return deduped.join(corp, on="fingerprint", how="left_anti")
 
 
-def corpus_fingerprint_table(corpus: DataFrame, text_col: str) -> DataFrame:
+def corpus_fingerprint_table(
+    corpus: DataFrame,
+    text_col: str,
+    normalize: bool = False,
+    redact: bool = False,
+) -> DataFrame:
     """Static-side digest table for novel_documents_stream — compute
-    once, persist, broadcast-join per micro-batch."""
-    return corpus.select(_fingerprint(text_col).alias("fingerprint")).distinct()
+    once, persist, broadcast-join per micro-batch.
+
+    MATCHING-TRANSFORM CONTRACT: fingerprints only match when both
+    sides hash the SAME text shape. prep_documents_stream fingerprints
+    AFTER normalize_text (+ redact_pii), so feed this function either
+    the prepped corpus (the stream's own sunk output — the normal
+    lambda loop, already transformed) with the defaults, or a RAW
+    corpus with ``normalize=True``/``redact=True`` to apply the same
+    transforms here; otherwise every PII- or control-char-bearing
+    duplicate slips the anti-join as 'novel'."""
+    from clustering_spark.operators import textnorm
+
+    t = corpus
+    if normalize:
+        t = t.withColumn(text_col, textnorm.normalize_text(text_col))
+    if redact:
+        t = textnorm.redact_pii(t, text_col, out_col=text_col)
+    return t.select(_fingerprint(text_col).alias("fingerprint")).distinct()
 
 
 def prep_documents_stream(
@@ -90,6 +113,8 @@ def prep_documents_stream(
     min_quality_score: float = 0.25,
     max_top_token_ratio: float = 0.5,
     redact: bool = True,
+    watermark_col: str | None = None,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Streaming face of trainprep's scan stages: normalize + redact +
     quality/repetition gate, then the novelty stage. Every gate
@@ -119,6 +144,12 @@ def prep_documents_stream(
         )
     )
     # fingerprint AFTER normalization/redaction so the dedup key meets
-    # the same text the sink stores
+    # the same text the sink stores; corpus_fingerprint_table documents
+    # the matching-transform contract for the static side
     gated = gated.withColumn("fingerprint", _fingerprint(text_col))
-    return novel_documents_stream(gated, corpus_fingerprints)
+    return novel_documents_stream(
+        gated,
+        corpus_fingerprints,
+        watermark_col=watermark_col,
+        watermark_delay=watermark_delay,
+    )

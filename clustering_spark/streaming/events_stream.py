@@ -161,7 +161,12 @@ def stateful_user_stats(
             # pandas Timestamp.value is ns since epoch regardless of
             # unit; state keeps MICROseconds so last_seen round-trips
             # the source's microsecond timestamps exactly
-            last_us = max(last_us, int(pdf[ts_col].max().value // 1_000))
+            ts_max = pdf[ts_col].max()
+            # all-NaT batch (every ts NULL): max() is NaT, whose .value
+            # is int64-min — skip instead of poisoning last_seen with a
+            # 1970 epoch sentinel
+            if pd.notna(ts_max):
+                last_us = max(last_us, int(ts_max.value // 1_000))
         state.update((n, total, last_us))
         # timeout must stay ahead of the current watermark or Spark
         # rejects it; a user already past-due simply expires next batch
@@ -316,7 +321,17 @@ def run_stream_upsert_parquet(
         try:
             cur = spark.read.parquet(path).withColumn("__is_new", F.lit(0))
             merged = cur.unionByName(new)
-        except Exception:  # first batch: no table yet
+        except Exception as e:
+            # ONLY a missing table means 'first batch'. Swallowing any
+            # other failure (transient FS error, partial table from a
+            # crashed overwrite, schema drift breaking unionByName)
+            # would set merged=new and the overwrite below would
+            # silently drop every accumulated key — the opposite of
+            # the documented effectively-once contract. Raising lets
+            # the foreachBatch retry redo the merge.
+            s = str(e)
+            if "PATH_NOT_FOUND" not in s and "Path does not exist" not in s:
+                raise
             merged = new
         latest = (
             merged.withColumn("__rn", F.row_number().over(w))

@@ -138,3 +138,28 @@ def test_watermarked_novelty_bounded_state(spark, tmp_path):
     }
     assert 3 in got
     assert len(got & {1, 2}) == 1  # in-window dup collapsed
+
+
+def test_corpus_fingerprints_match_prepped_stream_text(spark):
+    """The matching-transform contract: a RAW corpus doc containing
+    PII must still block its streaming duplicate when the digest table
+    applies the same normalize+redact transforms."""
+    corpus = spark.createDataFrame(
+        [(1, "Contact jane.doe@example.com  for the   report")],
+        "doc_id long, text string",
+    )
+    raw_fp = docs_stream.corpus_fingerprint_table(corpus, "text").collect()
+    prepped_fp = docs_stream.corpus_fingerprint_table(
+        corpus, "text", normalize=True, redact=True
+    ).collect()
+    assert raw_fp[0].fingerprint != prepped_fp[0].fingerprint
+
+    # the prepped digest equals what prep_documents_stream computes
+    from clustering_spark.operators import textnorm, textops
+
+    streamed = corpus.withColumn("text", textnorm.normalize_text("text"))
+    streamed = textnorm.redact_pii(streamed, "text", out_col="text")
+    stream_fp = streamed.select(
+        textops.fingerprint_expr("text").alias("fingerprint")
+    ).collect()
+    assert stream_fp[0].fingerprint == prepped_fp[0].fingerprint

@@ -80,3 +80,23 @@ def test_scale_no_segment_cols(spark):
     df = spark.createDataFrame([(0.0,), (4.0,)], "x double")
     out = scale_segments(df, ["x"], []).toPandas()
     assert sorted(out.x_scaled) == [0.0, 100.0]
+
+
+def test_null_segment_rows_scale_within_their_own_group(spark):
+    """groupBy keeps a NULL-segment group; the stats join must be
+    null-safe so those rows get THEIR group's [0,100] scaling instead
+    of NULL features."""
+    from clustering_spark.functions.scaling import scale_segments
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 10.0), ("a", 20.0)],
+        "seg string, x double",
+    )
+    out = {
+        (r.seg, r.x): r.x_scaled
+        for r in scale_segments(df, ["x"], ["seg"]).collect()
+    }
+    assert out[(None, 1.0)] == 0.0
+    assert out[(None, 3.0)] == 100.0
+    assert out[("a", 10.0)] == 0.0
+    assert out[("a", 20.0)] == 100.0

@@ -142,3 +142,35 @@ def test_dropdown_options(results):
     assert ("macro", "customer_id") in got
     assert ("algorithm", "KMeans") in got
     assert ("firstColumn", "cpu_percent") in got
+
+
+def test_document_json_is_deterministic_across_runs(spark, results):
+    """Every collect_list level is sorted, so two runs over a
+    multi-partition frame emit byte-identical document JSON."""
+    shuffled = results.repartition(16)
+    a = sorted(
+        r.doc
+        for r in sinks.original_documents(
+            shuffled, "customer_id", "application_id", run_date="r"
+        ).collect()
+    )
+    b = sorted(
+        r.doc
+        for r in sinks.original_documents(
+            shuffled.repartition(7), "customer_id", "application_id", run_date="r"
+        ).collect()
+    )
+    assert a == b
+    da = sorted(
+        r.doc
+        for r in sinks.d3_documents(
+            shuffled, "customer_id", "application_id", run_date="r"
+        ).collect()
+    )
+    db = sorted(
+        r.doc
+        for r in sinks.d3_documents(
+            shuffled.repartition(7), "customer_id", "application_id", run_date="r"
+        ).collect()
+    )
+    assert da == db
