@@ -44,9 +44,7 @@ def time_range_join(
     # interval (lts+lower, lts+upper] spans buckets floor((lts+lower)/span)
     # .. floor((lts+upper)/span) — at most 2 consecutive buckets
     b0 = F.floor((lts + F.lit(lower_us)) / F.lit(span))
-    l2 = left.withColumn(
-        "__bucket", F.explode(F.array_distinct(F.array(b0, b0 + 1)))
-    )
+    l2 = left.withColumn("__bucket", F.explode(F.array(b0, b0 + 1)))
     r2 = right.withColumn("__bucket", F.floor(rts / F.lit(span)))
     joined = l2.join(r2, on=keys + ["__bucket"]).filter(
         (rts > lts + F.lit(lower_us)) & (rts <= lts + F.lit(upper_us))

@@ -35,6 +35,14 @@ def corpus_features(df: DataFrame, text_col: str) -> DataFrame:
     the frame can carry duplicated ids)."""
     out = textops.quality_features(df, text_col)
     out = textops.fingerprint(out, text_col)
+    # NULL-safe dedup identity (the dedup_exact convention): md5(NULL)
+    # is NULL and approx_count_distinct IGNORES NULLs while n_docs
+    # counts the rows — a corpus of unique docs with NULL texts would
+    # report est_dup_frac = NULL-fraction. The sentinel groups all
+    # NULL docs as ONE distinct class instead.
+    out = out.withColumn(
+        "fingerprint", F.coalesce(F.col("fingerprint"), F.lit("\x00null"))
+    )
     return textnorm.pii_counts(out, text_col)
 
 
@@ -81,16 +89,20 @@ def corpus_report(
             ).otherwise(0.0),
             6,
         ).alias("pii_doc_frac"),
-        F.round(
-            F.percentile_approx("quality_score", 0.1, 10_000), 6
-        ).alias("quality_p10"),
-        F.round(
-            F.percentile_approx("quality_score", 0.5, 10_000), 6
-        ).alias("quality_p50"),
-        F.round(
-            F.percentile_approx("quality_score", 0.9, 10_000), 6
-        ).alias("quality_p90"),
+        # ONE quantile sketch for all three points (three separate
+        # percentile_approx calls each build their own summaries)
+        F.percentile_approx(
+            "quality_score",
+            F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)),
+            F.lit(10_000),
+        ).alias("__qs"),
     )
+    overall = overall.select(
+        "*",
+        F.round(F.col("__qs")[0], 6).alias("quality_p10"),
+        F.round(F.col("__qs")[1], 6).alias("quality_p50"),
+        F.round(F.col("__qs")[2], 6).alias("quality_p90"),
+    ).drop("__qs")
     report: dict[str, DataFrame] = {"features": feats, "overall": overall}
     for col in strata_cols:
         per = feats.groupBy(col).agg(

@@ -148,6 +148,13 @@ def run_grid(df: DataFrame, config: PipelineConfig, k: int = 3) -> DataFrame:
     for macro, micro, x, y, alg in config.grid():
         cell = cluster_segments(df, macro, micro, x, y, alg, config, k=k)
         out = cell if out is None else out.unionByName(cell)
+    if out is None:
+        # loud failure at the misconfiguration, not an AttributeError
+        # three calls later on a silently-returned None
+        raise ValueError(
+            "run_grid: config.grid() is empty — check algorithms / "
+            "filtering_columns / columns in PipelineConfig"
+        )
     return out
 
 
@@ -176,7 +183,11 @@ def run_interval(
 
     limit = config.limits.get(interval)
     capped = sample_cap(df, limit, seed=config.base_seed) if limit else df
-    results = run_grid(capped, config, k=k)
+    # stage the results ONCE: the loop below writes two document kinds
+    # per (macro, micro) and the caller may materialize the return —
+    # without the checkpoint every consumer re-fits every grid cell's
+    # models (the model-sized frame is cheap to hold; the fits are not)
+    results = run_grid(capped, config, k=k).localCheckpoint(eager=False)
     for macro, micro in {(m, mi) for m, mi, *_ in config.grid()}:
         cell = results.filter(
             (F.col("macro_col") == macro) & (F.col("micro_col") == micro)

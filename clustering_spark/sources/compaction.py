@@ -76,14 +76,22 @@ def write_compacted(
       parquet min/max footer stats let any later range filter on that
       column skip whole files.
     - with ``partition_cols``: hive-style directory partitioning on
-      top; n applies to the whole write (per-directory counts follow
-      the value distribution — for heavily skewed partition values,
-      range-sort on the partition column instead so big values span
-      files).
+      top. The pre-write distribution must CLUSTER rows by the
+      partition values: a plain round-robin repartition(n) would
+      spread every directory value across all n tasks and emit up to
+      n x #values tiny files — the explosion this writer exists to
+      prevent. Without a sort_col the frame is hash-repartitioned on
+      the partition columns (one task per value cluster: ~1 file per
+      directory; a single huge value lands in one file — range-sort on
+      the partition column when values are heavily skewed). With a
+      sort_col, range partitioning keeps the clustering property as
+      long as sort_col correlates with the directory layout.
     """
     n = plan_file_count(estimate_bytes(df), target_file_bytes)
     if sort_col is not None:
         out = df.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(sort_col)
+    elif partition_cols:
+        out = df.repartition(n, *[F.col(c) for c in partition_cols])
     else:
         out = df.repartition(n)
     w = out.write.mode(mode)

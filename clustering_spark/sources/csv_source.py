@@ -52,6 +52,12 @@ def read_csv(
     return (
         spark.read.schema(full)
         .option("header", "true")
+        # default enforceSchema=true SKIPS the header and binds columns
+        # by POSITION — a producer writing the same columns in another
+        # order would silently cross-map same-typed fields (cpu into
+        # ram) with nothing landing in the corrupt column. false makes
+        # Spark validate header names against the schema instead.
+        .option("enforceSchema", "false")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .csv(path)
@@ -75,9 +81,13 @@ def split_corrupt(
     RECORD_COLUMN — column pruning would otherwise re-parse the file
     with a corrupt-only schema, under which nothing is corrupt). The
     cache is the documented pattern, scoped to the ingest batch; both
-    branches share one parse of the file.
+    branches share one parse of the file. A lazy localCheckpoint (not
+    cache) backs the share: its storage is freed by the ContextCleaner
+    when the returned frames are garbage-collected, so a long-lived
+    session ingesting many batches does not accumulate pinned cache
+    entries nobody can unpersist.
     """
-    df = df.cache()
+    df = df.localCheckpoint(eager=False)
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     corrupt = df.filter(F.col(corrupt_col).isNotNull())
     return clean, corrupt

