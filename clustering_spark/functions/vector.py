@@ -53,7 +53,15 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (|a||b|); NULL-safe on zero-norm vectors (returns NULL
-    rather than NaN so filters behave predictably)."""
+    rather than NaN so filters behave predictably).
+
+    DIMENSION CONTRACT (applies to dot/squared_distance too): arrays
+    of different lengths yield NULL, not an error — zip_with pads the
+    shorter side with NULLs, which poisons the aggregate. Callers are
+    expected to guarantee a single embedding dimension per column
+    (schema-level invariant); validate upstream if a join can mix
+    dimensions, because a NULL here silently drops rows from
+    threshold filters."""
     a, b = _as_col(a), _as_col(b)
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > F.lit(0.0), dot(a, b) / denom)

@@ -290,6 +290,9 @@ def best_of_seeds(
     """Seed search (optimal_k.py:16-72): fit one model per seed, keep the
     max-silhouette one. Returns (labels, centers, silhouette, wssse)."""
     fitter = _FITTERS[algorithm]
+    seeds = tuple(seeds)  # tolerate generators; callers loop per k
+    if not seeds:
+        raise ValueError("best_of_seeds: empty seed list")
     best = None
     for seed in seeds:
         labels, centers, wssse = fitter(X, k, seed)
@@ -398,8 +401,6 @@ class SegmentedClusterer:
         feature_cols = list(self.feature_cols)
         k_col = self.k_col
         default_k = self.default_k
-        algorithm = self.algorithm
-        seeds = tuple(self.seeds)
         search = self._make_search()
 
         def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -615,7 +616,10 @@ class SegmentedClusterer:
             k = int(seg_k) if seg_k is not None else self.default_k
             cond = F.lit(True)
             for c in self.segment_cols:
-                cond = cond & (F.col(c) == F.lit(seg[c]))
+                # eqNullSafe: groupBy above emits NULL-key segments,
+                # and == NULL would filter to an empty frame — parity
+                # mode silently losing rows that scale mode clusters
+                cond = cond & F.col(c).eqNullSafe(F.lit(seg[c]))
             sdf = assembled.filter(cond).cache()
             try:
                 n_distinct = (

@@ -66,6 +66,11 @@ def scatter_bins(
             F.floor(scaled * n).cast("int"), F.lit(n - 1)
         )
 
+    # rows with a NULL coordinate carry no position: F.least skips
+    # NULLs, so they would all paint into the max-edge pixel as a
+    # phantom bright line — drop them instead (the reference's
+    # matplotlib scatter does the same)
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     binned = (
         df.join(F.broadcast(stats), on=seg_cols)
         .select(
@@ -103,6 +108,16 @@ def _render_png(
     return make_png(width, height, bytes(img), color_type=0)
 
 
+def _safe_component(v) -> str:
+    """Filesystem-safe rendering of one segment value: anything
+    outside [A-Za-z0-9._-] becomes '_', and a leading dot is escaped
+    (no hidden files, no '..')."""
+    import re as _re
+
+    s = _re.sub(r"[^A-Za-z0-9._\-]", "_", str(v))
+    return ("_" + s[1:]) if s.startswith(".") else (s or "_")
+
+
 def write_cluster_pngs(
     results: DataFrame,
     seg_cols: list[str],
@@ -121,7 +136,9 @@ def write_cluster_pngs(
     """
     pdf = results.toPandas()
     paths = []
-    for seg_vals, part in pdf.groupby(seg_cols, sort=True):
+    # dropna=False: a NULL-keyed segment still gets its PNG (rendered
+    # under the sanitized name 'None') instead of silently vanishing
+    for seg_vals, part in pdf.groupby(seg_cols, sort=True, dropna=False):
         if not isinstance(seg_vals, tuple):
             seg_vals = (seg_vals,)
         png = _render_png(
@@ -130,9 +147,13 @@ def write_cluster_pngs(
             height,
             sorted(part["cluster"].unique()),
         )
-        path = os.path.join(out_dir, *[str(v) for v in seg_vals[:-1]])
+        # segment VALUES are data, not trusted path components: strip
+        # separators/specials so 'a/b' or '../escape' cannot nest,
+        # collide, or write outside out_dir
+        safe = [_safe_component(v) for v in seg_vals]
+        path = os.path.join(out_dir, *safe[:-1])
         os.makedirs(path, exist_ok=True)
-        fpath = os.path.join(path, f"{seg_vals[-1]}.png")
+        fpath = os.path.join(path, f"{safe[-1]}.png")
         with open(fpath, "wb") as f:
             f.write(png)
         paths.append(fpath)

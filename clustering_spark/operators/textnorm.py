@@ -82,15 +82,24 @@ def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Append one ``n_pii_<category>`` long column per PII category
     (match counts, not spans) plus ``n_pii_total``. Counting instead of
     extracting keeps the output fixed-width — the filter/reporting
-    stage of a scrub pipeline only needs counts."""
-    t = F.col(text_col)
+    stage of a scrub pipeline only needs counts.
+
+    Counts are SEQUENTIAL in PII_ORDER — category c is counted on text
+    with all earlier categories already redacted — so n_pii_total
+    equals exactly the number of tokens redact_pii emits. Independent
+    counting double-counted overlaps (an IPv4-looking run inside an
+    email matched both patterns) and overstated PII density relative
+    to the redacted output. The DuckDB oracle mirrors the same chain
+    (queries._pii_count_sql)."""
     cols: dict[str, Column] = {}
     total = F.lit(0).cast("long")
+    t = F.col(text_col)
     for cat in PII_ORDER:
-        pat, _ = PII_PATTERNS[cat]
+        pat, token = PII_PATTERNS[cat]
         c = F.regexp_count(t, F.lit(pat)).cast("long")
         cols[f"n_pii_{cat}"] = c
         total = total + c
+        t = F.regexp_replace(t, F.lit(pat), F.lit(token))
     cols["n_pii_total"] = total
     return df.withColumns(cols)
 
@@ -106,8 +115,11 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str = "text_redacted") -> 
     return df.withColumn(out_col, t)
 
 
-# Java/RE2-shared URL pattern; capture group 1 = host.
-_URL_PATTERN = r"https?://([A-Za-z0-9.\-]+)(?:[/?#][^\s]*)?"
+# Java/RE2-shared URL pattern; capture group 1 = host. (?i) catches
+# uppercase schemes; the optional non-capturing userinfo group keeps
+# 'https://user@host/...' from extracting 'user' as the host — a
+# blocklist bypass otherwise.
+_URL_PATTERN = r"(?i)https?://(?:[^/?#@\s]*@)?([A-Za-z0-9.\-]+)(?:[/?#][^\s]*)?"
 
 
 def extract_domains(
@@ -360,8 +372,12 @@ def canonicalize_url(url: Column | str) -> Column:
     Non-http(s) input (no scheme match) passes through unchanged so
     callers can canonicalize mixed columns without a pre-filter.
     """
-    u = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(u, r"#.*$", "")  # fragment first
+    orig = F.col(url) if isinstance(url, str) else url
+    # fragment strip applies to the PARSED copy only: the passthrough
+    # branch must return the INPUT — stripping '#...' first mutated
+    # non-URL values ('doc#1' and 'doc#2' both became 'doc', merging
+    # distinct rows under url_dedup_key)
+    u = F.regexp_replace(orig, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]+)", 1))
     # default-port strip is scheme-conditional: :80 is only the default
@@ -392,7 +408,7 @@ def canonicalize_url(url: Column | str) -> Column:
     )
     return F.when(
         scheme.isin("http", "https") & (F.length(host) > 0), canon
-    ).otherwise(u)
+    ).otherwise(orig)
 
 
 def url_dedup_key(df: DataFrame, url_col: str, out_col: str = "url_key") -> DataFrame:

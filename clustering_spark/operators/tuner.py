@@ -113,6 +113,8 @@ def sweep_k(
     fit; returns (wssse_by_k, [(k, silhouette)]). Runs on an in-memory
     matrix — callers in Spark invoke this inside the per-segment Arrow
     task. k is capped at the number of distinct points."""
+    seeds = tuple(seeds)  # re-iterated once per k: a generator input
+    # would exhaust after the first k and crash best_of_seeds
     n_distinct = len(np.unique(X, axis=0))
     k_hi = min(stop_k, n_distinct)
     wssse_by_k: dict[int, float] = {}
@@ -192,8 +194,15 @@ def optimal_k_sweep(
     """
     from pyspark.sql.types import StringType
 
+    from clustering_spark.operators.clustering import _FITTERS
+
     multi = algorithms is not None
     algo_list = list(algorithms) if multi else [algorithm]
+    unknown = [a for a in algo_list if a not in _FITTERS]
+    if unknown:
+        # fail at the driver, not as an opaque KeyError inside an
+        # executor Arrow task after the shuffle has already run
+        raise ValueError(f"unknown algorithm(s): {unknown}")
     seg_fields = [df.schema[c] for c in segment_cols]
     out_schema = StructType(
         ([StructField("algorithm", StringType(), False)] if multi else [])

@@ -1651,9 +1651,19 @@ def q_text_quality(spark, sf_dir):
 def _pii_count_sql(cat: str) -> str:
     """DuckDB match-count expression for one PII category, derived
     from the SAME pattern table Spark uses (textnorm.PII_PATTERNS) so
-    the two sides of the gate cannot drift."""
+    the two sides of the gate cannot drift. Mirrors pii_counts'
+    SEQUENTIAL semantics: category c is counted on text with all
+    earlier PII_ORDER categories already redacted, so overlapping
+    matches are not double-counted."""
+    expr = "text"
+    for earlier in textnorm.PII_ORDER:
+        if earlier == cat:
+            break
+        pat_e = textnorm.PII_PATTERNS[earlier][0].replace("'", "''")
+        tok_e = textnorm.PII_PATTERNS[earlier][1]
+        expr = f"regexp_replace({expr}, '{pat_e}', '{tok_e}', 'g')"
     pat = textnorm.PII_PATTERNS[cat][0].replace("'", "''")
-    return f"len(regexp_extract_all(text, '{pat}'))"
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
 
 
 _PII_EMAIL_SQL = _pii_count_sql("email")

@@ -482,3 +482,43 @@ class TestStripHtml:
         p = formatted_plan(out)
         assert "EvalPython" not in p and "InPandas" not in p
         assert count_shuffles(out) == 0
+
+
+def test_pii_counts_match_redaction_no_double_count(spark):
+    """Sequential counting: an IPv4-looking run inside an email must
+    not count twice — n_pii_total equals the redacted token count."""
+    df = spark.createDataFrame([("mail x@mail.1.2.3.4.com now",)], "t string")
+    row = textnorm.pii_counts(df, "t").collect()[0]
+    assert row.n_pii_email == 1
+    assert row.n_pii_ipv4 == 0  # consumed by the email redaction
+    assert row.n_pii_total == 1
+    red = textnorm.redact_pii(df, "t").collect()[0].text_redacted
+    assert red.count("<") == row.n_pii_total
+
+
+def test_url_pattern_userinfo_and_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "link https://user@blocked.com/x"),
+            (2, "link HTTP://Blocked.COM/y"),
+        ],
+        "id long, t string",
+    )
+    out = {r.id: sorted(r.domains) for r in textnorm.extract_domains(df, "t").collect()}
+    assert out[1] == ["blocked.com"]
+    assert out[2] == ["blocked.com"]
+    blocked = spark.createDataFrame([("blocked.com",)], "domain string")
+    assert textnorm.filter_domain_blocklist(df, "id", "t", blocked).count() == 0
+
+
+class TestCanonicalizeUrlPassthrough:
+    def test_non_url_with_fragment_char_unchanged(self, spark):
+        from clustering_spark.operators.textnorm import canonicalize_url
+
+        df = spark.createDataFrame(
+            [("doc#1",), ("doc#2",), ("Issue #42 notes",)], "u string"
+        )
+        got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+        # pass-through means UNCHANGED — the old code stripped '#...'
+        # first and collapsed doc#1/doc#2 to one dedup key
+        assert got == ["doc#1", "doc#2", "Issue #42 notes"]
