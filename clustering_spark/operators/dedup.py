@@ -252,12 +252,19 @@ def _staged_minhash(
     Catalyst inlines a non-cheap expression tree; xxhash64 stays
     JVM-side."""
     shingler = _word_shingles_arrow(shingle_words)
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
     return (
-        df.select(
+        # NULL-text rows are excluded up front: a NULL document shingles
+        # to [NULL], whose xxhash64 SKIPS the null element and returns
+        # the seed — a CONSTANT signature that would band every pair of
+        # NULL docs together as a perfect "near-duplicate" (quadratic
+        # spurious pairs in minhash_lsh_pairs, and novel_minhash would
+        # silently drop every NULL-text new row once the corpus holds a
+        # single NULL doc). Same short-circuit as ngram_jaccard_pairs.
+        df.filter(txt.isNotNull())
+        .select(
             F.col(id_col).alias("__id"),
-            shingler(
-                F.col(text_col) if isinstance(text_col, str) else text_col
-            ).alias("__shingles"),
+            shingler(txt).alias("__shingles"),
         )
         # ONE xxhash64 pass over the shingle strings; __hmod and __sh
         # both derive from the staged __h array (hashing the strings
@@ -289,7 +296,13 @@ def _banded(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     LSH-selected) deduped pair list joins BACK to the per-doc array
     table for verification, so the arrays are scanned twice but
     shuffled at most once, un-exploded."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # a ValueError, not assert: under python -O a silent remainder
+        # would hash only bands*(num_hashes//bands) signature entries,
+        # degrading LSH recall with no error
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     return base.select(
         "__id",
@@ -377,10 +390,21 @@ def novel_exact(
     (fingerprint, id) for the new side — at 100 TB the corpus scan
     reduces to a 16-byte-per-doc digest exchange, and in the steady
     state the corpus fingerprints are a precomputed column, making
-    ingest-novelty one pruned scan + one hash anti-join."""
-    fp = lambda c: F.md5(  # noqa: E731 — tiny local expression
-        F.regexp_replace(F.trim(F.lower(F.col(c))), r"\s+", " ")
-    )
+    ingest-novelty one pruned scan + one hash anti-join.
+
+    NULL text: fingerprint_expr yields NULL, coalesced to a 0x00
+    sentinel so NULL-content rows compare EQUAL everywhere — against
+    the corpus AND in-batch (exact_dedup's sentinel semantics). The
+    raw NULL key matched nothing in the equi-join yet grouped
+    together in the survivor window: two contradictory NULL-equality
+    rules inside one operator."""
+    from clustering_spark.operators.textops import fingerprint_expr
+
+    # THE shared fingerprint definition — streaming (docs_stream) and
+    # the corpus digest table call the same helper, so the ingest
+    # paths can never silently drift apart
+    def fp(c):
+        return F.coalesce(fingerprint_expr(c), F.lit("\x00"))
     new_fp = new_df.withColumn("__fp", fp(text_col))
     corpus_fp = corpus_df.select(fp(text_col).alias("__fp")).distinct()
     survivors = (
@@ -560,7 +584,12 @@ def _dense_bitmap_allpairs(
                         jac = np.where(union > 0.0, inter / union, 1.0)
                     ii, jj = np.nonzero(jac >= t)
                     gi, gj = ii + i0, jj + j0
-                    keep = gi < gj
+                    # strict upper triangle, PLUS the duplicate-__id
+                    # guard the cosine kernels carry: two rows sharing
+                    # an id sit at distinct sorted indices, and the
+                    # prefix-join regime / DuckDB oracle both exclude
+                    # the resulting id_a == id_b self-pair
+                    keep = (gi < gj) & (ids_[gi] != ids_[gj])
                     if keep.any():
                         # Spark round() is HALF_UP; np.round is
                         # half-even — match Spark for positive values
@@ -709,6 +738,11 @@ def ngram_jaccard_pairs(
                     df.schema[id_col].dataType,
                     jaccard_threshold,
                 )
+        # fallthrough (vocab small but corpus over the all-pairs cap):
+        # release BOTH probe caches — the returned plan is lazy, so a
+        # cache left marked here would pin executor storage forever
+        # with no caller-side handle to unpersist it
+        docfreq_full.unpersist()
         base.unpersist()
 
     docfreq = docfreq_full
@@ -1003,12 +1037,16 @@ def simhash_pairs(
     # array); the 64-lane bit packing runs as a second Arrow kernel
     pack = _simhash_from_hashes_udf()
     shingler = _word_shingles_arrow(shingle_words)
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
     sigs = (
-        df.select(
+        # NULL-text rows never enter the pair search: their shingle
+        # array is [NULL], xxhash64 hash-skips the null and every NULL
+        # doc would pack to the SAME signature — hamming 0 between any
+        # two missing documents (see _staged_minhash for the same guard)
+        df.filter(txt.isNotNull())
+        .select(
             F.col(id_col).alias("__id"),
-            shingler(
-                F.col(text_col) if isinstance(text_col, str) else text_col
-            ).alias("__shingles"),
+            shingler(txt).alias("__shingles"),
         )
         .select(
             "__id",
@@ -1063,6 +1101,15 @@ def simhash_pairs(
 # ------------------------------------------------------------- embedding
 
 
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """round(x, 6) with Spark/DuckDB semantics — HALF_UP, i.e. ties go
+    away from zero. ``np.round`` is banker's half-even, which diverges
+    on exact .5 ties (dyadic values like 0.4140625 -> 414062.5): the
+    oracle would emit ...063 while half-even emits ...062, breaking the
+    value-hash gate. Same correction the bitmap kernel applies inline."""
+    return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
+
+
 def _dense_cosine_allpairs(
     base: DataFrame, threshold: float, max_rows: int = 65_536
 ) -> DataFrame:
@@ -1107,7 +1154,7 @@ def _dense_cosine_allpairs(
                 i0 = int(s)
                 i1 = min(i0 + blk, n)
                 C = (X_[i0:i1] @ X_.T) / np.outer(norms_[i0:i1], norms_)
-                C = np.round(C, 6)
+                C = _round6_half_up(C)
                 ii, jj = np.nonzero(C >= threshold)
                 gi = ii + i0
                 keep = jj > gi  # strict upper triangle: each pair once
@@ -1165,7 +1212,12 @@ def embedding_neardup_pairs(
     scale.
     """
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    # NULL vectors carry no geometry to compare — and a single None in
+    # an Arrow batch crashes every np.vstack kernel downstream (band
+    # keys, pair verify, dense GEMM), so they are excluded up front
+    base = df.filter(v.isNotNull()).select(
+        F.col(id_col).alias("__id"), v.alias("__v")
+    )
     if lsh_planes == 0:
         return _dense_cosine_allpairs(base, threshold)
     if lsh_planes < 0:
@@ -1176,7 +1228,11 @@ def embedding_neardup_pairs(
             "path; pass lsh_planes=0 to explicitly opt into "
             "brute-force all-pairs"
         )
-    assert lsh_planes % lsh_bands == 0
+    if lsh_planes % lsh_bands != 0:
+        # ValueError, not assert — survives python -O (see _banded)
+        raise ValueError(
+            f"lsh_bands ({lsh_bands}) must divide lsh_planes ({lsh_planes})"
+        )
     bits_per_band = lsh_planes // lsh_bands
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((lsh_planes, dim))
@@ -1405,7 +1461,9 @@ def semantic_dedup_pairs(
     from clustering_spark.operators.segmentation import spread_groups
     from clustering_spark.operators.similarity import IVFIndex
 
-    base = df.select(
+    # NULL vectors are excluded up front: no geometry to cluster, and a
+    # None inside an Arrow batch crashes the cell_pairs np.vstack
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
@@ -1417,10 +1475,13 @@ def semantic_dedup_pairs(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
-    # empty corpus: the centroid fit has no sample to stack — the
-    # answer is an empty pair set, not a numpy stack error (same
-    # guard class as _dense_cosine_allpairs' empty-collect fix)
-    if df.limit(1).count() == 0:
+    # empty corpus — or one holding ONLY NULL vectors — leaves the
+    # centroid fit no sample to stack; the answer is an empty pair
+    # set, not a numpy stack error (same guard class as
+    # _dense_cosine_allpairs' empty-collect fix). Probe ``base`` (the
+    # NULL-filtered frame), not ``df``, so all-NULL corpora hit the
+    # guard too.
+    if base.limit(1).count() == 0:
         return df.sparkSession.createDataFrame([], out_schema)
 
     idx = IVFIndex(nlist=nlist, seed=seed).fit(df, vec_col)
@@ -1440,7 +1501,7 @@ def semantic_dedup_pairs(
         X = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
         norms = np.sqrt((X**2).sum(axis=1))
         norms[norms == 0] = 1.0
-        C = np.round((X @ X.T) / np.outer(norms, norms), 6)
+        C = _round6_half_up((X @ X.T) / np.outer(norms, norms))
         ii, jj = np.nonzero(C >= threshold)
         keep = jj > ii  # strict upper triangle
         ii, jj = ii[keep], jj[keep]

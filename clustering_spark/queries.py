@@ -9,7 +9,12 @@ Conventions (driver contract):
     order-insensitive value hash is stable across engines — Spark and
     DuckDB sum doubles in different orders;
   * timestamp-bearing outputs are reduced to epoch seconds (bigint)
-    with the session forced to UTC, sidestepping tz-rendering drift.
+    with the session forced to UTC, sidestepping tz-rendering drift;
+  * oracle regexes NEVER use ``\s``: DuckDB's RE2 ``\s`` is
+    ``[\t\n\f\r ]`` while Spark's Java ``\s`` adds ``\x0B`` — text
+    containing a vertical tab would tokenize differently in the two
+    engines, so whitespace is always spelled as the explicit class
+    ``[ \t\n\x0b\f\r]``.
 
 Queries without an oracle entry (clustering, MinHash/SimHash — not
 ANSI-SQL-expressible) get the driver's weaker rows-only check and are
@@ -874,9 +879,13 @@ def q_stream_stateful_user_stats(spark, sf_dir):
     — per-user running totals with event-time-timeout eviction — over
     the events stream, drained in update mode. Latest-wins per user
     (T3) reduces the per-batch emissions to final per-user totals.
-    Rows-only: arbitrary-state streaming is not ANSI-SQL-expressible;
-    invariants (timeout finalization, state eviction, exact totals vs
-    batch) are covered in tests/test_streaming.py."""
+    ORACLE-GATED (SQL_STATEFUL_USER_STATS): the intermediate state
+    machine is not SQL-expressible, but the latest-wins drain reduces
+    its output to final per-user totals, which ARE — so this entry
+    lives in the oracle-gated section of QUERIES and must stay there
+    (the registry pins oracle-gated entries before rows-only ones).
+    Streaming-only invariants (timeout finalization, state eviction)
+    are covered in tests/test_streaming.py."""
     import tempfile
     import uuid
 
@@ -1361,7 +1370,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
 SQL_NGRAM_JACCARD = r"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
   FROM documents),
 full_sets AS (
   SELECT doc_id, list_distinct(
@@ -1672,15 +1681,15 @@ _PII_TOTAL_SQL = " + ".join(_pii_count_sql(c) for c in textnorm.PII_ORDER)
 SQL_TEXT_QUALITY = rf"""
 WITH base AS (
   SELECT doc_id, text, len(text) AS n_chars,
-         CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS tk,
+         CASE WHEN len(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+') END AS tk,
          list_filter(string_split(text, chr(10)),
                      x -> len(trim(x)) > 0) AS lines
   FROM documents),
 m AS (
   SELECT doc_id, n_chars, tk, lines, len(tk) AS n_tokens,
          CASE WHEN len(tk) > 0 THEN n_chars::DOUBLE / len(tk) ELSE 0.0 END AS avg_tok,
-         len(text) - len(regexp_replace(text, '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS n_punct,
+         len(text) - len(regexp_replace(text, '[^\p{{L}}\p{{N}}_ \t\n\x0b\f\r]', '', 'g')) AS n_punct,
          len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
          len(list_filter(tk, w -> list_contains(
            ['the','a','of','and','to','in','is','that','it','for'], lower(w))))
@@ -1760,8 +1769,8 @@ def _lang_values_sql() -> str:
 SQL_TEXT_PROFILE = rf"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS tk
+         CASE WHEN len(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+') END AS tk
   FROM documents),
 scored AS (
   SELECT doc_id, lang,
@@ -1776,11 +1785,11 @@ best AS (
 SELECT b.doc_id,
        CASE WHEN score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
        round(score, 6) AS lang_score,
-       CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-            ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_ws_tokens,
-       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])'))
+       CASE WHEN len(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN 0
+            ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r])'))
          AS n_bpe_tokens,
-       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+       md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
 FROM best b JOIN documents d ON b.doc_id = d.doc_id
 WHERE rn = 1
 """
@@ -1847,7 +1856,7 @@ sh AS (
                              i -> array_to_string(w[i+1:i+3], ' '))
          ELSE [array_to_string(w, ' ')] END)) AS shingle
   FROM (SELECT doc_id, split,
-               string_split_regex(trim(lower(text)), '\s+') AS w
+               string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS w
         FROM sp))
 SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
        count(*) AS n_shared

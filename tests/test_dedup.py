@@ -600,3 +600,105 @@ def test_dedup_by_component_survives_missing_min_id(spark):
     df = spark.createDataFrame([(2,), (3,), (10,), (11,), (99,)], "doc_id long")
     kept = sorted(r.doc_id for r in dedup_by_component(df, "doc_id", comp).collect())
     assert kept == [2, 10, 99]
+
+
+# ------------------------------------------- round-7 review-fix pins
+
+
+def test_null_text_docs_never_pair_in_minhash_and_simhash(spark):
+    # NULL docs shingle to [NULL]; xxhash64 hash-skips the null, so
+    # without the up-front filter every NULL doc got the SAME constant
+    # signature and (1, 2) surfaced as a perfect near-dup in both ops
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, DOC_A), (4, DOC_A)],
+        "id long, text string",
+    )
+    mh = dedup.minhash_lsh_pairs(df, "id", "text", shingle_words=2).toPandas()
+    sh = dedup.simhash_pairs(df, "id", "text").toPandas()
+    assert set(map(tuple, mh[["id_a", "id_b"]].values)) == {(3, 4)}
+    assert set(map(tuple, sh[["id_a", "id_b"]].values)) == {(3, 4)}
+
+
+def test_novel_minhash_null_rows_survive_null_corpus(spark):
+    # a missing document is no evidence of similarity: the NULL-text
+    # new row must NOT be deduped against a NULL-text corpus doc
+    new = spark.createDataFrame([(1, None), (2, DOC_A)], "id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, None), (11, DOC_A)], "id long, text string"
+    )
+    out = dedup.novel_minhash(new, corpus, "id", "text", shingle_words=2).toPandas()
+    assert set(out.id) == {1}
+
+
+def test_novel_exact_null_semantics_consistent(spark):
+    # ONE NULL-equality rule everywhere (exact_dedup's sentinel):
+    # NULL contents are equal in-batch AND against the corpus
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, DOC_A)], "id long, text string"
+    )
+    empty_corpus = spark.createDataFrame([], "id long, text string")
+    out = dedup.novel_exact(new, empty_corpus, "id", "text").toPandas()
+    assert set(out.id) == {1, 3}  # in-batch NULLs collapse to min-id
+    null_corpus = spark.createDataFrame([(9, None)], "id long, text string")
+    out2 = dedup.novel_exact(new, null_corpus, "id", "text").toPandas()
+    assert set(out2.id) == {3}  # corpus already holds a NULL doc
+
+
+def test_dense_bitmap_duplicate_ids_no_self_pairs(spark):
+    # duplicate __id at distinct sorted indices: the dense bitmap
+    # regime must apply the same self-pair guard as the prefix join
+    # (id_a < id_b) and the DuckDB oracle
+    t = "some identical text for ngram dedup checks"
+    df = spark.createDataFrame(
+        [(7, t), (7, t), (9, t)], "doc_id long, text string"
+    )
+    out = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.5
+    ).toPandas()
+    assert (out.id_a != out.id_b).all()
+    assert set(map(tuple, out[["id_a", "id_b"]].values)) == {(7, 9)}
+
+
+def test_round6_half_up_matches_spark_on_ties():
+    # dyadic tie: 0.4140625 * 1e6 = 414062.5 exactly; np.round
+    # (half-even) gives ...062 while Spark/DuckDB HALF_UP gives ...063
+    x = np.array([0.4140625, -0.4140625, 0.25])
+    out = dedup._round6_half_up(x)
+    assert out[0] == 0.414063
+    assert out[1] == -0.414063
+    assert out[2] == 0.25
+
+
+def test_embedding_paths_ignore_null_vectors(spark):
+    v = [1.0] * 8
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, None)], "id long, vec array<double>"
+    )
+    exact = dedup.embedding_neardup_pairs(
+        df, "id", "vec", threshold=0.5, lsh_planes=0
+    ).toPandas()
+    assert set(map(tuple, exact[["id_a", "id_b"]].values)) == {(1, 2)}
+    lsh = dedup.embedding_neardup_pairs(
+        df, "id", "vec", threshold=0.5, lsh_planes=16, lsh_bands=8, dim=8
+    ).toPandas()
+    assert set(map(tuple, lsh[["id_a", "id_b"]].values)) == {(1, 2)}
+    sem = dedup.semantic_dedup_pairs(df, "id", "vec", threshold=0.5, nlist=2).toPandas()
+    assert set(map(tuple, sem[["id_a", "id_b"]].values)) == {(1, 2)}
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, vec array<double>"
+    )
+    assert dedup.semantic_dedup_pairs(all_null, "id", "vec", nlist=2).count() == 0
+
+
+def test_band_divisibility_raises_value_error(spark, docs):
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(docs, "id", "text", num_hashes=64, bands=15)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.embedding_neardup_pairs(
+            spark.createDataFrame([(1, [1.0])], "id long, vec array<double>"),
+            "id",
+            "vec",
+            lsh_planes=16,
+            lsh_bands=5,
+            dim=1,
+        )
