@@ -315,6 +315,11 @@ def thresholded_best_of_seeds(
     ``old_silhouette * threshold``; early-stop once reached. Returns
     (labels, centers, silhouette, wssse) of the best fit seen."""
     fitter = _FITTERS[algorithm]
+    seeds = tuple(seeds)
+    if not seeds:
+        # same fast-fail as best_of_seeds: returning None here would
+        # surface as an opaque unpack TypeError inside the Arrow task
+        raise ValueError("thresholded_best_of_seeds: empty seed list")
     best = None
     for seed in seeds:
         labels, centers, wssse = fitter(X, k, seed)
@@ -324,6 +329,23 @@ def thresholded_best_of_seeds(
         if best[2] >= old_silhouette * threshold:
             break
     return best
+
+
+def size_desc_relabel(labels: np.ndarray) -> dict:
+    """Deterministic relabel map {raw cluster id -> rank}: by cluster
+    size desc, ties by first appearance in ``labels``. THE single
+    definition — ``fit_predict`` and ``fit_summarize`` must assign the
+    same ``cluster_name`` for the same fit, so both call this."""
+    sizes = pd.Series(labels).value_counts()
+    return {
+        c: rank
+        for rank, c in enumerate(
+            sorted(
+                sizes.index,
+                key=lambda c: (-sizes[c], int(np.argmax(labels == c))),
+            )
+        )
+    }
 
 
 # ------------------------------------------------------------- Spark driver
@@ -362,6 +384,17 @@ class SegmentedClusterer:
     def fit_predict(self, df: DataFrame) -> DataFrame:
         if self.algorithm not in _FITTERS:
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
+        # fast-fail on output-column collisions: scale mode would build
+        # a duplicate-field schema (ambiguous-column AnalysisException
+        # deep inside the Arrow query), parity mode's withColumn would
+        # silently OVERWRITE the caller's column — e.g. re-clustering a
+        # frame that already came out of fit_predict
+        clash = {PREDICTION_COL, SILHOUETTE_COL, "wssse"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"input already has output column(s) {sorted(clash)}; "
+                "drop or rename them before fit_predict"
+            )
         if self.mode == "scale":
             return self._fit_apply_in_pandas(df)
         elif self.mode == "parity":
@@ -422,12 +455,7 @@ class SegmentedClusterer:
             labels, centers, sil, wssse = search(X, k, pdf)
             # deterministic relabel: by cluster size desc, then by first
             # appearance — stable across seeds that find the same split
-            order = {}
-            sizes = pd.Series(labels).value_counts()
-            for rank, c in enumerate(
-                sorted(sizes.index, key=lambda c: (-sizes[c], int(np.argmax(labels == c))))
-            ):
-                order[c] = rank
+            order = size_desc_relabel(labels)
             pdf = pdf.copy()
             pdf[PREDICTION_COL] = np.array([order[c] for c in labels], dtype=np.int32)
             pdf[SILHOUETTE_COL] = sil
@@ -521,15 +549,10 @@ class SegmentedClusterer:
                     kk = max(2, min(k, n_distinct))
                     labels, _, sil, wssse = searches[algo](X, kk, pdf)
                 uniq, counts = np.unique(labels, return_counts=True)
-                # size-desc, first-occurrence relabel (same rule as
-                # fit_predict) so both outputs agree
-                order = sorted(
-                    uniq,
-                    key=lambda c: (
-                        -counts[list(uniq).index(c)],
-                        int(np.argmax(labels == c)),
-                    ),
-                )
+                # size-desc, first-occurrence relabel — shared helper,
+                # so this and fit_predict cannot drift
+                rank_of = size_desc_relabel(labels)
+                order = sorted(rank_of, key=rank_of.get)
                 p = counts / counts.sum()
                 entropy = (
                     float(-(p * np.log2(p)).sum()) if len(uniq) > 1 else 0.0
@@ -588,9 +611,15 @@ class SegmentedClusterer:
         )
         assembled = assembler.transform(df)
         # one driver round-trip gathering segment ids AND each segment's
-        # cached k (k_col is constant within a segment — first() is it)
+        # cached k / cached silhouette (both constant within a segment —
+        # first() is it)
         seg_sel = df.groupBy(*self.segment_cols).agg(
-            F.first(F.col(self.k_col) if self.k_col else F.lit(None)).alias("__k")
+            F.first(F.col(self.k_col) if self.k_col else F.lit(None)).alias("__k"),
+            F.first(
+                F.col(self.old_sil_col)
+                if self.old_sil_col and self.old_sil_col in df.columns
+                else F.lit(None).cast("double")
+            ).alias("__osil"),
         )
         segs = [r.asDict() for r in seg_sel.collect()]
         if len(segs) > 200:
@@ -613,6 +642,7 @@ class SegmentedClusterer:
         parts = []
         for seg in segs:
             seg_k = seg.pop("__k", None)
+            seg_osil = seg.pop("__osil", None)
             k = int(seg_k) if seg_k is not None else self.default_k
             cond = F.lit(True)
             for c in self.segment_cols:
@@ -622,9 +652,14 @@ class SegmentedClusterer:
                 cond = cond & F.col(c).eqNullSafe(F.lit(seg[c]))
             sdf = assembled.filter(cond).cache()
             try:
-                n_distinct = (
-                    sdf.select(*self.feature_cols).distinct().limit(2).count()
-                )
+                # exact distinct count (not a limit(2) probe): parity
+                # must clamp k to [2, n_distinct] like scale mode does
+                # (clustering.py fit_group) — an unclamped cached k can
+                # crash GaussianMixture outright (fewer points than
+                # components) or make the two modes disagree. Parity is
+                # the few-large-segments path, so the extra aggregation
+                # per segment is acceptable by its own contract.
+                n_distinct = sdf.select(*self.feature_cols).distinct().count()
                 if n_distinct < 2:
                     labeled = sdf.withColumn(PREDICTION_COL, F.lit(0)).withColumn(
                         SILHOUETTE_COL, F.lit(0.0)
@@ -633,6 +668,7 @@ class SegmentedClusterer:
                     # doesn't recompute the filter
                     parts.append(labeled.drop("__features_vec").localCheckpoint())
                     continue
+                k = max(2, min(k, n_distinct))
                 best = None
                 for seed in self.seeds:
                     est = est_cls(
@@ -651,6 +687,15 @@ class SegmentedClusterer:
                         wssse = 0.0
                     if best is None or sil > best[1]:
                         best = (labeled, sil, wssse)
+                    # M6 thresholded early-stop — same rule as the
+                    # scale path's thresholded_best_of_seeds: stop
+                    # burning MLlib fits once a fit clears the cached
+                    # quality bar
+                    if (
+                        seg_osil is not None
+                        and best[1] >= float(seg_osil) * self.old_sil_threshold
+                    ):
+                        break
                 labeled, sil, wssse = best
                 parts.append(
                     labeled.withColumn(SILHOUETTE_COL, F.lit(sil))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clustering_spark.config import PREDICTION_COL
-from clustering_spark.functions.entropy import shannon_entropy_agg
+from clustering_spark.functions.entropy import group_entropy
 
 
 def cluster_summaries(
@@ -39,6 +39,12 @@ def cluster_summaries(
     *labeled* data: (1) groupBy centers, (2) broadcast-join centers back
     and max-aggregate distances. Both map-side combine; no wide shuffle
     of the fact table (the join is broadcast: #segments×k rows).
+
+    Both joins are NULL-SAFE on the keys: a NULL segment value is a
+    real group (groupBy keeps it, and the parity clusterer / k-cache
+    join preserve it with eqNullSafe), so a name-based ``on=keys``
+    equi-join here would silently drop every NULL-segment cluster from
+    the summaries one stage after the fit preserved them.
     """
     keys = [*segment_cols, prediction_col]
 
@@ -50,8 +56,22 @@ def cluster_summaries(
             aggs.append(F.first(c).alias(c))
     centers = labeled.groupBy(*keys).agg(*aggs)
 
-    joined = labeled.select(*keys, *feature_cols).join(
-        F.broadcast(centers), on=keys, how="inner"
+    def _nullsafe_join(left, right, how):
+        # rename the right side's keys, join on eqNullSafe (still an
+        # equi-join for the planner — hashable, broadcastable), then
+        # drop the renamed copies
+        renamed = right
+        for k in keys:
+            renamed = renamed.withColumnRenamed(k, f"__rk_{k}")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__rk_{k}"))
+        return left.join(renamed, on=cond, how=how).drop(
+            *[f"__rk_{k}" for k in keys]
+        )
+
+    joined = _nullsafe_join(
+        labeled.select(*keys, *feature_cols), F.broadcast(centers), "inner"
     )
     dist2 = None
     for c in feature_cols:
@@ -59,7 +79,7 @@ def cluster_summaries(
         dist2 = term if dist2 is None else dist2 + term
     radii = joined.groupBy(*keys).agg(F.sqrt(F.max(dist2)).alias("radius"))
 
-    out = centers.join(radii, on=keys, how="inner")
+    out = _nullsafe_join(centers, radii, "inner")
     center_flat = [
         F.col(f"__ctr_{c}").alias(f"center_{i}") for i, c in enumerate(feature_cols)
     ]
@@ -77,11 +97,11 @@ def segment_entropy(
     prediction_col: str = PREDICTION_COL,
 ) -> DataFrame:
     """Shannon entropy (base 2) of the cluster-size distribution per
-    segment (metrics.py:113-137 `calculateEntropy`), one aggregation."""
-    sizes = labeled.groupBy(*segment_cols, prediction_col).count()
-    return sizes.groupBy(*segment_cols).agg(
-        shannon_entropy_agg("count").alias("entropy")
-    )
+    segment (metrics.py:113-137 `calculateEntropy`). Delegates to
+    :func:`clustering_spark.functions.entropy.group_entropy` — ONE
+    definition of the aggregation, so the two call sites cannot
+    drift."""
+    return group_entropy(labeled, segment_cols, prediction_col)
 
 
 def d3_normalize(

@@ -115,6 +115,12 @@ def sweep_k(
     task. k is capped at the number of distinct points."""
     seeds = tuple(seeds)  # re-iterated once per k: a generator input
     # would exhaust after the first k and crash best_of_seeds
+    if not seeds:
+        # fail fast on BOTH branches: the KMeans branch would raise in
+        # best_of_seeds anyway, but the BisectingKMeans branch built
+        # zero paths and silently returned no candidates — tune_k then
+        # cached k=1 for a perfectly clusterable segment
+        raise ValueError("sweep_k: empty seed list")
     n_distinct = len(np.unique(X, axis=0))
     k_hi = min(stop_k, n_distinct)
     wssse_by_k: dict[int, float] = {}

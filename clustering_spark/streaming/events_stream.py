@@ -139,6 +139,26 @@ def stateful_user_stats(
         ]
     )
 
+    def _round6(x: float) -> float:
+        # HALF_UP (ties away from zero) like Spark/DuckDB round();
+        # Python round() is banker's half-even and diverges on dyadic
+        # .5 ties — the same gate-breaking class dedup._round6_half_up
+        # fixes in the numpy kernels
+        import math
+
+        return (
+            math.floor(x * 1e6 + 0.5) / 1e6
+            if x >= 0
+            else math.ceil(x * 1e6 - 0.5) / 1e6
+        )
+
+    def _last_seen(last_us: int):
+        # last_us == 0 is the UNSET sentinel (user seen only via
+        # NULL-ts rows): emit NULL like the batch oracle's
+        # max-over-all-NULLs, never a bogus 1970-01-01 timestamp
+        # pd.NaT (not None) keeps the column datetime64-typed for Arrow
+        return pd.Timestamp(last_us, unit="us") if last_us > 0 else pd.NaT
+
     def update(key, pdf_iter, state):
         user_id = key[0]
         if state.hasTimedOut:
@@ -148,8 +168,8 @@ def stateful_user_stats(
                 {
                     "user_id": [user_id],
                     "n_events": [n],
-                    "total_value": [round(total, 6)],
-                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "total_value": [_round6(total)],
+                    "last_seen": [_last_seen(last_us)],
                     "closed": [True],
                 }
             )
@@ -177,8 +197,8 @@ def stateful_user_stats(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [round(total, 6)],
-                "last_seen": [pd.Timestamp(last_us, unit="us")],
+                "total_value": [_round6(total)],
+                "last_seen": [_last_seen(last_us)],
                 "closed": [False],
             }
         )

@@ -192,3 +192,27 @@ def test_parity_mode_matches_scale_mode_shape(spark):
     for pdf in (scale, parity):
         for _, grp in pdf.groupby("seg"):
             assert grp.prediction.nunique() == 3
+
+
+def test_parity_mode_clamps_cached_k(spark):
+    # 3 distinct points with cached k=5: parity must clamp k to
+    # [2, n_distinct] exactly like scale mode instead of handing
+    # MLlib an over-sized k (GMM crash / divergent labelings)
+    rows = [("a", 5, 0.0, 0.0), ("a", 5, 1.0, 0.0), ("a", 5, 0.0, 1.0)]
+    df = spark.createDataFrame(rows, "seg string, k int, fx double, fy double")
+    kw = dict(
+        segment_cols=["seg"], feature_cols=["fx", "fy"], k_col="k", seeds=(42,)
+    )
+    scale = SegmentedClusterer(mode="scale", **kw).fit_predict(df).toPandas()
+    parity = SegmentedClusterer(mode="parity", **kw).fit_predict(df).toPandas()
+    assert scale.prediction.nunique() <= 3
+    assert parity.prediction.nunique() <= 3
+    assert len(parity) == 3
+
+
+def test_fit_predict_rejects_output_column_collision(spark):
+    df = _blob_df(spark, segs=("a",))
+    clus = SegmentedClusterer(segment_cols=["seg"], feature_cols=["fx", "fy"])
+    once = clus.fit_predict(df)
+    with pytest.raises(ValueError, match="output column"):
+        clus.fit_predict(once)

@@ -133,3 +133,24 @@ def test_pairdist_moment_identity_vs_numpy(spark):
         d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
         expect = d2.mean()
         assert abs(got - expect) < 1e-9 * max(1.0, abs(expect))
+
+
+def test_cluster_summaries_preserves_null_segment(spark):
+    # a NULL segment value is a real group: the null-safe joins must
+    # keep it (name-based on=keys equi-joins silently dropped it)
+    rows = [
+        ("s", 0, 0.0, 0.0),
+        ("s", 0, 2.0, 0.0),
+        (None, 0, 5.0, 5.0),
+        (None, 0, 7.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "seg string, prediction int, fx double, fy double"
+    )
+    out = cluster_summaries(df, ["seg"], ["fx", "fy"]).toPandas()
+    assert len(out) == 2
+    nul = out[out.seg.isna()]
+    assert len(nul) == 1
+    assert nul.cluster_size.iloc[0] == 2
+    assert abs(nul.center_0.iloc[0] - 6.0) < 1e-9
+    assert abs(nul.radius.iloc[0] - 1.0) < 1e-9

@@ -334,3 +334,38 @@ def test_stateful_user_stats_timeout_finalizes_idle_user(spark, tmp_path):
     # user 1 accumulated across both batches: latest row has both events
     u1 = got[got.user_id == 1].sort_values("n_events").iloc[-1]
     assert u1.n_events == 2 and abs(u1.total_value - 5.0) < 1e-9
+
+
+def test_stateful_user_stats_null_ts_user_last_seen_null(spark, tmp_path):
+    """A user whose events so far ALL carry NULL timestamps must emit
+    last_seen = NULL (like the batch max-over-all-NULLs), never the
+    1970 epoch-0 sentinel the unset state initializes to."""
+    import datetime as dt
+
+    from clustering_spark.streaming import stateful_user_stats
+
+    data_dir = str(tmp_path / "nullts")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, "click", None, 1.5),
+        (2, 7, "click", None, 2.5),
+        (3, 8, "view", t, 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    ).write.mode("overwrite").parquet(data_dir)
+    stream = read_events_stream(spark, data_dir)
+    stats = stateful_user_stats(stream, ts_col="ts", watermark="2 hours")
+    run_stream_to_memory(
+        stats, "nullts_stats", str(tmp_path / "ckpt"), output_mode="update"
+    )
+    got = spark.table("nullts_stats").toPandas()
+    u7 = got[got.user_id == 7]
+    assert len(u7) > 0
+    assert u7.last_seen.isna().all()
+    assert (u7.n_events == 2).all()
+    u8 = got[got.user_id == 8]
+    assert len(u8) > 0
+    assert u8.last_seen.notna().all()

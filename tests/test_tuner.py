@@ -150,3 +150,17 @@ def test_optimal_k_sweep_multi_algo_equals_singles(spark):
         pd.concat(singles).sort_values(["algorithm", "seg"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(multi, expect)
+
+
+def test_empty_seed_lists_raise():
+    import pytest
+
+    X = planted_blobs(k=2)[0]
+    # BOTH sweep branches (the BisectingKMeans one silently returned
+    # zero candidates -> tune_k cached k=1) and the thresholded search
+    # (returned None -> opaque unpack error in the Arrow task)
+    for algo in ("KMeans", "BisectingKMeans"):
+        with pytest.raises(ValueError, match="empty seed"):
+            sweep_k(X, algo, ())
+    with pytest.raises(ValueError, match="empty seed"):
+        thresholded_best_of_seeds(X, 2, "KMeans", (), 0.5)
