@@ -37,7 +37,10 @@ def _char_trigrams(text: Column | str) -> Column:
     from clustering_spark.operators.dedup import _zip_ngrams
 
     t = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    # collapse THEN trim (the fingerprint_expr rule): trim strips
+    # spaces only, so the old trim-first order left a boundary space
+    # for '\n'-terminated text and emitted phantom space-padded grams
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
     chars = F.split(norm, "")
     n = F.length(norm)
     return F.when(n < 3, F.array().cast("array<string>")).otherwise(

@@ -87,11 +87,14 @@ def knn_join(
     only P×q×k partial rows reach the final window. The corpus is
     scanned once and never shuffled.
 
-    Semantics identical to the relational form: rank by ROUNDED (6dp,
-    Spark-exact HALF_UP — see _spark_round6) cosine desc then
-    corpus_id; zero-norm AND NULL vectors get NULL cosine and rank
-    last (partials include the per-partition smallest such ids so
-    tiny-corpus results stay exact). The kernel keeps RAW scores with
+    Semantics identical to the relational form for finite vectors:
+    rank by ROUNDED (6dp, Spark-exact HALF_UP — see _spark_round6)
+    cosine desc then corpus_id; zero-norm AND NULL vectors get NULL
+    cosine and rank last (partials include the per-partition smallest
+    such ids so tiny-corpus results stay exact). Vectors with
+    NON-FINITE components (NaN/inf) also score NULL-and-last — a
+    deliberate divergence from the raw relational form, where Spark's
+    NaN-greatest ordering would rank garbage vectors FIRST. The kernel keeps RAW scores with
     a 1e-6 margin during the scan and rounds only the bounded
     candidate set at the end, so selection by rounded order is exact
     without rounding whole score matrices.
@@ -136,7 +139,10 @@ def knn_join(
         [np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim) for v in qvals]
     )
     qnorm = np.linalg.norm(qm, axis=1)
-    qok = qnorm > 0.0
+    # non-finite query vectors (NaN/inf components) join the NULL-
+    # cosine pool with the zero-norm ones — their "scores" would be
+    # NaN everywhere and poison the top-k buffers
+    qok = (qnorm > 0.0) & np.isfinite(qnorm)
     qdir = np.where(qok[:, None], qm / np.where(qok, qnorm, 1.0)[:, None], 0.0)
     bc = spark.sparkContext.broadcast((qpdf["qid"].to_numpy(), qdir, qok))
     kk = int(k)
@@ -167,7 +173,13 @@ def knn_join(
                 continue
             V = np.vstack(cvals[nn].to_numpy()).astype(np.float64)
             vn = np.linalg.norm(V, axis=1)
-            nz = vn > 0.0
+            # non-finite corpus vectors score NULL and rank last, like
+            # zero-norm/NULL ones. DELIBERATE divergence from the raw
+            # relational form: Spark's NaN-greatest ordering would rank
+            # a garbage vector FIRST in every result — useless answers —
+            # and unguarded NaN/inf scores would poison the margin
+            # compares and crash the Decimal rounding below.
+            nz = (vn > 0.0) & np.isfinite(vn)
             zero_ids = np.sort(
                 np.concatenate([zero_ids, null_like, ids_nn[~nz]])
             )[:kk]
@@ -187,6 +199,21 @@ def knn_join(
                         kth = s[order[kk - 1]]
                         order = order[s[order] >= kth - 1e-6]
                     cur_s[j], cur_i[j] = s[order], i[order]
+                    # the 1e-6 margin keeps every tie of the kth score,
+                    # so a partition of (near-)identical vectors —
+                    # exactly the dedup-pipeline regime — would grow
+                    # this buffer to the whole partition. Past a cap,
+                    # reduce EXACTLY: round and reselect kk by the
+                    # final (rounded desc, id asc) total order — a
+                    # valid streaming top-k reduction, and rounding an
+                    # already-rounded value is idempotent, so mixing
+                    # reduced and raw entries stays correct.
+                    if len(cur_s[j]) > kk + 256:
+                        rs = np.array(
+                            [_spark_round6(v) for v in cur_s[j]]
+                        )
+                        o2 = np.lexsort((cur_i[j], -rs))[:kk]
+                        cur_s[j], cur_i[j] = rs[o2], cur_i[j][o2]
         rows_q, rows_c, rows_s = [], [], []
         for j in range(nq):
             if qok_[j]:
@@ -372,14 +399,22 @@ class IVFIndex:
 
         @F.pandas_udf("int")
         def cell_of(v: pd.Series) -> pd.Series:
-            X = np.vstack(v.to_numpy()).astype(np.float64)
-            X = X / np.maximum(
-                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
-            )
-            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant
-            # per row, so argmin needs only the cross and center terms
-            d2 = (centers**2).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
-            return pd.Series(d2.argmin(axis=1).astype("int32"))
+            # NULL vectors get a NULL cell (they cannot be assigned —
+            # fit() already excludes them); an unmasked np.vstack over
+            # a batch containing None crashes the whole job
+            vals = v.to_numpy()
+            nn = v.notna().to_numpy()
+            out = pd.array([None] * len(vals), dtype="Int32")
+            if nn.any():
+                X = np.vstack(vals[nn]).astype(np.float64)
+                X = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant
+                # per row, so argmin needs only the cross/center terms
+                d2 = (centers**2).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+                out[nn] = d2.argmin(axis=1).astype("int32")
+            return pd.Series(out, dtype="Int32")
 
         return cell_of(F.col(vec_col).cast("array<double>"))
 

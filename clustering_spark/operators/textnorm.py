@@ -42,8 +42,10 @@ def normalize_text(text: Column | str, lowercase: bool = False) -> Column:
     """Canonical whitespace form: control characters (C0 minus \\t \\n
     \\r) stripped, all whitespace runs collapsed to single spaces,
     trimmed. The standard pre-tokenization cleanup; with
-    ``lowercase=True`` it is exactly the normalization underneath
-    textops.fingerprint."""
+    ``lowercase=True`` its whitespace handling (collapse then trim) is
+    the normalization underneath textops.fingerprint — fingerprint
+    additionally KEEPS control characters, so the two agree exactly on
+    control-char-free text."""
     t = F.col(text) if isinstance(text, str) else text
     if lowercase:
         t = F.lower(t)
@@ -161,10 +163,21 @@ def filter_domain_blocklist(
     hosts = (
         extract_domains(df.select(id_col, text_col), text_col, "__domains")
         .filter(F.size("__domains") > 0)
-        .select(F.col(id_col), F.explode("__domains").alias("__host"))
+        .select(F.col(id_col), F.explode("__domains").alias("__h0"))
+        # strip trailing dot(s): 'ads.evil.com.' is the same FQDN as
+        # 'ads.evil.com' in DNS — without this a trailing-dot URL is a
+        # blocklist escape (matches neither equality nor '.suffix')
+        .select(
+            F.col(id_col),
+            F.regexp_replace(F.col("__h0"), r"\.+$", "").alias("__host"),
+        )
     )
     b = broadcast(
-        blocked.select(F.lower(F.col(domain_col)).alias("__blocked")).distinct()
+        blocked.select(
+            F.regexp_replace(
+                F.lower(F.col(domain_col)), r"\.+$", ""
+            ).alias("__blocked")
+        ).distinct()
     )
     hit_ids = (
         hosts.join(
@@ -281,15 +294,14 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
     # and CollapseProject keeps the stage because split/filter are
     # non-cheap aliases referenced more than once — the same staging
     # pattern as dedup._staged_minhash.
-    # regexp strip, not F.trim: trim removes spaces only — "\n"-only
-    # text would split into phantom empty tokens (same rule as
-    # textops.tokens; the DuckDB oracle mirrors it)
-    trimmed = F.regexp_replace(t, r"^\s+|\s+$", "")
+    # THE canonical tokenizer (textops.tokens — regexp strip + empty
+    # guard + split), not a re-derived copy that could drift from it;
+    # staging only needs the expression landed in a named column
+    from clustering_spark.operators.textops import tokens
+
     staged = df.withColumns(
         {
-            "__rs_toks": F.when(
-                F.length(trimmed) == 0, F.array().cast("array<string>")
-            ).otherwise(F.split(trimmed, r"\s+")),
+            "__rs_toks": tokens(t),
             "__rs_lines": F.filter(
                 F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
             ),
@@ -457,11 +469,13 @@ def strip_html(text: Column | str) -> Column:
 
     Passes, in order (each one regexp/replace projection, fused by
     codegen into the same stage):
-    1. ``<script>``/``<style>``/``<noscript>``/``<template>`` dropped
+    1. HTML comments dropped FIRST — a commented-out ``<script src=x>``
+       (no closing tag) must not trigger pass 2's drop-to-end-of-
+       document and swallow the prose after the comment;
+    2. ``<script>``/``<style>``/``<noscript>``/``<template>`` dropped
        WITH their payload (case-insensitive, dot-matches-newline);
        an unclosed tag drops to end-of-document — for training data,
        losing prose beats keeping JavaScript;
-    2. HTML comments dropped;
     3. block-level tags (p, br, div, li, ul/ol, h1-6, tr, table,
        blockquote, section, article) become newlines so paragraph
        structure survives for the line-level stages
@@ -476,10 +490,10 @@ def strip_html(text: Column | str) -> Column:
        2 (paragraph break), result trimmed.
     """
     t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(
         t, r"(?is)<(script|style|noscript|template)\b.*?(</\1\s*>|$)", " "
     )
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(
         t,
         r"(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\b[^>]*>",
@@ -500,10 +514,18 @@ def strip_html(text: Column | str) -> Column:
         if rep == "&":
             continue
         t = F.replace(t, F.lit(ent), F.lit(rep))
-    t = F.regexp_replace(t, r"&#[xX]?[0-9a-fA-F]{1,7};", " ")
+    # the catch-all must NOT eat numeric ampersands (&#38; / &#x26;,
+    # incl. zero-padded spellings) — they belong to the deferred
+    # ampersand decode below, not to the drop-to-space pass
+    t = F.regexp_replace(
+        t, r"&#(?!0*38;|[xX]0*26;)[xX]?[0-9a-fA-F]{1,7};", " "
+    )
     for ent, rep in _HTML_ENTITIES:
         if rep == "&":
             t = F.replace(t, F.lit(ent), F.lit(rep))
+    # zero-padded / hex spellings of the ampersand entity the exact
+    # table strings above don't cover
+    t = F.regexp_replace(t, r"&#(0*38|[xX]0*26);", "&")
     t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")

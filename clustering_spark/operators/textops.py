@@ -168,11 +168,19 @@ def lang_id(
 
 def fingerprint_expr(text: Column | str) -> Column:
     """The fingerprint as a Column: md5 of lower-cased,
-    whitespace-collapsed text. THE single definition of the dedup
-    key — batch (here), streaming (docs_stream) and the corpus digest
-    table all call this, so the three can never silently drift apart."""
+    whitespace-collapsed, whitespace-TRIMMED text. THE single
+    definition of the dedup key — batch (here), streaming
+    (docs_stream) and the corpus digest table all call this, so the
+    three can never silently drift apart.
+
+    Order matters: collapse runs FIRST, then trim. F.trim strips
+    spaces only, so trim-before-collapse left a boundary space for
+    text ending in '\\n' (ubiquitous in crawled docs) — 'hello' and
+    'hello\\n' never exact-deduped. After collapsing, every boundary
+    whitespace IS a space and trim removes it. The DuckDB oracle
+    (SQL_TEXT_PROFILE) mirrors this exact order."""
     t = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.regexp_replace(F.trim(F.lower(t)), r"\s+", " "))
+    return F.md5(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")))
 
 
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:

@@ -1789,7 +1789,7 @@ SELECT b.doc_id,
             ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens,
        len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r])'))
          AS n_bpe_tokens,
-       md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
+       md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint
 FROM best b JOIN documents d ON b.doc_id = d.doc_id
 WHERE rn = 1
 """

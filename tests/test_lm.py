@@ -74,7 +74,7 @@ def test_lm_matches_duckdb(spark):
         rf"""
         WITH norm AS (
           SELECT doc_id,
-                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+                 trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
           FROM read_parquet('{SF_DIR}/documents.parquet')),
         grams AS (
           SELECT doc_id, substr(t, i::INT, 3) AS gram

@@ -5,6 +5,7 @@ split over many partitions (exercising the partial merge)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from clustering_spark.operators.similarity import knn_join
@@ -268,3 +269,57 @@ def test_ivf_fit_sample_is_order_independent(spark):
     ca = IVFIndex(nlist=4, seed=9).fit(a, "embedding").centroids
     cb = IVFIndex(nlist=4, seed=9).fit(b, "embedding").centroids
     assert np.allclose(ca, cb)
+
+
+def test_ivf_transform_null_vector_gets_null_cell(spark):
+    from clustering_spark.operators.similarity import IVFIndex
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [1.0, 0.1])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    idx = IVFIndex(nlist=2).fit(df, "vec")
+    out = idx.transform(df, "vec").toPandas().set_index("id")
+    assert pd.isna(out.loc[3, "cell"])
+    assert out.loc[[1, 2, 4], "cell"].notna().all()
+
+
+def test_knn_join_tie_flood_stays_bounded_and_exact(spark):
+    # a corpus of identical vectors: every score ties the kth — the
+    # margin alone kept the ENTIRE partition in the per-query buffer;
+    # the cap reduces exactly, so the result is still the kk smallest
+    # ids at cosine 1.0
+    n = 2000
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(n)], "cid long, vec array<double>"
+    ).repartition(2)
+    queries = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0])], "qid long, qvec array<double>"
+    )
+    out = (
+        knn_join(corpus, queries, "vec", "cid", "qvec", "qid", k=3)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert out.corpus_id.tolist() == [0, 1, 2]
+    assert (out.cosine == 1.0).all()
+
+
+def test_knn_join_nonfinite_corpus_vector_ranks_last(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [0.9, 0.1]),
+        ],
+        "cid long, vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "qid long, qvec array<double>"
+    )
+    out = (
+        knn_join(corpus, queries, "vec", "cid", "qvec", "qid", k=3)
+        .toPandas()
+        .sort_values("rank")
+    )
+    # finite vectors first (by cosine), NaN vector last with NULL cosine
+    assert out.corpus_id.tolist() == [1, 3, 2]
+    assert pd.isna(out.cosine.iloc[2])

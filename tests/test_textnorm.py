@@ -522,3 +522,46 @@ class TestCanonicalizeUrlPassthrough:
         # pass-through means UNCHANGED — the old code stripped '#...'
         # first and collapsed doc#1/doc#2 to one dedup key
         assert got == ["doc#1", "doc#2", "Issue #42 notes"]
+
+
+class TestStripHtmlRound7Fixes:
+    def _strip(self, spark, docs):
+        from clustering_spark.operators.textnorm import strip_html
+
+        df = spark.createDataFrame([(d,) for d in docs], "h string")
+        return [r.t for r in df.select(strip_html("h").alias("t")).collect()]
+
+    def test_numeric_ampersand_decodes(self, spark):
+        # &#38; / zero-padded / hex spellings decode to '&' in the
+        # deferred pass — the catch-all must not eat them to a space
+        got = self._strip(
+            spark, ["AT&#38;T", "AT&#038;T", "AT&#x26;T", "AT&#X26;T"]
+        )
+        assert got == ["AT&T"] * 4
+
+    def test_commented_out_script_does_not_swallow_document(self, spark):
+        # comments strip BEFORE script blocks: an unclosed <script>
+        # inside a comment must not drop-to-end-of-document
+        (got,) = self._strip(
+            spark,
+            ["<!-- add <script src=x> later --> <p>Article text</p>"],
+        )
+        assert got == "Article text"
+
+
+def test_domain_blocklist_trailing_dot_no_escape(spark):
+    # 'ads.evil.com.' is the same FQDN as 'ads.evil.com' in DNS — a
+    # trailing-dot URL must not escape the blocklist
+    from clustering_spark.operators.textnorm import filter_domain_blocklist
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see http://ads.evil.com./track now"),
+            (2, "see http://good.org/x now"),
+            (3, "see http://evil.com. now"),
+        ],
+        "id long, text string",
+    )
+    blocked = spark.createDataFrame([("evil.com",)], "domain string")
+    kept = filter_domain_blocklist(docs, "id", "text", blocked)
+    assert {r.id for r in kept.collect()} == {2}

@@ -190,3 +190,18 @@ def test_quality_lang_aware_stopwords(spark):
         spark.createDataFrame([(fr,)], "text string"), "text"
     ).collect()[0]
     assert base.stopword_ratio == by_lang["en"]
+
+
+def test_fingerprint_ignores_boundary_whitespace(spark):
+    # collapse-then-trim: a trailing newline (ubiquitous in crawled
+    # text) must not change the dedup key — the old trim-first order
+    # left a boundary space ('hello' vs 'hello ') and the docs never
+    # exact-deduped
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\n"), (3, "\thello world "),
+         (4, "hello world!")],
+        "id long, text string",
+    )
+    out = textops.fingerprint(df, "text").toPandas().set_index("id").fingerprint
+    assert out[1] == out[2] == out[3]
+    assert out[1] != out[4]
