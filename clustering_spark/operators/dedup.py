@@ -1025,6 +1025,62 @@ def _hamming_chunks(max_hamming: int) -> list[tuple[int, int, int]]:
     return chunks
 
 
+def hamming_pair_search(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """Pair search over a ``(__id, sig)`` 64-bit signature table:
+    pigeonhole chunk equi-join candidates (``_hamming_chunks``) +
+    ``bit_count`` verify. THE shared block for text SimHash
+    (:func:`simhash_pairs`) and perceptual image dHash
+    (multimodal.image_neardup_pairs) — one definition, so a skew or
+    dedup fix applies to both. ``sigs`` is localCheckpoint'd here:
+    both join sides read it, and one long per row is negligible
+    executor storage at any scale. Returns (id_a, id_b, hamming),
+    id_a < id_b."""
+    sigs = sigs.localCheckpoint(eager=False)
+    chunks = sigs.select(
+        "__id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("sig"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    # shift amounts must be Python ints — build the
+                    # chunk structs in a Python loop, not F.transform
+                    for i, shift, width in _hamming_chunks(max_hamming)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "sig", "c.chunk_idx", "c.chunk_val")
+
+    a = chunks.select(
+        F.col("__id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("__id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -1062,47 +1118,11 @@ def simhash_pairs(
             ),
         )
         .select("__id", pack("__hashes").alias("sig"))
-        # both sides of the chunk self-join read the signature table;
-        # without the checkpoint the shingle + pack Arrow kernels
-        # re-execute per side (2x the signature-build cost). One long
-        # per doc — negligible executor storage at any scale.
-        .localCheckpoint(eager=False)
     )
-    chunks = sigs.select(
-        "__id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("sig"), shift)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk_val"),
-                    )
-                    # shift amounts must be Python ints — build the
-                    # chunk structs in a Python loop, not F.transform
-                    for i, shift, width in _hamming_chunks(max_hamming)
-                ]
-            )
-        ).alias("c"),
-    ).select("__id", "sig", "c.chunk_idx", "c.chunk_val")
-
-    a = chunks.select(
-        F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk_val"
-    )
-    b = chunks.select(
-        F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk_val"
-    )
-    return (
-        a.join(b, on=["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    # hamming_pair_search checkpoints the signature table (both chunk-
+    # join sides read it; without that the shingle + pack Arrow
+    # kernels re-execute per side — 2x the signature-build cost)
+    return hamming_pair_search(sigs, max_hamming)
 
 
 # ------------------------------------------------------------- embedding

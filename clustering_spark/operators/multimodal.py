@@ -190,8 +190,15 @@ def image_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
         for pdf in it:
             out = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
-                b = bytes(blob)
                 fmt, w, h = "unknown", None, None
+                if blob is None:
+                    # NULL blob: degrade per row like any unknown
+                    # format — bytes(None) would TypeError the batch
+                    out.append(
+                        {"id": rid, "format": fmt, "width": w, "height": h}
+                    )
+                    continue
+                b = bytes(blob)
                 try:
                     if b[:4] == MAGIC:
                         fmt = "fake"
@@ -233,6 +240,21 @@ def _parse_header(b: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _pil_meta(b: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_intensity) via PIL — the codec-backed
+    branch of decode_image_meta; alpha dropped like _png_meta."""
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(b))
+    w, h = img.size
+    arr = np.asarray(img, dtype=np.float64)
+    if arr.ndim == 3 and arr.shape[2] in (2, 4):
+        arr = arr[:, :, :-1]  # drop alpha, like _png_meta
+    return w, h, float(arr.mean()) if arr.size else 0.0
+
+
 IMAGE_META_SCHEMA = "id long, width int, height int, n_pixels long, mean_intensity double"
 
 
@@ -241,35 +263,56 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     mean intensity). Arrow-batched mapInPandas — one Python roundtrip
     per BATCH of images, not per image.
 
-    Formats, by magic bytes: the synthetic FAKE container; REAL
+    Formats, by magic bytes: the synthetic FAKE container (payload
+    length validated — a truncated container fails loudly); REAL
     baseline 8-bit PNG via the stdlib decoder (``_png_decode`` — no
-    native codec needed); any other format through PIL when the
+    native codec needed), with non-baseline PNG variants falling back
+    to PIL when installed; any other format through PIL when the
     environment has it, else NotImplementedError (clearly a stub,
-    never silently wrong).
+    never silently wrong). NULL blobs raise with a pointer to
+    ``image_header_meta`` (the degrade-per-row pass).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    # decode is the STRICT stage: fail loudly with a
+                    # clear message, not bytes(None)'s opaque TypeError
+                    raise ValueError(
+                        f"decode_image_meta: NULL image bytes for id "
+                        f"{rid!r} — filter NULL blobs (or route through "
+                        "image_header_meta, which degrades per row)"
+                    )
                 b = bytes(blob)
                 if b[:4] == MAGIC:
                     w, h = _parse_header(b)
+                    if len(b) < HEADER_LEN + w * h:
+                        # a truncated container must fail loudly like
+                        # _decode_gray's reshape does — a mean over the
+                        # partial payload would be silently wrong
+                        raise ValueError(
+                            f"FAKE container for id {rid!r} claims "
+                            f"{w}x{h} but carries only "
+                            f"{len(b) - HEADER_LEN} payload bytes"
+                        )
                     payload = b[HEADER_LEN : HEADER_LEN + w * h]
                     mean = (sum(payload) / len(payload)) if payload else 0.0
-                elif b[: len(PNG_MAGIC)] == PNG_MAGIC:
+                elif b[: len(PNG_MAGIC)] == PNG_MAGIC and not _HAVE_PIL:
                     w, h, mean = _png_meta(b)
+                elif b[: len(PNG_MAGIC)] == PNG_MAGIC:
+                    # PIL present: stdlib baseline decoder first (no
+                    # codec roundtrip), PIL fallback for the PNG
+                    # variants it doesn't cover (palette/16-bit/
+                    # interlaced) instead of crashing despite an
+                    # installed codec
+                    try:
+                        w, h, mean = _png_meta(b)
+                    except NotImplementedError:
+                        w, h, mean = _pil_meta(b)
                 elif _HAVE_PIL:
-                    import io
-
-                    import numpy as np
-
-                    img = Image.open(io.BytesIO(b))
-                    w, h = img.size
-                    arr = np.asarray(img, dtype=np.float64)
-                    if arr.ndim == 3 and arr.shape[2] in (2, 4):
-                        arr = arr[:, :, :-1]  # drop alpha, like _png_meta
-                    mean = float(arr.mean()) if arr.size else 0.0
+                    w, h, mean = _pil_meta(b)
                 elif b[:2] == JPEG_MAGIC:
                     # dimensions ARE decodable natively (SOF header);
                     # only the pixel statistics need a real codec —
@@ -392,11 +435,19 @@ def sample_frames(
         for pdf in it:
             out = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    continue  # NULL blob: no frames, not a crash
                 b = bytes(blob)
                 pos, idx = 0, 0
                 while pos + HEADER_LEN <= len(b) and b[pos : pos + 4] == MAGIC:
                     w, h = struct.unpack(">HH", b[pos + 4 : pos + 8])
                     end = pos + HEADER_LEN + w * h
+                    if end > len(b):
+                        # truncated tail: the header promises more
+                        # payload than remains — emitting the short
+                        # frame would crash resize/decode far from the
+                        # corrupt source; drop it at the boundary
+                        break
                     if idx % every_n == 0:
                         out.append(
                             {"id": rid, "frame_idx": idx, "frame": b[pos:end]}
@@ -560,8 +611,10 @@ def image_dhash(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
             out = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 try:
+                    # TypeError covers bytes(None): a NULL blob is
+                    # undecodable residue, not a batch-killer
                     h = _dhash64(_decode_gray(bytes(blob)))
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, struct.error, TypeError):
                     h = None
                 out.append({"id": rid, "dhash": h})
             yield pd.DataFrame(out, columns=["id", "dhash"])
@@ -577,54 +630,17 @@ def image_neardup_pairs(
     """Perceptual near-duplicate image pairs: dHash signatures + the
     SAME adaptive pigeonhole chunk equi-join and bit_count verify as
     text SimHash (``max_hamming + 1`` chunks guarantee a shared chunk
-    for any pair within the radius — dedup._hamming_chunks). Image
-    bytes never leave the scan: only (id, 8-byte hash) rides the
-    explode and the join. Undecodable blobs (NULL dhash from
-    image_dhash) are excluded up front. Returns (id_a, id_b, hamming),
-    id_a < id_b."""
-    from clustering_spark.operators.dedup import _hamming_chunks
+    for any pair within the radius — dedup.hamming_pair_search, the
+    SAME shared block simhash_pairs runs, so a fix to the pair search
+    applies to both). Image bytes never leave the scan: only (id,
+    8-byte hash) rides the explode and the join. Undecodable blobs
+    (NULL dhash from image_dhash) are excluded up front. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    from clustering_spark.operators.dedup import hamming_pair_search
 
     sigs = (
         image_dhash(df, bin_col, id_col)
         .filter(F.col("dhash").isNotNull())
         .select(F.col("id").alias("__id"), F.col("dhash").alias("sig"))
     )
-    # both chunk-join sides read the signature table; one long per
-    # image — same staging rationale as simhash_pairs
-    sigs = sigs.localCheckpoint(eager=False)
-    chunks = sigs.select(
-        "__id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("sig"), shift)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk_val"),
-                    )
-                    for i, shift, width in _hamming_chunks(max_hamming)
-                ]
-            )
-        ).alias("c"),
-    ).select("__id", "sig", "c.chunk_idx", "c.chunk_val")
-    a = chunks.select(
-        F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"),
-        "chunk_idx", "chunk_val",
-    )
-    b = chunks.select(
-        F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"),
-        "chunk_idx", "chunk_val",
-    )
-    return (
-        a.join(b, on=["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_pair_search(sigs, max_hamming)

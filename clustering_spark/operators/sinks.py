@@ -201,7 +201,15 @@ def latest_document(
         F.col("micro_col"),
         F.least(F.col("x_col"), F.col("y_col")),
         F.greatest(F.col("x_col"), F.col("y_col")),
-    ).orderBy(F.col("__rank"), F.col("version").desc())
+        # date desc breaks version ties: run_interval appends with the
+        # default version=0 every run, so version alone made "latest"
+        # an arbitrary row_number pick across reruns — the GUI could
+        # render a stale day-1 document forever. A residual tie on
+        # (version, date) means two byte-identical runs of the same
+        # day: either row is the same answer.
+    ).orderBy(
+        F.col("__rank"), F.col("version").desc(), F.col("date").desc()
+    )
     return (
         scoped.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -181,8 +181,15 @@ def run_interval(
     )
     from clustering_spark.sources.csv_source import sample_cap
 
+    # `is not None`, not truthiness: a configured limit of 0 means
+    # "cap to nothing", not "uncapped" — the truthy check silently ran
+    # the full fact table through every grid cell for limit=0
     limit = config.limits.get(interval)
-    capped = sample_cap(df, limit, seed=config.base_seed) if limit else df
+    capped = (
+        sample_cap(df, limit, seed=config.base_seed)
+        if limit is not None
+        else df
+    )
     # stage the results ONCE: the loop below writes two document kinds
     # per (macro, micro) and the caller may materialize the return —
     # without the checkpoint every consumer re-fits every grid cell's

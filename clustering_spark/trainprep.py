@@ -23,6 +23,7 @@ pipelines without forking the composition.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -106,9 +107,18 @@ def prepare_corpus(
                      the near-dup component, so near-identical docs can
                      never straddle train/test
     - ``chunks``     context-window chunks of the survivors
-    - ``packs``      doc -> pack assignment at ``pack_max_tokens``
+    - ``packs``      doc -> pack assignment at ``pack_max_tokens``,
+                     packed WITHIN each split (keyed by
+                     ``(split, pack_id)``)
     - ``sequences``  one row per pack: members concatenated in FFD
-                     placement order (the sink-ready training data)
+                     placement order, with its ``split`` label (the
+                     sink-ready training data)
+
+    Packing runs PER SPLIT: a pack is one training sequence, so its
+    members must never straddle train/val/test — concatenating a test
+    doc into a training sequence is leakage no post-hoc label can
+    undo. ``pack_id`` is only unique within a split (each split packs
+    independently with its own salt); key on ``(split, pack_id)``.
     """
     cfg = cfg or PrepConfig()
     id_c, text_c = cfg.id_col, cfg.text_col
@@ -227,17 +237,33 @@ def prepare_corpus(
         unique, "component", cfg.split_fractions, salt="prep"
     )
 
-    # 6. chunk + pack the survivors
+    # 6. chunk the survivors (per-doc, split-agnostic: consumers join
+    #    the split label back by id), then pack WITHIN each split
     chunks = textops.chunk_documents(
         unique, id_c, text_c, size=cfg.chunk_size, stride=cfg.chunk_stride
     )
-    packs = packing.pack_sequences(
-        unique.withColumn("__ntok", textops.token_count(text_c)),
-        id_c,
-        "__ntok",
-        cfg.pack_max_tokens,
-    )
-    sequences = packing.materialize_packs(unique, packs, id_c, text_c)
+    # quality_gate already computed n_tokens on the FINAL text (no
+    # stage after it rewrites text_c), so reuse it instead of paying a
+    # second strip+split scan over every survivor
+    if "n_tokens" in split.columns:
+        with_tok, tok_c = split, "n_tokens"
+    else:
+        with_tok = split.withColumn("__ntok", textops.token_count(text_c))
+        tok_c = "__ntok"
+    packs_parts, seq_parts = [], []
+    for label in cfg.split_fractions:
+        part = with_tok.filter(F.col("split") == label)
+        p = packing.pack_sequences(
+            part, id_c, tok_c, cfg.pack_max_tokens, salt=f"pack:{label}"
+        )
+        packs_parts.append(p.withColumn("split", F.lit(label)))
+        seq_parts.append(
+            packing.materialize_packs(part, p, id_c, text_c).withColumn(
+                "split", F.lit(label)
+            )
+        )
+    packs = reduce(DataFrame.unionByName, packs_parts)
+    sequences = reduce(DataFrame.unionByName, seq_parts)
 
     return {
         "clean": clean,

@@ -85,3 +85,19 @@ def test_run_interval_applies_row_cap(spark, container_stats, tmp_path):
     # capped input: total cluster membership well below the 160 rows
     total = results.toPandas().cluster_size.sum()
     assert total < 100
+
+
+def test_run_interval_limit_zero_caps_to_nothing(spark, container_stats, tmp_path):
+    """limits={interval: 0} means 'cap to nothing' — the old truthy
+    check treated 0 as 'uncapped' and ran the full table."""
+    cfg = PipelineConfig(
+        filtering_columns={"customer_id": ["application_id"]},
+        columns={"cpu_percent": ["ram_usage"]},
+        algorithms=["KMeans"],
+        dont_scale=["cpu_percent"],
+        limits={"daily": 0},
+    )
+    results = run_interval(
+        container_stats, "daily", cfg, str(tmp_path / "r0"), "d", k=2
+    )
+    assert results.count() == 0

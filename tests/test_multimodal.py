@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -334,3 +336,44 @@ class TestImageDhash:
         # ...the adaptive 5-chunk split at the requested radius finds it
         got = mm.image_neardup_pairs(df, "img", "id", max_hamming=4).collect()
         assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 4)]
+
+
+def test_null_blobs_degrade_per_row(spark):
+    """NULL blobs: header pass emits format=unknown, dhash emits NULL,
+    frame sampling emits nothing — none of them kill the batch
+    (bytes(None) is a TypeError, not a decode failure)."""
+    rows = [(1, mm.make_fake_image(4, 3, fill=10)), (2, None)]
+    df = spark.createDataFrame(rows, "id long, img binary")
+    hdr = mm.image_header_meta(df, "img", "id").toPandas().set_index("id")
+    assert hdr.loc[2, "format"] == "unknown"
+    assert hdr.loc[1, "format"] == "fake"
+    dh = mm.image_dhash(df, "img", "id").toPandas().set_index("id")
+    assert pd.isna(dh.loc[2, "dhash"]) and not pd.isna(dh.loc[1, "dhash"])
+    frames = mm.sample_frames(df, "img", "id", every_n=1).toPandas()
+    assert set(frames.id) == {1}
+
+
+def test_decode_truncated_fake_container_fails_loudly(spark):
+    """A FAKE header claiming more payload than it carries must raise,
+    not return a silently wrong mean over the partial payload."""
+    import pytest as _pytest
+
+    bad = mm.MAGIC + __import__("struct").pack(">HH", 100, 100) + b"\x10" * 10
+    df = spark.createDataFrame([(1, bad)], "id long, img binary")
+    with _pytest.raises(Exception, match="claims"):
+        mm.decode_image_meta(df, "img", "id").collect()
+
+
+def test_frame_sampling_drops_truncated_tail(spark):
+    """A video whose final frame header promises more bytes than
+    remain: the short tail frame is dropped at the boundary instead of
+    crashing resize/decode downstream."""
+    import struct as _struct
+
+    good = mm.make_fake_image(2, 2, fill=7)
+    truncated = mm.MAGIC + _struct.pack(">HH", 100, 100) + b"\x01" * 5
+    df = spark.createDataFrame(
+        [(1, good + good + truncated)], "id long, vid binary"
+    )
+    frames = mm.sample_frames(df, "vid", "id", every_n=1).toPandas()
+    assert frames.frame_idx.tolist() == [0, 1]

@@ -362,10 +362,13 @@ def test_trainprep_composition_adds_no_exchanges(spark):
     - clean: scan-speed project+filter — zero exchanges
     - split: a hash predicate on the staged table — zero
     - chunks: native explode of the staged table — zero
-    - packs: pack_sequences' single (id, n_tokens) bucket hash — one
-      exchange, and its wire must carry no text
-    - sequences: packs + the materialization join back to the staged
-      text — join exchanges only, bounded at 4
+    - packs: pack_sequences' (id, n_tokens) bucket hash — ONE exchange
+      per split (packing is per-split so sequences never straddle
+      train/val/test; the three exchanges cover DISJOINT subsets, so
+      total shuffled volume equals the old single exchange), and no
+      wire may carry text
+    - sequences: per-split packs + materialization joins back to the
+      staged text — join exchanges only, bounded at 4 per split
     """
     from clustering_spark.trainprep import PrepConfig, prepare_corpus
 
@@ -374,16 +377,18 @@ def test_trainprep_composition_adds_no_exchanges(spark):
         for i in range(60)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = prepare_corpus(df, PrepConfig())
+    cfg = PrepConfig()
+    out = prepare_corpus(df, cfg)
+    n_splits = len(cfg.split_fractions)
 
     assert count_shuffles(out["clean"]) == 0
     assert count_shuffles(out["split"]) == 0
     assert count_shuffles(out["chunks"]) == 0
-    assert count_shuffles(out["packs"]) == 1
-    # the one packing exchange is the narrow (id, token-count) wire
+    assert count_shuffles(out["packs"]) == n_splits
+    # every packing exchange is the narrow (id, token-count) wire
     for b in exchange_blocks(out["packs"]):
         assert "text" not in b, f"pack exchange carries text:\n{b}"
-    assert count_shuffles(out["sequences"]) <= 4
+    assert count_shuffles(out["sequences"]) <= 4 * n_splits
 
 
 def test_compute_bound_arrow_stages_are_spread_past_aqe(spark):

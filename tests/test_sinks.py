@@ -174,3 +174,24 @@ def test_document_json_is_deterministic_across_runs(spark, results):
         ).collect()
     )
     assert da == db
+
+
+def test_latest_document_equal_versions_latest_date_wins(spark, results, tmp_path):
+    """run_interval appends version=0 every run, so equal versions are
+    the NORMAL case across daily reruns: the newest date must win (the
+    version-only ordering picked an arbitrary row)."""
+    path = str(tmp_path / "docs")
+    day1 = sinks.d3_documents(
+        results, "customer_id", "application_id", "2026-08-01", version=0
+    )
+    day2 = sinks.d3_documents(
+        results, "customer_id", "application_id", "2026-08-02", version=0
+    )
+    sinks.write_documents(day1, path, "daily")
+    sinks.write_documents(day2, path, "daily")
+    docs = spark.read.parquet(f"{path}/daily")
+    got = sinks.latest_document(
+        docs, "KMeans", "customer_id", "application_id", "cpu_percent", "ram_usage"
+    ).collect()
+    assert len(got) == 1
+    assert got[0].date == "2026-08-02"

@@ -271,3 +271,36 @@ def test_html_input_stage(spark):
     for r in clean:
         assert "<p>" not in r.text and "junk" not in r.text
         assert "Real document" in r.text
+
+
+def test_packs_never_straddle_splits(spark):
+    """A pack is one training sequence: members must share one split
+    (concatenating a test doc into a train sequence is leakage)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            i,
+            f"totally unique document number {i} "
+            + " ".join(f"w{i}x{j}" for j in range(30)),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = PrepConfig(thresholds=None, pack_max_tokens=64)
+    out = trainprep.prepare_corpus(df, cfg)
+    packs = out["packs"].select("doc_id", "split", "pack_id")
+    labels = out["split"].select("doc_id", F.col("split").alias("split_label"))
+    j = packs.join(labels, on="doc_id").cache()
+    try:
+        assert j.count() == 300  # every survivor packed exactly once
+        assert j.filter(F.col("split") != F.col("split_label")).count() == 0
+        hetero = (
+            j.groupBy("split", "pack_id")
+            .agg(F.count_distinct("split_label").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        assert hetero.count() == 0
+    finally:
+        j.unpersist()
+    assert "split" in out["sequences"].columns
