@@ -44,10 +44,22 @@ def scaled_name(col: str, sibling_cols: list[str] | None = None) -> str:
     return f"{prefix}_scaled"
 
 
-def limit_col_for(col: str, all_columns: list[str]) -> str | None:
+def limit_col_for(
+    col: str, all_columns: list[str], sibling_cols: list[str] | None = None
+) -> str | None:
     """Sibling capacity column: ``ram_usage`` -> ``ram_limit`` if present
-    (preprocess.py:95: ``prop + limitSuffix in df.columns``)."""
+    (preprocess.py:95: ``prop + limitSuffix in df.columns``).
+
+    When ``sibling_cols`` shows two metrics sharing the prefix (the
+    same collision ``scaled_name`` disambiguates), the limit cannot be
+    attributed to either metric — returning it would silently scale
+    one metric as percent of ANOTHER metric's capacity. Colliders fall
+    back to min-max (None)."""
     prefix = col.split("_")[0] if "_" in col else col
+    if sibling_cols is not None:
+        prefixes = [(s.split("_")[0] if "_" in s else s) for s in sibling_cols]
+        if prefixes.count(prefix) > 1:
+            return None
     cand = prefix + LIMIT_SUFFIX
     return cand if cand in all_columns else None
 
@@ -69,7 +81,8 @@ def scale_segments(
     minmax_cols = [
         c
         for c in metric_cols
-        if c not in dont_scale and limit_col_for(c, all_columns) is None
+        if c not in dont_scale
+        and limit_col_for(c, all_columns, metric_cols) is None
     ]
 
     out = df
@@ -101,12 +114,18 @@ def scale_segments(
     exprs = {}
     for c in metric_cols:
         name = scaled_name(c, metric_cols)
-        limit_c = limit_col_for(c, all_columns)
+        limit_c = limit_col_for(c, all_columns, metric_cols)
         if c in dont_scale:
             # excluded from scaling; passes through (preprocess.py:90-91)
             exprs[name] = F.col(c).cast("double")
         elif limit_c is not None:
-            exprs[name] = F.col(c) * 100.0 / F.col(limit_c)
+            # try_divide: a zero limit (the cgroup 'unlimited'
+            # convention) yields NULL instead of aborting the job under
+            # Spark 4's default ANSI mode (DIVIDE_BY_ZERO); NULL limits
+            # yield NULL too. DuckDB's x/0 is also NULL, so the oracle
+            # agrees; un-scalable rows then fall to the caller's
+            # null-metric policy instead of crashing the fit.
+            exprs[name] = F.try_divide(F.col(c) * 100.0, F.col(limit_c))
         else:
             mn, mx = F.col(f"__min_{c}"), F.col(f"__max_{c}")
             exprs[name] = F.when(mx == mn, F.lit(0.0)).otherwise(

@@ -53,11 +53,19 @@ def segment_stats(
     """Per-segment: row count, distinct metric-tuple count, min/max of
     every metric. Columns: ``segment_cols..., n_rows, n_distinct_points,
     {c}_min, {c}_max ...``"""
+    # n_distinct_points counts only tuples with NO NULL metric — the
+    # rows drop_null_metrics keeps. struct() is never NULL, so a plain
+    # count_distinct kept NULL-bearing tuples and viable_segments
+    # could pass a segment that holds < min_distinct usable points
+    # after the null drop (k-means on a single point).
+    usable = F.lit(True)
+    for c in metric_cols:
+        usable = usable & F.col(c).isNotNull()
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(F.struct(*[F.col(c) for c in metric_cols])).alias(
-            "n_distinct_points"
-        ),
+        F.count_distinct(
+            F.when(usable, F.struct(*[F.col(c) for c in metric_cols]))
+        ).alias("n_distinct_points"),
     ]
     for c in metric_cols:
         aggs.append(F.min(c).alias(f"{c}_min"))

@@ -86,6 +86,14 @@ def split_corrupt(
     when the returned frames are garbage-collected, so a long-lived
     session ingesting many batches does not accumulate pinned cache
     entries nobody can unpersist.
+
+    DURABILITY TRADE (explicit): localCheckpoint TRUNCATES lineage, so
+    on a multi-executor cluster a lost/preempted executor after
+    materialization makes its partitions unrecomputable and fails the
+    ingest job ('Checkpoint block not found') — where cache() would
+    silently recompute from the file scan. On preemptible/spot fleets
+    prefer re-running the (idempotent) ingest batch on failure, or
+    swap in cache() + an explicit unpersist at the batch boundary.
     """
     df = df.localCheckpoint(eager=False)
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)

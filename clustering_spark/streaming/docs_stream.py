@@ -26,10 +26,16 @@ def _fingerprint(text_col: str) -> F.Column:
     """Delegates to textops.fingerprint_expr — ONE definition of the
     dedup key shared by batch, stream, and the corpus digest table
     (there is no import cycle: this module already imports the batch
-    operators in prep_documents_stream)."""
+    operators in prep_documents_stream).
+
+    NULL text coalesces to the same 0x00 sentinel batch novel_exact
+    uses, so NULL-content docs compare EQUAL everywhere: without it
+    the stream's left_anti never matched a corpus NULL doc (NULL !=
+    NULL) while dropDuplicates treated stream NULLs as equal — the
+    stream/batch divergence this shared helper exists to prevent."""
     from clustering_spark.operators.textops import fingerprint_expr
 
-    return fingerprint_expr(text_col)
+    return F.coalesce(fingerprint_expr(text_col), F.lit("\x00"))
 
 
 def read_documents_stream(
@@ -73,8 +79,22 @@ def novel_documents_stream(
         deduped = docs.dropDuplicates(["fingerprint"])
     if corpus_fingerprints is None:
         return deduped
+    # select the fingerprint column BY NAME: blindly taking columns[0]
+    # silently disabled the novelty filter when a caller passed a full
+    # document frame (columns[0] = doc_id — md5 strings never match
+    # numeric ids, every duplicate re-admitted as 'novel')
+    if "fingerprint" in corpus_fingerprints.columns:
+        fp_col = "fingerprint"
+    elif len(corpus_fingerprints.columns) == 1:
+        fp_col = corpus_fingerprints.columns[0]
+    else:
+        raise ValueError(
+            "corpus_fingerprints needs a 'fingerprint' column (or a "
+            f"single column); got {corpus_fingerprints.columns} — pass "
+            "corpus_fingerprint_table(...)'s output"
+        )
     corp = corpus_fingerprints.select(
-        F.col(corpus_fingerprints.columns[0]).alias("fingerprint")
+        F.col(fp_col).alias("fingerprint")
     ).distinct()
     return deduped.join(corp, on="fingerprint", how="left_anti")
 
@@ -143,6 +163,10 @@ def prep_documents_stream(
             & (F.col("top_token_ratio") <= max_top_token_ratio)
         )
     )
+    # drop the gate's scratch columns after the filter: sinking ~10
+    # scoring intermediates with every document bloats the persisted
+    # corpus and couples its schema to the gate internals
+    gated = gated.select(*docs.columns)
     # fingerprint AFTER normalization/redaction so the dedup key meets
     # the same text the sink stores; corpus_fingerprint_table documents
     # the matching-transform contract for the static side

@@ -163,3 +163,63 @@ def test_corpus_fingerprints_match_prepped_stream_text(spark):
         textops.fingerprint_expr("text").alias("fingerprint")
     ).collect()
     assert stream_fp[0].fingerprint == prepped_fp[0].fingerprint
+
+
+def test_stream_null_text_matches_batch_sentinel(spark, tmp_path):
+    """Stream/batch parity for NULL-content docs: the corpus digest and
+    the stream fingerprint both coalesce NULL to the 0x00 sentinel, so
+    a NULL-text doc already in the corpus is NOT re-admitted as novel
+    (batch novel_exact semantics)."""
+    from clustering_spark.operators import textops
+
+    corpus = spark.createDataFrame(
+        [(100, None), (101, "known doc text")], "doc_id long, text string"
+    )
+    corp_fp = docs_stream.corpus_fingerprint_table(corpus, "text")
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(1, None), (2, "brand new text")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(src)
+    schema = "doc_id long, text string"
+    stream = docs_stream.read_documents_stream(spark, src, schema)
+    novel = docs_stream.novel_documents_stream(stream, corp_fp)
+    from clustering_spark.streaming.events_stream import run_stream_to_memory
+
+    run_stream_to_memory(
+        novel, "nullfp_novel", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = {r.doc_id for r in spark.table("nullfp_novel").collect()}
+    assert got == {2}  # NULL-text doc matched the corpus NULL doc
+
+
+def test_novelty_rejects_ambiguous_corpus_frame(spark, tmp_path):
+    """A multi-column corpus frame without a 'fingerprint' column must
+    raise — columns[0] silently disabled the novelty filter."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "docs_in2")
+    spark.createDataFrame(
+        [(1, "text one")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(src)
+    stream = docs_stream.read_documents_stream(
+        spark, src, "doc_id long, text string"
+    )
+    bad_corpus = spark.createDataFrame(
+        [(9, "text one", "deadbeef")],
+        "doc_id long, text string, something string",
+    )
+    with _pytest.raises(ValueError, match="fingerprint"):
+        docs_stream.novel_documents_stream(stream, bad_corpus)
+
+
+def test_prepped_stream_drops_gate_scratch_columns(spark, tmp_path):
+    src = str(tmp_path / "docs_in3")
+    spark.createDataFrame(
+        [(1, "a perfectly ordinary document with plenty of words here")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    stream = docs_stream.read_documents_stream(
+        spark, src, "doc_id long, text string"
+    )
+    prepped = docs_stream.prep_documents_stream(stream, "text", min_quality_score=0.0)
+    assert set(prepped.columns) == {"doc_id", "text", "fingerprint"}

@@ -7,6 +7,7 @@ constant-column -> 0.0, percent-of-limit, dont_scale passthrough.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -100,3 +101,62 @@ def test_null_segment_rows_scale_within_their_own_group(spark):
     assert out[(None, 3.0)] == 100.0
     assert out[("a", 10.0)] == 0.0
     assert out[("a", 20.0)] == 100.0
+
+
+def test_limit_scale_zero_and_null_limits_yield_null(spark):
+    """A zero limit (the cgroup 'unlimited' convention) or NULL limit
+    must yield NULL scaled values, not abort the job under ANSI mode's
+    DIVIDE_BY_ZERO (DuckDB's x/0 is NULL too, so oracles agree)."""
+    df = spark.createDataFrame(
+        [
+            ("a", 50.0, 100.0),
+            ("a", 50.0, 0.0),
+            ("a", 50.0, None),
+        ],
+        "seg string, ram_usage double, ram_limit double",
+    )
+    out = scale_segments(df, ["ram_usage"], ["seg"]).toPandas()
+    vals = out.ram_scaled.tolist()
+    assert vals[0] == 50.0
+    assert pd.isna(vals[1]) and pd.isna(vals[2])
+
+
+def test_limit_mapping_skips_prefix_collisions(spark):
+    """Two metrics sharing a prefix: the limit column cannot be
+    attributed to either, so BOTH min-max instead of one silently
+    scaling as percent of the other's capacity."""
+    df = spark.createDataFrame(
+        [
+            ("a", 0.0, 10.0, 100.0),
+            ("a", 50.0, 20.0, 100.0),
+        ],
+        "seg string, net_usage double, net_errors double, net_limit double",
+    )
+    out = scale_segments(
+        df, ["net_usage", "net_errors"], ["seg"]
+    ).toPandas().sort_values("net_usage")
+    # min-max within segment, NOT percent of net_limit
+    assert out.net_usage_scaled.tolist() == [0.0, 100.0]
+    assert out.net_errors_scaled.tolist() == [0.0, 100.0]
+
+
+def test_segment_stats_distinct_ignores_null_tuples(spark):
+    """n_distinct_points must count only the rows drop_null_metrics
+    keeps — a NULL-bearing tuple let viable_segments pass a segment
+    with one usable point."""
+    from clustering_spark.operators.segmentation import (
+        segment_stats,
+        viable_segments,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None, 1.0), ("a", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 2.0)],
+        "seg string, x double, y double",
+    )
+    stats = segment_stats(df, ["seg"], ["x", "y"]).toPandas().set_index("seg")
+    assert stats.loc["a", "n_distinct_points"] == 1
+    assert stats.loc["b", "n_distinct_points"] == 2
+    viable = viable_segments(
+        segment_stats(df, ["seg"], ["x", "y"]), min_distinct=2
+    )
+    assert [r.seg for r in viable.collect()] == ["b"]
