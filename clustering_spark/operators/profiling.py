@@ -17,13 +17,19 @@ from pyspark.sql import functions as F
 def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     """One row per column: (column, n_rows, n_nulls, null_frac,
     approx_distinct, min, max). min/max are stringified so every
-    column type fits one report schema; complex types (arrays,
-    structs, maps, binary) report size-based min/max of their
-    serialized length instead of value order."""
+    column type fits one report schema. Size-based min/max stand in
+    for value order where it doesn't exist: arrays report element
+    count, binary reports byte length; structs and maps report NULL
+    (no cheap one-pass size exists — documented, not a bug).
+
+    Column references are backtick-quoted and internal aliases are
+    INDEX-based: an unquoted ``F.col('cpu.percent')`` parses the dot
+    as nested-field access, breaking the report on flattened-JSON-
+    style headers — the exact corpora this report runs on first."""
     aggs = []
     names = []
-    for f in df.schema.fields:
-        c = F.col(f.name)
+    for i, f in enumerate(df.schema.fields):
+        c = F.col("`" + f.name.replace("`", "``") + "`")
         t = f.dataType.simpleString()
         if t.startswith(("array", "struct", "map")) or t == "binary":
             lo = F.min(F.size(c)) if t.startswith("array") else F.min(F.octet_length(c)) if t == "binary" else F.lit(None)
@@ -33,10 +39,10 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
             lo, hi = F.min(c), F.max(c)
             distinct = F.approx_count_distinct(c, rsd)
         aggs += [
-            F.count(c).alias(f"__nn_{f.name}"),
-            distinct.alias(f"__d_{f.name}"),
-            lo.cast("string").alias(f"__lo_{f.name}"),
-            hi.cast("string").alias(f"__hi_{f.name}"),
+            F.count(c).alias(f"__nn_{i}"),
+            distinct.alias(f"__d_{i}"),
+            lo.cast("string").alias(f"__lo_{i}"),
+            hi.cast("string").alias(f"__hi_{i}"),
         ]
         names.append(f.name)
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
@@ -44,25 +50,25 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     # unpivot the single wide row into one report row per column —
     # driver never sees the data, only the 1-row aggregate result
     cols = []
-    for name in names:
+    for i, name in enumerate(names):
         cols.append(
             F.struct(
                 F.lit(name).alias("column"),
                 F.col("__n").alias("n_rows"),
-                (F.col("__n") - F.col(f"__nn_{name}")).alias("n_nulls"),
+                (F.col("__n") - F.col(f"__nn_{i}")).alias("n_nulls"),
                 F.when(
                     F.col("__n") > 0,
                     F.round(
-                        (F.col("__n") - F.col(f"__nn_{name}"))
+                        (F.col("__n") - F.col(f"__nn_{i}"))
                         / F.col("__n").cast("double"),
                         6,
                     ),
                 )
                 .otherwise(0.0)
                 .alias("null_frac"),
-                F.col(f"__d_{name}").alias("approx_distinct"),
-                F.col(f"__lo_{name}").alias("min"),
-                F.col(f"__hi_{name}").alias("max"),
+                F.col(f"__d_{i}").alias("approx_distinct"),
+                F.col(f"__lo_{i}").alias("min"),
+                F.col(f"__hi_{i}").alias("max"),
             )
         )
     return row.select(F.explode(F.array(*cols)).alias("p")).select("p.*")

@@ -68,20 +68,33 @@ def corpus_report(
     n = F.count(F.lit(1))
     overall = feats.agg(
         n.alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.length(F.col(text_col))).alias("total_chars"),
+        # coalesce: sum over zero rows is NULL — an empty corpus must
+        # report 0 everywhere, not a NULL/0 mix that trips int() in a
+        # card renderer
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+        F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).alias(
+            "total_chars"
+        ),
         F.approx_count_distinct("fingerprint", rsd).alias(
             "approx_distinct_fingerprints"
         ),
+        # greatest(0, ...): HLL at rsd=0.05 can OVERestimate distincts
+        # on a fully-unique corpus, which read as negative duplication
         F.round(
-            F.when(
-                n > 0,
-                1.0
-                - F.approx_count_distinct("fingerprint", rsd) / n.cast("double"),
-            ).otherwise(0.0),
+            F.greatest(
+                F.lit(0.0),
+                F.when(
+                    n > 0,
+                    1.0
+                    - F.approx_count_distinct("fingerprint", rsd)
+                    / n.cast("double"),
+                ).otherwise(0.0),
+            ),
             6,
         ).alias("est_dup_frac"),
-        F.sum((F.col("n_pii_total") > 0).cast("long")).alias("docs_with_pii"),
+        F.coalesce(
+            F.sum((F.col("n_pii_total") > 0).cast("long")), F.lit(0)
+        ).alias("docs_with_pii"),
         F.round(
             F.when(
                 n > 0,

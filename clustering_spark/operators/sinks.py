@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from clustering_spark.config import LIST_SUFFIX
+
 GRID_COLS = ["algorithm", "macro_col", "micro_col", "x_col", "y_col"]
 
 
@@ -82,7 +84,7 @@ def original_documents(
     macro = _nested_docs(results, cluster_fields, micro_col)
     macro_struct = F.struct(
         F.col("macro_id").alias(macro_col),
-        F.col("__micros").alias(f"{micro_col}_List"),
+        F.col("__micros").alias(f"{micro_col}{LIST_SUFFIX}"),
     )
     docs = macro.groupBy(*GRID_COLS).agg(
         F.sort_array(F.collect_list(macro_struct)).alias("__list")

@@ -55,7 +55,13 @@ def get_spark(
     )
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_MASTER" not in os.environ:
+    elif "SPARK_MASTER" in os.environ:
+        # pass the env value THROUGH: Spark does not read SPARK_MASTER
+        # itself for plain-python apps, so treating it as a presence
+        # sentinel left the builder masterless ('A master URL must be
+        # set') outside spark-submit
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

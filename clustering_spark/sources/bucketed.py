@@ -48,5 +48,11 @@ def write_bucketed(
 
 
 def drop_table(spark: SparkSession, table: str) -> None:
-    """Drop the catalog entry (external table: data files remain)."""
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    """Drop the catalog entry (external table: data files remain).
+    Each dot-separated part is backtick-quoted: write_bucketed happily
+    creates names like 'events-2026' through the DataFrameWriter API,
+    which unquoted SQL then fails to parse."""
+    quoted = ".".join(
+        "`" + part.replace("`", "``") + "`" for part in table.split(".")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")

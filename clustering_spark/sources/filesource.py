@@ -41,4 +41,14 @@ def acknowledge(
     if not fs.exists(dest_dir):
         fs.mkdirs(dest_dir)
     dest = jvm.org.apache.hadoop.fs.Path(processed_dir + "/" + p.getName())
+    if fs.exists(dest):
+        # Hadoop rename to an existing destination returns false, which
+        # would leave the input in place FOREVER (every scan re-detects
+        # and reprocesses it). Fixed-name interval files (daily.csv)
+        # collide on every run — uniquify with a timestamp suffix.
+        import time
+
+        dest = jvm.org.apache.hadoop.fs.Path(
+            f"{processed_dir}/{p.getName()}.{int(time.time() * 1000)}"
+        )
     return bool(fs.rename(p, dest))

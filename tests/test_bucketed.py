@@ -48,3 +48,13 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_pair):
     assert (got.va == got.k * 2).all()
     assert (got.vb == got.k * 3).all()
     assert len(got) == 2000
+
+
+def test_drop_table_quotes_non_identifier_names(spark):
+    """write_bucketed creates names like 'events-2026' via the writer
+    API; drop_table must quote them instead of failing to parse."""
+    from clustering_spark.sources.bucketed import drop_table
+
+    # must not raise even though the table does not exist
+    drop_table(spark, "events-2026")
+    drop_table(spark, "some db.wei`rd")

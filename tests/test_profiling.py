@@ -48,3 +48,15 @@ def test_profile_is_single_scan_single_aggregate(spark):
     assert "Join" not in tree
     rows = out.collect()
     assert len(rows) == len(df.columns)
+
+
+def test_profile_table_handles_dotted_column_names(spark):
+    """Flattened-JSON headers like 'cpu.percent' must profile — F.col
+    would parse the dot as nested-field access."""
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, None)], ["cpu.percent", "node.name"]
+    )
+    out = profile_table(df).toPandas().set_index("column")
+    assert set(out.index) == {"cpu.percent", "node.name"}
+    assert out.loc["cpu.percent", "n_nulls"] == 0
+    assert out.loc["node.name", "n_nulls"] == 1

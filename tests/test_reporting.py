@@ -76,3 +76,24 @@ def test_null_text_docs_are_one_dup_class_not_all_dups(spark):
     clean = spark.createDataFrame(rows[:60], "doc_id long, text string")
     o2 = corpus_report(clean)["overall"].collect()[0]
     assert o2.est_dup_frac <= 0.05
+
+
+def test_corpus_report_empty_corpus_all_zero(spark):
+    """Empty corpus: every overall count is 0, never a NULL/0 mix."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rep = corpus_report(empty, "text")
+    row = rep["overall"].collect()[0]
+    assert row.n_docs == 0
+    assert row.total_tokens == 0
+    assert row.total_chars == 0
+    assert row.docs_with_pii == 0
+    assert row.est_dup_frac == 0.0 and row.pii_doc_frac == 0.0
+
+
+def test_est_dup_frac_never_negative(spark):
+    """HLL overestimation on a unique corpus must clamp at 0, not
+    report negative duplication."""
+    rows = [(i, f"unique document number {i} with its own words") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = corpus_report(df, "text")["overall"].collect()[0]
+    assert row.est_dup_frac >= 0.0

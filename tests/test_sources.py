@@ -94,3 +94,22 @@ def test_acknowledge_delete_mode(spark, tmp_path):
     src.write_text("x\n")
     assert acknowledge(spark, str(src))
     assert not source_exists(spark, str(src))
+
+
+def test_acknowledge_move_uniquifies_on_collision(spark, tmp_path):
+    """Two runs consuming a fixed-name interval file: the second move
+    must not fail on the existing processed/daily.csv (Hadoop rename
+    to an existing destination returns false, leaving the input to be
+    reprocessed forever)."""
+    from clustering_spark.sources.filesource import acknowledge, source_exists
+
+    processed = str(tmp_path / "processed")
+    for run in range(2):
+        src = tmp_path / "in" / "daily.csv"
+        src.parent.mkdir(exist_ok=True)
+        src.write_text(f"run {run}\n")
+        assert acknowledge(spark, str(src), processed) is True
+        assert not source_exists(spark, str(src))
+    names = sorted(p.name for p in (tmp_path / "processed").iterdir())
+    assert len(names) == 2 and names[0] == "daily.csv"
+    assert names[1].startswith("daily.csv.")
