@@ -102,11 +102,11 @@ def main() -> None:
         _F.pandas_udf(_echo, "long")(_F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    # every declared headline query MUST exist — a silent skip would
-    # make the headline total overstate coverage
-    unknown = [n for n in HEADLINE if n not in QUERIES]
+    # every declared headline AND gate query MUST exist — a silent
+    # skip would make either total read smaller (faster-looking)
+    unknown = [n for n in [*HEADLINE, *GATE_QUERIES] if n not in QUERIES]
     if unknown:
-        raise KeyError(f"headline queries not in registry: {unknown}")
+        raise KeyError(f"bench queries not in registry: {unknown}")
 
     errors: dict[str, str] = {}
 
@@ -147,15 +147,18 @@ def main() -> None:
     medians, cold, spread, suspects = run_set(HEADLINE, SF_DIR, RUNS)
 
     def sf_of(path):
-        for cand in ("sf0.001", "sf0.01", "sf0.1", "sf1"):
-            if cand in path:
-                return float(cand[2:])
-        return None
+        # parse the sf from the directory NAME (not a substring probe:
+        # 'sf10' substring-matched 'sf1' and recorded the wrong scale,
+        # misattributing wall-clock across data sizes)
+        import re
+
+        m = re.search(r"sf(\d+(?:\.\d+)?)/?$", path)
+        return float(m.group(1)) if m else None
 
     gate: dict[str, object] = {}
     if os.path.isdir(GATE_SF_DIR):
         gm, _gc, gs, gsus = run_set(
-            [n for n in GATE_QUERIES if n in QUERIES],
+            GATE_QUERIES,
             GATE_SF_DIR,
             GATE_RUNS,
             err_prefix="gate:",
@@ -164,11 +167,19 @@ def main() -> None:
             "gate_sf": sf_of(GATE_SF_DIR),
             "gate_queries": gm,
             "gate_spread": gs,
-            "gate_total": round(sum(gm.values()), 3),
+            # same loud-failure rule as the headline value: a gate
+            # query that errored must null the total, not shrink it
+            "gate_total": (
+                None
+                if any(k.startswith("gate:") for k in errors)
+                else round(sum(gm.values()), 3)
+            ),
             "gate_steal_suspect": gsus,
         }
 
-    sf = sf_of(SF_DIR) or 0.1
+    # no 0.1 fallback: an unrecognized dir records sf null (unknown)
+    # rather than claiming the default scale for foreign data
+    sf = sf_of(SF_DIR)
     print(
         json.dumps(
             {
@@ -186,7 +197,11 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": RUNS,
                 "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
+                "cold_total": (
+                    None
+                    if any(not k.startswith("gate:") for k in errors)
+                    else round(sum(cold.values()), 3)
+                ),
                 "queries_spread": spread,
                 "steal_suspect": suspects,
                 "errors": errors,

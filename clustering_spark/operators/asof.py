@@ -46,13 +46,24 @@ def asof_join(
     row. This matches DuckDB/pandas ASOF semantics exactly."""
     from pyspark.sql import Window
 
+    from pyspark.sql.types import StructField, StructType
+
     for c in payload_cols:
         if c in left.columns:
             raise ValueError(f"payload column {c!r} collides with a left column")
 
-    payload_struct_t = "struct<" + ",".join(
-        f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols
-    ) + ">"
+    # a right row with a NULL timestamp matches NOTHING (DuckDB ASOF
+    # semantics): unfiltered, ASC NULLS FIRST would sort it before
+    # every left row and its payload would backfill rows that have no
+    # true match
+    right = right.filter(F.col(ts_col).isNotNull())
+
+    # real StructType from the right schema's fields — a simpleString
+    # round-trip can degrade types (char/varchar) and needs manual
+    # backtick assembly
+    payload_struct_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     lt = left.select(
         *left.columns,
         F.lit(1).alias("__tag"),
@@ -64,7 +75,14 @@ def asof_join(
         F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
         F.lit(0).alias("__tag"),
-        F.struct(*payload_cols).alias("__payload"),
+        # backtick-quoted refs: a bare string in F.struct would parse
+        # a payload name containing '.' as a nested path
+        F.struct(
+            *[
+                F.col("`" + c.replace("`", "``") + "`").alias(c)
+                for c in payload_cols
+            ]
+        ).alias("__payload"),
     )
     unioned = lt.select(rt.columns).unionByName(rt)
 
@@ -77,7 +95,9 @@ def asof_join(
         *[c for c in unioned.columns if c != "__payload"],
         F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
+    # index the struct column, never a dotted F.col path: a payload
+    # name containing '.' would be parsed as deeper nesting
     return filled.filter(F.col("__tag") == 1).select(
         *left.columns,
-        *[F.col(f"__payload.{c}").alias(c) for c in payload_cols],
+        *[F.col("__payload")[c].alias(c) for c in payload_cols],
     )

@@ -127,12 +127,27 @@ def assign_components(
     out_col: str = "component",
 ) -> DataFrame:
     """Every row of ``df`` labelled with its component id; rows whose
-    id appears in no edge are singletons (component = own id)."""
+    id appears in no edge are singletons (component = own id).
+
+    Raises on a name collision with ``out_col`` (e.g. re-labelling a
+    frame that already came through assign_components): silently
+    emitting two 'component' columns would make every downstream
+    reference an AMBIGUOUS_REFERENCE error far from the cause. The
+    join side's (node, comp) columns are renamed internally, so a df
+    already carrying 'node'/'comp' columns is fine."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"df already has a {out_col!r} column — drop or rename it "
+            "before assign_components"
+        )
+    comp = components.select(
+        F.col("node").alias("__cc_node"), F.col("comp").alias("__cc_comp")
+    )
     return (
-        df.join(components, df[id_col] == components.node, "left")
+        df.join(comp, df[id_col] == F.col("__cc_node"), "left")
         .select(
             *df.columns,
-            F.coalesce(F.col("comp"), F.col(id_col)).alias(out_col),
+            F.coalesce(F.col("__cc_comp"), F.col(id_col)).alias(out_col),
         )
     )
 
@@ -149,10 +164,13 @@ def dedup_by_component(
     Singletons survive unconditionally."""
     from pyspark.sql import Window
 
-    labelled = assign_components(df, id_col, components)
-    w = Window.partitionBy("component")
+    # internal label column: df may legitimately already carry a
+    # 'component' column (e.g. the output of assign_components fed
+    # through a gate) — dedup must still work on it unchanged
+    labelled = assign_components(df, id_col, components, out_col="__cc_label")
+    w = Window.partitionBy("__cc_label")
     return (
         labelled.withColumn("__min_present", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("__min_present"))
-        .drop("component", "__min_present")
+        .drop("__cc_label", "__min_present")
     )

@@ -111,14 +111,28 @@ def score_quality(
     output."""
     from pyspark.ml.functions import vector_to_array
 
-    feats = _with_features(df, text_col)
+    # score over a POSITIONALLY-RENAMED copy: the feature builders
+    # REPLACE same-named columns, so a caller column that happens to
+    # share a feature name (e.g. n_tokens computed over a different
+    # text column) would otherwise come back silently recomputed in
+    # the output — violating the exactly-the-caller's-columns contract
+    safe = df.select(
+        *[df[c].alias(f"__orig_{i}") for i, c in enumerate(df.columns)]
+    )
+    feats = _with_features(safe, f"__orig_{df.columns.index(text_col)}")
     scored = model.transform(feats)
     prob = F.round(vector_to_array(F.col("__prob")).getItem(1), 6)
-    # contract: EXACTLY the caller's columns plus out_col — robust to
-    # any future column the feature builders grow, and re-scoring a
+    scored = scored.withColumn(out_col, prob)
+    # contract: EXACTLY the caller's columns plus out_col; re-scoring a
     # frame that already has out_col REPLACES it (no duplicate column)
-    keep = [c for c in df.columns if c != out_col]
-    return scored.withColumn(out_col, prob).select(*keep, out_col)
+    return scored.select(
+        *[
+            F.col(f"__orig_{i}").alias(c)
+            for i, c in enumerate(df.columns)
+            if c != out_col
+        ],
+        out_col,
+    )
 
 
 def filter_by_quality(

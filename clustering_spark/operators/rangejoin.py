@@ -36,6 +36,15 @@ def time_range_join(
     (names must not collide except ``extra_keys``)."""
     if upper_us <= lower_us:
         raise ValueError("upper_us must be > lower_us")
+    for side, name in ((left, "left"), (right, "right")):
+        if "__bucket" in side.columns:
+            # withColumn would silently REPLACE and the final drop
+            # would delete the caller's column — fail fast like
+            # asof_join's collision check
+            raise ValueError(
+                f"{name} frame already has a '__bucket' column — drop "
+                "or rename it before time_range_join"
+            )
     span = upper_us - lower_us
     keys = list(extra_keys or [])
 

@@ -52,3 +52,32 @@ def test_asof_payload_collision_rejected(spark):
     right = spark.createDataFrame([(1, 5, 1.0)], "user_id long, ts long, val double")
     with pytest.raises(ValueError):
         asof_join(left, right, ["user_id"], "ts", ["val"])
+
+
+def test_null_ts_right_rows_match_nothing(spark):
+    """A right row with a NULL timestamp must never backfill a left
+    row (ASC NULLS FIRST sorted it before everything and its payload
+    leaked into rows with no true match)."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, ts timestamp, value double"
+    )
+    out = asof_join(left, right, ["k"], "ts", ["value"]).collect()
+    assert len(out) == 1 and out[0].value is None
+
+
+def test_dotted_payload_column_names(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 11)
+    t1 = dt.datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame([(1, t1)], "k long, ts timestamp")
+    right = (
+        spark.createDataFrame([(1, t0, 5.0)], "k long, ts timestamp, v double")
+        .withColumnRenamed("v", "price.usd")
+    )
+    out = asof_join(left, right, ["k"], "ts", ["price.usd"]).collect()
+    assert out[0]["price.usd"] == 5.0

@@ -702,3 +702,25 @@ def test_band_divisibility_raises_value_error(spark, docs):
             lsh_bands=5,
             dim=1,
         )
+
+
+def test_component_helpers_tolerate_label_collisions(spark):
+    from clustering_spark.operators.graph import (
+        assign_components,
+        connected_components,
+        dedup_by_component,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    comp = connected_components(edges, "id_a", "id_b")
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    labelled = assign_components(docs, "doc_id", comp)
+    # feeding the labelled frame back through dedup must work (it used
+    # to build a SECOND 'component' column -> AMBIGUOUS_REFERENCE)
+    kept = sorted(
+        r.doc_id for r in dedup_by_component(labelled, "doc_id", comp).collect()
+    )
+    assert kept == [1, 3]
+    # explicit re-labelling is a loud error, not a duplicate column
+    with pytest.raises(ValueError, match="component"):
+        assign_components(labelled, "doc_id", comp)

@@ -106,3 +106,12 @@ def test_rescoring_replaces_column(spark, labeled, model):
     a = {r.doc_id: r.quality_prob for r in once.collect()}
     b = {r.doc_id: r.quality_prob for r in twice.collect()}
     assert a == b
+
+
+def test_score_preserves_caller_feature_named_columns(spark, labeled, model):
+    """A caller column named like a model feature (n_tokens computed
+    over ANOTHER text column) must come back untouched."""
+    tagged = labeled.drop("label").withColumn("n_tokens", F.lit(-7))
+    out = score_quality(tagged, model, "text").toPandas()
+    assert (out.n_tokens == -7).all()
+    assert "quality_prob" in out.columns

@@ -52,3 +52,12 @@ def test_range_join_is_equi_join(spark):
     df = time_range_join(left, right, "lts", "rts", 0, 100)
     js = join_strategies(df)
     assert js and "BroadcastNestedLoopJoin" not in js and "CartesianProduct" not in js
+
+
+def test_bucket_column_collision_raises(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 10, 0)], "k long, ts long, __bucket long")
+    right = spark.createDataFrame([(1, 12)], "k long, rts long")
+    with _pytest.raises(ValueError, match="__bucket"):
+        time_range_join(left, right, "ts", "rts", 0, 100, extra_keys=["k"])
