@@ -205,3 +205,31 @@ def test_fingerprint_ignores_boundary_whitespace(spark):
     out = textops.fingerprint(df, "text").toPandas().set_index("id").fingerprint
     assert out[1] == out[2] == out[3]
     assert out[1] != out[4]
+
+
+def test_vertical_tab_whitespace_parity_with_duckdb(spark):
+    """Java \\s includes \\x0B, RE2 \\s does not — the oracles spell
+    whitespace as an explicit class. Pin that a vertical-tab document
+    tokenizes and fingerprints identically in both engines."""
+    import duckdb
+
+    text = "A\x0bB  c\n"
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(
+            F.size(textops.tokens("t")).alias("n"),
+            textops.fingerprint_expr("t").alias("fp"),
+        )
+        .collect()[0]
+    )
+    ws = "[ \\t\\n\\x0b\\f\\r]"
+    duck = duckdb.connect().execute(
+        f"""
+        SELECT len(string_split_regex(
+                 regexp_replace(?, '^{ws}+|{ws}+$', '', 'g'), '{ws}+')) AS n,
+               md5(trim(regexp_replace(lower(?), '{ws}+', ' ', 'g'))) AS fp
+        """,
+        [text, text],
+    ).fetchone()
+    assert row.n == duck[0] == 3
+    assert row.fp == duck[1]
