@@ -149,10 +149,12 @@ def main() -> None:
     def sf_of(path):
         # parse the sf from the directory NAME (not a substring probe:
         # 'sf10' substring-matched 'sf1' and recorded the wrong scale,
-        # misattributing wall-clock across data sizes)
+        # misattributing wall-clock across data sizes); anchored on the
+        # left too, so a dir merely ENDING in an sf-number ('tpchsf1',
+        # 'mysf0.1') is unknown-scale rather than misclaimed
         import re
 
-        m = re.search(r"sf(\d+(?:\.\d+)?)/?$", path)
+        m = re.search(r"(?:^|/)sf(\d+(?:\.\d+)?)/?$", path)
         return float(m.group(1)) if m else None
 
     gate: dict[str, object] = {}

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from clustering_spark.functions.rounding import np_round6_half_up as _round6_half_up
 from clustering_spark.functions.vector import cosine_similarity
 
 # Mersenne prime 2^31-1: universal-hash modulus. xxhash64 values are
@@ -592,8 +593,8 @@ def _dense_bitmap_allpairs(
                     keep = (gi < gj) & (ids_[gi] != ids_[gj])
                     if keep.any():
                         # Spark round() is HALF_UP; np.round is
-                        # half-even — match Spark for positive values
-                        jv = np.floor(jac[ii[keep], jj[keep]] * 1e6 + 0.5) / 1e6
+                        # half-even — match Spark (jaccard is >= 0)
+                        jv = _round6_half_up(jac[ii[keep], jj[keep]])
                         yield pd.DataFrame(
                             {
                                 "id_a": ids_[gi[keep]],
@@ -1126,15 +1127,6 @@ def simhash_pairs(
 
 
 # ------------------------------------------------------------- embedding
-
-
-def _round6_half_up(x: np.ndarray) -> np.ndarray:
-    """round(x, 6) with Spark/DuckDB semantics — HALF_UP, i.e. ties go
-    away from zero. ``np.round`` is banker's half-even, which diverges
-    on exact .5 ties (dyadic values like 0.4140625 -> 414062.5): the
-    oracle would emit ...063 while half-even emits ...062, breaking the
-    value-hash gate. Same correction the bitmap kernel applies inline."""
-    return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
 
 
 def _dense_cosine_allpairs(

@@ -23,6 +23,27 @@ from clustering_spark.config import PREDICTION_COL
 from clustering_spark.functions.entropy import group_entropy
 
 
+def nullsafe_equi_join(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str
+) -> DataFrame:
+    """Equi-join on ``keys`` that treats NULL == NULL as a match: the
+    right side's keys are renamed, joined via ``eqNullSafe`` (still a
+    hashable equi-join for the planner — broadcastable), and the
+    renamed copies dropped. Use instead of ``on=keys`` anywhere a NULL
+    key value is a legitimate group (segment columns throughout this
+    engine), because a name-based join null-rejects and silently drops
+    those rows one stage after a null-safe fit preserved them."""
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__rk_{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__rk_{k}"))
+    return left.join(renamed, on=cond, how=how).drop(
+        *[f"__rk_{k}" for k in keys]
+    )
+
+
 def cluster_summaries(
     labeled: DataFrame,
     segment_cols: list[str],
@@ -57,18 +78,7 @@ def cluster_summaries(
     centers = labeled.groupBy(*keys).agg(*aggs)
 
     def _nullsafe_join(left, right, how):
-        # rename the right side's keys, join on eqNullSafe (still an
-        # equi-join for the planner — hashable, broadcastable), then
-        # drop the renamed copies
-        renamed = right
-        for k in keys:
-            renamed = renamed.withColumnRenamed(k, f"__rk_{k}")
-        cond = F.lit(True)
-        for k in keys:
-            cond = cond & F.col(k).eqNullSafe(F.col(f"__rk_{k}"))
-        return left.join(renamed, on=cond, how=how).drop(
-            *[f"__rk_{k}" for k in keys]
-        )
+        return nullsafe_equi_join(left, right, keys, how)
 
     joined = _nullsafe_join(
         labeled.select(*keys, *feature_cols), F.broadcast(centers), "inner"

@@ -249,6 +249,14 @@ def _pil_meta(b: bytes) -> tuple[int, int, float]:
 
     img = Image.open(io.BytesIO(b))
     w, h = img.size
+    if img.mode not in ("L", "LA", "RGB", "RGBA"):
+        # palette ('P'), bilevel ('1'), 16/32-bit ('I;16'/'I'), CMYK,
+        # ...: normalize to 8-bit intensity channels FIRST — asarray on
+        # a palette image yields raw palette INDICES and on 16-bit
+        # images 0-65535 values, so the mean would be a plausible but
+        # wrong statistic instead of an 8-bit intensity like _png_meta
+        has_alpha = "A" in img.mode or "transparency" in img.info
+        img = img.convert("RGBA" if has_alpha else "RGB")
     arr = np.asarray(img, dtype=np.float64)
     if arr.ndim == 3 and arr.shape[2] in (2, 4):
         arr = arr[:, :, :-1]  # drop alpha, like _png_meta

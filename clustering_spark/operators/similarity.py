@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clustering_spark.functions.rounding import spark_round6_exact
 from clustering_spark.functions.vector import cosine_similarity
 from clustering_spark.operators.clustering import kmeans_fit
 
@@ -47,24 +48,9 @@ def cosine_topk(
     )
 
 
-def _spark_round6(x: float) -> float:
-    """EXACT emulation of Spark's ``round(double, 6)``: Spark goes
-    through ``BigDecimal.valueOf`` — the double's SHORTEST-repr decimal
-    string — then HALF_UP. A float-arithmetic emulation
-    (floor(x*1e6+0.5)) disagrees on shortest-repr boundary values:
-    0.1260295 rounds to 0.126030 in Spark but 0.126029 under the
-    float form (x*1e6 lands just below the .5 boundary). Python's
-    ``repr`` implements the same shortest-round-trip rule as Java's
-    ``Double.toString``, so Decimal(repr(x)) sees the identical
-    decimal value Spark rounds. Called only on bounded candidate sets
-    (per-query partial top-k), never on full score matrices."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(
-        Decimal(repr(float(x))).quantize(
-            Decimal("0.000001"), rounding=ROUND_HALF_UP
-        )
-    )
+# EXACT Spark round(double, 6) emulation — see functions/rounding.py
+# for when this variant (vs the float-arithmetic forms) is required
+_spark_round6 = spark_round6_exact
 
 
 def knn_join(

@@ -471,11 +471,16 @@ def strip_html(text: Column | str) -> Column:
     codegen into the same stage):
     1. HTML comments dropped FIRST — a commented-out ``<script src=x>``
        (no closing tag) must not trigger pass 2's drop-to-end-of-
-       document and swallow the prose after the comment;
+       document and swallow the prose after the comment. The match is
+       TEMPERED (may not cross a ``</script>``-family close tag) so a
+       live script body containing an unmatched ``<!--`` cannot pair
+       with a later comment's ``-->`` and delete its own close tag;
     2. ``<script>``/``<style>``/``<noscript>``/``<template>`` dropped
        WITH their payload (case-insensitive, dot-matches-newline);
        an unclosed tag drops to end-of-document — for training data,
-       losing prose beats keeping JavaScript;
+       losing prose beats keeping JavaScript; then a second, PLAIN
+       comment pass drops comment shells the tempered pass refused
+       (those that wrapped a complete script element);
     3. block-level tags (p, br, div, li, ul/ol, h1-6, tr, table,
        blockquote, section, article) become newlines so paragraph
        structure survives for the line-level stages
@@ -490,10 +495,24 @@ def strip_html(text: Column | str) -> Column:
        2 (paragraph break), result trimmed.
     """
     t = F.col(text) if isinstance(text, str) else text
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # TEMPERED comment pass: a comment match may not cross a live
+    # </script>/</style> close tag — otherwise a script body containing
+    # an unmatched "<!--" (the legacy hiding idiom, document.write)
+    # would pair with a LATER real comment's "-->", eat the close tag,
+    # and turn pass 2 into a drop-to-end-of-document
+    t = F.regexp_replace(
+        t,
+        r"(?is)<!--(?:(?!</(?:script|style|noscript|template)\b).)*?-->",
+        " ",
+    )
     t = F.regexp_replace(
         t, r"(?is)<(script|style|noscript|template)\b.*?(</\1\s*>|$)", " "
     )
+    # second, PLAIN comment pass: a comment that contained a complete
+    # <script>...</script> was (correctly) refused by the tempered pass;
+    # with the script payload now gone, drop the comment shell + any
+    # remaining commented prose so it can't leak into the text
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(
         t,
         r"(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\b[^>]*>",

@@ -23,6 +23,7 @@ from clustering_spark.operators.clustering import SegmentedClusterer
 from clustering_spark.operators.metrics import (
     cluster_summaries,
     d3_normalize,
+    nullsafe_equi_join,
     segment_entropy,
 )
 from clustering_spark.operators.segmentation import drop_null_metrics
@@ -106,10 +107,15 @@ def cluster_segments(
         # parity mode keeps the labeled-rows path: MLlib fit + relational
         # metrics block (metrics.py), matching reference numerics.
         labeled = clusterer.fit_predict(narrowed)
-        summaries = cluster_summaries(labeled, segment_cols, feat_cols).join(
+        # null-safe on the segment keys: fit_predict and
+        # cluster_summaries both preserve NULL-segment groups, so a
+        # name-based on=segment_cols join here would hand exactly those
+        # clusters a NULL entropy while scale mode emits the real value
+        summaries = nullsafe_equi_join(
+            cluster_summaries(labeled, segment_cols, feat_cols),
             F.broadcast(segment_entropy(labeled, segment_cols)),
-            on=segment_cols,
-            how="left",
+            list(segment_cols),
+            "left",
         )
 
     if algorithms is None:

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from clustering_spark.functions.rounding import round6_half_up
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -139,25 +141,22 @@ def stateful_user_stats(
         ]
     )
 
-    def _round6(x: float) -> float:
-        # HALF_UP (ties away from zero) like Spark/DuckDB round();
-        # Python round() is banker's half-even and diverges on dyadic
-        # .5 ties — the same gate-breaking class dedup._round6_half_up
-        # fixes in the numpy kernels
-        import math
+    # HALF_UP (ties away from zero) like Spark/DuckDB round(); the
+    # shared scalar form — see functions/rounding.py for variant choice
+    _round6 = round6_half_up
 
-        return (
-            math.floor(x * 1e6 + 0.5) / 1e6
-            if x >= 0
-            else math.ceil(x * 1e6 - 0.5) / 1e6
-        )
+    # UNSET sentinel for "user seen only via NULL-ts rows": LONG_MIN,
+    # not 0, so the earliest observable timestamp (epoch + 1 us — rows
+    # at/below the initial watermark 0 are dropped by Spark's late-row
+    # filter before reaching this operator; measured in
+    # test_stateful_user_stats_epoch_adjacent_ts_is_not_null) and the
+    # whole pre-1970 range stay distinct from "unset", while the batch
+    # oracle's max-over-all-NULLs stays NULL
+    _unset_us = -(2**63)
 
     def _last_seen(last_us: int):
-        # last_us == 0 is the UNSET sentinel (user seen only via
-        # NULL-ts rows): emit NULL like the batch oracle's
-        # max-over-all-NULLs, never a bogus 1970-01-01 timestamp
         # pd.NaT (not None) keeps the column datetime64-typed for Arrow
-        return pd.Timestamp(last_us, unit="us") if last_us > 0 else pd.NaT
+        return pd.Timestamp(last_us, unit="us") if last_us != _unset_us else pd.NaT
 
     def update(key, pdf_iter, state):
         user_id = key[0]
@@ -174,7 +173,7 @@ def stateful_user_stats(
                 }
             )
             return
-        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        n, total, last_us = state.get if state.exists else (0, 0.0, _unset_us)
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf["value"].sum())

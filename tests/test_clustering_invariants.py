@@ -194,6 +194,38 @@ def test_parity_mode_matches_scale_mode_shape(spark):
             assert grp.prediction.nunique() == 3
 
 
+def test_parity_mode_null_segment_gets_entropy(spark):
+    # A NULL micro-segment is a real group all the way through the
+    # parity path: fit_predict and cluster_summaries preserve it
+    # null-safely, so the entropy join-back must too — a name-based
+    # on=segment_cols join would hand exactly those clusters a NULL
+    # entropy while scale mode emits the real value.
+    from clustering_spark.config import PipelineConfig
+    from clustering_spark.pipeline import cluster_segments
+
+    rows = []
+    for micro in ("m1", None):
+        for i in range(12):
+            rows.append(("c1", micro, float(i % 4) * 10.0, float(i // 4) * 10.0))
+    df = spark.createDataFrame(
+        rows, "macro string, micro string, x double, y double"
+    )
+    out = cluster_segments(
+        df, "macro", "micro", "x", "y",
+        config=PipelineConfig(fit_mode="parity"), k=2,
+    ).toPandas()
+    null_seg = out[out.micro_id.isna()]
+    assert len(null_seg) > 0
+    assert null_seg.entropy.notna().all()
+    # a REAL value, not a placeholder: k=2 over 12 distinct grid points
+    # always yields two non-empty clusters, so 0 < H <= log2(2). (No
+    # cross-segment equality pin — the seed search may pick different
+    # splits per segment even on identical geometry.)
+    assert 0.0 < null_seg.entropy.iloc[0] <= 1.0 + 1e-9
+    named = out[out.micro_id == "m1"]
+    assert 0.0 < named.entropy.iloc[0] <= 1.0 + 1e-9
+
+
 def test_parity_mode_clamps_cached_k(spark):
     # 3 distinct points with cached k=5: parity must clamp k to
     # [2, n_distinct] exactly like scale mode instead of handing

@@ -377,3 +377,38 @@ def test_frame_sampling_drops_truncated_tail(spark):
     )
     frames = mm.sample_frames(df, "vid", "id", every_n=1).toPandas()
     assert frames.frame_idx.tolist() == [0, 1]
+
+
+def test_pil_meta_normalizes_palette_mode(monkeypatch):
+    """_pil_meta must convert palette/16-bit modes to 8-bit channels
+    before averaging — np.asarray on a mode-'P' image yields raw
+    palette INDICES, so a white palette image would otherwise report
+    mean_intensity ~0 (plausible but silently wrong)."""
+    import numpy as np
+
+    class _Converted:
+        def __array__(self, dtype=None, copy=None):
+            # the palette maps every index to white
+            return np.full((2, 2, 3), 255.0)
+
+    class _PaletteImg:
+        mode = "P"
+        size = (2, 2)
+        info: dict = {}
+
+        def convert(self, target):
+            assert target == "RGB"
+            return _Converted()
+
+        def __array__(self, dtype=None, copy=None):
+            return np.zeros((2, 2))  # raw palette indices
+
+    class _FakeImage:
+        @staticmethod
+        def open(_buf):
+            return _PaletteImg()
+
+    monkeypatch.setattr(mm, "Image", _FakeImage, raising=False)
+    w, h, mean = mm._pil_meta(b"\x00fake")
+    assert (w, h) == (2, 2)
+    assert mean == 255.0  # 8-bit intensities, not palette indices

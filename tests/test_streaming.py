@@ -369,3 +369,41 @@ def test_stateful_user_stats_null_ts_user_last_seen_null(spark, tmp_path):
     u8 = got[got.user_id == 8]
     assert len(u8) > 0
     assert u8.last_seen.notna().all()
+
+
+def test_stateful_user_stats_epoch_adjacent_ts_is_not_null(spark, tmp_path):
+    """An event just after 1970-01-01T00:00:00 is a legitimate
+    timestamp: the unset-state sentinel must not conflate it with
+    'only NULL timestamps seen' and emit last_seen = NULL.
+
+    Why epoch + 1 microsecond and not epoch 0 exactly: Spark's
+    stateful-operator late-row filter drops rows with ts <= the
+    current watermark, and the watermark starts at 0 — measured here,
+    an event at exactly epoch 0 never reaches applyInPandasWithState
+    at all (engine semantics, not ours). +1 us is the earliest
+    timestamp that can ever be observed, so it is the boundary the
+    sentinel must keep distinct from NULL."""
+    import datetime as dt
+
+    from clustering_spark.streaming import stateful_user_stats
+
+    data_dir = str(tmp_path / "epoch0")
+    rows = [
+        (1, 7, "click", dt.datetime(1970, 1, 1, 0, 0, 0, 1), 1.5),
+        (2, 8, "view", dt.datetime(2024, 1, 1, 12, 0, 0), 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    ).write.mode("overwrite").parquet(data_dir)
+    stream = read_events_stream(spark, data_dir)
+    stats = stateful_user_stats(stream, ts_col="ts", watermark="2 hours")
+    run_stream_to_memory(
+        stats, "epoch0_stats", str(tmp_path / "ckpt"), output_mode="update"
+    )
+    got = spark.table("epoch0_stats").toPandas()
+    u7 = got[got.user_id == 7]
+    assert len(u7) > 0
+    assert u7.last_seen.notna().all()
+    assert (u7.last_seen == dt.datetime(1970, 1, 1, 0, 0, 0, 1)).all()

@@ -548,6 +548,47 @@ class TestStripHtmlRound7Fixes:
         )
         assert got == "Article text"
 
+    def test_live_script_with_unmatched_comment_open_keeps_prose(self, spark):
+        # the mirror case: a LIVE script whose body contains an
+        # unmatched "<!--" (document.write / legacy hiding idiom) with
+        # a real comment later in the document — the tempered comment
+        # pass must not pair them, eat </script>, and turn the script
+        # pass into a drop-to-end that swallows the prose between
+        (got,) = self._strip(
+            spark,
+            [
+                '<script>document.write("<!--")</script>'
+                "<p>keep me</p><!-- real comment --><p>and me</p>"
+            ],
+        )
+        lines = [l for l in got.split("\n") if l]
+        assert lines == ["keep me", "and me"]
+
+    def test_comment_wrapping_complete_script_fully_dropped(self, spark):
+        # a comment containing a complete <script>...</script>: the
+        # tempered pass refuses it (it would cross the close tag), the
+        # script pass removes the payload, and the second plain comment
+        # pass must drop the remaining shell including commented prose
+        (got,) = self._strip(
+            spark,
+            [
+                "<p>before</p><!-- old version: "
+                "<script>var a = 1 > 0;</script> disabled -->"
+                "<p>after</p>"
+            ],
+        )
+        lines = [l for l in got.split("\n") if l]
+        assert lines == ["before", "after"]
+
+    def test_legacy_script_hiding_idiom(self, spark):
+        # <script><!-- code //--></script>: both markers INSIDE the
+        # script; the script (and its comment-wrapped body) must vanish
+        (got,) = self._strip(
+            spark,
+            ["<script><!-- alert(1) //--></script><p>prose</p>"],
+        )
+        assert got == "prose"
+
 
 def test_domain_blocklist_trailing_dot_no_escape(spark):
     # 'ads.evil.com.' is the same FQDN as 'ads.evil.com' in DNS — a
