@@ -161,7 +161,14 @@ def dedup_by_component(
     min doc was filtered out between pair generation and dedup (a
     quality/length gate in the middle of the chain), the next-smallest
     member survives instead of the whole component silently vanishing.
-    Singletons survive unconditionally."""
+    Singletons survive unconditionally — including NULL-id rows: a
+    NULL id can never appear in an edge (pair generators hash/compare
+    non-null ids), so such rows are provably not duplicates of
+    anything and pass through. (Without the explicit isNull branch
+    they would be dropped silently: all NULL-id rows share the one
+    NULL label, min() over that group is NULL, and NULL == NULL is
+    NULL under SQL semantics — filtered, i.e. data loss one operator
+    after every upstream guard deliberately preserved them.)"""
     from pyspark.sql import Window
 
     # internal label column: df may legitimately already carry a
@@ -171,6 +178,9 @@ def dedup_by_component(
     w = Window.partitionBy("__cc_label")
     return (
         labelled.withColumn("__min_present", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("__min_present"))
+        .filter(
+            F.col(id_col).isNull()
+            | (F.col(id_col) == F.col("__min_present"))
+        )
         .drop("__cc_label", "__min_present")
     )

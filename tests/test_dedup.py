@@ -724,3 +724,24 @@ def test_component_helpers_tolerate_label_collisions(spark):
     # explicit re-labelling is a loud error, not a duplicate column
     with pytest.raises(ValueError, match="component"):
         assign_components(labelled, "doc_id", comp)
+
+
+def test_dedup_by_component_keeps_null_id_rows(spark):
+    """NULL-id rows can never appear in an edge, so they are provably
+    not duplicates of anything — dedup must pass them through, not
+    silently drop them (NULL label + NULL min + SQL NULL-equality did
+    exactly that before the isNull branch)."""
+    from clustering_spark.operators.graph import (
+        connected_components,
+        dedup_by_component,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    comp = connected_components(edges)
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,), (7,)], "doc_id long"
+    )
+    kept = [r.doc_id for r in dedup_by_component(df, "doc_id", comp).collect()]
+    # survivor of {1,2}, singleton 7, and BOTH NULL-id rows
+    assert sorted(x for x in kept if x is not None) == [1, 7]
+    assert sum(1 for x in kept if x is None) == 2
