@@ -36,6 +36,15 @@ def np_round6_half_up(x: np.ndarray) -> np.ndarray:
     return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
 
 
+def np_round_half_up_int(x: np.ndarray) -> np.ndarray:
+    """round-to-INTEGER with Spark semantics (HALF_UP, ties away from
+    zero) — the integer-precision sibling of :func:`np_round6_half_up`.
+    For quantization kernels that must match a Spark-side ``F.round``
+    (e.g. int8 SQ8: query and corpus must share one tie rule, or
+    scores near the candidate cut are asymmetrically biased)."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
 def round6_half_up(x: float) -> float:
     """Scalar form of :func:`np_round6_half_up` (HALF_UP, ties away
     from zero); Python's ``round()`` is banker's half-even and

@@ -43,19 +43,31 @@ _P = 2_147_483_647
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep the min-id row per exact content group (hash-groupBy).
 
-    Dedup key = md5 over an UNAMBIGUOUS encoding of the content columns:
-    unit-separator (0x1f) delimited, NULLs mapped to a 0x00 sentinel —
-    so ('ab','c') != ('a','bc') and ('a', NULL) != ('a', ''):
-    concat_ws silently drops NULL args, so without the sentinel a NULL
-    column would collide with an empty one. The shuffle carries only
-    (hash, id). Returns surviving ids + group size.
+    Dedup key = md5 over an INJECTIVE length-prefixed encoding of the
+    content columns: each field becomes ``<char_length>:<value>``
+    (NULL becomes ``-1:``), concatenated. Decoding is unambiguous —
+    read digits to the ':', then exactly that many characters — for
+    ANY content bytes, so ('ab','c') != ('a','bc'), ('a', NULL) !=
+    ('a', '') — and, unlike the previous 0x1f-delimited / 0x00-NULL-
+    sentinel form, content that itself CONTAINS the delimiter or
+    sentinel cannot be forged into a collision: ('x\\x1f', 'y') vs
+    ('x', '\\x1fy') used to encode identically and silently drop the
+    higher-id row, and a literal '\\x00' string merged with NULL —
+    real hazards for crawled text, which carries control bytes. The
+    shuffle carries only (hash, id). Returns surviving ids + group
+    size.
     """
-    key = F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols],
+    parts = []
+    for c in content_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.concat(
+                F.coalesce(F.length(s).cast("string"), F.lit("-1")),
+                F.lit(":"),
+                F.coalesce(s, F.lit("")),
+            )
         )
-    )
+    key = F.md5(F.concat(*parts))
     groups = (
         df.select(key.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
@@ -113,6 +125,25 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
         ),
     ).otherwise(F.array(norm))
     return F.array_distinct(grams)
+
+
+def exact_jaccard(sh_a: Column | str, sh_b: Column | str) -> Column:
+    """Exact Jaccard of two DISTINCT-element shingle arrays:
+    |A∩B| / (|A| + |B| - |A∩B|), with the two-empty-sets convention
+    J(∅, ∅) = 1.0 (two empty docs are identical, matching the numpy
+    dense kernel's union > 0 rule and the DuckDB oracles).
+
+    THE one definition of the verify expression — minhash_lsh_pairs,
+    novel_minhash and the ngram sparse path all call this instead of
+    carrying private copies, so a future change to the empty-set rule
+    or rounding cannot drift the operators apart (the same
+    three-copies-drifted failure class functions/rounding.py was
+    created to close)."""
+    a = F.col(sh_a) if isinstance(sh_a, str) else sh_a
+    b = F.col(sh_b) if isinstance(sh_b, str) else sh_b
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
 def _word_shingles_arrow(n: int = 3):
@@ -363,9 +394,7 @@ def minhash_lsh_pairs(
     hashed = base.select("__id", "__sh")
     fa = hashed.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     fb = hashed.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    jac = exact_jaccard("sh_a", "sh_b")
     return (
         cands.join(fa, on="id_a")
         .join(fb, on="id_b")
@@ -469,9 +498,7 @@ def novel_minhash(
     )
     fa = base_new.select(F.col("__id").alias("id_new"), F.col("__sh").alias("sh_a"))
     fb = base_corp.select(F.col("__id").alias("id_corp"), F.col("__sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    jac = exact_jaccard("sh_a", "sh_b")
     hits = (
         cands.join(fa, on="id_new")
         .join(fb, on="id_corp")
@@ -767,8 +794,27 @@ def ngram_jaccard_pairs(
     # cheaper through the shuffle than the n-char string, and a
     # 64-bit collision can only ADD a candidate pair, which exact
     # verification then rejects — lossless.
+    #
+    # Every ceil below goes through _ceil_bound: ceil(t*n) computed in
+    # FLOAT overshoots the true rational ceiling when the product is
+    # mathematically integral but rounds up in binary (0.55*100 =
+    # 55.000000000000007 -> ceil 56), silently DROPPING qualifying
+    # pairs (|s|=55 satisfies 55 >= 0.55*100) — a lossless-contract
+    # violation at any threshold whose product can land on an integer
+    # (t=0.5 was safe only because it is exactly representable). The
+    # 1e-6 epsilon can only RELAX a bound by 1 in the boundary case
+    # (float error is |t*n|*2^-52, orders of magnitude below 1e-6 for
+    # any real shingle count), and a relaxed filter only ADMITS extra
+    # candidates for the exact verify to reject — lossless either way.
+    def _ceil_bound(x):
+        return F.ceil(x - F.lit(1e-6))
+
     w = Window.partitionBy("__id").orderBy("__df", "shingle")
-    prefix_len = F.col("__n") - F.ceil(F.lit(jaccard_threshold) * F.col("__n")) + 1
+    prefix_len = (
+        F.col("__n")
+        - _ceil_bound(F.lit(jaccard_threshold) * F.col("__n"))
+        + 1
+    )
     prefix = (
         sh.join(docfreq, on="shingle")
         .withColumn("__rn", F.row_number().over(w))
@@ -789,7 +835,7 @@ def ngram_jaccard_pairs(
     # Orientation (n, id) lexicographic makes each unordered pair
     # join exactly once with the short prefix on the smaller doc.
     t = jaccard_threshold
-    short_len = F.col("__n") - F.ceil(
+    short_len = F.col("__n") - _ceil_bound(
         F.lit(2.0 * t / (1.0 + t)) * F.col("__n")
     ) + 1
     ps = prefix.filter(F.col("__rn") <= short_len).select(
@@ -808,7 +854,7 @@ def ngram_jaccard_pairs(
     # bounds the best possible overlap by min(|A|-i, |B|-j) + 1, which
     # must reach ceil(t/(1+t) * (|A|+|B|)) for J >= t — kills most
     # false candidates before the expensive distinct+verify. Lossless.
-    min_overlap = F.ceil(
+    min_overlap = _ceil_bound(
         F.lit(t / (1.0 + t)) * (F.col("__n_s") + F.col("__n_l"))
     )
     best_possible = (
@@ -821,7 +867,7 @@ def ngram_jaccard_pairs(
         (F.col("__n_s") == F.col("__n_l")) & (F.col("id_s") < F.col("id_l"))
     )
     # size filter: J >= t forces |small| >= t*|large|
-    size_ok = F.col("__n_s") >= F.ceil(F.lit(t) * F.col("__n_l"))
+    size_ok = F.col("__n_s") >= _ceil_bound(F.lit(t) * F.col("__n_l"))
     cands = (
         ps.join(pl, on="__sid")
         .filter(smaller_first & size_ok)
@@ -895,13 +941,9 @@ def ngram_jaccard_pairs(
         )
         fa = hashed.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
         fb = hashed.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
         verified = cands.join(fa, on="id_a").join(fb, on="id_b")
     return (
-        verified.withColumn(
-            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(1.0))
-        )
+        verified.withColumn("jaccard", exact_jaccard("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -987,19 +1029,31 @@ def _bit_vote_sums(text: Column | str, shingle_words: int = 2) -> Column:
 
 
 def _sig_from_votes(votes: Column | str) -> Column:
-    """Pack the 64 vote sums into one signed long signature. Reference
-    ``votes`` through a named column (two-step select) so the vote
-    aggregation is evaluated once, not 64×."""
+    """Pack the 64 vote sums into one signed long signature with a
+    SINGLE evaluation of ``votes``: the vote array enters the plan
+    once, as the zip_with input, and the per-bit weights ride a
+    literal array. (The previous 64×-element_at form inlined a fresh
+    copy of the whole vote-aggregate subtree per bit when handed an
+    unnamed expression — the HOF-lambda re-evaluation pathology — so
+    every public simhash64() caller paid up to 64 re-runs of the
+    shingle+hash+vote pass; zip_with makes the helper safe for any
+    input, named or not.)
+
+    Bit 63 of a signed long cannot be ``F.lit(1 << 63)`` (overflows
+    the JVM long); adding LONG_MIN sets exactly that bit, and since
+    each weight touches a distinct bit, SUM == OR — numerically
+    identical to the shiftleft/bitwiseOR form."""
     votes = F.col(votes) if isinstance(votes, str) else votes
-    sig = F.lit(0).cast("long")
-    for j in range(64):
-        bit = (
-            F.when(F.element_at(votes, j + 1) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        sig = sig.bitwiseOR(F.shiftleft(bit, j))
-    return sig
+    weights = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(63)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
+    terms = F.zip_with(
+        votes,
+        weights,
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def _hamming_chunks(max_hamming: int) -> list[tuple[int, int, int]]:
@@ -1045,9 +1099,17 @@ def hamming_pair_search(sigs: DataFrame, max_hamming: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("sig"), shift)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk_val"),
+                        # width 64 (only at max_hamming=0: one chunk =
+                        # the whole signature) skips the mask — the
+                        # mask is a no-op there and F.lit((1<<64)-1)
+                        # overflows the JVM long, crashing the exact-
+                        # duplicate search before any job runs
+                        (
+                            F.col("sig")
+                            if width == 64
+                            else F.shiftright(F.col("sig"), shift)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                        ).alias("chunk_val"),
                     )
                     # shift amounts must be Python ints — build the
                     # chunk structs in a Python loop, not F.transform
@@ -1165,34 +1227,54 @@ def _dense_cosine_allpairs(
     bc = spark.sparkContext.broadcast((ids, X, norms))
     n = len(ids)
     blk = 512
+    nblocks = (n + blk - 1) // blk
 
     def gen(pdf_iter):
         ids_, X_, norms_ = bc.value
-        for pdf in pdf_iter:
-            for s in pdf["s"]:
-                i0 = int(s)
-                i1 = min(i0 + blk, n)
-                C = (X_[i0:i1] @ X_.T) / np.outer(norms_[i0:i1], norms_)
-                C = _round6_half_up(C)
-                ii, jj = np.nonzero(C >= threshold)
-                gi = ii + i0
-                keep = jj > gi  # strict upper triangle: each pair once
-                gi, jj = gi[keep], jj[keep]
-                a, b = ids_[gi], ids_[jj]
-                lo = np.minimum(a, b)  # emit with id_a < id_b by value
-                hi = np.maximum(a, b)
-                cv = C[ii[keep], jj]
-                # duplicate __id values can collapse a distinct-index
-                # pair into a self-pair after min/max normalization —
-                # the cross-join form's id_a < id_b excluded those
-                ne = lo != hi
-                yield pd.DataFrame(
-                    {"id_a": lo[ne], "id_b": hi[ne], "cosine": cv[ne]}
-                )
 
-    starts = spark.createDataFrame(
-        [(i,) for i in range(0, n, blk)], "s long"
-    ).repartition(max(1, (n + blk - 1) // blk))
+        def score_block(b):
+            i0 = b * blk
+            i1 = min(i0 + blk, n)
+            # TRIANGLE GEMM: score only columns j >= i0 — the pair
+            # (p, q) with p < q is owned by p's block, so the previous
+            # full-rectangle X[i0:i1] @ X.T computed ~2x the needed
+            # FLOPs and threw the j < i0 half away in the keep mask
+            # (the sibling _dense_bitmap_allpairs always had this loop
+            # shape). Local column index jj is offset by i0.
+            C = (X_[i0:i1] @ X_[i0:].T) / np.outer(
+                norms_[i0:i1], norms_[i0:]
+            )
+            C = _round6_half_up(C)
+            ii, jj = np.nonzero(C >= threshold)
+            gi = ii + i0
+            gj = jj + i0
+            keep = gj > gi  # strict upper triangle: each pair once
+            gi, gj = gi[keep], gj[keep]
+            a, b2 = ids_[gi], ids_[gj]
+            lo = np.minimum(a, b2)  # emit with id_a < id_b by value
+            hi = np.maximum(a, b2)
+            cv = C[ii[keep], jj[keep]]
+            # duplicate __id values can collapse a distinct-index
+            # pair into a self-pair after min/max normalization —
+            # the cross-join form's id_a < id_b excluded those
+            ne = lo != hi
+            yield pd.DataFrame(
+                {"id_a": lo[ne], "id_b": hi[ne], "cosine": cv[ne]}
+            )
+
+        for pdf in pdf_iter:
+            for s in pdf["k"]:
+                k = int(s)
+                # mirror pairing (same balance trick as the bitmap
+                # kernel): block b scores n - b*blk columns, so task k
+                # owns blocks {k, nblocks-1-k} whose work sums ~const
+                for b in sorted({k, nblocks - 1 - k}):
+                    yield from score_block(b)
+
+    tasks = [(k,) for k in range((nblocks + 1) // 2)]
+    starts = spark.createDataFrame(tasks, "k long").repartition(
+        max(1, len(tasks))
+    )
     return starts.mapInPandas(gen, out_schema)
 
 

@@ -22,7 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clustering_spark.functions.rounding import spark_round6_exact
+from clustering_spark.functions.rounding import (
+    np_round_half_up_int,
+    spark_round6_exact,
+)
 from clustering_spark.functions.vector import cosine_similarity
 from clustering_spark.operators.clustering import kmeans_fit
 
@@ -34,16 +37,25 @@ def cosine_topk(
     id_col: str,
     k: int = 10,
 ) -> DataFrame:
-    """Top-k rows by cosine similarity to one query vector."""
+    """Top-k rows by cosine similarity to one query vector.
+
+    Corpus rows with NON-FINITE components (NaN/inf) score NULL and
+    rank last: Spark orders NaN GREATEST, so an unguarded desc sort
+    would put a garbage vector at rank 1, evicting a true neighbor —
+    the same failure knn_join guards against (its kernel maps
+    non-finite scores to NULL); IVFIndex.search and
+    topk_quantized_rerank delegate here, so they inherit the guard.
+    A finite cosine is in [-1, 1] (+rounding slack), which is the
+    cheapest complete non-finite test — it catches NaN and ±inf in
+    one predicate without a second O(dim) scan of the vector."""
     q = F.array(*[F.lit(float(x)) for x in query])
+    raw = F.round(
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q), 6
+    )
+    guarded = F.when(raw.between(-1.000001, 1.000001), raw)  # else NULL
     return (
-        df.select(
-            F.col(id_col),
-            F.round(
-                cosine_similarity(F.col(vec_col).cast("array<double>"), q), 6
-            ).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        df.select(F.col(id_col), guarded.alias("cosine"))
+        .orderBy(F.col("cosine").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )
 
@@ -294,7 +306,11 @@ def topk_quantized_rerank(
     qn = float(np.linalg.norm(qv))
     if qn == 0.0:
         raise ValueError("topk_quantized_rerank: zero-norm query")
-    qq = np.round(qv * 127.0 / qn).astype(np.int32)
+    # HALF_UP like the corpus side's F.round (quantize_embeddings):
+    # np.round is banker's half-even, so a component on an exact .5
+    # boundary would quantize differently in query vs corpus and bias
+    # approximate scores near the k*rerank_factor cut
+    qq = np_round_half_up_int(qv * 127.0 / qn).astype(np.int32)
     qqn = float(np.linalg.norm(qq))
 
     @F.pandas_udf("double")

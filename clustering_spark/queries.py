@@ -1354,7 +1354,8 @@ def q_dedup_exact(spark, sf_dir):
 
 
 SQL_DEDUP_EXACT = """
-SELECT md5(coalesce(CAST(text AS VARCHAR), chr(0))) AS content_hash,
+SELECT md5(CASE WHEN text IS NULL THEN '-1:'
+                ELSE length(text)::VARCHAR || ':' || text END) AS content_hash,
        min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
@@ -1564,8 +1565,8 @@ GROUP BY 2, 3
 
 def q_neardup_components(spark, sf_dir):
     """Near-dup GROUPS, not just pairs: the exact ngram-Jaccard pairs
-    are the edges of an undirected graph; iterative hash-min label
-    propagation (operators/graph.py) finds each doc's connected
+    are the edges of an undirected graph; alternating large-star/
+    small-star rounds (operators/graph.py) find each doc's connected
     component (= min member id); docs in no pair are singletons. The
     classic LLM-corpus dedup stage: keep one doc per component."""
     from clustering_spark.operators.graph import (

@@ -745,3 +745,89 @@ def test_dedup_by_component_keeps_null_id_rows(spark):
     # survivor of {1,2}, singleton 7, and BOTH NULL-id rows
     assert sorted(x for x in kept if x is not None) == [1, 7]
     assert sum(1 for x in kept if x is None) == 2
+
+
+# ----------------------------------------- round-7 batch-14 review pins
+
+
+def test_ngram_prefix_filters_lossless_at_float_boundary(spark):
+    """ceil(t*n) computed in FLOAT overshoots the true rational
+    ceiling when the product is mathematically integral (0.55*100 ->
+    55.000000000000007 -> ceil 56), so the size filter demanded
+    |s| >= 56 and silently dropped a qualifying J = 55/100 = 0.55
+    pair — violating the documented lossless contract. Construct the
+    exact boundary: 104 distinct chars -> 100 distinct 5-grams; its
+    59-char prefix -> 55 distinct 5-grams, all contained."""
+    big = "".join(chr(0x4E00 + i) for i in range(104))
+    small = big[:59]
+    df = spark.createDataFrame([(1, big), (2, small)], "id long, text string")
+    # dense_vocab_max=1 forces the PPJoin prefix path (the dense
+    # bitmap regime doesn't use the prefix/size filters)
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "id", "text", n=5, jaccard_threshold=0.55, dense_vocab_max=1
+    ).toPandas()
+    assert len(pairs) == 1
+    assert (pairs.id_a[0], pairs.id_b[0]) == (1, 2)
+    assert abs(pairs.jaccard[0] - 0.55) < 1e-9
+
+
+def test_hamming_pair_search_max_hamming_zero(spark):
+    """max_hamming=0 (exact-signature duplicate search) uses ONE
+    64-bit chunk: the chunk mask must be skipped — F.lit((1<<64)-1)
+    overflows the JVM long and crashed the call before any job."""
+    df = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A), (3, DOC_B)], "id long, text string"
+    )
+    pairs = dedup.simhash_pairs(df, "id", "text", max_hamming=0).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (1, 2) in found
+    assert all(h == 0 for h in pairs.hamming)
+
+
+def test_exact_dedup_injective_encoding(spark):
+    """Content containing the old 0x1f separator / 0x00 NULL sentinel
+    must NOT collide: ('x\\x1f','y') vs ('x','\\x1fy') encoded
+    identically under the delimiter scheme (silently dropping one),
+    and a literal '\\x00' string merged with NULL text."""
+    df = spark.createDataFrame(
+        [(1, "x\x1f", "y"), (2, "x", "\x1fy")], "id long, a string, b string"
+    )
+    out = dedup.exact_dedup(df, ["a", "b"], "id").toPandas()
+    assert len(out) == 2 and set(out.n_copies) == {1}
+
+    df2 = spark.createDataFrame(
+        [(1, "\x00"), (2, None), (3, None)], "id long, text string"
+    )
+    out2 = dedup.exact_dedup(df2, ["text"], "id").toPandas()
+    # the two NULLs group together; the literal '\x00' stays separate
+    assert sorted(out2.n_copies) == [1, 2]
+    assert len(out2) == 2
+
+
+def test_simhash64_matches_arrow_packer(spark):
+    """The zip_with signature packing (single evaluation of the vote
+    aggregate) must stay bit-identical to the Arrow kernel that
+    simhash_pairs uses."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B), (3, "one two"), (4, "")],
+        "id long, text string",
+    )
+    expr_sigs = {
+        r.id: r.s
+        for r in df.select("id", dedup.simhash64("text").alias("s")).collect()
+    }
+    pack = dedup._simhash_from_hashes_udf()
+    kernel_sigs = {
+        r.id: r.s
+        for r in df.select(
+            "id",
+            pack(
+                F.transform(
+                    dedup.word_shingles("text", 2), lambda s: F.xxhash64(s)
+                )
+            ).alias("s"),
+        ).collect()
+    }
+    assert expr_sigs == kernel_sigs

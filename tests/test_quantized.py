@@ -86,3 +86,18 @@ def test_ivf_quantized_matches_ivf_exact(spark, emb):
     assert [(r.vec_id, r.cosine) for r in exact.collect()] == [
         (r.vec_id, r.cosine) for r in fast.collect()
     ]
+
+
+def test_query_quantization_half_up_matches_corpus_rule():
+    """The query must quantize with the SAME tie rule as the corpus's
+    Spark-side F.round (HALF_UP): np.round is banker's half-even and
+    diverges on exact .5 components, asymmetrically biasing approx
+    scores near the rerank candidate cut."""
+    import numpy as np
+
+    from clustering_spark.functions.rounding import np_round_half_up_int
+
+    x = np.array([62.5, 63.5, -62.5, 2.5])
+    assert np_round_half_up_int(x).tolist() == [63.0, 64.0, -63.0, 3.0]
+    # np.round would give [62, 64, -62, 2] — the divergence under test
+    assert np.round(x).tolist() == [62.0, 64.0, -62.0, 2.0]

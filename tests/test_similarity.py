@@ -323,3 +323,26 @@ def test_knn_join_nonfinite_corpus_vector_ranks_last(spark):
     # finite vectors first (by cosine), NaN vector last with NULL cosine
     assert out.corpus_id.tolist() == [1, 3, 2]
     assert pd.isna(out.cosine.iloc[2])
+
+
+def test_cosine_topk_nonfinite_corpus_vector_ranks_last(spark):
+    """Spark orders NaN GREATEST, so an unguarded desc sort put a
+    NaN/inf-component corpus row at rank 1, evicting a true neighbor
+    — cosine_topk must score non-finite vectors NULL-and-last, the
+    same rule knn_join's kernel applies (IVFIndex.search and
+    topk_quantized_rerank delegate here and inherit the guard)."""
+    from clustering_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [float("nan"), 0.0]),
+        (4, [float("inf"), 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, "embedding", [1.0, 0.0], "vec_id", k=2).toPandas()
+    assert out.vec_id.tolist() == [1, 2]
+    # and with k covering everything, the garbage rows trail with NULL
+    out4 = cosine_topk(df, "embedding", [1.0, 0.0], "vec_id", k=4).toPandas()
+    assert out4.vec_id.tolist()[:2] == [1, 2]
+    assert out4.cosine.isna().tolist()[2:] == [True, True]
