@@ -120,8 +120,14 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str = "text_redacted") -> 
 # Java/RE2-shared URL pattern; capture group 1 = host. (?i) catches
 # uppercase schemes; the optional non-capturing userinfo group keeps
 # 'https://user@host/...' from extracting 'user' as the host — a
-# blocklist bypass otherwise.
-_URL_PATTERN = r"(?i)https?://(?:[^/?#@\s]*@)?([A-Za-z0-9.\-]+)(?:[/?#][^\s]*)?"
+# blocklist bypass otherwise. The userinfo class deliberately ALLOWS
+# '@' (greedy * + trailing '@' anchors on the LAST '@' before the
+# path, the WHATWG rule): excluding it made 'http://x@y@evil.com/'
+# extract host 'y' while browsers fetch evil.com — a blocklist
+# escape. The host class includes '_': underscored hostnames are
+# illegal per RFC but common in the wild, and dropping the char
+# truncated 'foo_bar.example.com' to host 'foo' (another escape).
+_URL_PATTERN = r"(?i)https?://(?:[^/?#\s]*@)?([A-Za-z0-9._\-]+)(?:[/?#][^\s]*)?"
 
 
 def extract_domains(
@@ -172,10 +178,15 @@ def filter_domain_blocklist(
             F.regexp_replace(F.col("__h0"), r"\.+$", "").alias("__host"),
         )
     )
+    # normalize blocklist entries: trailing dots (FQDN form) AND
+    # leading dots — '.evil.com' is the standard cookie/adblock
+    # suffix notation for the domain family, and without the strip
+    # the entry matched NOTHING (endswith('..evil.com') never fires):
+    # a silently inert blocklist row
     b = broadcast(
         blocked.select(
             F.regexp_replace(
-                F.lower(F.col(domain_col)), r"\.+$", ""
+                F.lower(F.col(domain_col)), r"(^\.+|\.+$)", ""
             ).alias("__blocked")
         ).distinct()
     )
@@ -487,7 +498,10 @@ def strip_html(text: Column | str) -> Column:
        (strip_boilerplate, dup_line_ratio);
     4. inline formatting tags (a, b, i, em, strong, span, code, ...)
        removed WITHOUT a space (``<b>x</b>.`` → ``x.``); every other
-       remaining tag becomes a space so sibling cells don't fuse;
+       remaining MARKUP-SHAPED tag (``<`` + name/close/decl/PI, the
+       browser rule — literal ``< 10 and y > 3`` comparisons in prose
+       are NOT markup and survive) becomes a space so sibling cells
+       don't fuse; quoted attribute values may contain ``>``;
     5. the common named/numeric entities decoded (``&amp;`` last so
        ``&amp;lt;`` stays a literal ``<`` spelled by the author, not a
        second decode); leftover ``&#...;`` forms dropped to a space;
@@ -513,18 +527,38 @@ def strip_html(text: Column | str) -> Column:
     # with the script payload now gone, drop the comment shell + any
     # remaining commented prose so it can't leak into the text
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # tag-interior pattern: quoted attribute values may legally contain
+    # '>' (onclick="if(a>b)x()") — a bare [^>]* stopped at that inner
+    # '>' and leaked 'b)x()">' fragments into the extracted text, so
+    # the interior skips "..."/'...' spans atomically
+    attrs = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])*"
     t = F.regexp_replace(
         t,
-        r"(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\b[^>]*>",
+        r"(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\b"
+        + attrs
+        + ">",
         "\n",
     )
     # inline formatting tags vanish (no space): "<b>x</b>." must give
     # "x.", not "x ."; any other remaining tag becomes a space so
     # words in sibling table cells / unknown elements don't fuse
     t = F.regexp_replace(
-        t, r"(?i)</?(a|b|i|u|em|strong|span|code|small|sup|sub|mark|abbr|time)\b[^>]*>", ""
+        t,
+        r"(?i)</?(a|b|i|u|em|strong|span|code|small|sup|sub|mark|abbr|time)\b"
+        + attrs
+        + ">",
+        "",
     )
-    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    # catch-all is MARKUP-SHAPED only — '<' must open a tag name,
+    # close tag, declaration or PI ([/!?]?[A-Za-z], the browser rule):
+    # the previous <[^>]*> also matched literal comparison spans in
+    # prose ('if x < 10 and y > 3' lost ' 10 and y ') — silent text
+    # destruction in forum/code corpora
+    t = F.regexp_replace(t, r"(?s)<[/!?]?[A-Za-z]" + attrs + ">", " ")
+    # fallback for MALFORMED tags (unbalanced quote: <div class="x>):
+    # the quote-aware pass refuses them, so degrade like the old
+    # behavior — consume to the first '>' — rather than leak markup
+    t = F.regexp_replace(t, r"(?s)<[/!?]?[A-Za-z][^>]*>", " ")
     # entity order: (a) named/common-numeric decodes, (b) leftover
     # numeric entities dropped, (c) &amp;/&#38; decoded LAST — after
     # the catch-all, so an author-escaped "&amp;#160;" surfaces as the

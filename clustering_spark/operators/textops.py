@@ -55,13 +55,18 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 def quality_features(
     df: DataFrame, text_col: str, lang_col: str | None = None
 ) -> DataFrame:
-    """Append quality-signal columns: n_chars_m (measured), n_tokens,
-    avg_token_len, punct_ratio, digit_ratio, stopword_ratio,
-    and a composite quality_score in [0,1].
+    """Append quality-signal columns: n_tokens, avg_token_len,
+    punct_ratio, digit_ratio, stopword_ratio, and a composite
+    quality_score in [0,1].
 
     Score = mean of four unit-range signals: token-length plausibility,
     low punctuation, low digits, stopword presence. Deliberately simple
-    + fully SQL-replicable (oracle-checked).
+    + fully SQL-replicable (oracle-checked). ZERO-TOKEN text (empty,
+    whitespace-only, NULL) scores 0.0 OUTRIGHT: the per-signal
+    otherwise(0.0) fallbacks would otherwise average to 0.5 — above
+    the default 0.25 gate, so empty documents sailed through every
+    downstream quality filter (docs_stream, trainprep) as
+    middling-quality text.
 
     ``lang_col``: optional language column (e.g. lang_id's output) —
     the stopword list is then selected per row via a chained CASE over
@@ -70,7 +75,12 @@ def quality_features(
     French document full of 'le/la/des' stops scoring as stopword-free
     gibberish."""
     t = F.col(text_col)
-    toks = tokens(text_col)
+    # stage the split ONCE as a named column: `toks` is referenced by
+    # n_tokens AND the stopword filter, and an unstaged expression
+    # re-splits the text per reference (the measured ~30% lang_id
+    # pathology — same fix as its __toks staging)
+    df = df.withColumn("__qf_toks", tokens(text_col))
+    toks = F.col("__qf_toks")
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
@@ -104,6 +114,9 @@ def quality_features(
         + (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0)))
         + F.least(stop_ratio * 5.0, F.lit(1.0))
     ) / 4.0
+    # zero-token text is NOT middling quality (see docstring); a NULL
+    # n_tokens (NULL text under ANSI size()) also lands in otherwise
+    score = F.when(n_tokens > 0, score).otherwise(0.0)
 
     return df.withColumns(
         {
@@ -114,7 +127,7 @@ def quality_features(
             "stopword_ratio": F.round(stop_ratio, 6),
             "quality_score": F.round(score, 6),
         }
-    )
+    ).drop("__qf_toks")
 
 
 def lang_id(
@@ -192,7 +205,7 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
 
 def rolling_hash_fingerprint(
     df: DataFrame, text_col: str, window: int = 16, out_col: str = "winnow_fp"
-) -> Column | DataFrame:
+) -> DataFrame:
     """Winnowing-style fingerprint: min polynomial rolling hash over
     character windows (document fingerprinting a la MOSS). Native:
     char n-gram array -> xxhash64 each -> min. NULL text yields a

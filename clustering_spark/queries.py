@@ -1723,10 +1723,11 @@ SELECT doc_id, n_tokens,
        round(punct_ratio, 6) AS punct_ratio,
        round(digit_ratio, 6) AS digit_ratio,
        round(stop_ratio, 6) AS stopword_ratio,
-       round((CASE WHEN avg_tok >= 3.0 AND avg_tok <= 10.0 THEN 1.0 ELSE 0.0 END
+       round(CASE WHEN n_tokens = 0 THEN 0.0  -- empty text is NOT middling
+             ELSE (CASE WHEN avg_tok >= 3.0 AND avg_tok <= 10.0 THEN 1.0 ELSE 0.0 END
               + (1.0 - least(punct_ratio * 5.0, 1.0))
               + (1.0 - least(digit_ratio * 5.0, 1.0))
-              + least(stop_ratio * 5.0, 1.0)) / 4.0, 6) AS quality_score,
+              + least(stop_ratio * 5.0, 1.0)) / 4.0 END, 6) AS quality_score,
        round(dup_line, 6) AS dup_line_ratio,
        round(rep_2gram, 6) AS rep_2gram_ratio,
        round(top_tok, 6) AS top_token_ratio,

@@ -606,3 +606,79 @@ def test_domain_blocklist_trailing_dot_no_escape(spark):
     blocked = spark.createDataFrame([("evil.com",)], "domain string")
     kept = filter_domain_blocklist(docs, "id", "text", blocked)
     assert {r.id for r in kept.collect()} == {2}
+
+
+# ----------------------------------------- round-7 batch-15 review pins
+
+
+def test_extract_domains_last_at_and_underscore_hosts(spark):
+    """WHATWG: everything before the LAST '@' is userinfo — a second
+    '@' must not truncate the host ('http://x@y@evil.com/' extracted
+    host 'y' before, a blocklist escape). Underscored hostnames are
+    common in the wild; excluding '_' from the host class truncated
+    'foo_bar.example.com' to 'foo'."""
+    df = spark.createDataFrame(
+        [
+            (1, "see http://x@y@evil.com/page now"),
+            (2, "and http://foo_bar.example.com/x too"),
+        ],
+        "id long, t string",
+    )
+    got = {
+        r.id: sorted(r.domains)
+        for r in textnorm.extract_domains(df, "t").collect()
+    }
+    assert got[1] == ["evil.com"]
+    assert got[2] == ["foo_bar.example.com"]
+
+
+def test_domain_blocklist_leading_dot_entry(spark):
+    """'.evil.com' (cookie/adblock suffix notation) must block the
+    domain family — before the leading-dot strip the entry matched
+    NOTHING (endswith('..evil.com') never fires): silently inert."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x http://ads.evil.com/a y"),
+            (2, "x http://evil.com/b y"),
+            (3, "x http://good.com/c y"),
+        ],
+        "id long, t string",
+    )
+    blocked = spark.createDataFrame([(".evil.com",)], "domain string")
+    kept = sorted(
+        r.id
+        for r in textnorm.filter_domain_blocklist(
+            docs, "id", "t", blocked
+        ).collect()
+    )
+    assert kept == [3]
+
+
+class TestStripHtmlBatch15:
+    def _strip(self, spark, docs):
+        from clustering_spark.operators.textnorm import strip_html
+
+        df = spark.createDataFrame([(d,) for d in docs], "h string")
+        return [r.t for r in df.select(strip_html("h").alias("t")).collect()]
+
+    def test_prose_comparisons_survive(self, spark):
+        # literal '<'/'>' comparisons are NOT markup (browser rule:
+        # '<' opens a tag only before a name/close/decl/PI) — the old
+        # catch-all <[^>]*> deleted ' 10 and y ' from the sentence
+        (got,) = self._strip(spark, ["<p>if x < 10 and y > 3 then stop</p>"])
+        assert got == "if x < 10 and y > 3 then stop"
+
+    def test_quoted_attribute_gt_does_not_leak(self, spark):
+        # '>' inside a quoted attribute value is legal HTML — the old
+        # [^>]* tag interior stopped there and leaked 'b)x()">' junk
+        (got,) = self._strip(
+            spark, ['<div onclick="if(a>b)x()">text</div>']
+        )
+        assert got == "text"
+
+    def test_malformed_unbalanced_quote_degrades_like_before(self, spark):
+        # unbalanced quote: the quote-aware pass refuses the tag, the
+        # plain fallback consumes to the first '>' (the old behavior)
+        (got,) = self._strip(spark, ['<div class="x>after</div>'])
+        lines = [l for l in got.split("\n") if l]
+        assert lines == ["after"]

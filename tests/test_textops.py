@@ -233,3 +233,18 @@ def test_vertical_tab_whitespace_parity_with_duckdb(spark):
     ).fetchone()
     assert row.n == duck[0] == 3
     assert row.fp == duck[1]
+
+
+def test_quality_score_zero_for_empty_whitespace_null(spark):
+    """Zero-token text must score 0.0, not 0.5: the per-signal 0.0
+    fallbacks averaged to 0.5, ABOVE the default 0.25 gate, so empty
+    and NULL documents passed every downstream quality filter."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n\t "), (3, None), (4, "the cat sat on the mat")],
+        "id long, text string",
+    )
+    out = {r.id: r.quality_score for r in textops.quality_features(df, "text").collect()}
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    assert out[4] > 0.25
