@@ -335,17 +335,33 @@ def size_desc_relabel(labels: np.ndarray) -> dict:
     """Deterministic relabel map {raw cluster id -> rank}: by cluster
     size desc, ties by first appearance in ``labels``. THE single
     definition — ``fit_predict`` and ``fit_summarize`` must assign the
-    same ``cluster_name`` for the same fit, so both call this."""
-    sizes = pd.Series(labels).value_counts()
-    return {
-        c: rank
-        for rank, c in enumerate(
-            sorted(
-                sizes.index,
-                key=lambda c: (-sizes[c], int(np.argmax(labels == c))),
-            )
-        )
-    }
+    same ``cluster_name`` for the same fit, so both call this.
+
+    One np.unique pass: the earlier form rescanned the full labels
+    array once per cluster inside the sort key (argmax(labels == c) —
+    O(n·k) + a boolean temp per cluster, in the hot Arrow task);
+    return_index gives the same first-occurrence tiebreak in the
+    single O(n log n) pass that already computes the sizes."""
+    uniq, first_idx, counts = np.unique(
+        labels, return_index=True, return_counts=True
+    )
+    order = np.lexsort((first_idx, -counts))  # size desc, first-seen asc
+    return {uniq[i]: rank for rank, i in enumerate(order)}
+
+
+def _resolve_k(
+    pdf: pd.DataFrame, k_col: str | None, default_k: int
+) -> int:
+    """Per-segment k: the cached ``k_col`` value when present and
+    non-NaN, else ``default_k``. Shared by fit_group and
+    summarize_group — the lookup/notna/int chain was duplicated and a
+    fix to one could silently miss the other (the drift class
+    size_desc_relabel was centralized to prevent)."""
+    if k_col is not None and k_col in pdf.columns:
+        kv = pdf[k_col].iloc[0]
+        if pd.notna(kv):
+            return int(kv)
+    return default_k
 
 
 # ------------------------------------------------------------- Spark driver
@@ -384,6 +400,14 @@ class SegmentedClusterer:
     def fit_predict(self, df: DataFrame) -> DataFrame:
         if self.algorithm not in _FITTERS:
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
+        if not tuple(self.seeds):
+            # driver-side fast-fail for BOTH modes: scale mode's
+            # best_of_seeds raises only inside an executor task (after
+            # the scan+shuffle), and parity mode's seed loop left
+            # best=None -> an opaque 'cannot unpack NoneType' at the
+            # unpack site — the exact failure best_of_seeds' own check
+            # exists to avoid
+            raise ValueError("empty seed list")
         # fast-fail on output-column collisions: scale mode would build
         # a duplicate-field schema (ambiguous-column AnalysisException
         # deep inside the Arrow query), parity mode's withColumn would
@@ -438,11 +462,7 @@ class SegmentedClusterer:
 
         def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
             X = pdf[feature_cols].to_numpy(dtype=np.float64)
-            k = default_k
-            if k_col is not None and k_col in pdf.columns:
-                kv = pdf[k_col].iloc[0]
-                if pd.notna(kv):
-                    k = int(kv)
+            k = _resolve_k(pdf, k_col, default_k)
             n_distinct = len(np.unique(X, axis=0))
             if n_distinct < 2 or len(X) < 2:
                 # degenerate segment: single cluster, silhouette 0
@@ -502,13 +522,44 @@ class SegmentedClusterer:
         """
         from pyspark.sql.types import LongType, StringType
 
+        if self.mode == "parity":
+            # fit_summarize is the numpy scale path by construction;
+            # silently running it under mode='parity' would hand back
+            # non-MLlib numerics to a caller who explicitly asked for
+            # MLlib parity. The parity entry point is fit_predict +
+            # the relational metrics block (pipeline.cluster_segments).
+            raise ValueError(
+                "fit_summarize has no parity implementation; use "
+                "mode='scale', or fit_predict + metrics.cluster_summaries "
+                "for MLlib-parity numerics"
+            )
         multi = algorithms is not None
         algo_list = list(algorithms) if multi else [self.algorithm]
+        if multi and not algo_list:
+            # [] passed validation vacuously and every Arrow group
+            # emitted zero rows — a misconfigured sweep read as
+            # 'no segments' instead of failing fast
+            raise ValueError("algorithms=[] — pass None for the default")
         for a in algo_list:
             if a not in _FITTERS:
                 raise ValueError(f"unknown algorithm {a!r}")
 
         center_cols = [f"center_{i}" for i in range(len(self.feature_cols))]
+        fixed_out = (
+            {"cluster_name", "cluster_size", "radius", "entropy",
+             SILHOUETTE_COL, "wssse", *center_cols}
+            | ({"algorithm"} if multi else set())
+        )
+        clash = fixed_out & set(self.segment_cols)
+        if clash:
+            # same failure class the fit_predict guard closes: a
+            # segment column named like an output field produces a
+            # duplicate-field Arrow schema (opaque ambiguous-column
+            # error) or a silently overwritten segment key
+            raise ValueError(
+                f"segment column(s) {sorted(clash)} collide with "
+                "fit_summarize output columns; rename them first"
+            )
         seg_fields = [df.schema[c] for c in self.segment_cols]
         out_schema = StructType(
             [StructField(f.name, f.dataType, True) for f in seg_fields]
@@ -534,11 +585,7 @@ class SegmentedClusterer:
         def summarize_group(pdf: pd.DataFrame) -> pd.DataFrame:
             X = pdf[feature_cols].to_numpy(dtype=np.float64)
             seg_vals = {c: pdf[c].iloc[0] for c in segment_cols}
-            k = default_k
-            if k_col is not None and k_col in pdf.columns:
-                kv = pdf[k_col].iloc[0]
-                if pd.notna(kv):
-                    k = int(kv)
+            k = _resolve_k(pdf, k_col, default_k)
             n_distinct = len(np.unique(X, axis=0))
             rows = []
             for algo in algo_list:
@@ -614,7 +661,14 @@ class SegmentedClusterer:
         # cached k / cached silhouette (both constant within a segment —
         # first() is it)
         seg_sel = df.groupBy(*self.segment_cols).agg(
-            F.first(F.col(self.k_col) if self.k_col else F.lit(None)).alias("__k"),
+            # `in df.columns`, matching scale mode's fit_group contract:
+            # a configured-but-absent k_col (k-cache miss path) falls
+            # back to default_k instead of AnalysisException-ing
+            F.first(
+                F.col(self.k_col)
+                if self.k_col and self.k_col in df.columns
+                else F.lit(None)
+            ).alias("__k"),
             F.first(
                 F.col(self.old_sil_col)
                 if self.old_sil_col and self.old_sil_col in df.columns
@@ -643,7 +697,14 @@ class SegmentedClusterer:
         for seg in segs:
             seg_k = seg.pop("__k", None)
             seg_osil = seg.pop("__osil", None)
-            k = int(seg_k) if seg_k is not None else self.default_k
+            # pd.notna: a NaN cached k (DoubleType cache column) passes
+            # `is not None` but int(NaN) raises — scale mode's
+            # fit_group guards identically
+            k = (
+                int(seg_k)
+                if seg_k is not None and pd.notna(seg_k)
+                else self.default_k
+            )
             cond = F.lit(True)
             for c in self.segment_cols:
                 # eqNullSafe: groupBy above emits NULL-key segments,
@@ -681,10 +742,16 @@ class SegmentedClusterer:
                     labeled = model.transform(sdf)
                     n_clusters = labeled.select(PREDICTION_COL).distinct().count()
                     sil = evaluator.evaluate(labeled) if n_clusters >= 2 else 0.0
-                    try:
+                    if est_cls is GaussianMixture:
+                        # GaussianMixtureSummary has no trainingCost;
+                        # the empirical-center WSSSE (scale mode's
+                        # gmm_fit semantics) is computed ONCE for the
+                        # winning fit below — a per-seed job here would
+                        # multiply parity's cost for a value only the
+                        # best fit reports
+                        wssse = float("nan")
+                    else:
                         wssse = float(model.summary.trainingCost)
-                    except Exception:
-                        wssse = 0.0
                     if best is None or sil > best[1]:
                         best = (labeled, sil, wssse)
                     # M6 thresholded early-stop — same rule as the
@@ -697,6 +764,28 @@ class SegmentedClusterer:
                     ):
                         break
                 labeled, sil, wssse = best
+                if est_cls is GaussianMixture:
+                    # empirical-center WSSSE for the winning fit —
+                    # parity previously emitted a constant 0.0 here
+                    # (swallowed AttributeError) while scale mode
+                    # emitted the real value: a silent mode-dependent
+                    # metric. One broadcast join over the cached
+                    # segment frame; parity is the few-large-segments
+                    # path, so the extra job is within its contract.
+                    ctr_aggs = [
+                        F.avg(F.col(c)).alias(f"__ctr_{i}")
+                        for i, c in enumerate(self.feature_cols)
+                    ]
+                    ctrs = labeled.groupBy(PREDICTION_COL).agg(*ctr_aggs)
+                    d2 = sum(
+                        (F.col(c) - F.col(f"__ctr_{i}")) ** 2
+                        for i, c in enumerate(self.feature_cols)
+                    )
+                    wssse = float(
+                        labeled.join(F.broadcast(ctrs), on=PREDICTION_COL)
+                        .agg(F.sum(d2).alias("__w"))
+                        .collect()[0]["__w"]
+                    )
                 parts.append(
                     labeled.withColumn(SILHOUETTE_COL, F.lit(sil))
                     .withColumn("wssse", F.lit(wssse))

@@ -204,11 +204,30 @@ def optimal_k_sweep(
 
     multi = algorithms is not None
     algo_list = list(algorithms) if multi else [algorithm]
+    if multi and not algo_list:
+        # [] validated vacuously and every group emitted zero rows —
+        # a misconfigured sweep read as 'no segments'
+        raise ValueError("algorithms=[] — pass None for the default")
     unknown = [a for a in algo_list if a not in _FITTERS]
     if unknown:
         # fail at the driver, not as an opaque KeyError inside an
         # executor Arrow task after the shuffle has already run
         raise ValueError(f"unknown algorithm(s): {unknown}")
+    if not tuple(seeds):
+        # same driver-fail-fast rule: sweep_k's own ValueError fires
+        # only inside an executor task after the scan+shuffle
+        raise ValueError("empty seed list")
+    out_names = {"chosen_k", "silhouette"} | ({"algorithm"} if multi else set())
+    clash = out_names & set(segment_cols)
+    if clash:
+        # a segment column named like an output field is silently
+        # OVERWRITTEN by the tuned value in tune_group's row dict
+        # (breaking the join back to the fact table), or duplicates
+        # the schema field under multi=True
+        raise ValueError(
+            f"segment column(s) {sorted(clash)} collide with "
+            "optimal_k_sweep output columns; rename them first"
+        )
     seg_fields = [df.schema[c] for c in segment_cols]
     out_schema = StructType(
         ([StructField("algorithm", StringType(), False)] if multi else [])

@@ -248,3 +248,102 @@ def test_fit_predict_rejects_output_column_collision(spark):
     once = clus.fit_predict(df)
     with pytest.raises(ValueError, match="output column"):
         clus.fit_predict(once)
+
+
+# ----------------------------------------- round-7 batch-16 review pins
+
+
+def test_size_desc_relabel_single_pass_equivalent():
+    """The np.unique rewrite must keep the exact (size desc,
+    first-appearance asc) semantics of the per-cluster-rescan form."""
+    from clustering_spark.operators.clustering import size_desc_relabel
+
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        labels = rng.randint(0, 8, size=rng.randint(1, 60))
+        got = size_desc_relabel(labels)
+        sizes = {c: int((labels == c).sum()) for c in set(labels.tolist())}
+        first = {c: int(np.argmax(labels == c)) for c in sizes}
+        expect = {
+            c: r
+            for r, c in enumerate(
+                sorted(sizes, key=lambda c: (-sizes[c], first[c]))
+            )
+        }
+        assert {int(k): v for k, v in got.items()} == expect
+
+
+def test_parity_mode_missing_k_col_falls_back(spark):
+    """k_col configured but ABSENT from the input (k-cache miss path):
+    parity must fall back to default_k like scale mode's fit_group,
+    not AnalysisException on F.col."""
+    rows = [("s", float(i % 5), float(i // 5)) for i in range(20)]
+    df = spark.createDataFrame(rows, "seg string, x double, y double")
+    out = SegmentedClusterer(
+        segment_cols=["seg"], feature_cols=["x", "y"],
+        k_col="cached_k", default_k=2, mode="parity",
+    ).fit_predict(df).toPandas()
+    assert out.prediction.nunique() == 2
+
+
+def test_parity_mode_nan_cached_k_falls_back(spark):
+    """A NaN cached k (DoubleType cache column) passes `is not None`
+    but int(NaN) raises — parity must guard with notna like scale."""
+    rows = [("s", float(i % 5), float(i // 5), float("nan")) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "seg string, x double, y double, cached_k double"
+    )
+    out = SegmentedClusterer(
+        segment_cols=["seg"], feature_cols=["x", "y"],
+        k_col="cached_k", default_k=2, mode="parity",
+    ).fit_predict(df).toPandas()
+    assert out.prediction.nunique() == 2
+
+
+def test_empty_seeds_fast_fail_both_modes(spark):
+    df = spark.createDataFrame(
+        [("s", 1.0, 2.0)], "seg string, x double, y double"
+    )
+    for mode in ("scale", "parity"):
+        with pytest.raises(ValueError, match="empty seed list"):
+            SegmentedClusterer(
+                segment_cols=["seg"], feature_cols=["x", "y"],
+                seeds=(), mode=mode,
+            ).fit_predict(df)
+
+
+def test_parity_gmm_wssse_is_real_not_zero(spark):
+    """GaussianMixtureSummary has no trainingCost; parity previously
+    swallowed the AttributeError and emitted wssse=0.0 while scale
+    mode emitted the empirical-center WSSSE — a silent mode-dependent
+    metric. Parity must now compute the empirical value."""
+    rng = np.random.RandomState(3)
+    pts = np.vstack(
+        [rng.randn(15, 2) * 0.1, rng.randn(15, 2) * 0.1 + 10.0]
+    )
+    rows = [("s", float(x), float(y)) for x, y in pts]
+    df = spark.createDataFrame(rows, "seg string, x double, y double")
+    out = SegmentedClusterer(
+        segment_cols=["seg"], feature_cols=["x", "y"],
+        algorithm="GaussianMixture", default_k=2, mode="parity",
+    ).fit_predict(df).toPandas()
+    w = out.wssse.iloc[0]
+    assert np.isfinite(w) and w > 0.0
+
+
+def test_fit_summarize_guards(spark):
+    df = spark.createDataFrame(
+        [("s", 1.0, 2.0)], "seg string, x double, y double"
+    )
+    base = dict(segment_cols=["seg"], feature_cols=["x", "y"])
+    with pytest.raises(ValueError, match="parity"):
+        SegmentedClusterer(**base, mode="parity").fit_summarize(df)
+    with pytest.raises(ValueError, match="algorithms"):
+        SegmentedClusterer(**base).fit_summarize(df, algorithms=[])
+    df2 = spark.createDataFrame(
+        [("s", 1.0, 2.0)], "wssse string, x double, y double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        SegmentedClusterer(
+            segment_cols=["wssse"], feature_cols=["x", "y"]
+        ).fit_summarize(df2)

@@ -164,3 +164,26 @@ def test_empty_seed_lists_raise():
             sweep_k(X, algo, ())
     with pytest.raises(ValueError, match="empty seed"):
         thresholded_best_of_seeds(X, 2, "KMeans", (), 0.5)
+
+
+def test_optimal_k_sweep_driver_guards(spark):
+    """Misconfigurations must fail at the DRIVER, before the
+    scan+shuffle: empty seeds, algorithms=[], and segment columns
+    that collide with (and would be silently overwritten by) the
+    output fields."""
+    import pytest
+
+    from clustering_spark.operators.tuner import optimal_k_sweep
+
+    df = spark.createDataFrame(
+        [("s", 1.0, 2.0)], "seg string, x double, y double"
+    )
+    with pytest.raises(ValueError, match="empty seed list"):
+        optimal_k_sweep(df, ["seg"], ["x", "y"], seeds=())
+    with pytest.raises(ValueError, match="algorithms"):
+        optimal_k_sweep(df, ["seg"], ["x", "y"], seeds=(1,), algorithms=[])
+    df2 = spark.createDataFrame(
+        [("s", 1.0, 2.0)], "chosen_k string, x double, y double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        optimal_k_sweep(df2, ["chosen_k"], ["x", "y"], seeds=(1,))
