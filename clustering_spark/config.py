@@ -12,7 +12,7 @@ micro segment columns; ``columns`` maps x metric -> list of y metrics;
 from __future__ import annotations
 
 import json
-from dataclasses import asdict, dataclass, field, replace
+from dataclasses import asdict, dataclass, field
 from typing import Iterator
 
 # Column-name conventions are part of the data model (SURVEY §1.1;
@@ -97,8 +97,19 @@ class PipelineConfig:
         return cls(**json.loads(s))
 
     def override(self, **kwargs) -> "PipelineConfig":
-        """Latest-wins key-by-key merge (clustering_vars.py:94-97)."""
-        return replace(self, **kwargs)
+        """Latest-wins key-by-key merge (clustering_vars.py:94-97).
+
+        Goes through ``asdict`` (a DEEP copy) rather than
+        ``dataclasses.replace``: replace() would alias the mutable
+        dict/list fields between the old and new config, so mutating
+        one config's grid in place would silently change every derived
+        config too — frozen=True prevents rebinding, not aliasing."""
+        base = asdict(self)
+        unknown = set(kwargs) - set(base)
+        if unknown:
+            raise TypeError(f"override: unknown config keys {sorted(unknown)}")
+        base.update(kwargs)
+        return type(self)(**base)
 
 
 def classify_columns(all_columns: list[str]) -> tuple[list[str], list[str]]:

@@ -91,6 +91,15 @@ def epoch_shuffle(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    for c in (shard_col, order_col):
+        if c in df.columns:
+            # withColumn would silently OVERWRITE the existing column
+            # (e.g. re-shuffling a frame that kept a previous epoch's
+            # shard assignment) — make the caller drop/rename first
+            raise ValueError(
+                f"epoch_shuffle: column {c!r} already exists in the input; "
+                "drop it or pass a different shard_col/order_col"
+            )
     okey = shuffle_key(key_col, epoch, salt)
     out = df.withColumn(order_col, okey).withColumn(
         shard_col,

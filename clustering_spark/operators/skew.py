@@ -43,12 +43,23 @@ def salted_join(
             f"small-side replication; use one of {sorted(allowed)} or a "
             "plain join for right/full outer"
         )
+    if salt_buckets < 1:
+        # salt_buckets=0 would explode the small side to ZERO replicas:
+        # inner/semi silently empty, anti silently returns EVERY big
+        # row — wrong answers, not an error, without this guard
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    # pick a salt column name absent from both inputs: overwriting a
+    # real '__salt' column (and dropping it at the end) would silently
+    # change the output schema vs the promised plain-join equivalence
+    salt = "__salt"
+    while salt in big.columns or salt in small.columns:
+        salt += "_"
     b = big.withColumn(
-        "__salt",
+        salt,
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
     )
     s = small.withColumn(
-        "__salt",
+        salt,
         F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])),
     )
-    return b.join(s, on=on + ["__salt"], how=how).drop("__salt")
+    return b.join(s, on=on + [salt], how=how).drop(salt)

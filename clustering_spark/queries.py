@@ -1,4 +1,4 @@
-"""Query registry: every operator from SURVEY.md §2 (plus the
+r"""Query registry: every operator from SURVEY.md §2 (plus the
 beyond-reference LLM-pipeline operators) as a named (Spark callable,
 DuckDB oracle SQL) pair, consumed by ``__spark_entry__.py``.
 

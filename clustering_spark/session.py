@@ -10,10 +10,49 @@ transfer), and a shuffle-partition count sized to the local harness
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# spark.scheduler.mode=FAIR alone is not enough for the overlap the
+# grid runner wants: jobs land in the 'default' pool, and WITHIN a pool
+# scheduling stays FIFO unless an allocation file marks the pool FAIR.
+# Ship a minimal allocation file making the default pool itself FAIR so
+# concurrent grid-cell jobs share executors without every caller having
+# to setLocalProperty a distinct pool per thread.
+_FAIR_POOLS_XML = """<?xml version="1.0"?>
+<allocations>
+  <pool name="default">
+    <schedulingMode>FAIR</schedulingMode>
+    <weight>1</weight>
+    <minShare>0</minShare>
+  </pool>
+</allocations>
+"""
+
+
+def _fair_pools_file() -> str:
+    path = os.path.join(tempfile.gettempdir(), "clustering_spark_fair_pools.xml")
+    try:
+        with open(path, "w") as f:
+            f.write(_FAIR_POOLS_XML)
+    except OSError:
+        return ""  # scheduling degrades to FIFO-within-pool; not fatal
+    return path
+
+
+def _default_master() -> str | None:
+    """The master to use when the caller passed none and SPARK_MASTER
+    is unset. Under spark-submit / pyspark-shell the JVM gateway
+    already exists (PYSPARK_GATEWAY_PORT is exported to this process)
+    and spark.master was set by the launcher — forcing local[N] there
+    would silently drag a cluster job onto the driver node. Only a
+    plain-python launch (no gateway yet) gets the local default."""
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        return None
+    return f"local[{DEFAULT_CPUS}]"
 
 
 def get_spark(
@@ -42,7 +81,9 @@ def get_spark(
         # cluster files are larger and this default (128m) self-adjusts.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # overlapping independent jobs (grid cells) share the session
-        # fairly instead of FIFO-starving each other (SURVEY §2.10).
+        # fairly instead of FIFO-starving each other (SURVEY §2.10);
+        # the allocation file marks the default pool FAIR — the mode
+        # alone only governs scheduling BETWEEN pools.
         .config("spark.scheduler.mode", "FAIR")
         # declared SESSION-WIDE default, not an ambient mutation: the
         # test-data generator has shipped events.ts as TIMESTAMP(NANOS)
@@ -53,6 +94,9 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    pools = _fair_pools_file()
+    if pools:
+        builder = builder.config("spark.scheduler.allocation.file", pools)
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" in os.environ:
@@ -62,7 +106,12 @@ def get_spark(
         # set') outside spark-submit
         builder = builder.master(os.environ["SPARK_MASTER"])
     else:
-        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+        default = _default_master()
+        if default is not None:
+            builder = builder.master(default)
+        # else: launched via spark-submit/pyspark — the launcher's
+        # spark.master governs; overriding it here would silently run
+        # the whole job in local mode on the driver node
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -8,7 +8,10 @@ row groups one task each (no scan parallelism, executor OOM on wide
 rows). ``write_compacted`` sizes the file count from the data itself —
 one cheap aggregate over the in-memory columnar size estimate — and
 optionally range-sorts so downstream range-predicates prune files via
-parquet min/max stats (the poor man's Z-order for one key).
+parquet min/max stats (the poor man's Z-order for one key). The size
+estimate is an extra action over the frame's lineage — see the cost
+note on ``write_compacted`` for when to persist upstream or pass
+``n_files`` instead.
 """
 
 from __future__ import annotations
@@ -64,10 +67,19 @@ def write_compacted(
     sort_col: str | None = None,
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
+    n_files: int | None = None,
 ) -> int:
     """Write ``df`` as parquet with files sized toward
     ``target_file_bytes`` (pre-compression estimate). Returns the
     planned file count.
+
+    COST NOTE: without ``n_files`` the sizing estimate is a full extra
+    action over ``df``'s lineage — the frame's entire upstream pipeline
+    runs twice (once to size, once to write). Cheap for a frame read
+    straight off storage; for the tail of an expensive pipeline either
+    ``persist()``/``localCheckpoint()`` upstream first, or pass
+    ``n_files`` explicitly (e.g. from a known row count × row width)
+    to skip the estimate pass entirely.
 
     - no ``sort_col``: round-robin ``repartition(n)`` — uniform file
       sizes regardless of input skew.
@@ -87,7 +99,12 @@ def write_compacted(
       sort_col, range partitioning keeps the clustering property as
       long as sort_col correlates with the directory layout.
     """
-    n = plan_file_count(estimate_bytes(df), target_file_bytes)
+    if n_files is not None:
+        if n_files < 1:
+            raise ValueError(f"n_files must be >= 1, got {n_files}")
+        n = n_files
+    else:
+        n = plan_file_count(estimate_bytes(df), target_file_bytes)
     if sort_col is not None:
         out = df.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(sort_col)
     elif partition_cols:

@@ -20,15 +20,20 @@ large); byte sizes come from a driver-side Hadoop FileSystem listing
 The ``file`` column stores the FULL resolvable URI (consumers must be
 able to open it). Two normalizations reconcile the scan side with the
 listing side: ``input_file_name`` percent-encodes URIs while
-``Path.toString`` does not (decoded, with ``+`` protected — file URIs
-never use ``+`` for space), and the local file scheme prints as
-``file:/p`` from Path vs ``file:///p`` from the scan (canonicalized to
-the three-slash empty-authority form; remote schemes like hdfs/s3a
-print identically on both sides and pass through untouched).
+``Path.toString`` does not (so the SCAN side is decoded back to the
+raw path characters and the LISTING side is used verbatim — decoding
+the listing side too would corrupt on-disk names that legitimately
+contain ``%XX``, e.g. Hive-style partition directories where Spark's
+``escapePathName`` writes ``ts=00%3A00%3A00``), and the local file
+scheme prints as ``file:/p`` from Path vs ``file:///p`` from the scan
+(canonicalized to the three-slash empty-authority form; remote schemes
+like hdfs/s3a print identically on both sides and pass through
+untouched).
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,7 +47,10 @@ def _fs_list_files(spark: SparkSession, path: str):
     FileSystem API (works on any Hadoop-compatible FS, not just
     local). ``_``/``.``-prefixed entries are skipped — they are
     metadata (this manifest, _SUCCESS, streaming _spark_metadata), not
-    data."""
+    data. No extension filter: the parquet SCAN reads every non-hidden
+    file regardless of suffix (Hive/Impala writers emit extension-less
+    part files like ``000000_0``), so the listing must mirror that or
+    those files would get bytes=0 in the manifest."""
     fs, jpath, _ = _fs(spark, path)
     out = []
     stack = [jpath]
@@ -54,33 +62,37 @@ def _fs_list_files(spark: SparkSession, path: str):
                 continue
             if st.isDirectory():
                 stack.append(st.getPath())
-            elif name.endswith(".parquet"):
+            else:
                 out.append((st.getPath().toString(), st.getLen()))
     return out
 
 
-def _norm_uri(col: Column) -> Column:
-    """Canonical full-URI join key (module docstring): percent-decode
-    (protecting literal '+', which URLDecoder would turn into a
-    space), then collapse the local file scheme to the three-slash
-    form. Non-file schemes keep their authority untouched.
-
-    The decode uses ``try_url_decode`` with a raw-string fallback: the
-    listing side feeds RAW ``Path.toString()`` values, and a filename
-    containing a bare '%' that isn't a valid %XX escape (e.g.
-    ``report 50%.parquet``) is a malformed URL — a plain ``url_decode``
-    would throw and break the whole manifest for that dataset. On
-    decode failure the raw path is used verbatim, which matches the
-    scan side: ``input_file_name()`` percent-ENCODES the bare '%'
-    (``%25``), so its decode succeeds and yields the same raw
-    characters the listing fallback kept. (Residual
-    caveat: a filename that is itself a VALID %XX sequence taken
-    literally decodes differently on the two sides — unresolvable
-    without replicating Hadoop's exact encoder, and not a shape real
-    ingest pipelines emit.)"""
+def _norm_scan_uri(col: Column) -> Column:
+    """Canonical join key for the SCAN side (``input_file_name()``):
+    percent-decode (protecting literal '+', which URLDecoder would
+    turn into a space), then collapse the local file scheme to the
+    three-slash form. ``input_file_name`` percent-ENCODES every
+    reserved byte of the on-disk name (a literal '%' becomes ``%25``,
+    a space ``%20``), so decoding recovers exactly the raw path
+    characters ``Path.toString()`` reports — including names that
+    themselves contain literal ``%XX`` sequences (Hive partition
+    escaping writes ``ts=00%3A00%3A00`` on disk, which the scan
+    reports as ``00%253A...`` and this decode returns to
+    ``00%3A...``). ``try_url_decode`` is belt-and-braces: if an
+    engine ever emits a malformed escape the raw value passes through
+    instead of nulling the join key."""
     protected = F.regexp_replace(col, r"\+", "%2B")
     decoded = F.coalesce(F.try_url_decode(protected), col)
     return F.regexp_replace(decoded, r"^file:/+", "file:///")
+
+
+def _norm_list_uri(col: Column) -> Column:
+    """Canonical join key for the LISTING side (``Path.toString()``):
+    the value is already the raw path characters — decoding it would
+    CORRUPT names containing literal ``%XX`` (the Hive-escape shape
+    above decoded to ``:``, splitting every such file into two
+    half-rows) — so only the file-scheme slash form is normalized."""
+    return F.regexp_replace(col, r"^file:/+", "file:///")
 
 
 def build_manifest(spark: SparkSession, path: str) -> DataFrame:
@@ -89,12 +101,12 @@ def build_manifest(spark: SparkSession, path: str) -> DataFrame:
     use a metadata-only column so parquet footers satisfy the scan."""
     counts = (
         spark.read.parquet(path)
-        .groupBy(_norm_uri(F.input_file_name()).alias("file"))
+        .groupBy(_norm_scan_uri(F.input_file_name()).alias("file"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     sizes = spark.createDataFrame(
         _fs_list_files(spark, path), "file string, bytes long"
-    ).select(_norm_uri(F.col("file")).alias("file"), "bytes")
+    ).select(_norm_list_uri(F.col("file")).alias("file"), "bytes")
     # outer join: a file missing from either side is itself a finding
     # (0-row file, or a file the scan saw that listing didn't)
     return counts.join(sizes, on="file", how="full").select(
@@ -131,7 +143,18 @@ def verify_manifest(spark: SparkSession, path: str) -> DataFrame:
         F.col("n_rows").alias("m_rows"),
         F.col("bytes").alias("m_bytes"),
     )
-    current = build_manifest(spark, path)
+    try:
+        current = build_manifest(spark, path)
+    except AnalysisException:
+        # the exact scenario this gate exists for: every data file is
+        # gone, so the parquet reader can't even infer a schema. If the
+        # listing confirms there are no data files, diff against an
+        # empty current state (=> every manifested file reports
+        # 'missing'); if files exist but the read still failed, that's
+        # corruption, not absence — propagate it.
+        if _fs_list_files(spark, path):
+            raise
+        current = spark.createDataFrame([], "file string, n_rows long, bytes long")
     j = stored.join(current, on="file", how="full")
     return j.select(
         "file",

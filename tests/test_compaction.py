@@ -112,3 +112,20 @@ def test_partitioned_write_clusters_files_per_directory(spark, tmp_path):
             if f.endswith(".parquet")
         ]
         assert len(files) <= 2, f"date={d} fragmented into {len(files)} files"
+
+
+def test_explicit_n_files_skips_estimate(spark, tmp_path):
+    # callers with expensive lineage pass n_files to avoid the sizing
+    # pass running the whole pipeline twice
+    from clustering_spark.sources.compaction import write_compacted
+
+    p = str(tmp_path / "nf")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    n = write_compacted(df, p, n_files=3)
+    assert n == 3
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="n_files"):
+        write_compacted(df, p, n_files=0)

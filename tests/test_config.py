@@ -51,3 +51,21 @@ def test_classify_columns_id_and_limit_suffixes():
     assert ids == ["customer_id", "application_id"]
     # _limit columns are scaling denominators, not metrics to cluster
     assert metrics == ["cpu_percent", "ram_usage", "time"]
+
+
+def test_override_does_not_alias_mutable_fields():
+    # mutating a derived config's dict in place must not leak into the
+    # base (dataclasses.replace would alias the dict instances)
+    base = PipelineConfig()
+    derived = base.override(stop_k=6)
+    derived.filtering_columns["customer_id"].append("node_id")
+    derived.limits["daily"] = 999
+    assert base.filtering_columns == {"customer_id": ["application_id"]}
+    assert base.limits["daily"] == 100
+
+
+def test_override_unknown_key_raises():
+    import pytest
+
+    with pytest.raises(TypeError, match="unknown config keys"):
+        PipelineConfig().override(no_such_knob=1)

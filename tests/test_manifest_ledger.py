@@ -214,3 +214,52 @@ def test_incremental_batch_recovers_hive_partition_columns(spark, tmp_path):
         "2024-01-01",
         "2024-01-02",
     }
+
+
+def test_manifest_roundtrip_with_hive_escaped_partition_values(spark, tmp_path):
+    # Spark's escapePathName writes partition values containing ':'
+    # as %3A on disk; the listing side must NOT url-decode that raw
+    # name (it would split every such file into two half-rows, one
+    # n_rows=0 and one bytes=0)
+    p = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00"), (3, "2024-02-02 11:22:33")],
+        "id long, ts string",
+    ).write.partitionBy("ts").parquet(p)
+    assert any("%3A" in d for d in os.listdir(p))  # precondition: escapes on disk
+    m = M.write_manifest(spark, p).collect()
+    assert sum(r.n_rows for r in m) == 3
+    assert all(r.n_rows > 0 and r.bytes > 0 for r in m)
+    assert M.verify_manifest(spark, p).count() == 0
+
+
+def test_verify_manifest_reports_missing_when_all_data_files_gone(spark, tmp_path):
+    # the canonical integrity failure: every data file deleted but the
+    # manifest intact — must report each file 'missing', not crash on
+    # parquet schema inference
+    p = str(tmp_path / "ds")
+    _write_ds(spark, p, n=40, parts=2)
+    m = M.write_manifest(spark, p).collect()
+    for r in m:
+        os.remove(_local(r.file))
+    problems = {r.file: r.problem for r in M.verify_manifest(spark, p).collect()}
+    assert set(problems.values()) == {"missing"}
+    assert set(problems) == {r.file for r in m}
+
+
+def test_manifest_includes_extensionless_data_files(spark, tmp_path):
+    # Hive/Impala-written datasets name part files without .parquet;
+    # the scan reads them, so the listing must list them too
+    p = str(tmp_path / "ds")
+    _write_ds(spark, p, n=30, parts=1)
+    src = next(
+        f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.rename(os.path.join(p, src), os.path.join(p, "000000_0"))
+    crc = os.path.join(p, "." + src + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    m = M.build_manifest(spark, p).collect()
+    assert len(m) == 1
+    assert m[0].file.endswith("000000_0")
+    assert m[0].n_rows == 30 and m[0].bytes > 0

@@ -169,3 +169,19 @@ def test_empty_input_ok(spark):
     assert out.count() == 0
     assert "shard" in out.columns and "shuffle_order" in out.columns
     assert shard_stats(out).count() == 0
+
+
+def test_existing_shard_or_order_column_rejected(spark):
+    # re-shuffling a frame that kept a previous epoch's assignment
+    # must be explicit, not a silent withColumn overwrite
+    import pytest
+
+    from clustering_spark.operators.shuffling import epoch_shuffle
+
+    df = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "shard", F.lit(0)
+    )
+    with pytest.raises(ValueError, match="shard"):
+        epoch_shuffle(df, "k", 4)
+    ok = epoch_shuffle(df.drop("shard"), "k", 4)
+    assert ok.count() == 10

@@ -37,3 +37,23 @@ def test_salted_join_spreads_hot_key(spark):
     n_salts = b.select("__salt").distinct().count()
     assert n_salts > 1  # the hot key's rows really do spread
     assert salted_join(big, small, ["k"], salt_buckets=8).count() == 1000
+
+
+def test_zero_salt_buckets_rejected(spark):
+    # 0 replicas would silently empty inner/semi joins and turn
+    # left_anti into "return everything" — must raise instead
+    big = spark.createDataFrame([(1, 1)], "k long, v long")
+    small = spark.createDataFrame([(1, "a")], "k long, tag string")
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        salted_join(big, small, ["k"], salt_buckets=0)
+
+
+def test_preexisting_salt_column_survives(spark):
+    # a user column literally named __salt must come through unchanged
+    big = spark.createDataFrame([(1, "keepme")], "k long, __salt string")
+    small = spark.createDataFrame([(1, "t")], "k long, tag string")
+    out = salted_join(big, small, ["k"], salt_buckets=4).collect()
+    assert len(out) == 1
+    assert out[0]["__salt"] == "keepme" and out[0]["tag"] == "t"

@@ -113,3 +113,25 @@ def test_acknowledge_move_uniquifies_on_collision(spark, tmp_path):
     names = sorted(p.name for p in (tmp_path / "processed").iterdir())
     assert len(names) == 2 and names[0] == "daily.csv"
     assert names[1].startswith("daily.csv.")
+
+
+def test_default_master_respects_launcher_gateway(monkeypatch):
+    # under spark-submit/pyspark the gateway port is exported and
+    # spark.master comes from the launcher — get_spark must not force
+    # local[N] there (it would run a cluster job on the driver node)
+    from clustering_spark import session as S
+
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+    assert S._default_master() == f"local[{S.DEFAULT_CPUS}]"
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "45555")
+    assert S._default_master() is None
+
+
+def test_fair_pools_file_marks_default_pool_fair():
+    from clustering_spark import session as S
+
+    path = S._fair_pools_file()
+    assert path
+    with open(path) as f:
+        xml = f.read()
+    assert 'name="default"' in xml and "FAIR" in xml
