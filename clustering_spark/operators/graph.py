@@ -168,19 +168,24 @@ def dedup_by_component(
     they would be dropped silently: all NULL-id rows share the one
     NULL label, min() over that group is NULL, and NULL == NULL is
     NULL under SQL semantics — filtered, i.e. data loss one operator
-    after every upstream guard deliberately preserved them.)"""
+    after every upstream guard deliberately preserved them.)
+
+    "ONE row" holds even when ``df`` carries DUPLICATE ids (the same
+    doc ingested twice with no exact-dedup upstream): survivor
+    selection is ``row_number`` ordered by id, so ties at the
+    component-minimum id keep exactly one row (which duplicate wins is
+    arbitrary — they share the id — but the count is deterministic; a
+    min-id filter instead kept every tied row, leaking duplicates
+    through the dedup stage)."""
     from pyspark.sql import Window
 
     # internal label column: df may legitimately already carry a
     # 'component' column (e.g. the output of assign_components fed
     # through a gate) — dedup must still work on it unchanged
     labelled = assign_components(df, id_col, components, out_col="__cc_label")
-    w = Window.partitionBy("__cc_label")
+    w = Window.partitionBy("__cc_label").orderBy(F.col(id_col).asc_nulls_last())
     return (
-        labelled.withColumn("__min_present", F.min(id_col).over(w))
-        .filter(
-            F.col(id_col).isNull()
-            | (F.col(id_col) == F.col("__min_present"))
-        )
-        .drop("__cc_label", "__min_present")
+        labelled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col(id_col).isNull() | (F.col("__rn") == 1))
+        .drop("__cc_label", "__rn")
     )

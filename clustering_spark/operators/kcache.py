@@ -71,6 +71,18 @@ def _missing_path(e: Exception) -> bool:
     return "PATH_NOT_FOUND" in s or "Path does not exist" in s
 
 
+def _read_or_empty(spark: SparkSession, path: str, empty_schema: str) -> DataFrame:
+    """Read the cache table, or an empty frame with the given schema
+    when the path does not exist yet (one home for the
+    read-or-empty-on-first-run contract all three readers share)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if not _missing_path(e):
+            raise
+        return spark.createDataFrame([], empty_schema)
+
+
 @dataclass
 class KCache:
     """Append-only parquet k-cache with latest-wins resolution."""
@@ -81,25 +93,20 @@ class KCache:
         """Upsert = append with a version stamp; any granularity (one
         micro, one macro's micros, the whole grid) is just a batch of
         rows (S9's three Mongo upsert shapes collapse into one op)."""
-        out = entries.select(
-            *KEY_COLS, "k", "silhouette", F.lit(version).cast("long").alias("version")
-        )
+        out = entries.withColumn(
+            "version", F.lit(version).cast("long")
+        ).select(*KEY_COLS, *VALUE_COLS)
         out.write.mode("append").parquet(self.path)
 
     def read_latest(self, spark: SparkSession) -> DataFrame:
         """All keys at their latest version (empty frame if no cache
         yet). One window over the (tiny) cache table."""
-        try:
-            raw = spark.read.parquet(self.path)
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-            schema = (
-                "algorithm string, macro_col string, micro_col string, "
-                "x_col string, y_col string, macro_id string, micro_id string, "
-                "k int, silhouette double, version long"
-            )
-            return spark.createDataFrame([], schema)
+        raw = _read_or_empty(
+            spark,
+            self.path,
+            ", ".join(f"{c} string" for c in KEY_COLS)
+            + ", k int, silhouette double, version long",
+        )
         w = Window.partitionBy(*KEY_COLS).orderBy(F.col("version").desc())
         return (
             raw.withColumn("__rn", F.row_number().over(w))
@@ -114,18 +121,12 @@ class KCache:
         the supported one-tuner-per-interval scheduling; a multi-writer
         deployment can assert on this after each interval, or migrate
         the sink to a Delta/Iceberg MERGE."""
-        try:
-            raw = spark.read.parquet(self.path)
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-            # same schema as the populated path, so callers can select
-            # n_writers / key columns before the first run
-            return spark.createDataFrame(
-                [],
-                ", ".join(f"{c} string" for c in KEY_COLS)
-                + ", version long, n_writers long",
-            )
+        raw = _read_or_empty(
+            spark,
+            self.path,
+            ", ".join(f"{c} string" for c in KEY_COLS)
+            + ", k int, silhouette double, version long",
+        )
         w = Window.partitionBy(*KEY_COLS).orderBy(F.col("version").desc())
         ranked = raw.withColumn(
             "__rk", F.rank().over(w)  # rank, not row_number: ties share 1
@@ -149,14 +150,12 @@ class KCache:
         """Latest k/silhouette per (macro_id, micro_id) for one grid
         cell — the J4 lookup join input. The 5-tuple filter pushes into
         the parquet scan before the window."""
-        try:
-            raw = spark.read.parquet(self.path)
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-            return spark.createDataFrame(
-                [], "macro_id string, micro_id string, k int, silhouette double"
-            )
+        raw = _read_or_empty(
+            spark,
+            self.path,
+            ", ".join(f"{c} string" for c in KEY_COLS)
+            + ", k int, silhouette double, version long",
+        )
         scoped = raw.filter(
             (F.col("algorithm") == algorithm)
             & (F.col("macro_col") == macro_col)
@@ -224,8 +223,18 @@ def cluster_with_cache(
     the reference takes per-segment, taken once per run here.
     """
     from clustering_spark.functions.scaling import scale_segments, scaled_name
+    from clustering_spark.operators.metrics import nullsafe_equi_join
 
     config = config or PipelineConfig()
+    if config.fit_mode != "scale":
+        # the cached flow fits via the Arrow kernel; silently running
+        # 'scale' numerics under a parity-mode config would make parity
+        # comparisons diverge with no error (pipeline.py raises for the
+        # analogous unsupported combination)
+        raise ValueError(
+            f"cluster_with_cache requires fit_mode='scale', got "
+            f"{config.fit_mode!r}; use pipeline.cluster_segments for parity mode"
+        )
     spark = df.sparkSession
     segment_cols = [macro_col, micro_col]
     metric_cols = [x_col, y_col]
@@ -304,8 +313,13 @@ def cluster_with_cache(
     n_miss = misses.count()
     stats["misses"] = n_miss
     if n_miss:
-        missing_data = narrowed.join(
-            F.broadcast(misses), on=segment_cols, how="left_semi"
+        # nullsafe, not on=segment_cols: a NULL-keyed segment IS a
+        # detected miss (the eqNullSafe anti-join above found it), and
+        # a name-based semi join here would null-reject exactly its
+        # rows — the segment would re-detect as a miss every run while
+        # never actually being tuned or cached
+        missing_data = nullsafe_equi_join(
+            narrowed, F.broadcast(misses), segment_cols, "left_semi"
         )
         tune_and_append(missing_data, version)
 
@@ -326,12 +340,17 @@ def cluster_with_cache(
     n_reg = regressed.count()
     stats["regressed"] = n_reg
     if n_reg:
-        reg_data = narrowed.join(
-            F.broadcast(regressed), on=segment_cols, how="left_semi"
+        # same nullsafe requirement as the miss splice: a NULL-keyed
+        # regressed segment must be re-tuned AND its stale summary rows
+        # removed — name-based semi/anti joins would skip both, leaving
+        # the below-threshold clustering in place while stats reports
+        # the fix ran
+        reg_data = nullsafe_equi_join(
+            narrowed, F.broadcast(regressed), segment_cols, "left_semi"
         )
         tune_and_append(reg_data, version + 1)
         fixed = fit(k_join(reg_data))
-        summaries = summaries.join(
-            F.broadcast(regressed), on=segment_cols, how="left_anti"
+        summaries = nullsafe_equi_join(
+            summaries, F.broadcast(regressed), segment_cols, "left_anti"
         ).unionByName(fixed)
     return summaries, stats

@@ -121,6 +121,8 @@ def incremental_batch(
     pattern: str,
     ledger_path: str,
     fmt: str = "parquet",
+    schema=None,
+    options: dict | None = None,
 ) -> tuple[DataFrame | None, DataFrame]:
     """One incremental ingest step: list → anti-join ledger → load.
 
@@ -129,6 +131,14 @@ def incremental_batch(
     ``new_files`` is what to pass to :func:`record_processed` after
     the processing commit. The driver collect is the file list — #new
     files rows, the same bounded listing every batch scheduler does.
+
+    ``schema``/``options`` pass through to the reader so text formats
+    can apply the engine's ingestion doctrine (explicit schema +
+    PERMISSIVE + corrupt-record column — see ``sources.csv_source`` /
+    ``sources.jsonl_source``). A bare ``fmt='csv'`` with neither would
+    ingest header rows as data into all-string _c0.. columns — pass
+    e.g. ``schema=..., options={'header': 'true', 'mode': 'PERMISSIVE',
+    'columnNameOfCorruptRecord': '_corrupt'}``.
     """
     new = unprocessed(list_source_files(spark, pattern), read_ledger(spark, ledger_path))
     paths = [r.file for r in new.collect()]
@@ -140,9 +150,10 @@ def incremental_batch(
     # root — silently DROPPING every hive partition column (date=...,
     # lang=...) from the schema. Anchoring at the static prefix
     # recovers all key=value directory levels below it.
-    data = (
-        spark.read.format(fmt)
-        .option("basePath", _static_prefix(pattern))
-        .load(paths)
-    )
+    reader = spark.read.format(fmt).option("basePath", _static_prefix(pattern))
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    data = reader.load(paths)
     return data, new

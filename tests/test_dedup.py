@@ -831,3 +831,24 @@ def test_simhash64_matches_arrow_packer(spark):
         ).collect()
     }
     assert expr_sigs == kernel_sigs
+
+
+def test_dedup_by_component_collapses_duplicate_ids(spark):
+    # the same doc ingested twice (duplicate id, no exact-dedup
+    # upstream): 'keep ONE row per component' must hold — a min-id
+    # FILTER kept every row tied at the minimum
+    from clustering_spark.operators.graph import dedup_by_component
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a-again"), (2, "b"), (5, "solo"), (None, "n1"), (None, "n2")],
+        "doc_id long, text string",
+    )
+    comp = spark.createDataFrame([(1, 1), (2, 1)], "node long, comp long")
+    kept = dedup_by_component(df, "doc_id", comp).collect()
+    ids = sorted((r.doc_id is None, r.doc_id or 0) for r in kept)
+    # component {1,2}: exactly ONE survivor (id 1, one of the two rows);
+    # singleton 5 survives; both NULL-id rows survive by contract
+    assert len([r for r in kept if r.doc_id == 1]) == 1
+    assert len([r for r in kept if r.doc_id == 5]) == 1
+    assert len([r for r in kept if r.doc_id is None]) == 2
+    assert len(kept) == 4

@@ -144,3 +144,71 @@ def test_cache_read_errors_distinguish_missing_from_broken(spark, tmp_path):
 
     with _pt.raises(Exception):
         broken.read_latest(spark).count()
+
+
+def test_null_keyed_segment_is_tuned_and_cached(spark, tmp_path):
+    # a NULL macro value is a real group: it must be tuned on run 1
+    # (not just counted as a miss) and be a cache HIT on run 2 — the
+    # old on=segment_cols semi join null-rejected exactly those rows,
+    # re-detecting the miss forever while never caching anything
+    rows = []
+    for macro, k_true in ((None, 3), ("m1", 4)):
+        X, _ = planted_blobs(k=k_true, n_per=25)
+        rows += [(macro, "u1", float(x), float(y)) for x, y in X]
+    df = spark.createDataFrame(
+        rows, "macro string, micro string, x double, y double"
+    )
+    cache = KCache(str(tmp_path / "kc"))
+    res1, s1 = cluster_with_cache(df, cache=cache, version=1, **ARGS)
+    assert s1["misses"] == 2
+    # the NULL segment really got cached (macro_id NULL row present)
+    cached = cache.lookup(spark, "KMeans", "macro", "micro", "x", "y").collect()
+    assert any(r.macro_id is None for r in cached)
+    # and clustered: its rows appear in the output with a tuned k
+    p1 = res1.toPandas()
+    assert p1[p1.macro.isna()].cluster_name.nunique() == 3
+    res2, s2 = cluster_with_cache(df, cache=cache, version=2, **ARGS)
+    assert s2["misses"] == 0 and s2["regressed"] == 0
+
+
+def test_null_keyed_regression_is_respliced(spark, tmp_path):
+    # poison the NULL-keyed segment's cache entry: the re-tune must
+    # actually replace its stale summary rows, not just count it
+    rows = []
+    X, _ = planted_blobs(k=3, n_per=25)
+    rows += [(None, "u1", float(x), float(y)) for x, y in X]
+    df = spark.createDataFrame(
+        rows, "macro string, micro string, x double, y double"
+    )
+    cache = KCache(str(tmp_path / "kc"))
+    poison = spark.createDataFrame(
+        [("KMeans", "macro", "micro", "x", "y", None, "u1", 2, 0.99)],
+        "algorithm string, macro_col string, micro_col string, x_col string, "
+        "y_col string, macro_id string, micro_id string, k int, silhouette double",
+    )
+    cache.append(poison, version=1)
+    res, stats = cluster_with_cache(df, cache=cache, version=2, **ARGS)
+    assert stats["misses"] == 0
+    assert stats["regressed"] == 1
+    pdf = res.toPandas()
+    assert pdf.cluster_name.nunique() == 3  # re-tuned, stale k=2 rows gone
+    fixed = cache.lookup(spark, "KMeans", "macro", "micro", "x", "y").collect()
+    assert any(r.macro_id is None and r.k == 3 for r in fixed)
+
+
+def test_parity_mode_config_rejected(spark, tmp_path, seg_df):
+    # silently fitting scale-mode numerics under a parity config would
+    # corrupt parity comparisons with no error
+    cfg = PipelineConfig(dont_scale=[], stop_k=6, fit_mode="parity")
+    with pytest.raises(ValueError, match="fit_mode"):
+        cluster_with_cache(
+            seg_df,
+            macro_col="macro",
+            micro_col="micro",
+            x_col="x",
+            y_col="y",
+            algorithm="KMeans",
+            config=cfg,
+            cache=KCache(str(tmp_path / "kc")),
+            version=1,
+        )

@@ -263,3 +263,24 @@ def test_manifest_includes_extensionless_data_files(spark, tmp_path):
     assert len(m) == 1
     assert m[0].file.endswith("000000_0")
     assert m[0].n_rows == 30 and m[0].bytes > 0
+
+
+def test_incremental_batch_csv_with_schema_and_options(spark, tmp_path):
+    # text formats need the engine's ingestion doctrine applied; the
+    # passthrough lets incremental_batch reuse it instead of ingesting
+    # header rows as all-string _c0.. data
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.csv").write_text("id,name\n1,alice\n2,bob\n")
+    ledger_p = str(tmp_path / "ledger")
+    data, new = L.incremental_batch(
+        spark,
+        str(drop / "*.csv"),
+        ledger_p,
+        fmt="csv",
+        schema="id long, name string",
+        options={"header": "true"},
+    )
+    rows = sorted((r.id, r.name) for r in data.collect())
+    assert rows == [(1, "alice"), (2, "bob")]
+    assert new.count() == 1
