@@ -68,13 +68,20 @@ def score_lm(
     """Append per-doc mean trigram log-prob (add-one smoothed; empty
     docs score NULL). Higher = more like the reference corpus; gate
     with a percentile threshold, not an absolute one — the scale
-    shifts with the charset."""
+    shifts with the charset.
+
+    NULL-id docs also score NULL: the id is the join-back identity,
+    so distinct NULL-id docs would merge into one aggregation group
+    AND the merged score could never join back anyway (NULL != NULL) —
+    they are excluded before the explode instead of paying for an
+    unusable aggregate. Assign surrogate ids upstream if those docs
+    need scores."""
     from pyspark.sql.functions import broadcast
 
     totals = model.agg(
         F.sum("n").alias("__total"), F.count("*").alias("__v")
     )
-    grams = docs.select(
+    grams = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), F.explode(_char_trigrams(text_col)).alias("gram")
     )
     scored = (

@@ -49,14 +49,30 @@ def pack_sequences(
     bucket packs its docs in (token_count desc, id) order, so the
     assignment is a pure function of the input set — independent of
     input partitioning, task scheduling, or prior transformations.
+
+    CONTRACT: ``id_col`` values must be UNIQUE and NON-NULL (the
+    epoch_shuffle rule). Duplicate or NULL ids tie in the packing
+    order (arrival-order resolution — reproducibility of which row
+    got which pack is lost), and ``materialize_packs`` joins the
+    assignment back to the payload ON the id, so NULL-id members
+    silently vanish from the materialized sequence. Run exact dedup /
+    assign surrogate ids upstream.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
-    # NULL / uncastable token counts become 0 (packed like an empty
-    # doc) instead of NaN-crashing int() inside the Arrow packer
+    # NULL / uncastable / NEGATIVE token counts become 0 (packed like
+    # an empty doc): try_cast, because under ANSI mode (this engine's
+    # default) a plain cast THROWS on uncastable strings and NaN
+    # doubles — the exact dirty inputs this fallback exists for; and
+    # greatest(0, ·), because a negative count satisfies `cap >= t`
+    # against the -1 oversize sentinel inside the packer and would
+    # join (and then grow) an oversize pack
     slim = df.select(
         F.col(id_col),
-        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("n_tokens"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col(token_col).try_cast("long"), F.lit(0)),
+        ).alias("n_tokens"),
         F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(num_buckets))
         .cast("int")
         .alias("__bucket"),
@@ -162,8 +178,12 @@ def materialize_packs(
             "n_docs",
             "total_tokens",
             "oversize",
+            # null_replacement '': array_join otherwise SKIPS NULL
+            # elements entirely, so a NULL-text member would be counted
+            # in n_docs but missing from the sequence — a consumer
+            # splitting on the separator would see a count mismatch
             F.array_join(
-                F.transform(F.col("__m"), lambda m: m["txt"]), separator
+                F.transform(F.col("__m"), lambda m: m["txt"]), separator, ""
             ).alias("sequence"),
         )
     )

@@ -19,22 +19,32 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     approx_distinct, min, max). min/max are stringified so every
     column type fits one report schema. Size-based min/max stand in
     for value order where it doesn't exist: arrays report element
-    count, binary reports byte length; structs and maps report NULL
-    (no cheap one-pass size exists — documented, not a bug).
+    count, binary reports byte length; approx_distinct covers arrays
+    and binary too (HLL hashes the value), while structs and maps
+    report NULL for all three (no cheap one-pass size, and maps are
+    unhashable — documented, not a bug).
 
-    Column references are backtick-quoted and internal aliases are
-    INDEX-based: an unquoted ``F.col('cpu.percent')`` parses the dot
-    as nested-field access, breaking the report on flattened-JSON-
-    style headers — the exact corpora this report runs on first."""
+    The frame is first renamed POSITIONALLY (``toDF`` with synthetic
+    names, report labels keep the originals): messy corpus headers are
+    exactly what this report runs on first, and name-based references
+    break on them twice over — ``F.col('cpu.percent')`` parses the dot
+    as nested-field access, and a repeated header (duplicate column
+    names after a CSV re-read or a sloppy join) makes ANY name
+    reference an AMBIGUOUS_REFERENCE error."""
+    names = [f.name for f in df.schema.fields]
+    safe = df.toDF(*[f"__c{i}" for i in range(len(names))])
     aggs = []
-    names = []
-    for i, f in enumerate(df.schema.fields):
-        c = F.col("`" + f.name.replace("`", "``") + "`")
+    for i, f in enumerate(safe.schema.fields):
+        c = F.col(f.name)
         t = f.dataType.simpleString()
         if t.startswith(("array", "struct", "map")) or t == "binary":
             lo = F.min(F.size(c)) if t.startswith("array") else F.min(F.octet_length(c)) if t == "binary" else F.lit(None)
             hi = F.max(F.size(c)) if t.startswith("array") else F.max(F.octet_length(c)) if t == "binary" else F.lit(None)
-            distinct = F.lit(None).cast("long")
+            distinct = (
+                F.approx_count_distinct(c, rsd)
+                if t.startswith("array") or t == "binary"
+                else F.lit(None).cast("long")
+            )
         else:
             lo, hi = F.min(c), F.max(c)
             distinct = F.approx_count_distinct(c, rsd)
@@ -44,8 +54,7 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
             lo.cast("string").alias(f"__lo_{i}"),
             hi.cast("string").alias(f"__hi_{i}"),
         ]
-        names.append(f.name)
-    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    row = safe.agg(F.count(F.lit(1)).alias("__n"), *aggs)
 
     # unpivot the single wide row into one report row per column —
     # driver never sees the data, only the 1-row aggregate result

@@ -112,9 +112,13 @@ def corpus_report(
     )
     overall = overall.select(
         "*",
-        F.round(F.col("__qs")[0], 6).alias("quality_p10"),
-        F.round(F.col("__qs")[1], 6).alias("quality_p50"),
-        F.round(F.col("__qs")[2], 6).alias("quality_p90"),
+        # coalesce: the percentile sketch over zero rows is NULL —
+        # without it an empty corpus reported quality_p* = NULL next
+        # to the coalesced-to-0 counts, exactly the NULL/0 mix the
+        # count aggregates above document as forbidden
+        F.round(F.coalesce(F.col("__qs")[0], F.lit(0.0)), 6).alias("quality_p10"),
+        F.round(F.coalesce(F.col("__qs")[1], F.lit(0.0)), 6).alias("quality_p50"),
+        F.round(F.coalesce(F.col("__qs")[2], F.lit(0.0)), 6).alias("quality_p90"),
     ).drop("__qs")
     report: dict[str, DataFrame] = {"features": feats, "overall": overall}
     for col in strata_cols:

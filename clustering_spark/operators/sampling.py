@@ -19,17 +19,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _hex_bucket(key_col: str | Column, salt: str) -> Column:
+def _nullsafe_key(key_col: str | Column) -> Column:
+    """String form of the sample key with NULLs mapped to a '\\x00'
+    sentinel (the shuffle_key convention): a bare concat/hash of a
+    NULL key would be NULL, silently DROPPING every NULL-key row from
+    samples and shunting them all into hash_split's last split. The
+    sentinel gives the whole NULL-key class ONE deterministic hash.
+    One home for the expression — _hex_bucket, cap_per_group, and
+    hash_topn_sample must normalize the key IDENTICALLY or chained
+    stages (pre-thin then cap) silently break determinism."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    # NULL keys map to a '\x00' sentinel (the shuffle_key convention):
-    # a bare concat would be NULL, silently DROPPING every NULL-key
-    # row from samples and shunting them all into hash_split's last
-    # split. With the sentinel they get one deterministic hash — one
-    # sample/split decision for the whole NULL-key class.
+    return F.coalesce(key.cast("string"), F.lit("\x00"))
+
+
+def _hex_bucket(key_col: str | Column, salt: str) -> Column:
     return F.substring(
-        F.md5(
-            F.concat(F.coalesce(key.cast("string"), F.lit("\x00")), F.lit(salt))
-        ),
+        F.md5(F.concat(_nullsafe_key(key_col), F.lit(salt))),
         1,
         8,
     )
@@ -77,8 +82,15 @@ def stratified_hash_sample(
     strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
     thr = F.lit(_hex_threshold(min(max(default_fraction, 0.0), 1.0)))
     for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        # a None key targets the NULL stratum explicitly: `strata ==
+        # lit(None)` is never true under SQL NULL semantics, so without
+        # the isNull branch NULL-stratum rows could only ever take the
+        # default fraction — fractions={None: 1.0} silently dropped
+        # every unknown-language doc (and plan_mixture can legitimately
+        # emit a None stratum for apply_mixture to apply)
+        cond = strata.isNull() if value is None else strata == F.lit(value)
         thr = F.when(
-            strata == F.lit(value),
+            cond,
             F.lit(_hex_threshold(min(max(float(frac), 0.0), 1.0))),
         ).otherwise(thr)
     return df.filter(bucket < thr)
@@ -159,9 +171,9 @@ def cap_per_group(
     # CONTRACT: keys must be unique and non-null for a reproducible
     # choice — identical (or multiple NULL) keys tie on both the hash
     # and the key tiebreak, so which of THOSE rows survive a cap at
-    # the boundary is executor-order dependent. The coalesce at least
-    # pins NULLs to one deterministic hash position.
-    okey = F.coalesce(key.cast("string"), F.lit("\x00"))
+    # the boundary is executor-order dependent. The shared sentinel at
+    # least pins NULLs to one deterministic hash position.
+    okey = _nullsafe_key(key)
     w = Window.partitionBy(group_col).orderBy(
         F.xxhash64(okey, F.lit(salt)).asc(), key.asc_nulls_last()
     )
@@ -185,7 +197,7 @@ def hash_topn_sample(
     (it is a bottom-n-by-hash set, the same property MinHash relies
     on)."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    okey = F.coalesce(key.cast("string"), F.lit("\x00"))
+    okey = _nullsafe_key(key)
     return df.orderBy(
         F.xxhash64(okey, F.lit(salt)).asc(), key.asc_nulls_last()
     ).limit(n)

@@ -93,3 +93,20 @@ def test_lm_matches_duckdb(spark):
     both = merged.dropna()
     assert len(both) > 0
     assert (both.lm_logp_s - both.lm_logp_d).abs().max() < 1e-6
+
+
+def test_null_id_docs_score_null_without_merging(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "id long, text string"
+    )
+    model = lm.fit_trigram_lm(corpus, "text")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown"), (None, "the quick brown"), (None, "zzzqqqxxx")],
+        "id long, text string",
+    )
+    out = lm.score_lm(docs, model, "id", "text").collect()
+    by_null = [r for r in out if r.id is None]
+    assert len(by_null) == 2
+    assert all(r.lm_logp is None for r in by_null)  # documented: unscoreable
+    scored = next(r for r in out if r.id == 1)
+    assert scored.lm_logp is not None

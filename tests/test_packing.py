@@ -177,3 +177,52 @@ def test_zero_and_null_tokens_never_join_oversize_packs(spark):
     assert out["b"].pack_id != out["a"].pack_id
     assert out["c"].pack_id != out["a"].pack_id
     assert out["c"].n_tokens == 0 and not out["c"].oversize
+
+
+def test_dirty_token_counts_survive_ansi_and_negatives(spark):
+    # ANSI mode: a plain cast throws on 'oops' and NaN — the documented
+    # become-0 fallback needs try_cast; negative counts must clamp to 0
+    # or they join (and grow) an oversize pack via the -1 sentinel
+    df = spark.createDataFrame(
+        [
+            (1, "oops"),      # uncastable string
+            (2, "5"),         # castable string
+            (3, None),        # NULL
+            (4, "-3"),        # negative
+            (5, "50"),        # oversize vs max_tokens=10
+        ],
+        "id long, tok string",
+    )
+    out = packing.pack_sequences(df, "id", "tok", max_tokens=10, num_buckets=1)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].n_tokens == 0 and rows[3].n_tokens == 0 and rows[4].n_tokens == 0
+    assert rows[2].n_tokens == 5
+    assert rows[5].oversize
+    # nothing shares the oversize doc's pack
+    assert sum(1 for r in rows.values() if r.pack_id == rows[5].pack_id) == 1
+
+
+def test_nan_double_token_counts_become_zero(spark):
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 4.0)], "id long, tok double"
+    )
+    out = packing.pack_sequences(df, "id", "tok", max_tokens=10, num_buckets=1)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].n_tokens == 0 and rows[2].n_tokens == 4
+
+
+def test_null_text_member_keeps_separator_count(spark):
+    # array_join silently skips NULL elements without a replacement —
+    # n_docs and the separator count must stay consistent
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, None), (3, "bb")], "id long, text string"
+    )
+    counted = docs.withColumn(
+        "tok", F.coalesce(F.length("text"), F.lit(1))
+    )
+    assign = packing.pack_sequences(counted, "id", "tok", max_tokens=100, num_buckets=1)
+    seqs = packing.materialize_packs(docs, assign, "id", "text", separator="|").collect()
+    assert len(seqs) == 1
+    s = seqs[0]
+    assert s.n_docs == 3
+    assert s.sequence.count("|") == s.n_docs - 1

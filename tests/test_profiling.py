@@ -31,7 +31,7 @@ def test_profile_values(spark):
     assert p["v"].min == "-3.0" and p["v"].max == "2.5"
     # arrays report length bounds, no distinct
     assert p["arr"].min == "1" and p["arr"].max == "3"
-    assert p["arr"].approx_distinct is None
+    assert p["arr"].approx_distinct == 3  # HLL hashes array values too
 
 
 def test_profile_empty_frame(spark):
@@ -60,3 +60,22 @@ def test_profile_table_handles_dotted_column_names(spark):
     assert set(out.index) == {"cpu.percent", "node.name"}
     assert out.loc["cpu.percent", "n_nulls"] == 0
     assert out.loc["node.name", "n_nulls"] == 1
+
+
+def test_profile_survives_duplicate_column_names(spark):
+    # repeated headers (CSV re-reads, sloppy joins) must not make the
+    # report crash with AMBIGUOUS_REFERENCE
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long").toDF("a", "a")
+    rep = profile_table(df).collect()
+    assert [r.column for r in rep] == ["a", "a"]
+    assert {r["min"] for r in rep} == {"1", "2"}
+
+
+def test_profile_array_and_binary_distincts(spark):
+    df = spark.createDataFrame(
+        [([1, 2], bytearray(b"xy")), ([1, 2], bytearray(b"zz")), ([3], bytearray(b"xy"))],
+        "arr array<long>, blob binary",
+    )
+    rep = {r.column: r for r in profile_table(df).collect()}
+    assert rep["arr"].approx_distinct is not None and rep["arr"].approx_distinct >= 2
+    assert rep["blob"].approx_distinct is not None and rep["blob"].approx_distinct >= 2

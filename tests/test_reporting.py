@@ -97,3 +97,12 @@ def test_est_dup_frac_never_negative(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     row = corpus_report(df, "text")["overall"].collect()[0]
     assert row.est_dup_frac >= 0.0
+
+
+def test_empty_corpus_reports_zero_quality_percentiles(spark):
+    # contract: an empty corpus reports 0 everywhere, never a NULL/0
+    # mix that trips float() in a card renderer
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = corpus_report(empty)["overall"].collect()[0]
+    assert row.n_docs == 0 and row.total_tokens == 0
+    assert row.quality_p10 == 0.0 and row.quality_p50 == 0.0 and row.quality_p90 == 0.0

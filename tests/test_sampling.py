@@ -179,3 +179,25 @@ def test_null_keys_sample_and_split_deterministically(spark):
     splits = hash_split(df, "k", {"a": 0.5, "b": 0.5}, salt="s")
     labels = {r.split for r in splits.filter("k IS NULL").collect()}
     assert len(labels) == 1  # all NULLs together, wherever they hash
+
+
+def test_stratified_sample_can_target_null_stratum(spark):
+    # fractions={None: 1.0} must keep every NULL-stratum row; the old
+    # `strata == lit(None)` branch was never true, so they all fell to
+    # the default fraction (0.0) and were silently dropped
+    from clustering_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "en") for i in range(200)],
+        "id long, lang string",
+    )
+    kept = stratified_hash_sample(
+        df, "id", "lang", fractions={None: 1.0}, default_fraction=0.0
+    ).collect()
+    assert len(kept) == 100
+    assert all(r.lang is None for r in kept)
+    # and a fraction for a real stratum still composes with it
+    both = stratified_hash_sample(
+        df, "id", "lang", fractions={None: 1.0, "en": 1.0}, default_fraction=0.0
+    )
+    assert both.count() == 200
