@@ -51,12 +51,27 @@ def asof_join(
     for c in payload_cols:
         if c in left.columns:
             raise ValueError(f"payload column {c!r} collides with a left column")
+    for c in ("__tag", "__payload"):
+        if c in left.columns or c in right.columns:
+            # the union/select below would otherwise produce duplicate
+            # columns and die with an opaque AMBIGUOUS_REFERENCE far
+            # from the cause (the time_range_join __bucket rule)
+            raise ValueError(
+                f"asof_join uses {c!r} internally — rename that column first"
+            )
 
-    # a right row with a NULL timestamp matches NOTHING (DuckDB ASOF
-    # semantics): unfiltered, ASC NULLS FIRST would sort it before
-    # every left row and its payload would backfill rows that have no
-    # true match
-    right = right.filter(F.col(ts_col).isNotNull())
+    # a right row with a NULL timestamp OR a NULL key matches NOTHING
+    # (DuckDB ASOF / pandas merge_asof semantics): unfiltered, a NULL
+    # ts would sort ASC NULLS FIRST before every left row and backfill
+    # rows with no true match, and the window's partitionBy groups
+    # NULL keys TOGETHER — so a NULL-key right row would match NULL-key
+    # left rows, which equality-matching ASOF never does. NULL-key
+    # LEFT rows still come back (payload NULL): their partition then
+    # contains no right rows at all.
+    nonnull_keys = F.lit(True)
+    for k in key_cols:
+        nonnull_keys = nonnull_keys & F.col(k).isNotNull()
+    right = right.filter(F.col(ts_col).isNotNull() & nonnull_keys)
 
     # real StructType from the right schema's fields — a simpleString
     # round-trip can degrade types (char/varchar) and needs manual

@@ -50,6 +50,15 @@ def scatter_bins(
     Degenerate ranges (min == max) land every point in bin 0, like the
     scaler's degenerate-range rule.
     """
+    # rows with a NULL coordinate carry no position: F.least skips
+    # NULLs, so they would all paint into the max-edge pixel as a
+    # phantom bright line — drop them instead (the reference's
+    # matplotlib scatter does the same). Filter BEFORE the stats
+    # aggregation: a dropped row must not stretch the binning range
+    # either (one (x=1e9, y=NULL) outlier would otherwise collapse
+    # every real point into pixel column 0 — matplotlib likewise
+    # excludes NaN points from autoscale limits)
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     stats = df.groupBy(*seg_cols).agg(
         F.min(x_col).alias("__xmin"),
         F.max(x_col).alias("__xmax"),
@@ -66,13 +75,14 @@ def scatter_bins(
             F.floor(scaled * n).cast("int"), F.lit(n - 1)
         )
 
-    # rows with a NULL coordinate carry no position: F.least skips
-    # NULLs, so they would all paint into the max-edge pixel as a
-    # phantom bright line — drop them instead (the reference's
-    # matplotlib scatter does the same)
-    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    from clustering_spark.operators.metrics import nullsafe_equi_join
+
+    # nullsafe: a NULL-keyed segment is a real group (stats keeps it,
+    # and write_cluster_pngs renders it under 'None' by design) — a
+    # name-based join would drop its points here and the promised PNG
+    # would silently never exist
     binned = (
-        df.join(F.broadcast(stats), on=seg_cols)
+        nullsafe_equi_join(df, F.broadcast(stats), list(seg_cols), "inner")
         .select(
             *seg_cols,
             _bin(x_col, "__xmin", "__xmax", width).alias("px"),
@@ -97,23 +107,54 @@ def _render_png(
     rows, width: int, height: int, clusters: list
 ) -> bytes:
     """Grayscale raster from (px, py, cluster) pixel rows: cluster i of
-    k gets intensity round((i+1) * 255 / k); background stays 0."""
-    shade = {
-        c: round((i + 1) * 255 / len(clusters))
-        for i, c in enumerate(sorted(clusters))
-    }
+    k gets intensity round((i+1) * 255 / k); background stays 0.
+
+    Cluster labels are normalized through ``_norm_label`` on BOTH the
+    legend and the pixel rows: pandas renders NULL labels as NaN, and
+    a float64 Series boxes a fresh NaN object per access — NaN != NaN,
+    so a raw dict keyed on the unique() objects raised KeyError for
+    every NULL-cluster pixel. Bounds are validated: a px/py outside
+    the raster means the caller's width/height disagree with the
+    scatter_bins call that produced the rows, and Python's negative
+    indexing would otherwise silently paint the wrong row."""
+    norm = {_norm_label(c) for c in clusters}
+    ordered = sorted(norm, key=lambda c: (c is not None, c if c is not None else 0))
+    shade = {c: round((i + 1) * 255 / len(ordered)) for i, c in enumerate(ordered)}
     img = bytearray(width * height)
     for px, py, cl in rows:
-        img[(height - 1 - py) * width + px] = shade[cl]  # y grows upward
+        if not (0 <= px < width and 0 <= py < height):
+            raise ValueError(
+                f"pixel ({px}, {py}) outside {width}x{height} raster — "
+                "width/height must match the scatter_bins call"
+            )
+        img[(height - 1 - py) * width + px] = shade[_norm_label(cl)]  # y grows upward
     return make_png(width, height, bytes(img), color_type=0)
+
+
+def _norm_label(c):
+    """One canonical None for missing cluster labels (None or any NaN
+    float object), so dict lookups and sort keys behave."""
+    if c is None:
+        return None
+    try:
+        if c != c:  # NaN
+            return None
+    except Exception:
+        pass
+    return c
 
 
 def _safe_component(v) -> str:
     """Filesystem-safe rendering of one segment value: anything
     outside [A-Za-z0-9._-] becomes '_', and a leading dot is escaped
-    (no hidden files, no '..')."""
+    (no hidden files, no '..'). Missing keys (None, or the NaN pandas
+    substitutes for a NULL group key) render as 'None' — one
+    documented name for the NULL-keyed segment, not float repr
+    drift ('nan')."""
     import re as _re
 
+    if _norm_label(v) is None:
+        return "None"
     s = _re.sub(r"[^A-Za-z0-9._\-]", "_", str(v))
     return ("_" + s[1:]) if s.startswith(".") else (s or "_")
 

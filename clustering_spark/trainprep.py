@@ -66,6 +66,13 @@ class PrepConfig:
     chunk_size: int = 2000
     chunk_stride: int = 1800
     pack_max_tokens: int = 2048
+    # oversize survivors (token count > pack_max_tokens) come back from
+    # pack_sequences as single-doc packs flagged oversize=true, and the
+    # flag rides through to `packs` AND `sequences`. True drops them
+    # BEFORE packing instead (their context-window pieces remain
+    # available in `chunks`); False keeps the flagged sequences for the
+    # caller to route.
+    drop_oversize: bool = False
     seed: int = 42
     # cross-doc repeated-passage gate (dedup.passage_dup_stats): drop
     # near-dup SURVIVORS whose shared-chunk fraction still exceeds
@@ -119,6 +126,18 @@ def prepare_corpus(
     doc into a training sequence is leakage no post-hoc label can
     undo. ``pack_id`` is only unique within a split (each split packs
     independently with its own salt); key on ``(split, pack_id)``.
+
+    CONTRACT: ``cfg.id_col`` values must be UNIQUE and NON-NULL (the
+    pack_sequences / epoch_shuffle rule — the id is the join identity
+    for every splice in the chain). NULL-id docs are DROPPED at the
+    exact-dedup splice (a NULL id can never match the min-id survivor
+    set); duplicate ids would collapse to one survivor per near-dup
+    component rather than flow through as distinct docs. Assign
+    surrogate ids upstream if the raw corpus lacks them.
+
+    Sequences whose single member exceeds ``pack_max_tokens`` carry
+    ``oversize=true`` (see ``PrepConfig.drop_oversize`` to exclude
+    them before packing; their pieces are in ``chunks`` either way).
     """
     cfg = cfg or PrepConfig()
     id_c, text_c = cfg.id_col, cfg.text_col
@@ -187,13 +206,22 @@ def prepare_corpus(
         .withColumn("component", F.coalesce("comp", F.col(id_c)))
         .drop("comp")
     )
+    # row_number, not an id == min(id) filter: under a violated
+    # unique-id contract the equality filter keeps EVERY row tied at
+    # the component minimum — duplicated training data the dedup stage
+    # claims to have collapsed (the same defect fixed in
+    # graph.dedup_by_component)
     unique = (
         with_comp.withColumn(
-            "__is_min",
-            F.col(id_c) == F.min(id_c).over(Window.partitionBy("component")),
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col(id_c).asc_nulls_last()
+                )
+            ),
         )
-        .filter("__is_min")
-        .drop("__is_min")
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
     # 4b. optional repeated-passage gate AFTER the near-dup collapse:
@@ -253,6 +281,8 @@ def prepare_corpus(
     packs_parts, seq_parts = [], []
     for label in cfg.split_fractions:
         part = with_tok.filter(F.col("split") == label)
+        if cfg.drop_oversize:
+            part = part.filter(F.col(tok_c) <= cfg.pack_max_tokens)
         p = packing.pack_sequences(
             part, id_c, tok_c, cfg.pack_max_tokens, salt=f"pack:{label}"
         )

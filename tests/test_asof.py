@@ -81,3 +81,31 @@ def test_dotted_payload_column_names(spark):
     )
     out = asof_join(left, right, ["k"], "ts", ["price.usd"]).collect()
     assert out[0]["price.usd"] == 5.0
+
+
+def test_null_key_rows_never_match(spark):
+    # DuckDB ASOF / pandas merge_asof never equality-match NULL keys:
+    # a NULL-key left row comes back payload-NULL even when a NULL-key
+    # right row precedes it
+    left = spark.createDataFrame(
+        [(None, 10), ("u", 10)], "user string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 9.0), ("u", 5, 7.0)], "user string, ts long, v double"
+    )
+    from clustering_spark.operators.asof import asof_join
+
+    out = {r.user: r.v for r in asof_join(left, right, ["user"], "ts", ["v"]).collect()}
+    assert out["u"] == 7.0
+    assert out[None] is None
+
+
+def test_internal_column_collision_rejected(spark):
+    import pytest
+
+    from clustering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 0)], "k long, ts long, __tag int")
+    right = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError, match="__tag"):
+        asof_join(left, right, ["k"], "ts", ["v"])

@@ -70,3 +70,42 @@ def test_degenerate_range_single_bin(spark, tmp_path):
     ).toPandas()
     assert len(binned) == 1
     assert (binned.px[0], binned.py[0], binned.n[0]) == (0, 0, 5)
+
+
+def test_null_coordinate_rows_do_not_stretch_range(spark):
+    # a dropped (NULL-y) row must not stretch the binning range: with
+    # stats computed pre-filter, one x=1e9 outlier collapsed every real
+    # point into pixel column 0
+    rows = [("a", float(x), float(x), 0) for x in range(10)]
+    rows.append(("a", 1e9, None, 0))
+    df = spark.createDataFrame(rows, "seg string, x double, y double, cl int")
+    out = scatter_bins(df, ["seg"], "x", "y", "cl", width=8, height=8).collect()
+    assert max(r.px for r in out) == 7  # real points span the raster
+    assert len({r.px for r in out}) > 1
+
+
+def test_null_keyed_segment_gets_png_with_null_clusters(spark, tmp_path):
+    # the NULL-keyed segment must survive the stats join (eqNullSafe)
+    # and render despite NULL cluster labels (NaN-keyed shade lookup)
+    rows = [(None, float(i % 4), float(i % 4), None) for i in range(20)]
+    rows += [("s", float(i % 4), float(i % 4), 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "seg string, x double, y double, cl int")
+    binned = scatter_bins(df, ["seg"], "x", "y", "cl", width=4, height=4)
+    paths = write_cluster_pngs(binned, ["seg"], str(tmp_path), width=4, height=4)
+    names = sorted(os.path.basename(p) for p in paths)
+    assert names == ["None.png", "s.png"]
+    for p in paths:
+        w, h, _, _ = mm._png_decode(open(p, "rb").read())
+        assert (w, h) == (4, 4)
+
+
+def test_raster_size_mismatch_fails_fast(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", float(i), float(i), 0) for i in range(10)],
+        "seg string, x double, y double, cl int",
+    )
+    binned = scatter_bins(df, ["seg"], "x", "y", "cl", width=64, height=64)
+    with pytest.raises(ValueError, match="raster"):
+        write_cluster_pngs(binned, ["seg"], str(tmp_path), width=8, height=8)

@@ -304,3 +304,42 @@ def test_packs_never_straddle_splits(spark):
     finally:
         j.unpersist()
     assert "split" in out["sequences"].columns
+
+
+def test_duplicate_ids_collapse_to_one_survivor(spark):
+    # under a violated unique-id contract the near-dup survivor filter
+    # must still keep ONE row per component (id == min(id) kept every
+    # tied row — duplicated training data after the dedup stage)
+    from clustering_spark.trainprep import PrepConfig, prepare_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest while the morning light slowly rises"
+    )
+    df = spark.createDataFrame(
+        [(7, base), (7, base + " edited tail here"), (9, "a completely different "
+          "document about distributed query engines and shuffle planning")],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(df, PrepConfig(thresholds=None))
+    uniq = out["unique"].collect()
+    assert len([r for r in uniq if r.doc_id == 7]) == 1
+    assert len(uniq) == 2
+
+
+def test_drop_oversize_excludes_long_docs_from_sequences(spark):
+    from clustering_spark.trainprep import PrepConfig, prepare_corpus
+
+    words_long = " ".join(f"w{i}" for i in range(300))
+    words_short = " ".join(f"s{i} t{i} u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words_long), (2, words_short)], "doc_id long, text string"
+    )
+    cfg = PrepConfig(thresholds=None, pack_max_tokens=64, drop_oversize=True)
+    out = prepare_corpus(df, cfg)
+    seqs = out["sequences"].collect()
+    assert all(not r.oversize for r in seqs)
+    assert all(r.total_tokens <= 64 for r in seqs)
+    # default keeps the oversize sequence, flagged
+    out2 = prepare_corpus(df, PrepConfig(thresholds=None, pack_max_tokens=64))
+    assert any(r.oversize for r in out2["sequences"].collect())
