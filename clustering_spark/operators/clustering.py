@@ -396,6 +396,11 @@ class SegmentedClusterer:
     # (thresholded_iter_num) — the common case stops after seed #1.
     old_sil_col: str | None = None
     old_sil_threshold: float = 0.8
+    # parity-mode MLlib fits run under a driver watchdog (fit_guard):
+    # a fit exceeding this many seconds is cancelled via its job group
+    # and the next seed is tried. Guards the known F2J-LAPACK infinite
+    # spin in GaussianMixture EM on degenerate covariances.
+    fit_timeout: float = 300.0
 
     def fit_predict(self, df: DataFrame) -> DataFrame:
         if self.algorithm not in _FITTERS:
@@ -642,10 +647,26 @@ class SegmentedClusterer:
         """MLlib path for strict numeric parity with the reference
         (cluster.py:44-71). Distributed per-fit, serial over segments —
         use when segments are few and large. Requires a vector features
-        column; we assemble arrays on the fly."""
+        column; we assemble arrays on the fly.
+
+        GaussianMixture fits on unit-variance-scaled features (computed
+        per segment with native aggregates). EM's covariance
+        eigendecomposition runs on pure-Java F2J LAPACK in this sandbox
+        and can spin FOREVER on tight blobs (sigma~0.1 scale) whose
+        covariances collapse toward singular; unit variance conditions
+        EM so they stay finite. Per-feature scaling is an invertible
+        affine map, so the mixture structure is preserved — predictions
+        come from the scaled-space fit, while silhouette and WSSSE are
+        still computed on the ORIGINAL features, matching the
+        reference's reporting. Every fit additionally runs under the
+        fit_guard watchdog (timeout -> cancelJobGroup -> next seed), so
+        a hang can never take the driver down with it.
+        """
         from pyspark.ml.clustering import BisectingKMeans, GaussianMixture, KMeans
         from pyspark.ml.evaluation import ClusteringEvaluator
         from pyspark.ml.feature import VectorAssembler
+
+        from clustering_spark.operators.fit_guard import FitTimeout, guarded_fit
 
         est_cls = {
             "KMeans": KMeans,
@@ -730,16 +751,60 @@ class SegmentedClusterer:
                     parts.append(labeled.drop("__features_vec").localCheckpoint())
                     continue
                 k = max(2, min(k, n_distinct))
+                fit_df, fit_feat_col, std_helper_cols = sdf, "__features_vec", []
+                if est_cls is GaussianMixture:
+                    # unit-variance conditioning (see method docstring):
+                    # one native agg per segment — parity is the
+                    # few-large-segments path, same budget as the
+                    # n_distinct probe above
+                    std_row = sdf.agg(
+                        *[
+                            F.stddev_samp(F.col(c)).alias(f"__s{i}")
+                            for i, c in enumerate(self.feature_cols)
+                        ]
+                    ).collect()[0]
+                    stds = [
+                        float(s) if s is not None and s == s and s > 0 else 1.0
+                        for s in std_row
+                    ]
+                    std_helper_cols = [
+                        f"__std_{i}" for i in range(len(self.feature_cols))
+                    ]
+                    fit_df = sdf.select(
+                        "*",
+                        *[
+                            (F.col(c) / F.lit(stds[i])).alias(std_helper_cols[i])
+                            for i, c in enumerate(self.feature_cols)
+                        ],
+                    )
+                    fit_df = VectorAssembler(
+                        inputCols=std_helper_cols, outputCol="__features_std"
+                    ).transform(fit_df)
+                    fit_feat_col = "__features_std"
+                    std_helper_cols = std_helper_cols + ["__features_std"]
                 best = None
+                timed_out = 0
                 for seed in self.seeds:
                     est = est_cls(
-                        featuresCol="__features_vec",
+                        featuresCol=fit_feat_col,
                         predictionCol=PREDICTION_COL,
                         k=k,
                         seed=seed,
                     )
-                    model = est.fit(sdf)
-                    labeled = model.transform(sdf)
+                    try:
+                        model = guarded_fit(
+                            est,
+                            fit_df,
+                            timeout=self.fit_timeout,
+                            desc=f"parity {self.algorithm} k={k} seed={seed}",
+                        )
+                    except FitTimeout:
+                        # the F2J spin is seed-sensitive (init draws a
+                        # different starting mixture) — burn the seed,
+                        # not the driver
+                        timed_out += 1
+                        continue
+                    labeled = model.transform(fit_df)
                     n_clusters = labeled.select(PREDICTION_COL).distinct().count()
                     sil = evaluator.evaluate(labeled) if n_clusters >= 2 else 0.0
                     if est_cls is GaussianMixture:
@@ -763,6 +828,16 @@ class SegmentedClusterer:
                         and best[1] >= float(seg_osil) * self.old_sil_threshold
                     ):
                         break
+                if best is None:
+                    # every seed hit the watchdog — surface a clear,
+                    # terminating error instead of the silent forever-
+                    # hang this path used to risk
+                    raise RuntimeError(
+                        f"parity {self.algorithm} fit timed out for all "
+                        f"{timed_out} seed(s) on segment {seg} "
+                        f"(watchdog {self.fit_timeout:.0f}s each); "
+                        "raise fit_timeout or use mode='scale'"
+                    )
                 labeled, sil, wssse = best
                 if est_cls is GaussianMixture:
                     # empirical-center WSSSE for the winning fit —
@@ -789,7 +864,7 @@ class SegmentedClusterer:
                 parts.append(
                     labeled.withColumn(SILHOUETTE_COL, F.lit(sil))
                     .withColumn("wssse", F.lit(wssse))
-                    .drop("__features_vec")
+                    .drop("__features_vec", *std_helper_cols)
                     .localCheckpoint()
                 )
             finally:

@@ -76,6 +76,8 @@ def fit_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
+    from clustering_spark.operators.fit_guard import guarded_fit
+
     feats = _with_features(labeled, text_col)
     assembler = VectorAssembler(
         inputCols=FEATURE_COLS, outputCol="__raw_features"
@@ -95,7 +97,12 @@ def fit_quality_classifier(
         rawPredictionCol="__rawpred",
         predictionCol="__pred",
     )
-    return Pipeline(stages=[assembler, scaler, lr]).fit(feats)
+    # guarded like every MLlib fit in this repo: L-BFGS won't LAPACK-spin
+    # the way GMM EM does, but a hung fit anywhere must terminate at the
+    # driver rather than wedge the job (fit_guard module docstring)
+    return guarded_fit(
+        Pipeline(stages=[assembler, scaler, lr]), feats, desc="quality LR pipeline"
+    )
 
 
 def score_quality(
