@@ -79,6 +79,39 @@ GATE_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_GATE_RUNS", "3")))
 # moves every run, noise moves a few — judge by the minimums then
 STEAL_RATIO = 3.0
 
+# expected calibration-probe timings on THIS sandbox when idle
+# (measured over repeated runs, round 10). The probe does FIXED work,
+# so a probe reading far above these means the whole bench window is
+# polluted by VM ambient drift (CPU steal / contention) and
+# query-time deltas vs older BENCH_r*.json files are NOT attributable
+# to code: rounds 7 vs 8 differed 1.75x on byte-identical code.
+# Readings within ~1.5x of expected = clean window.
+CALIBRATION_EXPECTED = {"gemm_3x1024": 0.06, "spark_range_100m_sum": 0.35}
+
+
+def _calibration_probe(spark) -> dict[str, float]:
+    """Fixed-work probe separating VM drift from code regressions:
+    a deterministic 3x 1024^3 numpy GEMM (CPU/BLAS throughput) and one
+    tiny Spark job (JVM scheduler + task-launch latency). Run before
+    AND after the query loop; compare against CALIBRATION_EXPECTED."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(1024, 1024)
+    b = rng.rand(1024, 1024)
+    a @ b  # untimed: BLAS thread-pool spin-up is one-time, not drift
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ b
+    gemm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id)").collect()
+    srange = time.perf_counter() - t0
+    return {
+        "gemm_3x1024": round(gemm, 3),
+        "spark_range_100m_sum": round(srange, 3),
+    }
+
 
 def main() -> None:
     from clustering_spark.queries import QUERIES
@@ -144,6 +177,7 @@ def main() -> None:
                 suspects.append(name)
         return medians, cold, spread, suspects
 
+    cal_before = _calibration_probe(spark)
     medians, cold, spread, suspects = run_set(HEADLINE, SF_DIR, RUNS)
 
     def sf_of(path):
@@ -179,6 +213,8 @@ def main() -> None:
             "gate_steal_suspect": gsus,
         }
 
+    cal_after = _calibration_probe(spark)
+
     # no 0.1 fallback: an unrecognized dir records sf null (unknown)
     # rather than claiming the default scale for foreign data
     sf = sf_of(SF_DIR)
@@ -207,6 +243,15 @@ def main() -> None:
                 "queries_spread": spread,
                 "steal_suspect": suspects,
                 "errors": errors,
+                # fixed-work probe bracketing the query loop: readings
+                # far above `expected` (see CALIBRATION_EXPECTED) mean
+                # the WINDOW is polluted and cross-round query deltas
+                # are VM drift, not code
+                "calibration": {
+                    "before": cal_before,
+                    "after": cal_after,
+                    "expected": CALIBRATION_EXPECTED,
+                },
                 **gate,
             }
         )

@@ -146,6 +146,36 @@ def exact_jaccard(sh_a: Column | str, sh_b: Column | str) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
+def _threshold_fraction(t: float) -> tuple[int, int]:
+    """Represent threshold ``t`` as an exact rational p/q with p/q <= t
+    and q <= 1e6, for overflow-safe exact integer ceilings in the
+    PPJoin bounds (see ngram_jaccard_pairs). limit_denominator recovers
+    the decimal the caller typed (0.55 -> 11/20) even though the float
+    sits just above it; when the closest fraction exceeds the float —
+    which is what the verify step compares against — fall back to the
+    floor-quantized fraction, relaxing by <1e-6 (lossless: only admits
+    extra candidates)."""
+    from fractions import Fraction
+
+    ft = Fraction(t)
+    frac = ft.limit_denominator(1_000_000)
+    if frac > ft:
+        frac = Fraction(int(ft * 1_000_000), 1_000_000)
+    return frac.numerator, frac.denominator
+
+
+def _ceil_ratio(n_col: Column, num: int, den: int) -> Column:
+    """Exact ceil(num * n / den) for an integer column n >= 0 as
+    floor((num*n + den - 1) / den). The double division is exact here:
+    numerators stay <= ~2e6 * n (< 2^53 for any real shingle count) and
+    den <= 2e6 keeps non-integral quotients > one ulp away from the
+    next integer, so floor cannot misround."""
+    return F.floor(
+        (F.lit(int(num)) * n_col.cast("long") + F.lit(int(den - 1)))
+        / F.lit(int(den))
+    )
+
+
 def _word_shingles_arrow(n: int = 3):
     """Arrow-batched pandas_udf equivalent of :func:`word_shingles`
     (verified bit-for-bit by tests/test_dedup.py). Replicates Spark
@@ -795,24 +825,31 @@ def ngram_jaccard_pairs(
     # 64-bit collision can only ADD a candidate pair, which exact
     # verification then rejects — lossless.
     #
-    # Every ceil below goes through _ceil_bound: ceil(t*n) computed in
-    # FLOAT overshoots the true rational ceiling when the product is
+    # Every ceil below is EXACT INTEGER arithmetic: ceil(t*n) computed
+    # in float overshoots the true rational ceiling when the product is
     # mathematically integral but rounds up in binary (0.55*100 =
     # 55.000000000000007 -> ceil 56), silently DROPPING qualifying
     # pairs (|s|=55 satisfies 55 >= 0.55*100) — a lossless-contract
-    # violation at any threshold whose product can land on an integer
-    # (t=0.5 was safe only because it is exactly representable). The
-    # 1e-6 epsilon can only RELAX a bound by 1 in the boundary case
-    # (float error is |t*n|*2^-52, orders of magnitude below 1e-6 for
-    # any real shingle count), and a relaxed filter only ADMITS extra
-    # candidates for the exact verify to reject — lossless either way.
-    def _ceil_bound(x):
-        return F.ceil(x - F.lit(1e-6))
+    # violation. Represent the threshold as a rational p/q <= t (exact
+    # for any practically-specified threshold: limit_denominator(1e6)
+    # recovers the decimal the caller typed; the floor-quantized
+    # fallback only fires for thresholds with >6 significant decimals
+    # and then RELAXES by <1e-6, which only ADMITS extra candidates for
+    # the exact verify to reject). Then ceil(p*n/q) =
+    # floor((p*n + q - 1)/q) on longs — tight AND lossless. The pair
+    # bounds reuse the same p,q exactly: 2t/(1+t) = 2p/(p+q) and
+    # t/(1+t) = p/(p+q), both increasing in t, so a rational <= t
+    # keeps every bound a valid lower bound of the float-verify
+    # threshold's. Numerators stay <= ~2e6 * n, exact in the double
+    # division below for any real shingle count (< 2^53/2e6 ~ 4e9),
+    # and q >= 1e-6 separates the true quotient from the next integer
+    # by >> one double ulp, so floor() cannot misround.
+    _p, _q = _threshold_fraction(jaccard_threshold)
 
     w = Window.partitionBy("__id").orderBy("__df", "shingle")
     prefix_len = (
         F.col("__n")
-        - _ceil_bound(F.lit(jaccard_threshold) * F.col("__n"))
+        - _ceil_ratio(F.col("__n"), _p, _q)
         + 1
     )
     prefix = (
@@ -835,8 +872,8 @@ def ngram_jaccard_pairs(
     # Orientation (n, id) lexicographic makes each unordered pair
     # join exactly once with the short prefix on the smaller doc.
     t = jaccard_threshold
-    short_len = F.col("__n") - _ceil_bound(
-        F.lit(2.0 * t / (1.0 + t)) * F.col("__n")
+    short_len = F.col("__n") - _ceil_ratio(
+        F.col("__n"), 2 * _p, _p + _q
     ) + 1
     ps = prefix.filter(F.col("__rn") <= short_len).select(
         F.col("__id").alias("id_s"),
@@ -854,8 +891,8 @@ def ngram_jaccard_pairs(
     # bounds the best possible overlap by min(|A|-i, |B|-j) + 1, which
     # must reach ceil(t/(1+t) * (|A|+|B|)) for J >= t — kills most
     # false candidates before the expensive distinct+verify. Lossless.
-    min_overlap = _ceil_bound(
-        F.lit(t / (1.0 + t)) * (F.col("__n_s") + F.col("__n_l"))
+    min_overlap = _ceil_ratio(
+        F.col("__n_s") + F.col("__n_l"), _p, _p + _q
     )
     best_possible = (
         F.least(
@@ -867,7 +904,7 @@ def ngram_jaccard_pairs(
         (F.col("__n_s") == F.col("__n_l")) & (F.col("id_s") < F.col("id_l"))
     )
     # size filter: J >= t forces |small| >= t*|large|
-    size_ok = F.col("__n_s") >= _ceil_bound(F.lit(t) * F.col("__n_l"))
+    size_ok = F.col("__n_s") >= _ceil_ratio(F.col("__n_l"), _p, _q)
     cands = (
         ps.join(pl, on="__sid")
         .filter(smaller_first & size_ok)

@@ -731,7 +731,7 @@ FROM g GROUP BY 1, 2
 """
 
 
-def q_stream_window_events(spark, sf_dir):
+def _stream_window_events_memory(spark, sf_dir):
     """§2.8: the STREAMING form of ``window_events`` — file-source
     readStream over the same events parquet, watermarked tumbling
     windows, drained with availableNow into a memory sink. Complete
@@ -806,7 +806,7 @@ def q_stream_sessions(spark, sf_dir):
     return spark.table(name)
 
 
-def q_stream_window_events_parquet(spark, sf_dir):
+def _stream_window_events_parquet(spark, sf_dir):
     """§2.8: the DURABLE-SINK form of ``stream_window_events`` —
     watermarked tumbling windows drained through the append-mode
     parquet file sink (exactly-once via the sink's _spark_metadata
@@ -931,7 +931,7 @@ GROUP BY user_id
 """
 
 
-def q_stream_window_events_incremental(spark, sf_dir):
+def _stream_window_events_incremental(spark, sf_dir):
     """§2.8: the MULTI-BATCH form of ``stream_window_events`` — the
     events table is re-written as 2 files and streamed with
     maxFilesPerTrigger=1, so the tumbling-window state is built
@@ -972,6 +972,41 @@ def q_stream_window_events_incremental(spark, sf_dir):
     name = "stream_inc_" + uuid.uuid4().hex[:8]
     run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sinc_"))
     return spark.table(name)
+
+
+def q_stream_window_events(spark, sf_dir):
+    """§2.8: the watermarked tumbling-window stream in ALL THREE drain
+    modes as ONE hash-gated entry — rows tagged by ``mode``:
+
+    - ``memory``: availableNow drain into a memory sink;
+    - ``parquet``: append-mode durable file sink (exactly-once via the
+      sink's _spark_metadata log) read back from disk, with the
+      sentinel-advanced watermark so every real window finalizes;
+    - ``incremental``: maxFilesPerTrigger=1 over a 2-file split, so
+      window state accumulates across micro-batches.
+
+    Over a static directory each drain must EXACTLY equal the batch
+    result, so the oracle is the batch window SQL replicated per mode
+    tag (SQL_WINDOW_EVENTS_MODES). Folding the three registry entries
+    (round-8 advice item 2) frees driver-gate slots for strip_html and
+    semantic_dedup_keep without weakening any check — all three modes
+    stay on the hash gate."""
+    mem = _stream_window_events_memory(spark, sf_dir)
+    pq = _stream_window_events_parquet(spark, sf_dir)
+    inc = _stream_window_events_incremental(spark, sf_dir)
+    return (
+        mem.withColumn("mode", F.lit("memory"))
+        .unionByName(pq.withColumn("mode", F.lit("parquet")))
+        .unionByName(inc.withColumn("mode", F.lit("incremental")))
+    )
+
+
+SQL_WINDOW_EVENTS_MODES = f"""
+WITH w AS ({SQL_WINDOW_EVENTS})
+SELECT 'memory' AS mode, * FROM w
+UNION ALL SELECT 'parquet' AS mode, * FROM w
+UNION ALL SELECT 'incremental' AS mode, * FROM w
+"""
 
 
 def q_stream_dedup_replay(spark, sf_dir):
@@ -1969,6 +2004,79 @@ def q_ivf_topk(spark, sf_dir):
     return idx.search(indexed, "embedding", "vec_id", QUERY_VEC, k=10, nprobe=4)
 
 
+def q_strip_html(spark, sf_dir):
+    """HTML text extraction (textnorm.strip_html) on the hash gate: each
+    document's text is entity-escaped and wrapped in a deterministic
+    HTML template exercising the extractor's passes — doctype/container
+    tags, a dropped <style> payload, a dropped <script> payload (with a
+    literal '<' inside), a comment, block tags (h1/p -> newlines), an
+    inline <b> split mid-word, and the entity round-trip (&amp;/&lt;/
+    &gt; decode back to the original characters). Because the payload
+    is escaped, stripping is an exact inverse up to the documented
+    whitespace normalization, so the DuckDB oracle reconstructs the
+    expected text from the RAW column by replaying only the whitespace
+    passes on the template skeleton — no DOM parser needed, and any
+    drift in tag classification, payload dropping, entity order, or
+    whitespace collapsing breaks the hash."""
+    from clustering_spark.operators.textnorm import extract_html_text
+
+    d = load_spread(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><style>p{color:red}</style></head>"
+            '<body><!-- nav --><script type="text/javascript">var x = 1 < 2;'
+            "</script><h1>Ti<b>tle</b></h1><p>"
+        ),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    return extract_html_text(
+        d.select("doc_id", html.alias("html")), "html", "text"
+    ).select("doc_id", "text")
+
+
+# the template skeleton reduces to: 8 drop-to-space tags/payloads, then
+# '\n' (h1) 'Title' '\n' (/h1) '\n' (p) + text + '\n' (/p) ' ' ' ' —
+# the oracle replays ONLY the whitespace passes (horizontal-run
+# collapse, space-newline fusion, 3+-newline collapse, trim) on that
+# skeleton around the raw text; regexp_replace 'g' = global, chr(10)
+# spelled explicitly so the SQL survives dialect string-escape rules
+SQL_STRIP_HTML = """
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          repeat(' ', 8) || chr(10) || 'Title' || chr(10) || chr(10)
+            || text || chr(10) || '  ',
+          '[ \t\x0B\f\r]+', ' ', 'g'),
+        ' ?\n ?', chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+    '^[ \n]+|[ \n]+$', '', 'g') AS text
+FROM documents
+"""
+
+
+def q_semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup survivor set: IVF cells -> per-cell cosine GEMM pairs
+    -> connected components -> min-id survivor per component (rows-only:
+    the iterative centroid fit is not SQL-expressible; pair recall vs
+    the exact GEMM is pinned in tests/test_dedup.py)."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_keep(
+        e, "vec_id", "embedding", threshold=0.4, nlist=16, seed=42
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2020,14 +2128,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_stats": q_json_props_stats,
     "salted_join_revenue": q_salted_join_revenue,
     "pivot_user_event_counts": q_pivot_user_event_counts,
+    # round 10: the three SQL_WINDOW_EVENTS-backed stream entries
+    # (memory / parquet / incremental drains) folded into ONE
+    # mode-tagged entry — frees two slots for strip_html (oracle-gated)
+    # and semantic_dedup_keep (rows-only) without weakening any check
     "stream_window_events": q_stream_window_events,
     "stream_sliding_windows": q_stream_sliding_windows,
     "stream_sessions": q_stream_sessions,
-    "stream_window_events_parquet": q_stream_window_events_parquet,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_distinct_event_types": q_stream_distinct_event_types,
-    "stream_window_events_incremental": q_stream_window_events_incremental,
     "stream_dedup_replay": q_stream_dedup_replay,
+    "strip_html": q_strip_html,
     # -- rows-only (not ANSI-SQL-expressible; invariants in tests/) ---
     "approx_distinct_users": q_approx_distinct_users,
     "cluster_fit": q_cluster_fit,
@@ -2037,6 +2148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ivf_topk": q_ivf_topk,
+    "semantic_dedup_keep": q_semantic_dedup_keep,
 }
 
 ORACLES: dict[str, str] = {
@@ -2074,14 +2186,13 @@ ORACLES: dict[str, str] = {
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
     "pivot_user_event_counts": SQL_PIVOT_USER_EVENT_COUNTS,
-    "stream_window_events": SQL_WINDOW_EVENTS,
+    "stream_window_events": SQL_WINDOW_EVENTS_MODES,
     "stream_sliding_windows": SQL_SLIDING_WINDOW_EVENTS,
     "stream_sessions": SQL_STREAM_SESSIONS,
-    "stream_window_events_parquet": SQL_WINDOW_EVENTS,
     "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
-    "stream_window_events_incremental": SQL_WINDOW_EVENTS,
     "stream_dedup_replay": SQL_STREAM_DEDUP_REPLAY,
+    "strip_html": SQL_STRIP_HTML,
     # no oracle (not ANSI-SQL-expressible) — rows-only checks:
     #   approx_distinct_users (HLL estimates are implementation-
     #   specific; tolerance pinned in tests), cluster_fit / optimal_k /

@@ -771,6 +771,33 @@ def test_ngram_prefix_filters_lossless_at_float_boundary(spark):
     assert abs(pairs.jaccard[0] - 0.55) < 1e-9
 
 
+def test_ceil_ratio_exact_and_tight(spark):
+    """The PPJoin bounds now use exact integer ceilings: for the
+    threshold fraction p/q, the in-plan _ceil_ratio formula must equal
+    the exact rational ceiling for every n — TIGHT (no +1 epsilon
+    slack at integral products) and never below it (lossless). Grid
+    over the thresholds that historically misbehaved in float."""
+    from fractions import Fraction
+
+    from clustering_spark.operators.dedup import _ceil_ratio, _threshold_fraction
+
+    ns = list(range(0, 401))
+    df = spark.createDataFrame([(n,) for n in ns], "n int")
+    for t in (0.55, 0.7, 0.29, 1 / 3, 0.5, 0.999999, 1.0):
+        p, q = _threshold_fraction(t)
+        # the fraction never exceeds the float the verify compares with
+        assert Fraction(p, q) <= Fraction(t)
+        got = {
+            r["n"]: r["c"]
+            for r in df.select(
+                "n", _ceil_ratio(F.col("n"), p, q).alias("c")
+            ).collect()
+        }
+        for n in ns:
+            exact = -((-p * n) // q)  # ceil(p*n/q) in exact ints
+            assert got[n] == exact, (t, n, got[n], exact)
+
+
 def test_hamming_pair_search_max_hamming_zero(spark):
     """max_hamming=0 (exact-signature duplicate search) uses ONE
     64-bit chunk: the chunk mask must be skipped — F.lit((1<<64)-1)

@@ -93,19 +93,17 @@ def _check_windows(got: pd.DataFrame, exp: pd.DataFrame) -> None:
 
 
 def test_registered_stream_window_events_both_encodings(spark, enc_sf_dir):
+    """The folded multi-mode entry: EVERY drain mode (memory sink,
+    durable parquet sink with the encoding-aware watermark sentinel,
+    incremental multi-batch) must match ground truth under both ts
+    encodings — one mode-tagged result, checked per mode."""
     from clustering_spark.queries import QUERIES
 
     got = QUERIES["stream_window_events"](spark, enc_sf_dir).toPandas()
-    _check_windows(got, _expected_windows(enc_sf_dir))
-
-
-def test_registered_stream_parquet_sink_both_encodings(spark, enc_sf_dir):
-    """The durable-sink form: exercises the encoding-aware watermark
-    sentinel as well as the normalizer."""
-    from clustering_spark.queries import QUERIES
-
-    got = QUERIES["stream_window_events_parquet"](spark, enc_sf_dir).toPandas()
-    _check_windows(got, _expected_windows(enc_sf_dir))
+    assert set(got["mode"]) == {"memory", "parquet", "incremental"}
+    exp = _expected_windows(enc_sf_dir)
+    for mode, grp in got.groupby("mode"):
+        _check_windows(grp.drop(columns=["mode"]), exp)
 
 
 def test_registered_batch_window_events_both_encodings(spark, enc_sf_dir):
@@ -167,7 +165,9 @@ def test_registered_stream_against_real_testdata(spark):
 
     got = QUERIES["stream_window_events"](spark, SF_DIR).toPandas()
     exp = _expected_windows(SF_DIR)
-    _check_windows(got, exp)
+    assert set(got["mode"]) == {"memory", "parquet", "incremental"}
+    for _, grp in got.groupby("mode"):
+        _check_windows(grp.drop(columns=["mode"]), exp)
 
 
 def test_registered_stream_dedup_replay_both_encodings(spark, enc_sf_dir):
