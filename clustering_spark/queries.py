@@ -147,16 +147,33 @@ WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 
 
 def q_segment_counts(spark, sf_dir):
-    """P4/A1: segment carve as groupBy, not filter loops (SURVEY §4.3.1)."""
+    """P4/A1 (segment carve as groupBy, not filter loops — SURVEY
+    §4.3.1) + A3 (degenerate-segment guard, distinct metric tuples
+    >= 2, cluster.py:115) in ONE aggregate pass: the guard's distinct
+    count shares the segment shuffle the carve already pays, emitted
+    as a 0/1 ``passes_guard`` column instead of a filter so the carve
+    rows stay complete. (Folded from the former segment_counts +
+    distinct_guard entries, round 10, freeing a slot for the
+    oracle-gated cluster_assign entry.)"""
     c = load(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.struct("c_acctbal", "c_custkey")).alias(
+                "n_distinct_points"
+            ),
+        )
+        .withColumn(
+            "passes_guard", (F.col("n_distinct_points") >= 2).cast("int")
+        )
     )
 
 
 SQL_SEGMENT_COUNTS = """
-SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+       count(DISTINCT (c_acctbal, c_custkey)) AS n_distinct_points,
+       CAST(count(DISTINCT (c_acctbal, c_custkey)) >= 2 AS INT) AS passes_guard
 FROM customer GROUP BY 1, 2
 """
 
@@ -218,26 +235,83 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 # =====================================================================
 
 
-def q_distinct_guard(spark, sf_dir):
-    """A3: degenerate-segment guard — distinct metric tuples >= 2
-    (cluster.py:115) as one aggregate over all segments."""
+def q_cluster_assign(spark, sf_dir):
+    """M1 (KMeans fit) on the HASH GATE: a deterministic-by-
+    construction fit whose labels, sizes, centers, radius and wssse
+    are ALL oracle-expressible. Points are three well-separated 2-d
+    blobs derived arithmetically from ``c_custkey`` (offsets (0,0)/
+    (10,0)/(0,10), hash jitter within ±0.1, member counts in a strict
+    3:2:1 ratio so the size-desc relabel is unambiguous); any correct
+    k-means at k=3 MUST converge to the blob partition, so every fit
+    output becomes pure SQL over the construction rule. This converts
+    clustering coverage from rows-only+invariants (cluster_fit) to
+    hash-matched — the actual Arrow fit kernel, relabel rule, center/
+    radius/wssse arithmetic all sit on the DuckDB gate (round-8 advice
+    item 7). cluster_fit stays the production-shaped entry on real
+    (non-plantable) data."""
+    from clustering_spark.operators.clustering import SegmentedClusterer
+
     c = load(spark, sf_dir, "customer")
-    return (
-        c.groupBy("c_nationkey", "c_mktsegment")
-        .agg(
-            F.count_distinct(F.struct("c_acctbal", "c_custkey")).alias(
-                "n_distinct_points"
-            )
-        )
-        .filter(F.col("n_distinct_points") >= 2)
+    r6 = F.pmod(F.col("c_custkey"), F.lit(6))
+    jx = (
+        F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(1000)) / 1000.0
+        - 0.5
+    ) * 0.2
+    jy = (
+        F.pmod(F.col("c_custkey") * F.lit(40503), F.lit(1000)) / 1000.0 - 0.5
+    ) * 0.2
+    pts = c.select(
+        F.lit("all").alias("seg"),
+        (F.when((r6 >= 3) & (r6 < 5), 10.0).otherwise(0.0) + jx).alias("fx"),
+        (F.when(r6 == 5, 10.0).otherwise(0.0) + jy).alias("fy"),
+    )
+    clusterer = SegmentedClusterer(
+        segment_cols=["seg"],
+        feature_cols=["fx", "fy"],
+        algorithm="KMeans",
+        default_k=3,
+        seeds=(42,),
+    )
+    return clusterer.fit_summarize(pts).select(
+        "cluster_name",
+        "cluster_size",
+        F.round("center_0", ROUND).alias("center_fx"),
+        F.round("center_1", ROUND).alias("center_fy"),
+        F.round("radius", ROUND).alias("radius"),
+        F.round("wssse", ROUND).alias("wssse"),
     )
 
 
-SQL_DISTINCT_GUARD = """
-SELECT c_nationkey, c_mktsegment,
-       count(DISTINCT (c_acctbal, c_custkey)) AS n_distinct_points
-FROM customer GROUP BY 1, 2
-HAVING count(DISTINCT (c_acctbal, c_custkey)) >= 2
+SQL_CLUSTER_ASSIGN = f"""
+WITH pts AS (
+  SELECT CASE WHEN c_custkey % 6 < 3 THEN 0
+              WHEN c_custkey % 6 < 5 THEN 1 ELSE 2 END AS blob,
+         (CASE WHEN c_custkey % 6 >= 3 AND c_custkey % 6 < 5
+               THEN 10.0 ELSE 0.0 END)
+           + ((c_custkey * 2654435761) % 1000 / 1000.0 - 0.5) * 0.2 AS fx,
+         (CASE WHEN c_custkey % 6 = 5 THEN 10.0 ELSE 0.0 END)
+           + ((c_custkey * 40503) % 1000 / 1000.0 - 0.5) * 0.2 AS fy
+  FROM customer),
+agg AS (
+  SELECT blob, count(*) AS cluster_size, avg(fx) AS cfx, avg(fy) AS cfy
+  FROM pts GROUP BY blob),
+lab AS (
+  SELECT blob, cluster_size, cfx, cfy,
+         row_number() OVER (ORDER BY cluster_size DESC, blob) - 1
+           AS cluster_name
+  FROM agg),
+per AS (
+  SELECT l.cluster_name, l.cluster_size, l.cfx, l.cfy,
+         max(power(p.fx - l.cfx, 2) + power(p.fy - l.cfy, 2)) AS max_d2,
+         sum(power(p.fx - l.cfx, 2) + power(p.fy - l.cfy, 2)) AS ss
+  FROM pts p JOIN lab l ON p.blob = l.blob
+  GROUP BY 1, 2, 3, 4)
+SELECT cluster_name, cluster_size,
+       round(cfx, {ROUND}) AS center_fx,
+       round(cfy, {ROUND}) AS center_fy,
+       round(sqrt(max_d2), {ROUND}) AS radius,
+       round(sum(ss) OVER (), {ROUND}) AS wssse
+FROM per
 """
 
 
@@ -2113,7 +2187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_counts": q_segment_counts,
     "minmax_scale": q_minmax_scale,
     "limit_scale": q_limit_scale,
-    "distinct_guard": q_distinct_guard,
+    "cluster_assign": q_cluster_assign,
     "group_stats": q_group_stats,
     "entropy": q_entropy,
     "center_radius": q_center_radius,
@@ -2171,7 +2245,7 @@ ORACLES: dict[str, str] = {
     "segment_counts": SQL_SEGMENT_COUNTS,
     "minmax_scale": SQL_MINMAX_SCALE,
     "limit_scale": SQL_LIMIT_SCALE,
-    "distinct_guard": SQL_DISTINCT_GUARD,
+    "cluster_assign": SQL_CLUSTER_ASSIGN,
     "group_stats": SQL_GROUP_STATS,
     "entropy": SQL_ENTROPY,
     "center_radius": SQL_CENTER_RADIUS,

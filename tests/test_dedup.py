@@ -493,6 +493,83 @@ class TestSemanticDedup:
         # identical-direction vectors land in one cell: all 3 pairs
         assert {(200, 201), (200, 202), (201, 202)} <= got
 
+    @pytest.fixture(scope="class")
+    def planted_many(self, spark):
+        """40 planted 3-member near-dup clusters (within-cluster cosine
+        >= 0.95 by construction) + 200 background noise vectors —
+        ground truth for the recall pin is the capped exact GEMM."""
+        rng = np.random.RandomState(11)
+        rows = []
+        vid = 0
+        for _ in range(40):
+            base = rng.standard_normal(16)
+            base /= np.linalg.norm(base)
+            for _ in range(3):
+                v = base + 0.01 * rng.standard_normal(16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        for _ in range(200):
+            rows.append((vid, [float(x) for x in rng.standard_normal(16)]))
+            vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(8)
+
+    def test_recall_vs_exact_gemm(self, spark, planted_many):
+        """The IVF-recall pin the verdicts prescribed (same treatment
+        tests/test_similarity.py gives IVF-ANN): at nlist=16 the
+        cell-bucketed pairs must recover >= 95% of the pairs the exact
+        all-pairs GEMM finds on the planted-cluster fixture. Near-dup
+        members are near-identical vectors, so k-means cells keep them
+        together — boundary straddle, the operator's documented
+        approximation, must stay a rare event, not the common case."""
+        exact = dedup.embedding_neardup_pairs(
+            planted_many, "vec_id", "embedding", threshold=0.95, lsh_planes=0
+        ).toPandas()
+        sem = dedup.semantic_dedup_pairs(
+            planted_many, "vec_id", "embedding",
+            threshold=0.95, nlist=16, seed=1,
+        ).toPandas()
+        ex_pairs = {(int(r.id_a), int(r.id_b)) for _, r in exact.iterrows()}
+        sem_pairs = {(int(r.id_a), int(r.id_b)) for _, r in sem.iterrows()}
+        # the fixture has teeth: all 40*3 within-cluster pairs qualify
+        assert len(ex_pairs) >= 120
+        # no false positives (exactness), then the recall pin
+        assert sem_pairs <= ex_pairs
+        recall = len(sem_pairs & ex_pairs) / len(ex_pairs)
+        assert recall >= 0.95, f"semantic dedup recall {recall:.3f} < 0.95"
+
+    def test_recall_pin_has_teeth_under_cell_corruption(
+        self, spark, planted_many, monkeypatch
+    ):
+        """Sanity check that the >=0.95 pin actually measures cell
+        quality: corrupt the cell assignment (hash-scatter instead of
+        nearest-centroid) and recall must collapse well below the pin
+        — if this ever PASSES the 0.95 bar, the pin is vacuous."""
+        from clustering_spark.operators.similarity import IVFIndex
+
+        monkeypatch.setattr(
+            IVFIndex,
+            "_cell_expr",
+            lambda self, vec_col: F.pmod(
+                F.xxhash64(F.col(vec_col).cast("array<double>")), F.lit(16)
+            ),
+        )
+        exact = dedup.embedding_neardup_pairs(
+            planted_many, "vec_id", "embedding", threshold=0.95, lsh_planes=0
+        ).toPandas()
+        corrupted = dedup.semantic_dedup_pairs(
+            planted_many, "vec_id", "embedding",
+            threshold=0.95, nlist=16, seed=1,
+        ).toPandas()
+        ex_pairs = {(int(r.id_a), int(r.id_b)) for _, r in exact.iterrows()}
+        got = {(int(r.id_a), int(r.id_b)) for _, r in corrupted.iterrows()}
+        recall = len(got & ex_pairs) / len(ex_pairs)
+        assert recall < 0.5, (
+            f"corrupted cells still reach recall {recall:.3f} — "
+            "the >=0.95 pin would not detect broken cell assignment"
+        )
+
     def test_keep_collapses_planted_cluster_to_min_id(self, spark, emb):
         kept = {
             int(r.vec_id)
