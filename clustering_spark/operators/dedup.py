@@ -1352,8 +1352,14 @@ def embedding_neardup_pairs(
     v = F.col(vec_col).cast("array<double>")
     # NULL vectors carry no geometry to compare — and a single None in
     # an Arrow batch crashes every np.vstack kernel downstream (band
-    # keys, pair verify, dense GEMM), so they are excluded up front
-    base = df.filter(v.isNotNull()).select(
+    # keys, pair verify, dense GEMM), so they are excluded up front.
+    # NULL ids are excluded too (repo-wide pair-generator contract,
+    # graph.dedup_by_component: "a NULL id can never appear in an
+    # edge"): a None riding into the GEMM kernel's np.minimum id
+    # ordering is a TypeError in the dense path and a NaN-poisoned
+    # (None, None) junk pair after the long cast in the LSH path —
+    # survivor selection keeps NULL-id rows unconditionally instead
+    base = df.filter(v.isNotNull() & F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__id"), v.alias("__v")
     )
     if lsh_planes == 0:
@@ -1600,8 +1606,14 @@ def semantic_dedup_pairs(
     from clustering_spark.operators.similarity import IVFIndex
 
     # NULL vectors are excluded up front: no geometry to cluster, and a
-    # None inside an Arrow batch crashes the cell_pairs np.vstack
-    base = df.filter(F.col(vec_col).isNotNull()).select(
+    # None inside an Arrow batch crashes the cell_pairs np.vstack.
+    # NULL ids too (pair-generator contract, graph.dedup_by_component):
+    # Arrow hands cell_pairs a NULL long id as NaN, and NaN poisons the
+    # min/max id ordering into (None, None, 1.0) junk pairs — NULL-id
+    # rows are not edge material; survivor selection keeps them
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
@@ -1682,7 +1694,15 @@ def semantic_dedup_keep(
             comp.withColumnRenamed("node", id_col), on=id_col, how="left"
         )
         .withColumn("__comp", F.coalesce("comp", F.col(id_col)))
-        .filter(F.col(id_col) == F.col("__comp"))
+        # NULL-id rows survive unconditionally (same rule as
+        # graph.dedup_by_component): they can never appear in an edge,
+        # so they are provably not duplicates of anything — and under
+        # plain == the NULL == NULL comparison is NULL, which silently
+        # DROPPED them (data loss one operator after the pair
+        # generator deliberately excluded them)
+        .filter(
+            F.col(id_col).isNull() | (F.col(id_col) == F.col("__comp"))
+        )
         .select(id_col)
     )
 

@@ -570,6 +570,64 @@ class TestSemanticDedup:
             "the >=0.95 pin would not detect broken cell assignment"
         )
 
+    def test_null_id_rows_never_edge_and_always_survive(self, spark):
+        """Round-10 review batch: a NULL id with a VALID vector (a) must
+        not poison pair generation — Arrow hands the id to the cell
+        kernel as NaN, which used to turn min/max id ordering into
+        (None, None, 1.0) junk pairs — and (b) must survive dedup
+        unconditionally (graph.dedup_by_component contract: a NULL id
+        can never appear in an edge). Before this fix, keep() silently
+        DROPPED the NULL-id row (NULL == NULL is NULL under SQL)."""
+        rng = np.random.RandomState(0)
+        base = rng.standard_normal(8)
+        rows = [
+            (1, [float(x) for x in base]),
+            (2, [float(x) for x in base + 1e-4]),
+            (None, [float(x) for x in base + 2e-4]),
+        ]
+        rows += [
+            (i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(10, 30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = dedup.semantic_dedup_pairs(
+            df, "vec_id", "embedding", threshold=0.99, nlist=2, seed=1
+        ).toPandas()
+        assert not pairs.id_a.isna().any() and not pairs.id_b.isna().any()
+        assert {(1, 2)} == set(map(tuple, pairs[["id_a", "id_b"]].values))
+        kept = [
+            r.vec_id
+            for r in dedup.semantic_dedup_keep(
+                df, "vec_id", "embedding", threshold=0.99, nlist=2, seed=1
+            ).collect()
+        ]
+        assert None in kept, "NULL-id row must survive dedup"
+        assert 1 in kept and 2 not in kept
+
+    def test_exact_gemm_null_id_does_not_crash(self, spark):
+        """embedding_neardup_pairs (the ORACLE-GATED exact path) used to
+        raise TypeError ('<=' between int and NoneType) in np.minimum
+        the moment a NULL id carried a valid vector."""
+        rng = np.random.RandomState(0)
+        base = rng.standard_normal(8)
+        df = spark.createDataFrame(
+            [
+                (1, [float(x) for x in base]),
+                (2, [float(x) for x in base + 1e-5]),
+                (None, [float(x) for x in base + 2e-5]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = dedup.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, lsh_planes=0
+        ).toPandas()
+        assert set(map(tuple, out[["id_a", "id_b"]].values)) == {(1, 2)}
+        lsh = dedup.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, lsh_planes=16,
+            lsh_bands=2, dim=8,
+        ).toPandas()
+        assert not lsh.id_a.isna().any()
+
     def test_keep_collapses_planted_cluster_to_min_id(self, spark, emb):
         kept = {
             int(r.vec_id)
