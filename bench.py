@@ -86,7 +86,7 @@ STEAL_RATIO = 3.0
 # query-time deltas vs older BENCH_r*.json files are NOT attributable
 # to code: rounds 7 vs 8 differed 1.75x on byte-identical code.
 # Readings within ~1.5x of expected = clean window.
-CALIBRATION_EXPECTED = {"gemm_3x1024": 0.06, "spark_range_100m_sum": 0.35}
+CALIBRATION_EXPECTED = {"gemm_3x1024": 0.02, "spark_range_100m_sum": 0.3}
 
 
 def _calibration_probe(spark) -> dict[str, float]:

@@ -418,3 +418,31 @@ def test_compute_bound_arrow_stages_are_spread_past_aqe(spark):
     p = formatted_plan(fit)
     assert "REPARTITION_BY_NUM" in p
     assert count_shuffles(fit) == 1
+
+
+def test_strip_html_is_pure_projection(spark):
+    """The registered strip_html entry must stay a scan-speed native
+    projection: NO Python worker (regexp/replace chain only), and the
+    ONLY exchange is load_spread's deliberate round-robin spread of
+    the compute-heavy projection — no hash/range repartition, no
+    aggregation wire. A future 'improvement' that drops a UDF or a
+    keyed shuffle in here fails loudly."""
+    df = QUERIES["strip_html"](spark, SF_DIR)
+    p = formatted_plan(df)
+    assert count_shuffles(df) <= 1
+    assert "RoundRobinPartitioning" in p or count_shuffles(df) == 0
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    tree = plan_tree(df)
+    assert "Python" not in tree and "ArrowEval" not in tree
+
+
+def test_cluster_assign_single_fit_shuffle(spark):
+    """cluster_assign (the hash-gated planted-blob KMeans fit) shares
+    fit_summarize's one-exchange contract: the derived feature build is
+    a projection on the scan, then ONE spread/groupBy wire into the
+    Arrow fit — no extra exchanges from the arithmetic blob/jitter
+    construction."""
+    df = QUERIES["cluster_assign"](spark, SF_DIR)
+    assert count_shuffles(df) == 1
+    p = formatted_plan(df)
+    assert "REPARTITION_BY_NUM" in p
