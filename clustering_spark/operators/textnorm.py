@@ -464,7 +464,10 @@ _HTML_ENTITIES = [
     ("&#8212;", "\u2014"),
     ("&#8230;", "\u2026"),
     # ampersand LAST: decoding it earlier would turn &amp;lt; into a
-    # decodable &lt; — double-decoding the author's literal text
+    # decodable &lt; — double-decoding the author's literal text.
+    # These two rows are skipped by the exact-string loop and decoded
+    # by strip_html's single combined regexp pass instead (with the
+    # zero-padded/hex spellings) so no pass can feed another.
     ("&amp;", "&"),
     ("&#38;", "&"),
 ]
@@ -573,12 +576,17 @@ def strip_html(text: Column | str) -> Column:
     t = F.regexp_replace(
         t, r"&#(?!0*38;|[xX]0*26;)[xX]?[0-9a-fA-F]{1,7};", " "
     )
-    for ent, rep in _HTML_ENTITIES:
-        if rep == "&":
-            t = F.replace(t, F.lit(ent), F.lit(rep))
-    # zero-padded / hex spellings of the ampersand entity the exact
-    # table strings above don't cover
-    t = F.regexp_replace(t, r"&#(0*38|[xX]0*26);", "&")
+    # ALL ampersand spellings (&amp;, &#38;, zero-padded, hex) decode
+    # in ONE regexp pass. They used to decode in SEQUENTIAL passes,
+    # which let one pass's output feed the next: author-escaped
+    # "&amp;#38;" became "&#38;" (correct, the literal text) and then
+    # the zero-padded cleanup pass re-matched it down to "&" — the
+    # exact double-decode the decode-&-last ordering exists to prevent
+    # (caught by the round-10 gate round-trip property test). A single
+    # regexp_replace never rescans its own output, so "&amp;#38;" ->
+    # "&#38;" and stops there, while bare "&#038;"/"&#x26;" still
+    # decode.
+    t = F.regexp_replace(t, r"&(amp|#0*38|#[xX]0*26);", "&")
     t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")

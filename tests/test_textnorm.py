@@ -682,3 +682,78 @@ class TestStripHtmlBatch15:
         (got,) = self._strip(spark, ['<div class="x>after</div>'])
         lines = [l for l in got.split("\n") if l]
         assert lines == ["after"]
+
+
+def test_strip_html_gate_roundtrip_property(spark):
+    """Property sweep for the q_strip_html GATE construction (round
+    10): for ARBITRARY text — entities, markup-shaped spans, control
+    whitespace — entity-escaping into the gate's HTML template and
+    stripping back must equal the whitespace-normalized template
+    skeleton around the ORIGINAL text (the invariant the DuckDB oracle
+    relies on). Catches latent oracle drift before future driver
+    testdata does. One batched Spark job over all examples."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from clustering_spark.queries import ROUND  # noqa: F401 (import check)
+
+    # build each text from CHUNKS: hostile single chars plus whole
+    # entity/markup-shaped tokens (sampled_from in st.text only takes
+    # single characters, so multi-char tokens ride a lists+join)
+    chunk = st.sampled_from(
+        list("a& <>;#xb\n\t\x0b\r.")
+        + ["&amp;", "&lt;", "<script>", "&#38;", "&#x26;", "-->", "<!--"]
+    )
+    texts_strategy = st.lists(
+        st.lists(chunk, min_size=0, max_size=25).map("".join),
+        min_size=1,
+        max_size=30,
+    )
+
+    def py_expected(text):
+        # the oracle's skeleton + whitespace passes, mirrored in Python
+        s = " " * 8 + "\nTitle\n\n" + text + "\n  "
+        s = _re.sub(r"[ \t\x0b\f\r]+", " ", s)
+        s = _re.sub(r" ?\n ?", "\n", s)
+        s = _re.sub(r"\n{3,}", "\n\n", s)
+        return _re.sub(r"^[ \n]+|[ \n]+$", "", s)
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts=texts_strategy)
+    def check(texts):
+        from pyspark.sql import functions as F
+
+        from clustering_spark.operators.textnorm import extract_html_text
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        esc = F.replace(
+            F.replace(
+                F.replace(F.col("t"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"),
+                F.lit("&lt;"),
+            ),
+            F.lit(">"),
+            F.lit("&gt;"),
+        )
+        html = F.concat(
+            F.lit(
+                "<!DOCTYPE html><html><head><style>p{color:red}</style></head>"
+                '<body><!-- nav --><script type="text/javascript">var x = 1 < 2;'
+                "</script><h1>Ti<b>tle</b></h1><p>"
+            ),
+            esc,
+            F.lit("</p></body></html>"),
+        )
+        got = {
+            r["i"]: r["text"]
+            for r in extract_html_text(
+                df.select("i", html.alias("html")), "html", "text"
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == py_expected(t), (repr(t), repr(got[i]))
+
+    check()
