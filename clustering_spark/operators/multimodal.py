@@ -652,3 +652,183 @@ def image_neardup_pairs(
         .select(F.col("id").alias("__id"), F.col("dhash").alias("sig"))
     )
     return hamming_pair_search(sigs, max_hamming)
+
+
+# ------------------------------------------------------------- audio
+
+
+WAV_META_SCHEMA = (
+    "id long, format string, n_channels int, sample_rate int, "
+    "bits_per_sample int, n_frames long, duration_sec double"
+)
+
+
+def _wav_meta(b: bytes) -> tuple[str, int, int, int, int, float]:
+    """Parse a RIFF/WAVE container's fmt + data chunks — headers only,
+    no codec: stdlib struct over the chunk walk (the audio analogue of
+    the native JPEG SOF parse). Returns (format, channels, rate, bits,
+    frames, duration); raises ValueError on malformed containers.
+
+    The chunk walk honors the RIFF spec's WORD alignment (odd-sized
+    chunks are followed by a pad byte) and tolerates extra chunks
+    (LIST/INFO, fact, cue) in any order. ``format`` is 'wav-pcm' for
+    format code 1, 'wav-float' for 3, else 'wav-other' — compressed
+    payloads are still measurable from the header (n_frames via
+    block_align), they just aren't decodable here."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt_code = channels = rate = bits = block_align = None
+    data_size = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_code, channels, rate, _brate, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data":
+            # header may promise more than the blob carries (truncated
+            # upload): measure what is actually present
+            data_size = min(csize, len(b) - pos - 8)
+        pos += 8 + csize + (csize & 1)  # odd chunks carry a pad byte
+    if fmt_code is None or data_size is None:
+        raise ValueError("missing fmt or data chunk")
+    if channels == 0 or rate == 0 or block_align == 0:
+        raise ValueError("degenerate fmt chunk")
+    frames = data_size // block_align
+    fmt = {1: "wav-pcm", 3: "wav-float"}.get(fmt_code, "wav-other")
+    return fmt, channels, rate, bits, frames, frames / rate
+
+
+def audio_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Per-blob WAV header metadata — the cheap first pass of audio
+    curation (duration/rate/channel filters, sample-rate buckets) that
+    must run over 100 TB of mixed blobs before any decode. Same
+    mixed-corpus contract as image_header_meta: non-RIFF blobs surface
+    as format='unknown', malformed RIFF as 'corrupt', NULL blobs as
+    unknown — one bad row never fails a batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "id", "format", "n_channels", "sample_rate",
+            "bits_per_sample", "n_frames", "duration_sec",
+        ]
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                row = dict.fromkeys(cols)
+                row["id"], row["format"] = rid, "unknown"
+                if blob is not None:
+                    b = bytes(blob)
+                    if b[:4] == b"RIFF":
+                        try:
+                            (
+                                row["format"], row["n_channels"],
+                                row["sample_rate"], row["bits_per_sample"],
+                                row["n_frames"], row["duration_sec"],
+                            ) = _wav_meta(b)
+                        except (ValueError, struct.error):
+                            row["format"] = "corrupt"
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, WAV_META_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "id long, rms double, peak double, zero_cross_rate double"
+)
+
+
+def audio_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Per-blob loudness/activity features over 16-bit PCM WAV —
+    RMS, absolute peak (both normalized to [0, 1]) and zero-crossing
+    rate (sign flips per sample on the channel-mean signal): the
+    silence-gate / clipping-gate signals of audio corpus curation,
+    computed as ONE vectorized numpy pass per blob inside mapInPandas
+    (Arrow batches; no row-at-a-time Python). Blobs that aren't
+    16-bit PCM WAV (other depths/codecs, corrupt, NULL) degrade to
+    NULL features — route them with audio_header_meta first."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "rms", "peak", "zero_cross_rate"]
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                row = dict.fromkeys(cols)
+                row["id"] = rid
+                try:
+                    b = bytes(blob)
+                    fmt, ch, rate, bits, frames, _dur = _wav_meta(b)
+                    if fmt == "wav-pcm" and bits == 16 and frames > 0:
+                        # locate the data chunk payload
+                        pos, payload = 12, None
+                        while pos + 8 <= len(b):
+                            cid = b[pos : pos + 4]
+                            (csize,) = struct.unpack(
+                                "<I", b[pos + 4 : pos + 8]
+                            )
+                            if cid == b"data":
+                                payload = b[pos + 8 : pos + 8 + csize]
+                                break
+                            pos += 8 + csize + (csize & 1)
+                        n = (len(payload) // (2 * ch)) * ch
+                        x = (
+                            np.frombuffer(payload, dtype="<i2", count=n)
+                            .reshape(-1, ch)
+                            .mean(axis=1)
+                            / 32768.0
+                        )
+                        row["rms"] = float(np.sqrt((x**2).mean()))
+                        row["peak"] = float(np.abs(x).max())
+                        s = np.signbit(x)
+                        row["zero_cross_rate"] = (
+                            float((s[1:] != s[:-1]).mean())
+                            if len(x) > 1
+                            else 0.0
+                        )
+                except (ValueError, struct.error, TypeError, AttributeError):
+                    pass  # NULL features: undecodable residue, not a crash
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def make_wav(
+    n_frames: int,
+    sample_rate: int = 8000,
+    n_channels: int = 1,
+    amplitude: float = 0.5,
+    freq_hz: float = 440.0,
+    extra_chunk: bool = False,
+) -> bytes:
+    """Deterministic 16-bit PCM WAV fixture (stdlib only): a sine tone
+    at ``freq_hz``. ``extra_chunk`` prepends an odd-sized LIST chunk
+    before fmt to exercise the chunk walk's pad-byte handling."""
+    import math
+
+    frames = bytearray()
+    for i in range(n_frames):
+        v = int(amplitude * 32767 * math.sin(2 * math.pi * freq_hz * i / sample_rate))
+        for _ in range(n_channels):
+            frames += struct.pack("<h", v)
+    block_align = 2 * n_channels
+    fmt_body = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    chunks = b""
+    if extra_chunk:
+        odd = b"INFOx"  # 5 bytes: odd size forces a pad byte
+        chunks += b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+    chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -412,3 +412,82 @@ def test_pil_meta_normalizes_palette_mode(monkeypatch):
     w, h, mean = mm._pil_meta(b"\x00fake")
     assert (w, h) == (2, 2)
     assert mean == 255.0  # 8-bit intensities, not palette indices
+
+
+class TestAudio:
+    """Codec-free WAV header parse + PCM16 feature extraction (the
+    audio analogue of the image header/dHash stages)."""
+
+    def test_header_meta_mixed_corpus(self, spark):
+        from clustering_spark.operators.multimodal import (
+            audio_header_meta,
+            make_wav,
+        )
+
+        good = make_wav(8000, sample_rate=8000, n_channels=2)
+        padded = make_wav(100, sample_rate=4000, extra_chunk=True)
+        truncated = good[:20]                 # RIFF magic, no chunks
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(padded)),
+            (3, bytearray(truncated)),
+            (4, bytearray(b"not audio at all")),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        got = {
+            r["id"]: r.asDict()
+            for r in audio_header_meta(df, "blob", "id").collect()
+        }
+        assert got[1]["format"] == "wav-pcm"
+        assert got[1]["n_channels"] == 2
+        assert got[1]["sample_rate"] == 8000
+        assert got[1]["n_frames"] == 8000
+        assert abs(got[1]["duration_sec"] - 1.0) < 1e-9
+        # odd-sized pre-fmt chunk exercises RIFF pad-byte alignment
+        assert got[2]["format"] == "wav-pcm"
+        assert got[2]["n_frames"] == 100
+        assert got[3]["format"] == "corrupt"
+        assert got[4]["format"] == "unknown"
+        assert got[5]["format"] == "unknown"
+
+    def test_header_meta_truncated_data_measures_present_bytes(self, spark):
+        from clustering_spark.operators.multimodal import (
+            audio_header_meta,
+            make_wav,
+        )
+
+        full = make_wav(1000)
+        cut = full[: len(full) - 1000]  # drop 500 frames of payload
+        df = spark.createDataFrame(
+            [(1, bytearray(cut))], "id long, blob binary"
+        )
+        r = audio_header_meta(df, "blob", "id").collect()[0]
+        assert r["format"] == "wav-pcm"
+        assert r["n_frames"] == 500  # measured, not the header's promise
+
+    def test_features_sine_tone(self, spark):
+        import math
+
+        from clustering_spark.operators.multimodal import (
+            audio_features,
+            make_wav,
+        )
+
+        # full periods of a sine: RMS -> A/sqrt(2), peak -> A, ZCR ->
+        # 2 * f / rate (two sign flips per period)
+        wav = make_wav(8000, sample_rate=8000, amplitude=0.5, freq_hz=400.0)
+        silent = make_wav(100, amplitude=0.0)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(silent)), (3, None)],
+            "id long, blob binary",
+        )
+        got = {
+            r["id"]: r.asDict()
+            for r in audio_features(df, "blob", "id").collect()
+        }
+        assert abs(got[1]["rms"] - 0.5 / math.sqrt(2)) < 0.01
+        assert abs(got[1]["peak"] - 0.5) < 0.01
+        assert abs(got[1]["zero_cross_rate"] - 2 * 400.0 / 8000) < 0.01
+        assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0.0
+        assert got[3]["rms"] is None  # NULL blob degrades, not crashes
