@@ -832,3 +832,147 @@ def make_wav(
     chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
     chunks += b"data" + struct.pack("<I", len(frames)) + bytes(frames)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ------------------------------------------------------------- video
+
+
+VIDEO_META_SCHEMA = (
+    "id long, format string, major_brand string, n_tracks int, "
+    "timescale long, duration_sec double"
+)
+
+
+def _iter_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    b[start:end] — 32-bit sizes, size==1 largesize (64-bit), size==0
+    to-end-of-enclosure. Raises ValueError on structural nonsense."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        btype = b[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("box overruns enclosure")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_meta(b: bytes) -> tuple[str, str | None, int, int | None, float | None]:
+    """ISO-BMFF (MP4/MOV) metadata from the box structure alone — no
+    codec: ftyp major brand, trak count, and mvhd timescale/duration
+    (the video analogue of the JPEG SOF walk / WAV chunk walk)."""
+    brand = None
+    n_tracks = 0
+    timescale = duration = None
+    saw_moov = False
+    for btype, s, e in _iter_boxes(b, 0, len(b)):
+        if btype == b"ftyp" and e - s >= 4:
+            brand = b[s : s + 4].decode("ascii", "replace").strip()
+        elif btype == b"moov":
+            saw_moov = True
+            for ityp, is_, ie in _iter_boxes(b, s, e):
+                if ityp == b"trak":
+                    n_tracks += 1
+                elif ityp == b"mvhd" and ie - is_ >= 4:
+                    version = b[is_]
+                    if version == 1 and ie - is_ >= 28 + 4:
+                        timescale, duration = struct.unpack(
+                            ">IQ", b[is_ + 20 : is_ + 32]
+                        )
+                    elif version == 0 and ie - is_ >= 20:
+                        timescale, duration = struct.unpack(
+                            ">II", b[is_ + 12 : is_ + 20]
+                        )
+    if brand is None and not saw_moov:
+        raise ValueError("no ftyp or moov box — not ISO-BMFF")
+    dur_sec = (
+        duration / timescale
+        if timescale not in (None, 0) and duration is not None
+        else None
+    )
+    return "mp4", brand, n_tracks, timescale, dur_sec
+
+
+def video_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Per-blob ISO-BMFF (MP4/MOV) container metadata — duration,
+    track count, brand — from the box walk alone, no codec. Completes
+    the image/audio/video header triple (image_header_meta,
+    audio_header_meta) under the same mixed-corpus contract: blobs
+    that aren't ISO-BMFF surface as format='unknown', structurally
+    broken ones as 'corrupt', NULL as unknown; one bad row never
+    fails a batch. Frame extraction stays behind sample_frames (FAKE
+    container) / the honest codec gates — this stage is the
+    header-only filter pass that runs over 100 TB first."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "id", "format", "major_brand", "n_tracks",
+            "timescale", "duration_sec",
+        ]
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                row = dict.fromkeys(cols)
+                row["id"], row["format"] = rid, "unknown"
+                if blob is not None:
+                    b = bytes(blob)
+                    # cheap sniff: ISO-BMFF files start with a box whose
+                    # type is printable 4cc; require the common ftyp/moov
+                    # openers before attempting the full walk
+                    if len(b) >= 12 and b[4:8] in (
+                        b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip",
+                    ):
+                        try:
+                            (
+                                row["format"], row["major_brand"],
+                                row["n_tracks"], row["timescale"],
+                                row["duration_sec"],
+                            ) = _mp4_meta(b)
+                        except (ValueError, struct.error):
+                            row["format"] = "corrupt"
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, VIDEO_META_SCHEMA
+    )
+
+
+def make_mp4(
+    duration_sec: float = 2.0,
+    timescale: int = 1000,
+    n_tracks: int = 2,
+    brand: bytes = b"isom",
+    largesize_moov: bool = False,
+) -> bytes:
+    """Deterministic minimal ISO-BMFF fixture (stdlib only): ftyp +
+    moov(mvhd + n_tracks empty trak boxes) + a tiny mdat.
+    ``largesize_moov`` wraps moov in a 64-bit largesize header to
+    exercise that branch of the box walk."""
+
+    def box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+        if largesize:
+            return struct.pack(">I", 1) + btype + struct.pack(
+                ">Q", 16 + len(body)
+            ) + body
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = bytes([0]) + b"\x00\x00\x00" + b"\x00" * 8 + struct.pack(
+        ">II", timescale, int(duration_sec * timescale)
+    ) + b"\x00" * 80
+    moov_body = box(b"mvhd", mvhd) + b"".join(
+        box(b"trak", b"") for _ in range(n_tracks)
+    )
+    return (
+        box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+        + box(b"moov", moov_body, largesize=largesize_moov)
+        + box(b"mdat", b"\x00" * 16)
+    )

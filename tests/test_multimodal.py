@@ -491,3 +491,57 @@ class TestAudio:
         assert abs(got[1]["zero_cross_rate"] - 2 * 400.0 / 8000) < 0.01
         assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0.0
         assert got[3]["rms"] is None  # NULL blob degrades, not crashes
+
+
+class TestVideo:
+    """Codec-free ISO-BMFF box-walk metadata (MP4/MOV)."""
+
+    def test_header_meta_mixed_corpus(self, spark):
+        from clustering_spark.operators.multimodal import (
+            make_mp4,
+            video_header_meta,
+        )
+
+        good = make_mp4(duration_sec=2.5, timescale=600, n_tracks=3)
+        big = make_mp4(duration_sec=1.0, n_tracks=1, largesize_moov=True)
+        corrupt = good[:6] + b"\xff" * 10  # box overruns enclosure
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(big)),
+            (3, bytearray(corrupt)),
+            (4, bytearray(b"RIFFxxxxWAVE")),  # audio, not ISO-BMFF
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        got = {
+            r["id"]: r.asDict()
+            for r in video_header_meta(df, "blob", "id").collect()
+        }
+        assert got[1]["format"] == "mp4"
+        assert got[1]["major_brand"] == "isom"
+        assert got[1]["n_tracks"] == 3
+        assert got[1]["timescale"] == 600
+        assert abs(got[1]["duration_sec"] - 2.5) < 1e-9
+        # 64-bit largesize moov exercises the size==1 branch
+        assert got[2]["format"] == "mp4" and got[2]["n_tracks"] == 1
+        assert got[3]["format"] in ("corrupt", "unknown")
+        assert got[4]["format"] == "unknown"
+        assert got[5]["format"] == "unknown"
+
+    def test_zero_timescale_yields_null_duration(self, spark):
+        import struct as _struct
+
+        from clustering_spark.operators.multimodal import (
+            make_mp4,
+            video_header_meta,
+        )
+
+        b = bytearray(make_mp4(duration_sec=1.0, timescale=1000, n_tracks=1))
+        # zero out the timescale field in place: mvhd body starts after
+        # ftyp(24) + moov hdr(8) + mvhd hdr(8); timescale at +12
+        idx = b.find(b"mvhd") + 4 + 12
+        b[idx : idx + 4] = _struct.pack(">I", 0)
+        df = spark.createDataFrame([(1, bytes(b))], "id long, blob binary")
+        r = video_header_meta(df, "blob", "id").collect()[0]
+        assert r["format"] == "mp4"
+        assert r["duration_sec"] is None  # no divide-by-zero crash
