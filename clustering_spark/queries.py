@@ -251,7 +251,12 @@ def q_cluster_assign(spark, sf_dir):
     (non-plantable) data."""
     from clustering_spark.operators.clustering import SegmentedClusterer
 
-    c = load(spark, sf_dir, "customer")
+    # single-segment fit = ONE Arrow task holds every point, so the
+    # construction is BOUNDED by a deterministic pushed-down key cap:
+    # unaffected at every driver scale (sf0.1 tops out at 15k
+    # customers) and still a ~1 MB task at petabyte-table scale. The
+    # oracle carries the identical predicate.
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 60_000)
     r6 = F.pmod(F.col("c_custkey"), F.lit(6))
     jx = (
         F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(1000)) / 1000.0
@@ -291,7 +296,7 @@ WITH pts AS (
            + ((c_custkey * 2654435761) % 1000 / 1000.0 - 0.5) * 0.2 AS fx,
          (CASE WHEN c_custkey % 6 = 5 THEN 10.0 ELSE 0.0 END)
            + ((c_custkey * 40503) % 1000 / 1000.0 - 0.5) * 0.2 AS fy
-  FROM customer),
+  FROM customer WHERE c_custkey <= 60000),
 agg AS (
   SELECT blob, count(*) AS cluster_size, avg(fx) AS cfx, avg(fy) AS cfy
   FROM pts GROUP BY blob),
