@@ -50,11 +50,25 @@ def time_range_join(
 
     lts: Column = F.col(left_ts)
     rts: Column = F.col(right_ts)
-    # interval (lts+lower, lts+upper] spans buckets floor((lts+lower)/span)
-    # .. floor((lts+upper)/span) — at most 2 consecutive buckets
-    b0 = F.floor((lts + F.lit(lower_us)) / F.lit(span))
+    # interval (lts+lower, lts+upper] spans at most 2 consecutive
+    # buckets of width span. Bucket ids are computed with EXACT long
+    # `div`, not floor(double division): at microsecond epoch scale
+    # the double quotient's ulp error (~k*2^-52, k = ts/span) is the
+    # same order as the 1/span distance to the next integer, so a
+    # boundary timestamp could misbucket and silently DROP a matching
+    # pair (the float-ceiling class the ngram PPJoin bounds were cured
+    # of). `div` truncates toward zero where floor rounds down, but
+    # the two-bucket covering argument only needs a monotone rounding
+    # applied identically to BOTH sides, which this is — and
+    # stream_interval_join already uses SQL DIV, so batch and stream
+    # now share exact bucket math.
+    b0 = F.expr(
+        f"(CAST(`{left_ts}` AS BIGINT) + {int(lower_us)}) div {int(span)}"
+    )
     l2 = left.withColumn("__bucket", F.explode(F.array(b0, b0 + 1)))
-    r2 = right.withColumn("__bucket", F.floor(rts / F.lit(span)))
+    r2 = right.withColumn(
+        "__bucket", F.expr(f"CAST(`{right_ts}` AS BIGINT) div {int(span)}")
+    )
     joined = l2.join(r2, on=keys + ["__bucket"]).filter(
         (rts > lts + F.lit(lower_us)) & (rts <= lts + F.lit(upper_us))
     )

@@ -61,3 +61,27 @@ def test_bucket_column_collision_raises(spark):
     right = spark.createDataFrame([(1, 12)], "k long, rts long")
     with _pytest.raises(ValueError, match="__bucket"):
         time_range_join(left, right, "ts", "rts", 0, 100, extra_keys=["k"])
+
+
+def test_range_join_exact_buckets_at_nanosecond_scale(spark):
+    """Round-10 review batch: bucket ids used floor(double division),
+    whose quotient ulp exceeds the 1/span boundary margin once
+    ts/span > 2^53/span — i.e. TODAY for nanosecond-integer
+    timestamps. Concrete repro: at 1 h-in-ns span, a left interval
+    starting 100 ns below a bucket boundary misrounded its first
+    bucket UP and silently dropped the matching right row in the
+    bucket below. Exact long `div` keeps it."""
+    s = 3_600_000_000_000  # 1 hour in NANOSECONDS
+    m = 472_222
+    a = m * s - 100  # left ts (lower=0): interval (a, a+s]
+    left = spark.createDataFrame([(1, a)], "lid long, lts long")
+    right = spark.createDataFrame(
+        [(10, m * s - 50), (11, m * s + 50), (12, a + s + 1)],
+        "rid long, rts long",
+    )
+    got = sorted(
+        r.rid
+        for r in time_range_join(left, right, "lts", "rts", 0, s).collect()
+    )
+    # rid 10 is the pair the double-floor math dropped; 12 is out of range
+    assert got == [10, 11]
