@@ -545,3 +545,41 @@ class TestVideo:
         r = video_header_meta(df, "blob", "id").collect()[0]
         assert r["format"] == "mp4"
         assert r["duration_sec"] is None  # no divide-by-zero crash
+
+
+def test_media_header_router_mixed_blob_table(spark):
+    """One pass over a mixed image/audio/video/garbage blob column:
+    each row routes to its family parser, non-applicable fields stay
+    NULL, and bad rows degrade per row."""
+    from clustering_spark.operators.multimodal import (
+        make_fake_image,
+        make_mp4,
+        make_wav,
+        media_header_meta,
+    )
+
+    rows = [
+        (1, bytearray(make_fake_image(6, 4, 128))),
+        (2, bytearray(make_wav(4000, sample_rate=8000))),
+        (3, bytearray(make_mp4(duration_sec=3.0, n_tracks=2))),
+        (4, bytearray(b"RIFFbroken")),      # audio magic, corrupt body
+        (5, bytearray(b"plain text")),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {
+        r["id"]: r.asDict()
+        for r in media_header_meta(df, "blob", "id").collect()
+    }
+    assert (got[1]["media_type"], got[1]["width"], got[1]["height"]) == (
+        "image", 6, 4,
+    )
+    assert got[1]["sample_rate"] is None
+    assert (got[2]["media_type"], got[2]["sample_rate"]) == ("audio", 8000)
+    assert abs(got[2]["audio_duration_sec"] - 0.5) < 1e-9
+    assert got[2]["width"] is None
+    assert (got[3]["media_type"], got[3]["n_tracks"]) == ("video", 2)
+    assert abs(got[3]["video_duration_sec"] - 3.0) < 1e-9
+    assert (got[4]["media_type"], got[4]["format"]) == ("audio", "corrupt")
+    assert got[5]["media_type"] == "unknown"
+    assert got[6]["media_type"] == "unknown"
