@@ -347,3 +347,33 @@ def test_fit_summarize_guards(spark):
         SegmentedClusterer(
             segment_cols=["wssse"], feature_cols=["x", "y"]
         ).fit_summarize(df2)
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_cluster_assign_recovers_blob_partition(spark, sf_dir):
+    """The hash-gated cluster_assign entry rests on one assumption:
+    seeded k-means at k=3 converges to the planted-blob partition, so
+    its output is SQL-derivable. Pin that directly at every local
+    scale — if a seed/kernel change ever breaks exact recovery, this
+    points at the assumption instead of a generic gate hash-mismatch."""
+    import os
+
+    from clustering_spark.queries import QUERIES
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    pdf = QUERIES["cluster_assign"](spark, sf_dir).toPandas()
+    assert list(pdf.cluster_name) == [0, 1, 2]
+    sizes = list(pdf.cluster_size)
+    assert sizes[0] > sizes[1] > sizes[2]  # strict 3:2:1 construction
+    # centers sit on the planted blob offsets (jitter is +-0.1)
+    centers = {
+        (round(r.center_fx), round(r.center_fy)) for r in pdf.itertuples()
+    }
+    assert centers == {(0, 0), (10, 0), (0, 10)}
+    # radius bounded by the jitter envelope, wssse consistent with it
+    assert (pdf.radius <= 0.15).all()
+    assert 0 < pdf.wssse.iloc[0] < 0.01 * sizes[0] * 6
