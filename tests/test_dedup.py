@@ -1014,3 +1014,27 @@ def test_dedup_by_component_collapses_duplicate_ids(spark):
     assert len([r for r in kept if r.doc_id == 5]) == 1
     assert len([r for r in kept if r.doc_id is None]) == 2
     assert len(kept) == 4
+
+
+def test_null_id_contract_text_pair_generators(spark):
+    """Repo-wide pair-generator contract (graph.dedup_by_component): a
+    NULL id never appears in an edge. Pin it for the text generators —
+    minhash, simhash, ngram — with a NULL-id row whose text is an
+    exact duplicate of two real rows: the real pair must surface, the
+    NULL-id row must neither crash the kernel nor emit junk pairs."""
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, txt), (2, txt), (None, txt)], "doc_id long, text string"
+    )
+    mh = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=0.5
+    ).toPandas()
+    sh = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).toPandas()
+    ng = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, jaccard_threshold=0.5, dense_vocab_max=1
+    ).toPandas()
+    for name, pairs in (("minhash", mh), ("simhash", sh), ("ngram", ng)):
+        assert not pairs.id_a.isna().any(), name
+        assert not pairs.id_b.isna().any(), name
+        assert (pairs.id_a < pairs.id_b).all(), name
+        assert {(1, 2)} == set(map(tuple, pairs[["id_a", "id_b"]].values)), name
