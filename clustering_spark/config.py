@@ -75,6 +75,12 @@ class PipelineConfig:
     # in a driver loop (matches reference numerics; O(10^2) segments).
     fit_mode: str = "scale"
 
+    # parity-mode MLlib fit watchdog (operators/fit_guard): a fit
+    # exceeding this many seconds is cancelled via its job group and
+    # the next seed tried — guards the F2J-LAPACK GMM spin. Ignored by
+    # scale mode (bounded-iteration numpy kernels need no watchdog).
+    fit_timeout: float = 300.0
+
     def grid(self) -> Iterator[tuple[str, str, str, str, str]]:
         """The (macro, micro, x, y, algorithm) analysis grid — the
         5-deep nested loop of cluster.py:277-287 as a generator."""

@@ -91,6 +91,7 @@ def cluster_segments(
         seeds=tuple(config.seeds(config.iter_num)),
         k_col=k_col,
         mode=config.fit_mode,
+        fit_timeout=config.fit_timeout,
     )
     narrowed = scaled.select(
         *segment_cols, *feat_cols, *([k_col] if k_col else [])
