@@ -781,27 +781,68 @@ class SegmentedClusterer:
                         inputCols=std_helper_cols, outputCol="__features_std"
                     ).transform(fit_df)
                     fit_feat_col = "__features_std"
-                    std_helper_cols = std_helper_cols + ["__features_std"]
+                    # rescue rung: the SAME features x1000. Unit dataset
+                    # variance conditions the initial EM steps, but a
+                    # component converging onto a tight blob still drives
+                    # its own covariance toward the underflow regime
+                    # where F2J dsyev/dlascl can NaN-spin — observed
+                    # nondeterministically (treeAggregate summation
+                    # order) even post-standardization. Scaling up by
+                    # 1e3 multiplies every covariance by 1e6, far from
+                    # underflow, while staying an invertible affine map
+                    # (same mixture structure, same labels for a sane
+                    # fit); silhouette/wssse still come from ORIGINAL
+                    # features either way.
+                    rescue_cols = [f"__rsc_{i}" for i in std_helper_cols]
+                    fit_df = fit_df.select(
+                        "*",
+                        *[
+                            (F.col(sc) * F.lit(1000.0)).alias(rc)
+                            for sc, rc in zip(std_helper_cols, rescue_cols)
+                        ],
+                    )
+                    fit_df = VectorAssembler(
+                        inputCols=rescue_cols, outputCol="__features_rescue"
+                    ).transform(fit_df)
+                    std_helper_cols = (
+                        std_helper_cols
+                        + rescue_cols
+                        + ["__features_std", "__features_rescue"]
+                    )
+                # per-seed attempt ladder: normal conditioning first,
+                # then (GMM only) the x1000 rescue rung on the SAME
+                # seed before burning it — a 1-seed parity config must
+                # not fail outright because one trajectory hit the spin
+                attempt_cols = [fit_feat_col]
+                if est_cls is GaussianMixture:
+                    attempt_cols.append("__features_rescue")
                 best = None
                 timed_out = 0
                 for seed in self.seeds:
-                    est = est_cls(
-                        featuresCol=fit_feat_col,
-                        predictionCol=PREDICTION_COL,
-                        k=k,
-                        seed=seed,
-                    )
-                    try:
-                        model = guarded_fit(
-                            est,
-                            fit_df,
-                            timeout=self.fit_timeout,
-                            desc=f"parity {self.algorithm} k={k} seed={seed}",
+                    model = None
+                    for att_col in attempt_cols:
+                        est = est_cls(
+                            featuresCol=att_col,
+                            predictionCol=PREDICTION_COL,
+                            k=k,
+                            seed=seed,
                         )
-                    except FitTimeout:
-                        # the F2J spin is seed-sensitive (init draws a
-                        # different starting mixture) — burn the seed,
-                        # not the driver
+                        try:
+                            model = guarded_fit(
+                                est,
+                                fit_df,
+                                timeout=self.fit_timeout,
+                                desc=(
+                                    f"parity {self.algorithm} k={k} "
+                                    f"seed={seed} features={att_col}"
+                                ),
+                            )
+                            break
+                        except FitTimeout:
+                            # try the next conditioning rung, then the
+                            # next seed — never the driver's patience
+                            continue
+                    if model is None:
                         timed_out += 1
                         continue
                     labeled = model.transform(fit_df)
