@@ -36,6 +36,18 @@ from clustering_spark.pipeline import cluster_segments
 ROUND = 6  # decimals for per-row arithmetic / averages
 ROUND_SUM = 2  # decimals for large-magnitude sums
 
+
+def nz(col):
+    """Canonicalize IEEE signed zero on a rounded double column:
+    ``-0.0 + 0.0 == +0.0`` (and a no-op for every other value). Spark's
+    ``round`` goes through BigDecimal, which has no signed zero, while
+    DuckDB's ``round`` preserves the IEEE sign — so a tiny-negative
+    mean that rounds to zero hashes differently on the two sides
+    (round-10 ``cluster_assign`` red row). Apply to BOTH sides of any
+    oracle pair whose rounded doubles can straddle zero; the SQL twin
+    is a literal ``+ 0.0`` after the ``round(...)``."""
+    return col + F.lit(0.0)
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -277,11 +289,14 @@ def q_cluster_assign(spark, sf_dir):
         default_k=3,
         seeds=(42,),
     )
+    # nz(): the blob-0 jitter mean is tiny-negative, so the rounded
+    # center straddles zero — without canonicalization Spark emits 0.0
+    # where DuckDB keeps IEEE -0.0 and the driver's value hash splits.
     return clusterer.fit_summarize(pts).select(
         "cluster_name",
         "cluster_size",
-        F.round("center_0", ROUND).alias("center_fx"),
-        F.round("center_1", ROUND).alias("center_fy"),
+        nz(F.round("center_0", ROUND)).alias("center_fx"),
+        nz(F.round("center_1", ROUND)).alias("center_fy"),
         F.round("radius", ROUND).alias("radius"),
         F.round("wssse", ROUND).alias("wssse"),
     )
@@ -312,8 +327,8 @@ per AS (
   FROM pts p JOIN lab l ON p.blob = l.blob
   GROUP BY 1, 2, 3, 4)
 SELECT cluster_name, cluster_size,
-       round(cfx, {ROUND}) AS center_fx,
-       round(cfy, {ROUND}) AS center_fy,
+       round(cfx, {ROUND}) + 0.0 AS center_fx,
+       round(cfy, {ROUND}) + 0.0 AS center_fy,
        round(sqrt(max_d2), {ROUND}) AS radius,
        round(sum(ss) OVER (), {ROUND}) AS wssse
 FROM per
@@ -392,7 +407,9 @@ def q_center_radius(spark, sf_dir):
     centers = c.groupBy("c_mktsegment").agg(
         F.avg("c_acctbal").alias("ctr_bal"),
         F.avg(F.col("c_nationkey").cast("double")).alias("ctr_nat"),
-        F.round(F.avg("c_acctbal"), ROUND).alias("center_acctbal"),
+        # nz(): c_acctbal can be negative, so the rounded mean can in
+        # principle straddle zero (signed-zero hash hazard)
+        nz(F.round(F.avg("c_acctbal"), ROUND)).alias("center_acctbal"),
         F.round(F.avg(F.col("c_custkey").cast("double")), ROUND).alias(
             "center_custkey"
         ),
@@ -414,7 +431,7 @@ SQL_CENTER_RADIUS = f"""
 WITH centers AS (
   SELECT c_mktsegment, avg(c_acctbal) AS ctr_bal,
          avg(CAST(c_nationkey AS DOUBLE)) AS ctr_nat,
-         round(avg(c_acctbal), {ROUND}) AS center_acctbal,
+         round(avg(c_acctbal), {ROUND}) + 0.0 AS center_acctbal,
          round(avg(CAST(c_custkey AS DOUBLE)), {ROUND}) AS center_custkey
   FROM customer GROUP BY 1)
 SELECT c.c_mktsegment, center_acctbal, center_custkey,
@@ -437,14 +454,16 @@ def q_topk_segments(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     return (
         c.groupBy("c_mktsegment")
-        .agg(F.round(F.sum("c_acctbal"), ROUND_SUM).alias("total_bal"))
+        # nz(): c_acctbal can be negative (min ≈ -1000 in testdata), so
+        # a segment sum could in principle round to signed zero
+        .agg(nz(F.round(F.sum("c_acctbal"), ROUND_SUM)).alias("total_bal"))
         .orderBy(F.col("total_bal").desc(), F.col("c_mktsegment"))
         .limit(3)
     )
 
 
 SQL_TOPK = f"""
-SELECT c_mktsegment, round(sum(c_acctbal), {ROUND_SUM}) AS total_bal
+SELECT c_mktsegment, round(sum(c_acctbal), {ROUND_SUM}) + 0.0 AS total_bal
 FROM customer GROUP BY 1
 ORDER BY total_bal DESC, c_mktsegment LIMIT 3
 """
@@ -602,14 +621,15 @@ def q_hierarchy_rollup(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), ROUND_SUM).alias("total_bal"),
+            # nz(): acctbal sums can straddle zero (signed-zero hazard)
+            nz(F.round(F.sum("c_acctbal"), ROUND_SUM)).alias("total_bal"),
         )
     )
 
 
 SQL_HIERARCHY = f"""
 SELECT r_name AS name, n_name AS child_name, count(*) AS n_customers,
-       round(sum(c_acctbal), {ROUND_SUM}) AS total_bal
+       round(sum(c_acctbal), {ROUND_SUM}) + 0.0 AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

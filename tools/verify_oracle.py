@@ -14,6 +14,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -60,6 +61,28 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
                 problems.append(
                     f"values differ in {c}: e.g. {av_f[bad].iloc[0]} vs {bv_f[bad].iloc[0]}"
                 )
+            else:
+                # STRICT signed-zero pass: the driver hashes canonical
+                # value strings, so Spark 0.0 vs DuckDB -0.0 is a red
+                # gate row even though |diff| = 0 — the exact blind spot
+                # that shipped cluster_assign red in round 10. copysign
+                # distinguishes the two zeros where == cannot.
+                za = np.asarray(av_f, dtype=float)
+                zb = np.asarray(bv_f, dtype=float)
+                signed = (
+                    (za == 0.0)
+                    & (zb == 0.0)
+                    & (np.signbit(za) != np.signbit(zb))
+                )
+                if signed.any():
+                    i = int(np.argmax(signed))
+                    problems.append(
+                        f"signed-zero mismatch in {c}: spark "
+                        f"{'-0.0' if np.signbit(za[i]) else '0.0'} vs duck "
+                        f"{'-0.0' if np.signbit(zb[i]) else '0.0'}"
+                        " (driver hash splits these; canonicalize with"
+                        " nz()/+0.0 on BOTH sides)"
+                    )
         except (ValueError, TypeError):
             if not (av.fillna("<NA>") == bv.fillna("<NA>")).all():
                 bad = av.fillna("<NA>") != bv.fillna("<NA>")
