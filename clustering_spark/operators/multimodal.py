@@ -706,9 +706,11 @@ def audio_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """Per-blob WAV header metadata — the cheap first pass of audio
     curation (duration/rate/channel filters, sample-rate buckets) that
     must run over 100 TB of mixed blobs before any decode. Same
-    mixed-corpus contract as image_header_meta: non-RIFF blobs surface
-    as format='unknown', malformed RIFF as 'corrupt', NULL blobs as
-    unknown — one bad row never fails a batch."""
+    mixed-corpus contract as image_header_meta: blobs that aren't
+    RIFF/WAVE surface as format='unknown' (including other RIFF forms
+    — WEBP/AVI belong to media_header_meta), malformed RIFF/WAVE as
+    'corrupt', NULL blobs as unknown — one bad row never fails a
+    batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -722,7 +724,10 @@ def audio_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 row["id"], row["format"] = rid, "unknown"
                 if blob is not None:
                     b = bytes(blob)
-                    if b[:4] == b"RIFF":
+                    # gate on the WAVE form type, not bare RIFF: WEBP
+                    # images and AVI videos are RIFF too and must stay
+                    # 'unknown' here (route them with media_header_meta)
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         try:
                             (
                                 row["format"], row["n_channels"],
@@ -978,6 +983,121 @@ def make_mp4(
     )
 
 
+# ------------------------------------------- other RIFF forms (WEBP/AVI)
+
+
+def _webp_dims(b: bytes) -> tuple[int, int]:
+    """Canvas dimensions of a RIFF/WEBP image from its first chunk —
+    header-only, no codec (the WEBP analogue of the JPEG SOF walk).
+    Handles all three public layouts: 'VP8 ' (lossy frame header),
+    'VP8L' (lossless 14-bit packed dims), 'VP8X' (extended, 24-bit
+    canvas). Raises ValueError on anything malformed."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    if len(b) < 20:
+        raise ValueError("WEBP missing first chunk")
+    fourcc = b[12:16]
+    (csize,) = struct.unpack("<I", b[16:20])
+    body = b[20 : 20 + csize]
+    if fourcc == b"VP8X":
+        if len(body) < 10:
+            raise ValueError("short VP8X chunk")
+        w = int.from_bytes(body[4:7], "little") + 1
+        h = int.from_bytes(body[7:10], "little") + 1
+        return w, h
+    if fourcc == b"VP8L":
+        if len(body) < 5 or body[0] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        bits = int.from_bytes(body[1:5], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    if fourcc == b"VP8 ":
+        # 3-byte frame tag, then the 9D 01 2A start code, then
+        # 14-bit width/height in two uint16le (top 2 bits = scale)
+        if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 key-frame start code")
+        w, h = struct.unpack("<HH", body[6:10])
+        return w & 0x3FFF, h & 0x3FFF
+    raise ValueError("unrecognized WEBP first chunk")
+
+
+def _avi_meta(b: bytes) -> tuple[int, int, int, float | None]:
+    """RIFF/'AVI ' main-header metadata (LIST hdrl → avih) — stream
+    count, frame dims, and duration from TotalFrames × MicroSecPerFrame,
+    codec-free. Returns (n_streams, width, height, duration_sec);
+    raises ValueError when no avih chunk is present."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"LIST" and body[:4] == b"hdrl":
+            sub = 4
+            while sub + 8 <= len(body):
+                sid = body[sub : sub + 4]
+                (ssize,) = struct.unpack("<I", body[sub + 4 : sub + 8])
+                sbody = body[sub + 8 : sub + 8 + ssize]
+                if sid == b"avih":
+                    if len(sbody) < 40:
+                        raise ValueError("short avih chunk")
+                    (
+                        usec_per_frame, _maxbps, _pad, _flags,
+                        total_frames, _init, n_streams, _sugg,
+                        width, height,
+                    ) = struct.unpack("<10I", sbody[:40])
+                    dur = (
+                        total_frames * usec_per_frame / 1e6
+                        if usec_per_frame else None
+                    )
+                    return n_streams, width, height, dur
+                sub += 8 + ssize + (ssize & 1)
+        pos += 8 + csize + (csize & 1)
+    raise ValueError("no avih header in AVI container")
+
+
+def make_webp(width: int, height: int, variant: str = "VP8X") -> bytes:
+    """Deterministic minimal RIFF/WEBP fixture (stdlib only) for the
+    given dims in any of the three header layouts. Carries no pixel
+    payload — exactly what the header pass must tolerate."""
+    if variant == "VP8X":
+        body = b"\x00\x00\x00\x00" + (width - 1).to_bytes(3, "little") + (
+            height - 1
+        ).to_bytes(3, "little")
+    elif variant == "VP8L":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + bits.to_bytes(4, "little")
+    elif variant == "VP8 ":
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack(
+            "<HH", width, height
+        )
+    else:
+        raise ValueError(f"unknown WEBP variant {variant!r}")
+    chunk = variant.encode("ascii").ljust(4) + struct.pack(
+        "<I", len(body)
+    ) + body + (b"\x00" if len(body) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_avi(
+    n_frames: int = 100,
+    fps: float = 25.0,
+    n_streams: int = 1,
+    width: int = 320,
+    height: int = 240,
+) -> bytes:
+    """Deterministic minimal RIFF/'AVI ' fixture: LIST hdrl with one
+    avih main header (no stream lists, no movi payload)."""
+    avih = struct.pack(
+        "<14I",
+        int(1e6 / fps), 0, 0, 0, n_frames, 0, n_streams, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
 # ------------------------------------------------- mixed-corpus router
 
 
@@ -1028,12 +1148,34 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                             row["media_type"], row["format"] = "image", "jpeg"
                             row["width"], row["height"], _ = _jpeg_dims(b)
                         elif b[:4] == b"RIFF":
-                            row["media_type"] = "audio"
-                            (
-                                row["format"], row["n_channels"],
-                                row["sample_rate"], _bits, _frames,
-                                row["audio_duration_sec"],
-                            ) = _wav_meta(b)
+                            # RIFF is a family, not a format: route on
+                            # the form type at b[8:12] — WAVE is audio,
+                            # WEBP an image, 'AVI ' a video; anything
+                            # else (or a header too short to carry a
+                            # form type) stays unknown/corrupt rather
+                            # than masquerading as corrupt audio
+                            form = b[8:12]
+                            if form == b"WAVE":
+                                row["media_type"] = "audio"
+                                (
+                                    row["format"], row["n_channels"],
+                                    row["sample_rate"], _bits, _frames,
+                                    row["audio_duration_sec"],
+                                ) = _wav_meta(b)
+                            elif form == b"WEBP":
+                                row["media_type"] = "image"
+                                row["format"] = "webp"
+                                row["width"], row["height"] = _webp_dims(b)
+                            elif form == b"AVI ":
+                                row["media_type"] = "video"
+                                row["format"] = "avi"
+                                (
+                                    row["n_tracks"], row["width"],
+                                    row["height"],
+                                    row["video_duration_sec"],
+                                ) = _avi_meta(b)
+                            elif len(b) < 12:
+                                row["format"] = "corrupt"
                         elif len(b) >= 12 and b[4:8] in (
                             b"ftyp", b"moov", b"mdat", b"free", b"wide",
                             b"skip",

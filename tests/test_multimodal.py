@@ -552,9 +552,11 @@ def test_media_header_router_mixed_blob_table(spark):
     each row routes to its family parser, non-applicable fields stay
     NULL, and bad rows degrade per row."""
     from clustering_spark.operators.multimodal import (
+        make_avi,
         make_fake_image,
         make_mp4,
         make_wav,
+        make_webp,
         media_header_meta,
     )
 
@@ -562,9 +564,13 @@ def test_media_header_router_mixed_blob_table(spark):
         (1, bytearray(make_fake_image(6, 4, 128))),
         (2, bytearray(make_wav(4000, sample_rate=8000))),
         (3, bytearray(make_mp4(duration_sec=3.0, n_tracks=2))),
-        (4, bytearray(b"RIFFbroken")),      # audio magic, corrupt body
+        (4, bytearray(b"RIFFbroken")),      # RIFF magic, no form type
         (5, bytearray(b"plain text")),
         (6, None),
+        (7, bytearray(make_webp(160, 90))),             # RIFF/WEBP image
+        (8, bytearray(make_avi(100, fps=25.0, n_streams=2))),  # RIFF video
+        (9, bytearray(b"RIFF\x04\x00\x00\x00ACON")),    # other RIFF form
+        (10, bytearray(b"RIFF\x00\x00\x00\x00WAVE")),   # WAVE, no chunks
     ]
     df = spark.createDataFrame(rows, "id long, blob binary")
     got = {
@@ -580,6 +586,45 @@ def test_media_header_router_mixed_blob_table(spark):
     assert got[2]["width"] is None
     assert (got[3]["media_type"], got[3]["n_tracks"]) == ("video", 2)
     assert abs(got[3]["video_duration_sec"] - 3.0) < 1e-9
-    assert (got[4]["media_type"], got[4]["format"]) == ("audio", "corrupt")
+    # a RIFF header too short to carry a form type is corrupt, but it
+    # must NOT masquerade as audio (WEBP/AVI are RIFF too)
+    assert (got[4]["media_type"], got[4]["format"]) == ("unknown", "corrupt")
     assert got[5]["media_type"] == "unknown"
     assert got[6]["media_type"] == "unknown"
+    # RIFF form routing: WEBP → image with canvas dims, AVI → video
+    # with stream count + duration, unknown forms → unknown
+    assert (got[7]["media_type"], got[7]["format"]) == ("image", "webp")
+    assert (got[7]["width"], got[7]["height"]) == (160, 90)
+    assert got[7]["sample_rate"] is None
+    assert (got[8]["media_type"], got[8]["format"]) == ("video", "avi")
+    assert got[8]["n_tracks"] == 2
+    assert (got[8]["width"], got[8]["height"]) == (320, 240)
+    assert abs(got[8]["video_duration_sec"] - 4.0) < 1e-9
+    assert (got[9]["media_type"], got[9]["format"]) == ("unknown", "unknown")
+    assert (got[10]["media_type"], got[10]["format"]) == ("audio", "corrupt")
+
+
+def test_webp_dims_all_variants_and_audio_gate(spark):
+    """All three WEBP header layouts parse; audio_header_meta leaves
+    non-WAVE RIFF (WEBP/AVI) as 'unknown' instead of 'corrupt'."""
+    from clustering_spark.operators.multimodal import (
+        _webp_dims,
+        audio_header_meta,
+        make_avi,
+        make_webp,
+    )
+
+    for variant in ("VP8X", "VP8L", "VP8 "):
+        assert _webp_dims(make_webp(1023, 511, variant)) == (1023, 511), variant
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_webp(8, 8))),
+            (2, bytearray(make_avi())),
+        ],
+        "id long, blob binary",
+    )
+    got = {
+        r["id"]: r["format"]
+        for r in audio_header_meta(df, "blob", "id").collect()
+    }
+    assert got == {1: "unknown", 2: "unknown"}
