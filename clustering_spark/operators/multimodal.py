@@ -1098,6 +1098,44 @@ def make_avi(
     return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
 
 
+def synthetic_media_blob(d: int) -> bytes:
+    """Deterministic mixed-corpus blob for integer id ``d`` — the gate
+    fixture generator behind the ``media_metadata`` oracle entry: the
+    blob's header parameters are pure arithmetic in ``d`` (family =
+    d % 6), so a SQL oracle can compute the fields media_header_meta
+    must recover without ever parsing bytes (the same round-trip
+    template pattern as strip_html's entity-escaped oracle). Keep the
+    arithmetic in lock-step with SQL_MEDIA_METADATA in queries.py."""
+    fam = d % 6
+    if fam == 0:
+        return make_fake_image(2 + d % 31, 2 + (d // 31) % 17, d % 256)
+    if fam == 1:
+        return make_wav(
+            100 + d % 100, sample_rate=8000, n_channels=1 + d % 2
+        )
+    if fam == 2:
+        # duration picked so duration/timescale is an exact double:
+        # int((1+d%10)/2 * 1000) = 500*(1+d%10)
+        return make_mp4(
+            duration_sec=(1 + d % 10) / 2, timescale=1000,
+            n_tracks=1 + d % 3,
+        )
+    if fam == 3:
+        return make_webp(
+            1 + d % 200, 1 + (d // 3) % 150,
+            # d ≡ 3 (mod 6) here, so vary the layout on d // 6 (d % 3
+            # would be constant) — dims are layout-independent, so the
+            # oracle arithmetic is unaffected
+            variant=("VP8X", "VP8L", "VP8 ")[(d // 6) % 3],
+        )
+    if fam == 4:
+        # 25 fps × 25k frames → duration exactly k seconds
+        return make_avi(
+            n_frames=25 * (1 + d % 8), fps=25.0, n_streams=1 + d % 2
+        )
+    return b"blob-%d" % d  # unknown family: not a media container
+
+
 # ------------------------------------------------- mixed-corpus router
 
 

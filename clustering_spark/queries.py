@@ -1773,24 +1773,90 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 
 
 def q_media_metadata(spark, sf_dir):
-    """Multimodal metadata path (operators/multimodal): media as opaque
-    binary columns with native byte-size + sha256 — the exact-binary
-    dedup key. Testdata has no binary table, so text bytes stand in as
-    the payload; the operator under test is the same one the image/
-    audio plumbing uses."""
-    from clustering_spark.operators.multimodal import media_metadata
+    """Multimodal metadata path (operators/multimodal), two stages in
+    one gate entry:
+
+    1. media_metadata — native byte-size + sha256 (the exact-binary
+       dedup key) over text bytes standing in for a payload column;
+    2. media_header_meta — the mixed-corpus header router (image/
+       audio/video families in ONE mapInPandas scan) over a
+       deterministic per-doc blob (synthetic_media_blob: FAKE image /
+       WAV / MP4 / WEBP / AVI / garbage keyed on doc_id % 6), whose
+       header parameters are pure arithmetic in doc_id so the DuckDB
+       oracle recomputes every field the router must recover without
+       parsing a byte — the strip_html round-trip template pattern.
+
+    The join is doc_id-equi over the same scan; at gate scale AQE
+    broadcasts it, and the real 100 TB surface is each stage alone."""
+    import pandas as pd
+
+    from clustering_spark.operators.multimodal import (
+        media_header_meta,
+        media_metadata,
+        synthetic_media_blob,
+    )
 
     d = load_spread(spark, sf_dir, "documents")
-    return media_metadata(
+    meta = media_metadata(
         d.select("doc_id", F.encode("text", "UTF-8").alias("media")),
         "media",
         "doc_id",
     ).select("doc_id", F.col("n_bytes").cast("long"), "content_sha256")
 
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": [
+                        None if pd.isna(x) else synthetic_media_blob(int(x))
+                        for x in pdf["doc_id"]
+                    ],
+                }
+            )
 
+    blobs = d.select("doc_id").mapInPandas(build, "doc_id long, blob binary")
+    hdr = media_header_meta(blobs, "blob", "doc_id").select(
+        F.col("id").alias("doc_id"),
+        "media_type",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "audio_duration_sec",
+        F.col("n_tracks").cast("long").alias("n_tracks"),
+        "video_duration_sec",
+    )
+    return meta.join(hdr, "doc_id")
+
+
+# Oracle twin of synthetic_media_blob's arithmetic (family = doc_id % 6)
+# — keep in lock-step with operators/multimodal.py:synthetic_media_blob.
 SQL_MEDIA_METADATA = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-       sha256(text) AS content_sha256
+       sha256(text) AS content_sha256,
+       CASE doc_id % 6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            WHEN 2 THEN 'video' WHEN 3 THEN 'image' WHEN 4 THEN 'video'
+            ELSE 'unknown' END AS media_type,
+       CASE doc_id % 6 WHEN 0 THEN 'fake' WHEN 1 THEN 'wav-pcm'
+            WHEN 2 THEN 'mp4' WHEN 3 THEN 'webp' WHEN 4 THEN 'avi'
+            ELSE 'unknown' END AS format,
+       CASE doc_id % 6 WHEN 0 THEN 2 + doc_id % 31
+            WHEN 3 THEN 1 + doc_id % 200
+            WHEN 4 THEN 320 END AS width,
+       CASE doc_id % 6 WHEN 0 THEN 2 + (doc_id // 31) % 17
+            WHEN 3 THEN 1 + (doc_id // 3) % 150
+            WHEN 4 THEN 240 END AS height,
+       CASE WHEN doc_id % 6 = 1 THEN 1 + doc_id % 2 END AS n_channels,
+       CASE WHEN doc_id % 6 = 1 THEN 8000 END AS sample_rate,
+       CASE WHEN doc_id % 6 = 1
+            THEN (100 + doc_id % 100) / 8000.0 END AS audio_duration_sec,
+       CASE doc_id % 6 WHEN 2 THEN 1 + doc_id % 3
+            WHEN 4 THEN 1 + doc_id % 2 END AS n_tracks,
+       CASE doc_id % 6 WHEN 2 THEN (1 + doc_id % 10) / 2.0
+            WHEN 4 THEN CAST(1 + doc_id % 8 AS DOUBLE)
+            END AS video_duration_sec
 FROM documents
 """
 
