@@ -73,6 +73,11 @@ class PipelineConfig:
     # model-fitting mode: "scale" = applyInPandas (one Spark task per
     # segment; scales to ~millions of segments), "parity" = MLlib fits
     # in a driver loop (matches reference numerics; O(10^2) segments).
+    # Parity exception: GaussianMixture fits on unit-variance-scaled
+    # features (anti-NaN-spin conditioning, operators/clustering.py
+    # module docstring) — the mixture family is parity, a specific
+    # seeded EM trajectory may not be. KMeans/BisectingKMeans parity
+    # is raw-feature exact.
     fit_mode: str = "scale"
 
     # parity-mode MLlib fit watchdog (operators/fit_guard): a fit

@@ -18,6 +18,16 @@ Two execution modes behind one API (SURVEY §7.2):
   same ClusteringEvaluator silhouette). Right choice when segments are
   huge (each fit is itself distributed) and segment count is small.
 
+  GaussianMixture parity exception: to keep EM off the F2J-LAPACK
+  NaN-spin (see fit_guard), parity-mode GMM fits on unit-variance-
+  scaled features (with a x1000 rescue rung per seed). Scaling is an
+  invertible affine map, so the MODEL FAMILY is preserved — same
+  mixture structure, and silhouette/WSSSE are still computed on the
+  original features — but a specific seeded EM TRAJECTORY (and hence
+  labels on ambiguous points) can diverge from a raw-feature MLlib
+  fit: affine invariance holds for the family, not for one seeded run.
+  KMeans / BisectingKMeans parity remains raw-feature and exact.
+
 Numerics note: the numpy KMeans uses k-means++ init + Lloyd iterations
 (maxIter=20, tol=1e-4 — MLlib's defaults); BisectingKMeans repeatedly
 2-means-splits the largest-SSE cluster; GMM is full-covariance EM

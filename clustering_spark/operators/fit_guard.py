@@ -34,8 +34,10 @@ identical model it would have returned unguarded.
 
 from __future__ import annotations
 
+import os
 import threading
 import uuid
+import warnings
 
 __all__ = ["FitTimeout", "guarded_fit"]
 
@@ -60,7 +62,29 @@ def guarded_fit(estimator, df, timeout: float = DEFAULT_FIT_TIMEOUT, desc: str =
     raises :class:`FitTimeout` after cancelling the fit's job group.
     ``estimator`` is anything with ``.fit(df)`` (an MLlib estimator or
     Pipeline).  ``desc`` labels the job group in the Spark UI.
+
+    Caveats (by design, documented rather than hidden):
+
+    * The job-group scoping relies on PySpark's pinned-thread mode
+      (default since 3.2).  With ``PYSPARK_PIN_THREAD=false`` every
+      Python thread shares one JVM thread, so ``setJobGroup`` leaks to
+      concurrent jobs and a timeout's ``cancelJobGroup`` could cancel
+      UNRELATED work — in that configuration this function warns and
+      the caller should serialize fits.
+    * Each timeout leaks one daemon thread blocked in ``fit`` until the
+      cancelled job unwinds (or forever, for an interrupt-deaf F2J
+      compute spin).  Bounded in practice: one thread per strike, and
+      ``daemon=True`` keeps interpreter exit unblocked.
     """
+    if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "false":
+        warnings.warn(
+            "guarded_fit: PYSPARK_PIN_THREAD=false — job groups are set "
+            "on a shared JVM thread, so a watchdog cancellation may hit "
+            "unrelated concurrent jobs. Serialize fits or re-enable "
+            "pinned-thread mode.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sc = df.sparkSession.sparkContext
     group = f"guarded-fit-{uuid.uuid4().hex[:12]}"
     box: dict = {}
