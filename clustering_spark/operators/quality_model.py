@@ -142,6 +142,77 @@ def score_quality(
     )
 
 
+def export_linear_model(model) -> dict:
+    """Flatten a fitted quality ``PipelineModel`` (assembler + scaler +
+    LR) to plain floats: feature names, scaler means/stds, LR
+    coefficients, intercept. The exported dict is everything scoring
+    needs — ship it as a broadcast-free literal into
+    :func:`score_quality_linear` (or pin it in a test/gate), instead of
+    dragging the JVM model object around."""
+    scaler, lr = model.stages[1], model.stages[2]
+    return {
+        "features": list(FEATURE_COLS),
+        "means": [float(x) for x in scaler.mean.toArray()],
+        "stds": [float(x) for x in scaler.std.toArray()],
+        "coefficients": [float(x) for x in lr.coefficients.toArray()],
+        "intercept": float(lr.intercept),
+    }
+
+
+def score_quality_linear(
+    df: DataFrame,
+    text_col: str,
+    params: dict,
+    out_col: str = "quality_prob",
+    logit_col: str | None = None,
+    feature_decimals: int | None = None,
+) -> DataFrame:
+    """Score documents with an EXPORTED linear quality model
+    (:func:`export_linear_model`) as pure native expressions — the
+    same per-row zero-shuffle projection as :func:`score_quality`, but
+    with no MLlib transform in the plan at all: the whole path (feature
+    build → standardize → dot product → sigmoid) is one whole-stage-
+    codegen projection, which is the shape you want wrapping a 100 TB
+    scan.
+
+    ``out_col`` gets P(quality=1) rounded to 6 decimals (parity with
+    :func:`score_quality`); ``logit_col``, when set, additionally gets
+    the RAW linear score — deterministic +,*,/ arithmetic only (no
+    exp), which is what a cross-engine oracle should compare.
+    ``feature_decimals`` optionally rounds each feature before scoring
+    so two engines consume bit-identical inputs. Term order is the
+    ``params['features']`` list order, left to right — keep any SQL
+    twin in the same order. A zero scaler std contributes 0 (MLlib
+    ``StandardScalerModel`` semantics)."""
+    safe = df.select(
+        *[df[c].alias(f"__orig_{i}") for i, c in enumerate(df.columns)]
+    )
+    feats = _with_features(safe, f"__orig_{df.columns.index(text_col)}")
+    z = F.lit(params["intercept"])
+    for name, w, m, s in zip(
+        params["features"],
+        params["coefficients"],
+        params["means"],
+        params["stds"],
+    ):
+        if s == 0.0:
+            continue  # constant feature: scaled value is 0, term drops
+        col = F.col(name).cast("double")
+        if feature_decimals is not None:
+            col = F.round(col, feature_decimals)
+        z = z + F.lit(w) * ((col - F.lit(m)) / F.lit(s))
+    scored = feats.withColumn("__z", z)
+    keep = [
+        F.col(f"__orig_{i}").alias(c)
+        for i, c in enumerate(df.columns)
+        if c not in (out_col, logit_col)
+    ]
+    out = [F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))), 6).alias(out_col)]
+    if logit_col:
+        out.append(F.col("__z").alias(logit_col))
+    return scored.select(*keep, *out)
+
+
 def filter_by_quality(
     df: DataFrame,
     model,

@@ -1908,7 +1908,10 @@ def _pii_count_sql(cat: str) -> str:
 _PII_EMAIL_SQL = _pii_count_sql("email")
 _PII_TOTAL_SQL = " + ".join(_pii_count_sql(c) for c in textnorm.PII_ORDER)
 
-SQL_TEXT_QUALITY = rf"""
+# feature CTE shared by text_quality and quality_score (the learned
+# scorer consumes exactly the heuristic signal columns, so its oracle
+# must recompute them identically — one definition, two gates)
+_TEXT_QUALITY_CTE = rf"""
 WITH base AS (
   SELECT doc_id, text, len(text) AS n_chars,
          CASE WHEN len(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
@@ -1947,6 +1950,10 @@ r AS (
               SELECT count(*) AS cnt FROM unnest(st) AS u(w) GROUP BY w))::DOUBLE
            / n_tokens ELSE 0.0 END AS top_tok
   FROM m)
+"""
+
+SQL_TEXT_QUALITY = f"""
+{_TEXT_QUALITY_CTE}
 SELECT doc_id, n_tokens,
        round(avg_tok, 6) AS avg_token_len,
        round(punct_ratio, 6) AS punct_ratio,
@@ -1962,6 +1969,100 @@ SELECT doc_id, n_tokens,
        round(top_tok, 6) AS top_token_ratio,
        n_pii_email, n_pii_total
 FROM r
+"""
+
+
+# Learned quality model pinned for the gate: an LR fit on the sf0.001
+# documents (label = heuristic quality_score >= its median, seed 42)
+# via quality_model.fit_quality_classifier, flattened with
+# export_linear_model. Pinning makes the otherwise-iterative fit
+# oracle-expressible: scoring is pure +,*,/ arithmetic over the SAME
+# rounded feature columns text_quality already hash-matches. Features
+# with zero training std (constant in the corpus) carry no term —
+# MLlib StandardScalerModel semantics, mirrored by score_quality_linear.
+PINNED_QUALITY_MODEL = {
+    "features": [
+        "n_tokens", "avg_token_len", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "dup_line_ratio", "rep_2gram_ratio",
+        "top_token_ratio",
+    ],
+    "means": [
+        55.87800000000001, 5.471419872000001, 0.0, 0.0,
+        0.06608505999999999, 0.0, 0.028373607999999984,
+        0.10044767800000004,
+    ],
+    "stds": [
+        26.093387010723287, 0.2044519825406473, 0.0, 0.0,
+        0.03895128278912309, 0.0, 0.02641709095444323,
+        0.032892013177366244,
+    ],
+    "coefficients": [
+        -0.00048079691206903767, -0.24847780736046182, 0.0, 0.0,
+        3.899124253797077, 0.0, 0.14495423790596634,
+        -0.05644170807057018,
+    ],
+    "intercept": 0.23517063831289584,
+}
+
+
+def q_quality_score(spark, sf_dir):
+    """Learned quality filter scoring (operators/quality_model):
+    the pinned linear model applied as ONE whole-stage-codegen
+    projection — feature build, standardize, dot product all native,
+    zero shuffle, the learn-tiny/apply-wide 100 TB pattern. The gate
+    compares the raw LOGIT (deterministic +,*,/ only; the sigmoid's
+    exp() differs by ulps across engines) rounded to 6dp, plus the
+    keep decision at the 0.5-probability (logit >= 0) threshold."""
+    from clustering_spark.operators import quality_model
+
+    d = load_spread(spark, sf_dir, "documents")
+    scored = quality_model.score_quality_linear(
+        d,
+        "text",
+        PINNED_QUALITY_MODEL,
+        out_col="__prob",
+        logit_col="quality_logit",
+        feature_decimals=6,
+    )
+    return scored.select(
+        "doc_id",
+        nz(F.round(F.col("quality_logit"), 6)).alias("quality_logit"),
+        (F.col("quality_logit") >= 0).cast("int").alias("keep"),
+    )
+
+
+def _quality_z_sql() -> str:
+    """The oracle's logit expression, generated FROM the pinned model
+    so the two sides cannot drift: same feature order, same left-to-
+    right association, same skip-zero-std rule, full-precision repr
+    literals (shortest round-trip decimal -> identical doubles)."""
+    feature_sql = {
+        "n_tokens": "round(CAST(n_tokens AS DOUBLE), 6)",
+        "avg_token_len": "round(avg_tok, 6)",
+        "punct_ratio": "round(punct_ratio, 6)",
+        "digit_ratio": "round(digit_ratio, 6)",
+        "stopword_ratio": "round(stop_ratio, 6)",
+        "dup_line_ratio": "round(dup_line, 6)",
+        "rep_2gram_ratio": "round(rep_2gram, 6)",
+        "top_token_ratio": "round(top_tok, 6)",
+    }
+    p = PINNED_QUALITY_MODEL
+    expr = repr(p["intercept"])
+    for name, w, m, s in zip(
+        p["features"], p["coefficients"], p["means"], p["stds"]
+    ):
+        if s == 0.0:
+            continue
+        expr += f" + ({w!r}) * (({feature_sql[name]} - ({m!r})) / ({s!r}))"
+    return expr
+
+
+SQL_QUALITY_SCORE = f"""
+{_TEXT_QUALITY_CTE}
+, z AS (SELECT doc_id, {_quality_z_sql()} AS zv FROM r)
+SELECT doc_id, round(zv, 6) + 0.0 AS quality_logit,
+       CAST(zv >= 0 AS INT) AS keep
+FROM z
 """
 
 
@@ -2327,7 +2428,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mode-tagged entry — frees two slots for strip_html (oracle-gated)
     # and semantic_dedup_keep (rows-only) without weakening any check
     "stream_window_events": q_stream_window_events,
-    "stream_sliding_windows": q_stream_sliding_windows,
+    # round 11: stream_sliding_windows retired from the gate — its
+    # sliding-window drain duplicates windowed_events' sliding half and
+    # stream_window_events' mode coverage (pytest still exercises the
+    # operator: tests/test_streaming.py). Slot goes to quality_score,
+    # the learned-filter scoring projection with a pinned linear model.
+    "quality_score": q_quality_score,
     "stream_sessions": q_stream_sessions,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_distinct_event_types": q_stream_distinct_event_types,
@@ -2381,7 +2487,7 @@ ORACLES: dict[str, str] = {
     "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
     "pivot_user_event_counts": SQL_PIVOT_USER_EVENT_COUNTS,
     "stream_window_events": SQL_WINDOW_EVENTS_MODES,
-    "stream_sliding_windows": SQL_SLIDING_WINDOW_EVENTS,
+    "quality_score": SQL_QUALITY_SCORE,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,

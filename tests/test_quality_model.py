@@ -115,3 +115,65 @@ def test_score_preserves_caller_feature_named_columns(spark, labeled, model):
     out = score_quality(tagged, model, "text").toPandas()
     assert (out.n_tokens == -7).all()
     assert "quality_prob" in out.columns
+
+
+def test_export_linear_parity_with_mllib_transform(spark, labeled, model):
+    """export_linear_model + score_quality_linear must reproduce the
+    MLlib PipelineModel's probabilities exactly (same standardization,
+    same coefficients, zero-std features dropping out) — the flattened
+    scorer is a drop-in for the JVM model object."""
+    from clustering_spark.operators.quality_model import (
+        export_linear_model,
+        score_quality_linear,
+    )
+
+    params = export_linear_model(model)
+    assert params["features"] == FEATURE_COLS
+    assert len(params["coefficients"]) == len(FEATURE_COLS)
+    ml = score_quality(labeled.drop("label"), model, "text")
+    lin = score_quality_linear(labeled.drop("label"), "text", params)
+    a = {r.doc_id: r.quality_prob for r in ml.collect()}
+    b = {r.doc_id: r.quality_prob for r in lin.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) <= 1e-9 for k in a)
+
+
+def test_linear_scoring_plan_is_jvm_only_no_shuffle(spark, labeled, model):
+    """The flattened scorer must keep score_quality's plan contract:
+    whole-stage-codegen projection, no Python nodes, no exchange."""
+    from clustering_spark.plans.audit import count_shuffles, formatted_plan
+
+    from clustering_spark.operators.quality_model import (
+        export_linear_model,
+        score_quality_linear,
+    )
+
+    out = score_quality_linear(
+        labeled.drop("label"), "text", export_linear_model(model),
+        logit_col="z",
+    )
+    p = formatted_plan(out)
+    assert "EvalPython" not in p and "InPandas" not in p
+    assert count_shuffles(out) == 0
+
+
+def test_pinned_gate_model_logit_vs_prob_consistency(spark):
+    """The committed PINNED_QUALITY_MODEL must behave like a real
+    classifier on the gate corpus shape: logit sign == (prob >= 0.5),
+    both output columns present, caller columns preserved."""
+    from clustering_spark.operators.quality_model import (
+        score_quality_linear,
+    )
+    from clustering_spark.queries import PINNED_QUALITY_MODEL
+
+    df = spark.createDataFrame(
+        [(i, _clean_doc(i)) for i in range(10)]
+        + [(100 + i, _spam_doc(i)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = score_quality_linear(
+        df, "text", PINNED_QUALITY_MODEL,
+        logit_col="z", feature_decimals=6,
+    ).toPandas()
+    assert set(out.columns) == {"doc_id", "text", "quality_prob", "z"}
+    assert ((out.z >= 0) == (out.quality_prob >= 0.5)).all()
