@@ -1,0 +1,600 @@
+"""Baseline JPEG (ITU-T T.81, Huffman sequential DCT) codec on the
+stdlib + numpy alone — no PIL/libjpeg in this container.
+
+This closes the last image-capability gate: ``decode_image_meta`` could
+parse JPEG headers natively (SOF walk) but had to raise for pixels
+without PIL. The decoder here handles the baseline process most web
+JPEGs use — SOF0/SOF1, 8-bit, grayscale or YCbCr, any sampling
+factors (4:4:4 / 4:2:2 / 4:2:0), restart markers, 16-bit quant
+tables — and raises honest ``NotImplementedError`` for progressive
+(SOF2) / arithmetic / hierarchical processes.
+
+Speed posture, stated plainly: the entropy decode is a pure-Python
+bit-reader (the IDCT/upsample/color steps are vectorized numpy). Like
+``_png_decode``, that is fixture-and-contract speed, not codec speed —
+a production 100 TB image pipeline routes through the PIL/libjpeg
+branch of ``decode_image_meta`` when the environment has it; this
+module guarantees the CONTRACT is real and testable everywhere.
+
+The encoder exists so tests can roundtrip real entropy-coded data
+(DC prediction, AC run-lengths, byte stuffing, restart markers,
+subsampled MCU interleave) without shipping binary blobs, and doubles
+as a minimal JPEG sink. It uses the spec's own example tables
+(Annex K) at their published quality.
+
+Reference parity note: the reference engine has no image path at all —
+this whole module is beyond-reference capability (SURVEY §7.6).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------- tables
+
+# zigzag scan: position k in the entropy stream -> natural-order index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 example quantization tables (zigzag order here is
+# immaterial: we store/apply them in the order they travel in DQT)
+QUANT_LUMA = bytes([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+QUANT_CHROMA = bytes([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# Annex K.3 example Huffman specs: BITS (code count per length 1..16)
+# + HUFFVAL (symbols in canonical order)
+DC_LUMA_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+DC_LUMA_VALS = bytes(range(12))
+AC_LUMA_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+AC_LUMA_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+DC_CHROMA_BITS = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+DC_CHROMA_VALS = bytes(range(12))
+AC_CHROMA_BITS = bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77])
+AC_CHROMA_VALS = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis M: coeff = M @ spatial @ M.T,
+    spatial = M.T @ coeff @ M."""
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_basis()
+
+
+def _build_decode_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman: (code_length, code_value) -> symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman: symbol -> (code_value, code_length)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+# --------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """MSB-first reader over de-stuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.buf, self.n = data, 0, 0, 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted mid-symbol")
+            self.buf = (self.buf << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= nbits
+        out = (self.buf >> self.n) & ((1 << nbits) - 1)
+        self.buf &= (1 << self.n) - 1
+        return out
+
+
+def _decode_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, pred: int):
+    """One 8x8 block of quantized coefficients (natural order) + the
+    updated DC predictor."""
+    coeffs = np.zeros(64, dtype=np.int32)
+    t = _decode_symbol(br, dc_tab)
+    pred += _extend(br.read(t), t) if t else 0
+    coeffs[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        coeffs[ZIGZAG[k]] = _extend(br.read(s), s)
+        k += 1
+    return coeffs, pred
+
+
+def _split_scan(b: bytes, pos: int):
+    """De-stuff the entropy-coded segment starting at ``pos``; split on
+    restart markers. Returns (list of de-stuffed byte segments,
+    position of the terminating marker's 0xFF)."""
+    segs, cur = [], bytearray()
+    n = len(b)
+    while pos < n:
+        byte = b[pos]
+        if byte != 0xFF:
+            cur.append(byte)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            break
+        nxt = b[pos + 1]
+        if nxt == 0x00:  # stuffed literal 0xFF
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # real marker: scan over
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_baseline(b: bytes):
+    """Decode a baseline JPEG. Returns ``(width, height, channels,
+    samples)`` with ``samples`` row-major uint8 bytes (graymap for 1
+    component, RGB for 3). Raises ``ValueError`` on malformed streams
+    and ``NotImplementedError`` for non-baseline processes."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        payload = b[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        payload[i : i + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(
+                        payload[i : i + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 128
+                quant[tq] = tbl
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0x0F
+                bits = payload[i + 1 : i + 17]
+                nv = sum(bits)
+                vals = payload[i + 17 : i + 17 + nv]
+                i += 17 + nv
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(
+                    bits, vals
+                )
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1: Huffman sequential
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended sequential Huffman JPEG is "
+                f"supported (got SOF marker 0xFF{marker:02X} — "
+                "progressive/arithmetic/hierarchical)"
+            )
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan_tabs = {}
+            for si in range(ns):
+                cs, tdta = payload[1 + 2 * si : 3 + 2 * si]
+                scan_tabs[cs] = (tdta >> 4, tdta & 0x0F)
+            w, h, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG not supported"
+                )
+            return _decode_scan(
+                b, pos, frame, scan_tabs, quant, huff_dc, huff_ac
+            )
+        # else: APPn / COM / DRI(handled implicitly by RST split) / DNL
+        # — skip. (DRI's interval isn't needed: restart segments are
+        # discovered from the RST markers themselves.)
+    raise ValueError("no SOS marker — truncated JPEG")
+
+
+def _decode_scan(b, pos, frame, scan_tabs, quant, huff_dc, huff_ac):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hi, vi, _tq in comps:
+        planes[cid] = np.zeros(
+            (mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64
+        )
+    segs, _end = _split_scan(b, pos)
+    preds = {cid: 0 for cid, *_ in comps}
+    mcu = 0
+    seg_i = 0
+    br = _BitReader(segs[0])
+    m = _DCT_M
+    total_mcus = mcus_x * mcus_y
+    while mcu < total_mcus:
+        my, mx = divmod(mcu, mcus_x)
+        try:
+            for cid, hi, vi, tq in comps:
+                dq = quant[tq]
+                dc_tab = huff_dc[scan_tabs[cid][0]]
+                ac_tab = huff_ac[scan_tabs[cid][1]]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coeffs, preds[cid] = _decode_block(
+                            br, dc_tab, ac_tab, preds[cid]
+                        )
+                        block = (coeffs * dq).astype(np.float64).reshape(8, 8)
+                        spatial = m.T @ block @ m + 128.0
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+        except ValueError:
+            # restart boundary reached mid-MCU is a hard error; but a
+            # cleanly exhausted segment right AT an MCU boundary moves
+            # to the next restart segment
+            raise
+        mcu += 1
+        # advance to the next restart segment when this one is drained
+        # to (at most) padding bits
+        if (
+            seg_i + 1 < len(segs)
+            and br.pos >= len(br.data)
+            and mcu < total_mcus
+        ):
+            seg_i += 1
+            br = _BitReader(segs[seg_i])
+            preds = {cid: 0 for cid, *_ in comps}
+    # upsample + crop
+    out_planes = []
+    for cid, hi, vi, _tq in comps:
+        p = planes[cid]
+        if hi < hmax or vi < vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    if len(out_planes) == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, bl], axis=-1)
+        rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return w, h, 3, rgb.tobytes()
+    raise NotImplementedError(
+        f"{len(out_planes)}-component JPEG (CMYK?) not supported"
+    )
+
+
+# --------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    """MSB-first writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.buf = (self.buf << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.buf >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.buf &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) for a signed coefficient — inverse of
+    EXTEND."""
+    t = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1) & ((1 << t) - 1)
+
+
+def _encode_block(bw, coeffs, dc_enc, ac_enc, pred):
+    diff = int(coeffs[0]) - pred
+    t, code = _magnitude(diff)
+    c, ln = dc_enc[t]
+    bw.write(c, ln)
+    if t:
+        bw.write(code, t)
+    run = 0
+    last_nz = 0
+    zz = [int(coeffs[ZIGZAG[k]]) for k in range(64)]
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_enc[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        t, code = _magnitude(v)
+        c, ln = ac_enc[(run << 4) | t]
+        bw.write(c, ln)
+        bw.write(code, t)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_enc[0x00]  # EOB
+        bw.write(c, ln)
+    return int(coeffs[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_baseline(
+    arr: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array
+    as a baseline JFIF JPEG with the Annex K example tables. 3-channel
+    input converts to YCbCr; ``subsample=True`` emits 4:2:0 chroma.
+    ``restart_interval`` > 0 inserts DRI/RSTn every that many MCUs.
+    Lossy exactly the way JPEG is lossy (DCT quantization)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim == 2:
+        planes = [arr]
+        comps = [(1, 1, 1, 0, 0, 0)]  # id, h, v, tq, td, ta
+        nc = 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r, g, bch = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bch
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bch
+        planes = [y, cb, cr]
+        sy = 2 if subsample else 1
+        comps = [(1, sy, sy, 0, 0, 0), (2, 1, 1, 1, 1, 1), (3, 1, 1, 1, 1, 1)]
+        nc = 3
+    else:
+        raise ValueError("expected (H,W) gray or (H,W,3) RGB uint8 array")
+    h, w = planes[0].shape
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    qtabs = {0: np.frombuffer(QUANT_LUMA, np.uint8).astype(np.int32)}
+    if nc == 3:
+        qtabs[1] = np.frombuffer(QUANT_CHROMA, np.uint8).astype(np.int32)
+    dc_enc = {0: _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)}
+    ac_enc = {0: _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)}
+    if nc == 3:
+        dc_enc[1] = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_enc[1] = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    # per-component padded planes at their own resolution
+    comp_planes = []
+    for (cid, hi, vi, tq, _td, _ta), p in zip(comps, planes):
+        if hi < hmax or vi < vmax:
+            # box-filter downsample (pad to even first)
+            fy, fx = vmax // vi, hmax // hi
+            py = -(-p.shape[0] // fy) * fy
+            px = -(-p.shape[1] // fx) * fx
+            pp = np.pad(p, ((0, py - p.shape[0]), (0, px - p.shape[1])),
+                        mode="edge")
+            p = pp.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * vi * 8, mcus_x * hi * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        comp_planes.append(p)
+
+    m = _DCT_M
+    bw = _BitWriter()
+    preds = {cid: 0 for cid, *_ in comps}
+    chunks = []  # entropy chunks between restarts
+    total_mcus = mcus_x * mcus_y
+    for mcu in range(total_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            chunks.append(bytes(bw.out))
+            bw = _BitWriter()
+            preds = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for (cid, hi, vi, tq, td, ta), p in zip(comps, comp_planes):
+            for by in range(vi):
+                for bx in range(hi):
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coeff = m @ block @ m.T
+                    q = np.round(
+                        coeff.reshape(64) / qtabs[tq].astype(np.float64)
+                    ).astype(np.int32)
+                    pred_new = _encode_block(
+                        bw, q, dc_enc[td], ac_enc[ta], preds[cid]
+                    )
+                    preds[cid] = pred_new
+    bw.flush()
+    chunks.append(bytes(bw.out))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + QUANT_LUMA)
+    if nc == 3:
+        out += _seg(0xFFDB, b"\x01" + QUANT_CHROMA)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid, hi, vi, tq, _td, _ta in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, b"\x00" + DC_LUMA_BITS + DC_LUMA_VALS)
+    out += _seg(0xFFC4, b"\x10" + AC_LUMA_BITS + AC_LUMA_VALS)
+    if nc == 3:
+        out += _seg(0xFFC4, b"\x01" + DC_CHROMA_BITS + DC_CHROMA_VALS)
+        out += _seg(0xFFC4, b"\x11" + AC_CHROMA_BITS + AC_CHROMA_VALS)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for cid, _hi, _vi, _tq, td, ta in comps:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xFFDA, sos)
+    for i, chunk in enumerate(chunks):
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        out += chunk
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -263,6 +263,19 @@ def _pil_meta(b: bytes) -> tuple[int, int, float]:
     return w, h, float(arr.mean()) if arr.size else 0.0
 
 
+def _jpeg_meta(b: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_intensity) via the stdlib+numpy baseline
+    JPEG decoder (operators/jpeg.decode_baseline) — the codec-free
+    twin of _png_meta. Mean is over all channels (JPEG has no alpha)."""
+    import numpy as np
+
+    from clustering_spark.operators.jpeg import decode_baseline
+
+    w, h, _ch, samples = decode_baseline(b)
+    arr = np.frombuffer(samples, dtype=np.uint8)
+    return w, h, float(arr.mean()) if arr.size else 0.0
+
+
 IMAGE_META_SCHEMA = "id long, width int, height int, n_pixels long, mean_intensity double"
 
 
@@ -275,10 +288,14 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     length validated — a truncated container fails loudly); REAL
     baseline 8-bit PNG via the stdlib decoder (``_png_decode`` — no
     native codec needed), with non-baseline PNG variants falling back
-    to PIL when installed; any other format through PIL when the
-    environment has it, else NotImplementedError (clearly a stub,
-    never silently wrong). NULL blobs raise with a pointer to
-    ``image_header_meta`` (the degrade-per-row pass).
+    to PIL when installed; REAL baseline sequential JPEG via the
+    stdlib+numpy decoder (``operators/jpeg.decode_baseline`` —
+    grayscale/YCbCr, any subsampling, restart markers), with
+    progressive/arithmetic raising a precise NotImplementedError; any
+    other format through PIL when the environment has it, else
+    NotImplementedError (clearly a stub, never silently wrong). NULL
+    blobs raise with a pointer to ``image_header_meta`` (the
+    degrade-per-row pass).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -322,21 +339,17 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 elif _HAVE_PIL:
                     w, h, mean = _pil_meta(b)
                 elif b[:2] == JPEG_MAGIC:
-                    # dimensions ARE decodable natively (SOF header);
-                    # only the pixel statistics need a real codec —
-                    # fail with the header facts in the message so the
-                    # caller can fall back to image_header_meta
-                    w, h, _ = _jpeg_dims(b)
-                    raise NotImplementedError(
-                        f"JPEG pixel decode needs PIL (absent); header "
-                        f"parsed fine ({w}x{h}) — use image_header_meta "
-                        "for dimensions without a codec"
-                    )
+                    # REAL pixel decode on the stdlib+numpy baseline
+                    # codec (operators/jpeg) — progressive/arithmetic
+                    # variants still raise NotImplementedError from
+                    # decode_baseline with the precise reason
+                    w, h, mean = _jpeg_meta(b)
                 else:
                     raise NotImplementedError(
                         "no decoder for this image format in this "
                         "environment; supported without codecs: the "
-                        "synthetic FAKE container and baseline 8-bit PNG"
+                        "synthetic FAKE container, baseline 8-bit PNG, "
+                        "and baseline sequential JPEG"
                     )
                 out.append(
                     {

@@ -1,0 +1,197 @@
+"""Baseline JPEG codec (operators/jpeg): decode correctness against an
+INDEPENDENT direct-cosine IDCT reference (not the codec's own basis
+matrix), encode→decode roundtrips across grayscale / 4:4:4 / 4:2:0 /
+restart-marker layouts, byte-stuffing, 16-bit quant tables, and honest
+gates for non-baseline processes. No Spark needed — pure codec."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from clustering_spark.operators import jpeg
+from clustering_spark.operators.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    QUANT_LUMA,
+    ZIGZAG,
+    decode_baseline,
+    encode_baseline,
+)
+
+
+def _reference_idct(coeffs64, quant64):
+    """Direct T.81 A.3.3 IDCT: double cosine sum, pure Python — an
+    implementation independent of the codec's matrix basis."""
+    dq = [c * q for c, q in zip(coeffs64, quant64)]
+    out = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * dq[u * 8 + v]
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                    )
+            row.append(min(255, max(0, round(s / 4.0 + 128.0))))
+        out.append(row)
+    return np.array(out, dtype=np.int64)
+
+
+def _single_block_jpeg(coeffs64) -> bytes:
+    """Hand-assemble an 8x8 grayscale baseline JPEG carrying exactly
+    the given quantized coefficients (natural order) — built from the
+    encoder's Huffman writer only, never its DCT, so decoding it tests
+    the decoder's dequant+IDCT against the reference above."""
+    bw = jpeg._BitWriter()
+    dc_enc = jpeg._build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_enc = jpeg._build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    jpeg._encode_block(bw, np.asarray(coeffs64, dtype=np.int32), dc_enc, ac_enc, 0)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += jpeg._seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += jpeg._seg(0xFFDB, b"\x00" + QUANT_LUMA)
+    out += jpeg._seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    out += jpeg._seg(0xFFC4, b"\x00" + DC_LUMA_BITS + DC_LUMA_VALS)
+    out += jpeg._seg(0xFFC4, b"\x10" + AC_LUMA_BITS + AC_LUMA_VALS)
+    out += jpeg._seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_committed_fixture_decodes_flat_gray():
+    from pathlib import Path
+
+    b = (Path(__file__).parent / "fixtures" / "tiny_gray16x8.jpg").read_bytes()
+    w, h, ch, s = decode_baseline(b)
+    assert (w, h, ch) == (16, 8, 1)
+    assert set(s) == {128}
+
+
+def test_decode_matches_independent_idct_reference():
+    """Random quantized coefficient blocks, entropy-coded by hand,
+    must decode to the direct-cosine-sum reference within 1 intensity
+    step (float association slack only). Covers DC categories, AC
+    run/size codes, ZRL, EOB, sign EXTEND."""
+    rng = np.random.default_rng(42)
+    quant = list(QUANT_LUMA)
+    for trial in range(8):
+        coeffs = np.zeros(64, dtype=np.int64)
+        coeffs[0] = int(rng.integers(-60, 60))
+        # sparse AC pattern incl. long zero runs (exercises ZRL)
+        for k in rng.choice(np.arange(1, 64), size=6, replace=False):
+            coeffs[ZIGZAG[k]] = int(rng.integers(-8, 9))
+        coeffs[ZIGZAG[63]] = int(rng.integers(1, 4))  # force full-block path
+        b = _single_block_jpeg(coeffs)
+        w, h, ch, s = decode_baseline(b)
+        got = np.frombuffer(s, np.uint8).reshape(8, 8).astype(np.int64)
+        want = _reference_idct(list(coeffs), quant)
+        assert np.abs(got - want).max() <= 1, f"trial {trial}"
+
+
+def test_gray_roundtrip_smooth_image():
+    img = np.linspace(0, 255, 24 * 17).reshape(24, 17).astype(np.uint8)
+    w, h, ch, s = decode_baseline(encode_baseline(img))
+    assert (w, h, ch) == (17, 24, 1)
+    dec = np.frombuffer(s, np.uint8).reshape(24, 17).astype(float)
+    assert np.abs(dec - img.astype(float)).max() <= 8  # quantization loss
+
+def _smooth_rgb(h=20, w=30):
+    img = np.zeros((h, w, 3))
+    img[..., 0] = np.linspace(0, 200, w)[None, :]
+    img[..., 1] = np.linspace(0, 200, h)[:, None]
+    img[..., 2] = 100
+    return img.astype(np.uint8)
+
+
+def test_color_444_roundtrip():
+    img = _smooth_rgb()
+    w, h, ch, s = decode_baseline(encode_baseline(img))
+    assert (w, h, ch) == (30, 20, 3)
+    dec = np.frombuffer(s, np.uint8).reshape(20, 30, 3).astype(float)
+    assert np.abs(dec - img.astype(float)).mean() <= 4
+
+def test_color_420_subsampled_roundtrip():
+    img = _smooth_rgb()
+    b = encode_baseline(img, subsample=True)
+    # the stream really is 4:2:0: Y sampling factors 2x2 in SOF
+    sof = b.index(b"\xff\xc0")
+    assert b[sof + 11] == 0x22
+    w, h, ch, s = decode_baseline(b)
+    assert (w, h, ch) == (30, 20, 3)
+    dec = np.frombuffer(s, np.uint8).reshape(20, 30, 3).astype(float)
+    assert np.abs(dec - img.astype(float)).mean() <= 8
+
+
+def test_restart_markers_roundtrip():
+    img = np.linspace(0, 255, 40 * 40).reshape(40, 40).astype(np.uint8)
+    b = encode_baseline(img, restart_interval=3)
+    assert b"\xff\xd0" in b  # at least one RST0 actually emitted
+    w, h, ch, s = decode_baseline(b)
+    dec = np.frombuffer(s, np.uint8).reshape(40, 40).astype(float)
+    assert np.abs(dec - img.astype(float)).max() <= 8
+
+
+def test_byte_stuffing_survives_roundtrip():
+    """An entropy stream containing a raw 0xFF must travel stuffed
+    (FF 00) and decode back; scan a few seeds to pin one that emits a
+    stuffed byte, then assert the roundtrip."""
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        img = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        b = encode_baseline(img)
+        scan_start = b.index(b"\xff\xda") + 14
+        if b"\xff\x00" in b[scan_start:-2]:
+            decode_baseline(b)  # must not raise; stuffing unescaped OK
+            return
+    pytest.fail("no seed produced a stuffed 0xFF byte in 50 tries")
+
+
+def test_16bit_quant_table_decode():
+    """Rewriting the 8-bit DQT as a Pq=1 (16-bit) table with the same
+    values must decode identically."""
+    img = np.linspace(0, 255, 16 * 16).reshape(16, 16).astype(np.uint8)
+    b = encode_baseline(img)
+    old = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + QUANT_LUMA
+    assert old in b
+    new = (
+        b"\xff\xdb"
+        + struct.pack(">H", 131)
+        + b"\x10"
+        + b"".join(struct.pack(">H", q) for q in QUANT_LUMA)
+    )
+    b16 = b.replace(old, new, 1)
+    assert decode_baseline(b16) == decode_baseline(b)
+
+
+def test_progressive_and_truncated_gates():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    b = encode_baseline(img)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_baseline(b.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        decode_baseline(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_baseline(b[: b.index(b"\xff\xda")] + b"\xff\xd9")
+
+
+def test_odd_dimensions_edge_blocks():
+    """Dims not multiples of 8 (and of 16 under 4:2:0): edge MCUs pad
+    on encode and crop on decode — output must be exactly (h, w)."""
+    img = _smooth_rgb(h=13, w=21)
+    for sub in (False, True):
+        w, h, ch, s = decode_baseline(encode_baseline(img, subsample=sub))
+        assert (w, h, ch) == (21, 13, 3)
+        dec = np.frombuffer(s, np.uint8).reshape(13, 21, 3).astype(float)
+        assert np.abs(dec - img.astype(float)).mean() <= 10

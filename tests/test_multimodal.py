@@ -185,7 +185,8 @@ class TestJpeg:
     baseline JFIF (tests/fixtures/make_jpeg_fixture.py builds it from
     the public T.81 tables alone). Dimensions come from the native SOF
     marker walk — no codec; pixel decode goes through PIL when the
-    environment has it and is an explicit NotImplementedError here."""
+    environment has it and otherwise the stdlib+numpy baseline decoder
+    (operators/jpeg — full codec tests in tests/test_jpeg.py)."""
 
     @pytest.fixture
     def jpeg_bytes(self):
@@ -218,27 +219,27 @@ class TestJpeg:
         assert out.loc[4, "width"] is None or out.isna().loc[4, "width"]
         assert out.loc[5, "format"] == "corrupt"
 
-    def test_decode_jpeg_without_codec_is_explicit(self, spark, jpeg_bytes):
-        if mm._HAVE_PIL:
-            pytest.skip("PIL present: decode path covered below")
-        df = spark.createDataFrame([(1, jpeg_bytes)], "id long, img binary")
-        with pytest.raises(Exception) as exc:
-            mm.decode_image_meta(df, "img", "id").collect()
-        msg = str(exc.value)
-        assert "NotImplementedError" in msg or isinstance(
-            exc.value, NotImplementedError
-        )
-        # the error names the parsed dimensions: header walk worked
-        assert "16x8" in msg
-
-    @pytest.mark.skipif(not mm._HAVE_PIL, reason="PIL not in container")
-    def test_decode_jpeg_with_pil(self, spark, jpeg_bytes):
+    def test_decode_jpeg_without_pil_real_pixels(self, spark, jpeg_bytes):
+        """The round-11 capability close: baseline JPEG pixel decode no
+        longer needs PIL — the stdlib+numpy codec decodes the committed
+        fixture to its true flat mid-gray pixels through the Spark
+        decode stage."""
         df = spark.createDataFrame([(1, jpeg_bytes)], "id long, img binary")
         out = mm.decode_image_meta(df, "img", "id").toPandas().set_index("id")
         assert (out.loc[1, "width"], out.loc[1, "height"]) == (16, 8)
         assert out.loc[1, "n_pixels"] == 128
         # flat mid-gray fixture: every sample is 128
         assert abs(out.loc[1, "mean_intensity"] - 128.0) < 1e-9
+
+    def test_decode_progressive_jpeg_is_explicit(self, spark, jpeg_bytes):
+        """Non-baseline processes still gate honestly: flipping the
+        fixture's SOF0 marker to SOF2 (progressive) must raise a
+        NotImplementedError naming the process, not decode garbage."""
+        prog = jpeg_bytes.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        df = spark.createDataFrame([(1, prog)], "id long, img binary")
+        with pytest.raises(Exception) as exc:
+            mm.decode_image_meta(df, "img", "id").collect()
+        assert "progressive" in str(exc.value)
 
     def test_media_metadata_green_on_jpeg(self, spark, jpeg_bytes):
         df = spark.createDataFrame([(7, jpeg_bytes)], "id long, img binary")
