@@ -254,7 +254,22 @@ def decode_baseline(b: bytes):
     """Decode a baseline JPEG. Returns ``(width, height, channels,
     samples)`` with ``samples`` row-major uint8 bytes (graymap for 1
     component, RGB for 3). Raises ``ValueError`` on malformed streams
-    and ``NotImplementedError`` for non-baseline processes."""
+    and ``NotImplementedError`` for non-baseline processes — never
+    internal KeyError/IndexError/struct.error (fuzz-pinned in
+    tests/test_jpeg.py)."""
+    try:
+        return _decode_impl(b)
+    except struct.error as exc:
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+
+
+# decompression-bomb guard: a few-hundred-byte stream whose SOF claims
+# 65535x65535 would otherwise allocate ~34 GB of planes before the
+# entropy decode ever fails. 64 Mpx passes any real 8192x8192 asset.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
+
+def _decode_impl(b: bytes):
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     quant: dict[int, np.ndarray] = {}
@@ -267,8 +282,15 @@ def decode_baseline(b: bytes):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI before any scan
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers, no length field
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         payload = b[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -278,15 +300,22 @@ def decode_baseline(b: bytes):
                 pq, tq = payload[i] >> 4, payload[i] & 0x0F
                 i += 1
                 if pq == 0:
-                    tbl = np.frombuffer(
+                    raw = np.frombuffer(
                         payload[i : i + 64], dtype=np.uint8
                     ).astype(np.int32)
                     i += 64
                 else:
-                    tbl = np.frombuffer(
+                    raw = np.frombuffer(
                         payload[i : i + 128], dtype=">u2"
                     ).astype(np.int32)
                     i += 128
+                if len(raw) != 64:
+                    raise ValueError("truncated quantization table")
+                # DQT payloads travel in ZIGZAG order (B.2.4.1):
+                # de-zigzag to natural order so dequantization indexes
+                # match the natural-order coefficient blocks
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = raw
                 quant[tq] = tbl
         elif marker == 0xC4:  # DHT: one or more tables
             i = 0
@@ -295,6 +324,8 @@ def decode_baseline(b: bytes):
                 bits = payload[i + 1 : i + 17]
                 nv = sum(bits)
                 vals = payload[i + 17 : i + 17 + nv]
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated Huffman table")
                 i += 17 + nv
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(
                     bits, vals
@@ -306,7 +337,23 @@ def decode_baseline(b: bytes):
             comps = []
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    # T.81 bounds; 0 would divide-by-zero the
+                    # upsample, >4 is spec-invalid
+                    raise ValueError(
+                        f"invalid sampling factors {hi}x{vi} for "
+                        f"component {cid}"
+                    )
+                comps.append((cid, hi, vi, tq))
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"{w}x{h} exceeds MAX_DECODE_PIXELS "
+                    f"({MAX_DECODE_PIXELS}) — refusing a decompression "
+                    "bomb; raise jpeg.MAX_DECODE_PIXELS if intentional"
+                )
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension frame")
             frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -328,6 +375,18 @@ def decode_baseline(b: bytes):
                 raise NotImplementedError(
                     "non-interleaved multi-scan baseline JPEG not supported"
                 )
+            for cid, _hi, _vi, tq in comps:
+                # surface missing tables as malformed-stream errors,
+                # not KeyErrors from deep inside the MCU loop
+                if tq not in quant:
+                    raise ValueError(f"missing quant table {tq}")
+                if cid not in scan_tabs:
+                    raise ValueError(f"SOS lacks component {cid}")
+                td, ta = scan_tabs[cid]
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError(
+                        f"missing Huffman table DC{td}/AC{ta}"
+                    )
             return _decode_scan(
                 b, pos, frame, scan_tabs, quant, huff_dc, huff_ac
             )
@@ -357,26 +416,20 @@ def _decode_scan(b, pos, frame, scan_tabs, quant, huff_dc, huff_ac):
     total_mcus = mcus_x * mcus_y
     while mcu < total_mcus:
         my, mx = divmod(mcu, mcus_x)
-        try:
-            for cid, hi, vi, tq in comps:
-                dq = quant[tq]
-                dc_tab = huff_dc[scan_tabs[cid][0]]
-                ac_tab = huff_ac[scan_tabs[cid][1]]
-                for by in range(vi):
-                    for bx in range(hi):
-                        coeffs, preds[cid] = _decode_block(
-                            br, dc_tab, ac_tab, preds[cid]
-                        )
-                        block = (coeffs * dq).astype(np.float64).reshape(8, 8)
-                        spatial = m.T @ block @ m + 128.0
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
-        except ValueError:
-            # restart boundary reached mid-MCU is a hard error; but a
-            # cleanly exhausted segment right AT an MCU boundary moves
-            # to the next restart segment
-            raise
+        for cid, hi, vi, tq in comps:
+            dq = quant[tq]
+            dc_tab = huff_dc[scan_tabs[cid][0]]
+            ac_tab = huff_ac[scan_tabs[cid][1]]
+            for by in range(vi):
+                for bx in range(hi):
+                    coeffs, preds[cid] = _decode_block(
+                        br, dc_tab, ac_tab, preds[cid]
+                    )
+                    block = (coeffs * dq).astype(np.float64).reshape(8, 8)
+                    spatial = m.T @ block @ m + 128.0
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
         mcu += 1
         # advance to the next restart segment when this one is drained
         # to (at most) padding bits
@@ -571,11 +624,15 @@ def encode_baseline(
     bw.flush()
     chunks.append(bytes(bw.out))
 
+    # DQT payloads must be in ZIGZAG order (B.2.4.1); the module
+    # constants are the spec's natural-order matrices
+    zz_luma = bytes(QUANT_LUMA[ZIGZAG[k]] for k in range(64))
+    zz_chroma = bytes(QUANT_CHROMA[ZIGZAG[k]] for k in range(64))
     out = bytearray(b"\xff\xd8")
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xFFDB, b"\x00" + QUANT_LUMA)
+    out += _seg(0xFFDB, b"\x00" + zz_luma)
     if nc == 3:
-        out += _seg(0xFFDB, b"\x01" + QUANT_CHROMA)
+        out += _seg(0xFFDB, b"\x01" + zz_chroma)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for cid, hi, vi, tq, _td, _ta in comps:
         sof += bytes([cid, (hi << 4) | vi, tq])

@@ -870,14 +870,18 @@ def _iter_boxes(b: bytes, start: int, end: int):
         (size,) = struct.unpack(">I", b[pos : pos + 4])
         btype = b[pos + 4 : pos + 8]
         body = pos + 8
+        min_size = 8
         if size == 1:
             if pos + 16 > end:
                 raise ValueError("truncated largesize box")
             (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
             body = pos + 16
+            # a largesize box carries a 16-byte header: a 64-bit size
+            # of 8..15 would put body_end before body_start
+            min_size = 16
         elif size == 0:
             size = end - pos
-        if size < 8 or pos + size > end:
+        if size < min_size or pos + size > end:
             raise ValueError("box overruns enclosure")
         yield btype, body, pos + size
         pos += size

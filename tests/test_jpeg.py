@@ -58,9 +58,13 @@ def _single_block_jpeg(coeffs64) -> bytes:
     ac_enc = jpeg._build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
     jpeg._encode_block(bw, np.asarray(coeffs64, dtype=np.int32), dc_enc, ac_enc, 0)
     bw.flush()
+    # spec-conformant DQT: zigzag order on the wire (the non-uniform
+    # Annex K table makes any ordering mistake fail the reference
+    # comparison — this is the interop pin for the de-zigzag path)
+    zz_quant = bytes(QUANT_LUMA[ZIGZAG[k]] for k in range(64))
     out = bytearray(b"\xff\xd8")
     out += jpeg._seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += jpeg._seg(0xFFDB, b"\x00" + QUANT_LUMA)
+    out += jpeg._seg(0xFFDB, b"\x00" + zz_quant)
     out += jpeg._seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
     out += jpeg._seg(0xFFC4, b"\x00" + DC_LUMA_BITS + DC_LUMA_VALS)
     out += jpeg._seg(0xFFC4, b"\x10" + AC_LUMA_BITS + AC_LUMA_VALS)
@@ -163,13 +167,14 @@ def test_16bit_quant_table_decode():
     values must decode identically."""
     img = np.linspace(0, 255, 16 * 16).reshape(16, 16).astype(np.uint8)
     b = encode_baseline(img)
-    old = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + QUANT_LUMA
+    zz_quant = bytes(QUANT_LUMA[ZIGZAG[k]] for k in range(64))
+    old = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_quant
     assert old in b
     new = (
         b"\xff\xdb"
         + struct.pack(">H", 131)
         + b"\x10"
-        + b"".join(struct.pack(">H", q) for q in QUANT_LUMA)
+        + b"".join(struct.pack(">H", q) for q in zz_quant)
     )
     b16 = b.replace(old, new, 1)
     assert decode_baseline(b16) == decode_baseline(b)
@@ -195,3 +200,32 @@ def test_odd_dimensions_edge_blocks():
         assert (w, h, ch) == (21, 13, 3)
         dec = np.frombuffer(s, np.uint8).reshape(13, 21, 3).astype(float)
         assert np.abs(dec - img.astype(float)).mean() <= 10
+
+
+def test_zero_sampling_factor_is_valueerror_not_zerodiv():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    b = bytearray(encode_baseline(img))
+    sof = bytes(b).index(b"\xff\xc0")
+    b[sof + 11] = 0x10  # h=1, v=0
+    with pytest.raises(ValueError, match="sampling"):
+        decode_baseline(bytes(b))
+
+
+def test_mutation_fuzz_never_crashes_with_internal_errors():
+    """Byte-mutation fuzz over a real stream: every mutation must
+    either decode or raise ValueError / NotImplementedError — never
+    KeyError / ZeroDivisionError / IndexError / struct.error from the
+    guts (the review-batch contract for parser robustness)."""
+    rng = np.random.default_rng(123)
+    base = encode_baseline(_smooth_rgb(12, 12), subsample=True)
+    for _ in range(300):
+        mutated = bytearray(base)
+        for _k in range(int(rng.integers(1, 4))):
+            mutated[int(rng.integers(2, len(base)))] = int(
+                rng.integers(0, 256)
+            )
+        try:
+            decode_baseline(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            pass
+        # anything else propagates and fails the test

@@ -629,3 +629,16 @@ def test_webp_dims_all_variants_and_audio_gate(spark):
         for r in audio_header_meta(df, "blob", "id").collect()
     }
     assert got == {1: "unknown", 2: "unknown"}
+
+
+def test_iter_boxes_rejects_undersized_largesize():
+    """A largesize (size==1) box carries a 16-byte header: a 64-bit
+    size of 8..15 would put body_end before body_start — structural
+    nonsense that must raise, not yield an inverted box."""
+    import struct as _struct
+
+    from clustering_spark.operators.multimodal import _iter_boxes
+
+    bad = _struct.pack(">I", 1) + b"moov" + _struct.pack(">Q", 12) + b"\x00" * 8
+    with pytest.raises(ValueError, match="overruns"):
+        list(_iter_boxes(bad, 0, len(bad)))
