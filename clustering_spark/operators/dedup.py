@@ -743,6 +743,13 @@ def ngram_jaccard_pairs(
     # any) applies only to prefix JOIN KEYS, never to the verify sets
     docfreq_full = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
 
+    if not (0.0 < jaccard_threshold <= 1.0):
+        # t <= 0 would silently break the completeness contract: pairs
+        # sharing NO shingle (J = 0) are never generated by any join,
+        # so "all pairs with J >= t" is unsatisfiable; t > 1 is vacuous
+        raise ValueError(
+            f"jaccard_threshold must be in (0, 1], got {jaccard_threshold}"
+        )
     vocab: dict[str, int] | None = None
     if dense_vocab_max > 0:
         # bounded probe: vocab-sized table, cached so the prefix

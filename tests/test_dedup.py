@@ -1038,3 +1038,27 @@ def test_null_id_contract_text_pair_generators(spark):
         assert not pairs.id_b.isna().any(), name
         assert (pairs.id_a < pairs.id_b).all(), name
         assert {(1, 2)} == set(map(tuple, pairs[["id_a", "id_b"]].values)), name
+
+
+def test_ngram_jaccard_threshold_validation(spark):
+    """t <= 0 would silently break completeness (J=0 pairs share no
+    shingle and are never generated); t > 1 is vacuous — both must be
+    loud ValueErrors, not quietly-wrong results."""
+    df = spark.createDataFrame([(1, DOC_A), (2, DOC_B)], "id long, text string")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="jaccard_threshold"):
+            dedup.ngram_jaccard_pairs(df, "id", "text", jaccard_threshold=bad)
+
+
+def test_threshold_fraction_near_fraction_fallback():
+    """A float sitting just BELOW a simple fraction (limit_denominator
+    would round up past it) must take the floor-quantized fallback:
+    p/q <= t always, relaxed by < 1e-6."""
+    from fractions import Fraction
+
+    from clustering_spark.operators.dedup import _threshold_fraction
+
+    for t in (0.5 - 1e-12, 1 / 3, 2 / 3, 0.7 - 1e-13, 1.0, 0.999999):
+        p, q = _threshold_fraction(t)
+        assert Fraction(p, q) <= Fraction(t), t
+        assert float(t) - p / q < 1e-6, t
