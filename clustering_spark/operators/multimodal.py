@@ -375,10 +375,12 @@ def resize_images(
 ) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h), Arrow-batched.
 
-    Decodes via the same gate as ``decode_image_meta`` (FAKE container
-    or baseline 8-bit PNG — stdlib only) and re-emits each image in its
-    ORIGINAL container format so resize composes with the other stages
-    (a resized PNG is still a PNG; a resized FAKE frame still feeds
+    Decodes via the same gate as ``decode_image_meta`` (FAKE
+    container, baseline 8-bit PNG, baseline sequential JPEG — stdlib
+    + numpy only) and re-emits each image in its ORIGINAL container
+    format so resize composes with the other stages (a resized PNG is
+    still a PNG; a resized JPEG is re-encoded as baseline JPEG with
+    the Annex K tables; a resized FAKE frame still feeds
     ``sample_frames``). Vectorized numpy index-gather per image; the
     batch never leaves the task."""
     import numpy as np
@@ -401,10 +403,21 @@ def resize_images(
                         h, w, ch
                     )
                     fmt = "png"
+                elif b[:2] == JPEG_MAGIC:
+                    from clustering_spark.operators.jpeg import (
+                        decode_baseline,
+                    )
+
+                    w, h, ch, samples = decode_baseline(b)
+                    arr = np.frombuffer(samples, dtype=np.uint8).reshape(
+                        h, w, ch
+                    )
+                    fmt = "jpeg"
                 else:
                     raise NotImplementedError(
-                        "resize supports the FAKE container and baseline "
-                        "8-bit PNG in this environment"
+                        "resize supports the FAKE container, baseline "
+                        "8-bit PNG, and baseline sequential JPEG in "
+                        "this environment"
                     )
                 # nearest-neighbor sample grid (pixel-center rule)
                 ys = np.minimum(
@@ -418,6 +431,14 @@ def resize_images(
                     payload = resized[:, :, 0].tobytes()
                     blob_out = (
                         MAGIC + struct.pack(">HH", out_w, out_h) + payload
+                    )
+                elif fmt == "jpeg":
+                    from clustering_spark.operators.jpeg import (
+                        encode_baseline,
+                    )
+
+                    blob_out = encode_baseline(
+                        resized[:, :, 0] if ch == 1 else resized
                     )
                 else:
                     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
@@ -554,8 +575,9 @@ def make_png(
 
 def _decode_gray(b: bytes):
     """(H, W) float64 grayscale array for the codec-free formats (FAKE
-    container, baseline 8-bit PNG); raises NotImplementedError for
-    formats needing a real codec — the same gate as decode_image_meta."""
+    container, baseline 8-bit PNG, baseline sequential JPEG); raises
+    NotImplementedError for formats needing a real codec — the same
+    gate as decode_image_meta."""
     import numpy as np
 
     if b[:4] == MAGIC:
@@ -565,10 +587,15 @@ def _decode_gray(b: bytes):
             .reshape(h, w)
             .astype(np.float64)
         )
-    if b[: len(PNG_MAGIC)] == PNG_MAGIC:
-        w, h, ch, samples = _png_decode(b)
+    if b[: len(PNG_MAGIC)] == PNG_MAGIC or b[:2] == JPEG_MAGIC:
+        if b[:2] == JPEG_MAGIC:
+            from clustering_spark.operators.jpeg import decode_baseline
+
+            w, h, ch, samples = decode_baseline(b)
+        else:
+            w, h, ch, samples = _png_decode(b)
         arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
-        if ch in (2, 4):  # drop alpha
+        if ch in (2, 4):  # drop alpha (PNG only; JPEG has none)
             arr = arr[:, :, : ch - 1]
         # ITU-R BT.601 luma for color; identity for gray
         if arr.shape[2] == 3:
@@ -579,8 +606,8 @@ def _decode_gray(b: bytes):
             )
         return arr[:, :, 0].astype(np.float64)
     raise NotImplementedError(
-        "dhash supports the FAKE container and baseline 8-bit PNG "
-        "without codecs"
+        "dhash supports the FAKE container, baseline 8-bit PNG, and "
+        "baseline sequential JPEG without codecs"
     )
 
 
@@ -622,10 +649,12 @@ def image_dhash(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     few bits while the raw bytes (and sha256) differ completely.
 
     Mixed-corpus contract (same as image_header_meta): blobs without a
-    codec-free decoder (JPEG here, unknown formats, corrupt payloads)
-    get a NULL dhash instead of failing the batch — a mixed 100 TB
-    image table must degrade per row. Pair with image_header_meta to
-    count/route the undecodable residue."""
+    codec-free decoder (progressive/arithmetic JPEG, unknown formats,
+    corrupt payloads) get a NULL dhash instead of failing the batch —
+    a mixed 100 TB image table must degrade per row. Baseline
+    sequential JPEG decodes for real (operators/jpeg), so perceptual
+    dedup covers the common web-image case. Pair with
+    image_header_meta to count/route the undecodable residue."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -296,10 +296,13 @@ class TestImageDhash:
         from pathlib import Path
 
         jpg = (Path(__file__).parent / "fixtures" / "tiny_gray16x8.jpg").read_bytes()
+        # round 11: baseline JPEG decodes for real now — the
+        # undecodable residue is the progressive variant
+        prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
         df = spark.createDataFrame(
             [
                 (1, mm.make_fake_image(16, 16, fill=77)),
-                (2, jpg),  # no codec-free pixel decoder: NULL, not a crash
+                (2, prog),  # progressive: NULL, not a crash
                 (3, b"GIF89a nope"),
             ],
             "id long, img binary",
@@ -311,6 +314,9 @@ class TestImageDhash:
         # and the pair join simply excludes the undecodable rows
         pairs = mm.image_neardup_pairs(df, "img", "id").collect()
         assert pairs == []
+        # the baseline fixture itself now hashes (flat mid-gray -> 0)
+        df2 = spark.createDataFrame([(9, jpg)], "id long, img binary")
+        assert mm.image_dhash(df2, "img", "id").collect()[0].dhash == 0
 
     def test_image_neardup_wide_radius_complete(self, spark):
         """max_hamming > 3 must still be pigeonhole-complete: a pair
@@ -642,3 +648,56 @@ def test_iter_boxes_rejects_undersized_largesize():
     bad = _struct.pack(">I", 1) + b"moov" + _struct.pack(">Q", 12) + b"\x00" * 8
     with pytest.raises(ValueError, match="overruns"):
         list(_iter_boxes(bad, 0, len(bad)))
+
+
+class TestJpegPerceptual:
+    """The round-11 capability composition: real JPEG pixels feed the
+    perceptual dedup and resize stages."""
+
+    @staticmethod
+    def _scene(h=32, w=48):
+        import numpy as np
+
+        # structured gradient + block pattern: survives JPEG loss with
+        # its dHash intact (a flat image would hash to all-zeros)
+        y, x = np.mgrid[0:h, 0:w]
+        img = (x * 255 / w + ((y // 8) % 2) * 60).clip(0, 255)
+        return img.astype(np.uint8)
+
+    def test_dhash_collides_png_and_jpeg_of_same_picture(self, spark):
+        from clustering_spark.operators.jpeg import encode_baseline
+
+        img = self._scene()
+        png = mm.make_png(48, 32, img.tobytes(), color_type=0)
+        jpg = encode_baseline(img)
+        df = spark.createDataFrame(
+            [(1, png), (2, jpg)], "id long, img binary"
+        )
+        pairs = mm.image_neardup_pairs(df, "img", "id", max_hamming=4)
+        got = pairs.collect()
+        assert len(got) == 1 and (got[0].id_a, got[0].id_b) == (1, 2)
+        assert got[0].hamming <= 4  # lossy re-encode, same picture
+
+    def test_progressive_jpeg_degrades_to_null_dhash(self, spark):
+        from clustering_spark.operators.jpeg import encode_baseline
+
+        jpg = encode_baseline(self._scene())
+        prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        df = spark.createDataFrame([(1, prog)], "id long, img binary")
+        out = mm.image_dhash(df, "img", "id").collect()
+        assert out[0].dhash is None  # degrade, not crash
+
+    def test_resize_jpeg_reemits_decodable_jpeg(self, spark):
+        from clustering_spark.operators.jpeg import (
+            decode_baseline,
+            encode_baseline,
+        )
+
+        jpg = encode_baseline(self._scene())
+        df = spark.createDataFrame([(1, jpg)], "id long, img binary")
+        blob = bytes(
+            mm.resize_images(df, "img", "id", 24, 16).collect()[0]["image"]
+        )
+        assert blob[:2] == b"\xff\xd8"  # still a JPEG container
+        w, h, ch, _ = decode_baseline(blob)
+        assert (w, h, ch) == (24, 16, 1)
