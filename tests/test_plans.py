@@ -446,3 +446,31 @@ def test_cluster_assign_single_fit_shuffle(spark):
     assert count_shuffles(df) == 1
     p = formatted_plan(df)
     assert "REPARTITION_BY_NUM" in p
+
+
+def test_quality_score_zero_wide_shuffles_no_python(spark):
+    """The quality_score gate entry (pinned linear model over the
+    documents scan) must keep score_quality_linear's plan contract at
+    the QUERY level: no Python/Arrow eval node anywhere, no hash/range
+    exchange — the only allowed exchange is load_spread's deliberate
+    round-robin spread. The learn-tiny/apply-wide pattern lives or
+    dies on this projection staying inside whole-stage codegen."""
+    df = QUERIES["quality_score"](spark, SF_DIR)
+    p = formatted_plan(df)
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert count_shuffles(df) <= 1  # round-robin spread only
+    tree = plan_tree(df)
+    assert "Python" not in tree and "ArrowEval" not in tree
+
+
+def test_media_metadata_gate_join_is_broadcast_no_wide_exchange(spark):
+    """The upgraded media_metadata entry joins the native metadata
+    projection with the header-router mapInPandas output on doc_id.
+    Both sides are the same bounded documents scan; the join must
+    resolve as a broadcast (AQE or static), never a sort-merge with
+    two hash exchanges — at 100 TB each stage runs standalone, and the
+    gate-shaped join must not normalize a shuffle."""
+    df = QUERIES["media_metadata"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert strategies, "expected a join in the media_metadata plan"
+    assert all("SortMerge" not in s for s in strategies), strategies
