@@ -1,0 +1,241 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the wire format of
+web-crawl corpora (Common Crawl et al.), which is what a 100 TB text
+pipeline actually starts from.
+
+Spark has no WARC data source, so this follows the multimodal
+doctrine: ``binaryFile`` scan → Arrow-batched ``mapInPandas`` record
+splitter, pure stdlib (``gzip`` handles the per-record-gzip-member
+layout crawls ship — Python's decompressor consumes concatenated
+members). The parse degrades per FILE like every mixed-corpus stage
+here: a malformed file yields one ``warc_type='corrupt'`` row carrying
+the error instead of failing the batch, and each successfully parsed
+record is independent.
+
+Scale contract, stated plainly: ``binaryFile`` materializes one whole
+file per task, so parallelism = number of files and each executor
+needs headroom for one decompressed segment (crawl WARCs are ~1 GB
+compressed — size executor memory accordingly, or pre-split oversized
+segments). Record payloads never leave the task as anything but the
+rows you project; run ``warc_responses`` + ``.select`` early so only
+the text you keep rides the shuffle.
+
+Ingestion doctrine parity with csv/jsonl sources: explicit output
+schema, malformed input becomes observable rows, one parse per file.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "file string, record_idx int, warc_type string, url string, "
+    "warc_date string, record_id string, content_type string, "
+    "payload binary, error string"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_warc_bytes(raw: bytes):
+    """Yield (warc_type, url, date, record_id, content_type, payload)
+    per record. Raises ValueError on structural nonsense — the caller
+    converts that into a corrupt row for the file."""
+    if raw[:2] == b"\x1f\x8b":  # gzip (incl. concatenated members)
+        raw = gzip.decompress(raw)
+    pos, n = 0, len(raw)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if raw[pos : pos + 5] != b"WARC/":
+            raise ValueError(f"expected WARC version line at byte {pos}")
+        hdr_end = raw.find(_CRLF2, pos)
+        if hdr_end < 0:
+            raise ValueError("unterminated WARC header block")
+        headers: dict[str, str] = {}
+        lines = raw[pos:hdr_end].split(b"\r\n")
+        for line in lines[1:]:  # line 0 is the version
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            raise ValueError("WARC record missing Content-Length") from None
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError("WARC payload overruns file")
+        yield (
+            headers.get("warc-type"),
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            headers.get("warc-record-id"),
+            headers.get("content-type"),
+            raw[body_start : body_start + clen],
+        )
+        pos = body_start + clen
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record across every file under ``path``:
+    (file, record_idx, warc_type, url, warc_date, record_id,
+    content_type, payload, error). A file that fails to parse yields a
+    single ``warc_type='corrupt'`` row with the error message and NULL
+    payload — observable, never batch-fatal."""
+    cols = [
+        "file", "record_idx", "warc_type", "url", "warc_date",
+        "record_id", "content_type", "payload", "error",
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    for i, rec in enumerate(_parse_warc_bytes(bytes(blob))):
+                        wtype, url, date, rid, ctype, payload = rec
+                        out.append(
+                            {
+                                "file": fpath,
+                                "record_idx": i,
+                                "warc_type": wtype,
+                                "url": url,
+                                "warc_date": date,
+                                "record_id": rid,
+                                "content_type": ctype,
+                                "payload": payload,
+                                "error": None,
+                            }
+                        )
+                except (ValueError, OSError, EOFError) as e:
+                    # OSError/EOFError: gzip-level corruption
+                    out.append(
+                        dict.fromkeys(cols)
+                        | {
+                            "file": fpath,
+                            "record_idx": -1,
+                            "warc_type": "corrupt",
+                            "error": f"{type(e).__name__}: {e}"[:300],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    binf = spark.read.format("binaryFile").load(path)
+    return binf.select("path", "content").mapInPandas(batches, WARC_SCHEMA)
+
+
+HTTP_SCHEMA = (
+    "file string, record_idx int, url string, warc_date string, "
+    "http_status int, http_content_type string, body binary, "
+    "text string"
+)
+
+
+def warc_responses(records: DataFrame) -> DataFrame:
+    """Project the ``response`` records of :func:`read_warc` into HTTP
+    parts: status, Content-Type, raw body bytes, and a best-effort
+    UTF-8 text decode (errors replaced) — the input to strip_html /
+    text_quality / dedup. Non-HTTP payloads degrade to NULL status
+    with the payload preserved in ``body``. Runs as one more
+    mapInPandas over rows already filtered to responses, so the heavy
+    non-response records (requests, metadata) never reach Python."""
+    cols = [
+        "file", "record_idx", "url", "warc_date",
+        "http_status", "http_content_type", "body", "text",
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                status = ctype = None
+                body = payload
+                if payload[:5] in (b"HTTP/",):
+                    split = payload.find(_CRLF2)
+                    if split >= 0:
+                        head = payload[:split].split(b"\r\n")
+                        parts = head[0].split()
+                        if len(parts) >= 2 and parts[1].isdigit():
+                            status = int(parts[1])
+                        for line in head[1:]:
+                            k, sep, v = line.partition(b":")
+                            if sep and k.strip().lower() == b"content-type":
+                                ctype = v.strip().decode("utf-8", "replace")
+                        body = payload[split + 4 :]
+                out.append(
+                    {
+                        "file": row.file,
+                        "record_idx": row.record_idx,
+                        "url": row.url,
+                        "warc_date": row.warc_date,
+                        "http_status": status,
+                        "http_content_type": ctype,
+                        "body": body,
+                        "text": body.decode("utf-8", "replace"),
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    resp = records.filter(F.col("warc_type") == "response").select(
+        "file", "record_idx", "url", "warc_date", "payload"
+    )
+    return resp.mapInPandas(batches, HTTP_SCHEMA)
+
+
+def make_warc(
+    records: list[tuple[str, str, bytes]],
+    gzip_members: bool = False,
+) -> bytes:
+    """Deterministic WARC fixture: ``records`` is a list of
+    (warc_type, url, payload). ``gzip_members=True`` emits each record
+    as its own gzip member (the crawl wire layout). Payloads for
+    response records should start with an HTTP head to exercise
+    warc_responses."""
+    out = bytearray()
+    for i, (wtype, url, payload) in enumerate(records):
+        hdr = (
+            b"WARC/1.0\r\n"
+            + f"WARC-Type: {wtype}\r\n".encode()
+            + f"WARC-Record-ID: <urn:test:{i}>\r\n".encode()
+            + (f"WARC-Target-URI: {url}\r\n".encode() if url else b"")
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+        )
+        rec = hdr + payload + b"\r\n\r\n"
+        out += gzip.compress(rec) if gzip_members else rec
+    return bytes(out)
+
+
+def make_http_response(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """HTTP/1.1 response payload for WARC response-record fixtures."""
+    return (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+__all__ = [
+    "WARC_SCHEMA",
+    "HTTP_SCHEMA",
+    "read_warc",
+    "warc_responses",
+    "make_warc",
+    "make_http_response",
+]

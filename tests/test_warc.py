@@ -1,0 +1,108 @@
+"""WARC source (sources/warc_source): record split, gzip-member
+layout, HTTP response projection, per-file corrupt degrade, and the
+composition into the text stack (strip_html over crawled bodies)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.sources.warc_source import (
+    make_http_response,
+    make_warc,
+    read_warc,
+    warc_responses,
+)
+
+
+@pytest.fixture
+def warc_dir(tmp_path):
+    html = b"<html><body><p>Hello &amp; welcome</p></body></html>"
+    plain = make_warc(
+        [
+            ("warcinfo", "", b"software: test\r\n"),
+            ("request", "http://a.example/", b"GET / HTTP/1.1\r\n\r\n"),
+            ("response", "http://a.example/", make_http_response(html)),
+            (
+                "response",
+                "http://b.example/x",
+                make_http_response("café ☃".encode()),
+            ),
+        ]
+    )
+    gz = make_warc(
+        [("response", "http://c.example/", make_http_response(b"gz body"))],
+        gzip_members=True,
+    )
+    (tmp_path / "seg-00000.warc").write_bytes(plain)
+    (tmp_path / "seg-00001.warc.gz").write_bytes(gz)
+    (tmp_path / "seg-00002.warc").write_bytes(b"NOT A WARC AT ALL")
+    (tmp_path / "seg-00003.warc.gz").write_bytes(
+        gzip.compress(b"WARC/1.0\r\nContent-Length: notanint\r\n\r\n")
+    )
+    return str(tmp_path)
+
+
+def test_record_split_and_types(spark, warc_dir):
+    df = read_warc(spark, warc_dir)
+    pdf = df.toPandas()
+    by_type = pdf.groupby("warc_type").size().to_dict()
+    assert by_type["response"] == 3
+    assert by_type["warcinfo"] == 1
+    assert by_type["request"] == 1
+    # per-FILE degrade: the two broken segments each yield exactly one
+    # observable corrupt row, and the good files are unaffected
+    assert by_type["corrupt"] == 2
+    corrupt = pdf[pdf.warc_type == "corrupt"]
+    assert corrupt.error.notna().all()
+    assert (corrupt.record_idx == -1).all()
+    good = pdf[pdf.warc_type == "response"]
+    assert set(good.url) == {
+        "http://a.example/",
+        "http://b.example/x",
+        "http://c.example/",
+    }
+    assert (good.error.isna()).all()
+
+
+def test_http_projection_and_unicode(spark, warc_dir):
+    resp = warc_responses(read_warc(spark, warc_dir)).toPandas().set_index("url")
+    assert (resp.http_status == 200).all()
+    assert resp.loc["http://a.example/", "http_content_type"].startswith(
+        "text/html"
+    )
+    assert resp.loc["http://b.example/x", "text"] == "café ☃"
+    assert bytes(resp.loc["http://c.example/", "body"]) == b"gz body"
+
+
+def test_non_http_payload_degrades(spark, tmp_path):
+    raw = make_warc([("response", "http://raw.example/", b"\x00\x01binary")])
+    (tmp_path / "r.warc").write_bytes(raw)
+    resp = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
+    assert resp.http_status is None
+    assert bytes(resp.body) == b"\x00\x01binary"
+
+
+def test_composes_with_strip_html(spark, warc_dir):
+    """The intended pipeline: crawl → responses → strip_html →
+    text stack. The whole chain is two Python stages + native
+    expressions, no extra shuffle."""
+    from clustering_spark.operators.textnorm import extract_html_text
+
+    resp = warc_responses(read_warc(spark, warc_dir))
+    html_rows = resp.filter(F.col("http_content_type").startswith("text/html"))
+    out = extract_html_text(html_rows, "text", out_col="text_plain").select(
+        "url", "text_plain"
+    )
+    got = {r.url: r.text_plain for r in out.collect()}
+    assert got["http://a.example/"].strip() == "Hello & welcome"
+
+
+def test_truncated_payload_is_corrupt_not_partial(spark, tmp_path):
+    rec = make_warc([("response", "http://t.example/", b"x" * 100)])
+    (tmp_path / "t.warc").write_bytes(rec[: len(rec) - 60])  # cut payload
+    pdf = read_warc(spark, str(tmp_path)).toPandas()
+    assert list(pdf.warc_type) == ["corrupt"]
+    assert "overruns" in pdf.error[0]
