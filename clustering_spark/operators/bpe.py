@@ -1,0 +1,202 @@
+"""Byte-pair-encoding tokenizer: distributed training statistics,
+driver-side merge learning, broadcast apply — the learn-tiny /
+apply-wide shape (beyond-reference scope; the reference has no
+tokenizer, and textops' token counts use a fixed regex).
+
+Why this decomposition is the right 100 TB shape: classic BPE training
+(Sennrich et al. 2016, public) needs only the WORD FREQUENCY HISTOGRAM
+of the corpus, not the corpus — the merge loop's pair counts are sums
+over distinct words weighted by their frequencies. So Spark does ONE
+word-count shuffle over the corpus (bounded output: distinct words,
+capped at ``max_words`` by frequency like every practical trainer) and
+the merge loop runs driver-side on that small table. Application
+broadcasts the learned merge ranks and tokenizes in an Arrow-batched
+kernel with a per-batch word memo — corpora repeat words massively, so
+the memo collapses the per-row cost to a dict lookup for all but the
+first occurrence.
+
+Determinism: pair-count ties break lexicographically (not dict order),
+so the same histogram always learns the same merges on any cluster
+layout; the histogram itself is exact, so training is end-to-end
+deterministic. Tokenization is exactly invertible: joining a word's
+tokens and stripping the end-of-word marker reproduces the word
+(property-tested).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# GPT-2-style pre-tokenization boundary (public pattern family):
+# contractions, letter runs, digit runs, other-symbol runs, each with
+# an optional leading space kept ON the token — spaces therefore
+# survive the roundtrip. Java regex (Spark-side split) and Python re
+# agree on this subset.
+PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+|[ ]+"
+
+END = "</w>"  # end-of-word marker: makes token sequences uniquely parseable
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word[:-1]) + (word[-1] + END,) if word else ()
+
+
+def learn_merges(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge loop over a word-frequency histogram (pure
+    Python, driver-side — the histogram IS the sufficient statistic).
+    Ties on pair count break lexicographically for determinism."""
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in word_counts.items():
+        sym = list(_word_symbols(w))
+        if sym:
+            words.append(sym)
+            counts.append(int(c))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, c in zip(words, counts):
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < 2:
+            break  # nothing repeats: further merges are memorization
+        a, b = best[0]
+        merges.append((a, b))
+        ab = a + b
+        for sym in words:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == a and sym[i + 1] == b:
+                    sym[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 1000,
+    max_words: int = 1_000_000,
+) -> dict:
+    """Train a BPE model over a corpus: ONE distributed
+    pretokenize+count shuffle, then the driver-side merge loop on the
+    top-``max_words`` histogram (the standard frequency cap — rare-word
+    tails contribute ~nothing to pair counts but dominate histogram
+    size). Returns ``{"merges": [...], "pretoken_re": ...}`` — plain
+    data, broadcastable, picklable, JSON-able."""
+    # F.lit pattern, not an F.expr SQL string: the pattern contains a
+    # single quote (the contraction branch) that would break quoting
+    counts = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(PRETOKEN_RE), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .limit(max_words)
+        .collect()
+    )
+    hist = {r["w"]: r["count"] for r in counts}
+    return {
+        "merges": learn_merges(hist, n_merges),
+        "pretoken_re": PRETOKEN_RE,
+        "end": END,
+    }
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    sym = list(_word_symbols(word))
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str,
+    model: dict,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col`` (array<string> of BPE tokens) to every row.
+    Arrow-batched kernel over the broadcast merge ranks with a
+    process-lifetime word memo: real corpora re-use words constantly,
+    so amortized per-word cost is one dict hit. NULL text tokenizes to
+    an empty array (the NULL-degrade contract of the text stack)."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(map(tuple, model["merges"]))}
+    pat = re.compile(model.get("pretoken_re", PRETOKEN_RE))
+    schema = ", ".join(
+        f"`{c}` {t}" for c, t in df.dtypes
+    ) + f", `{out_col}` array<string>"
+    memo: dict[str, list[str]] = {}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tok(text):
+            if text is None:
+                return []
+            out: list[str] = []
+            for w in pat.findall(text):
+                enc = memo.get(w)
+                if enc is None:
+                    enc = _encode_word(w, ranks)
+                    memo[w] = enc
+                out.extend(enc)
+            return out
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [tok(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, schema)
+
+
+def bpe_decode_tokens(tokens: list[str], end: str = END) -> str:
+    """Inverse of the per-row tokenization: concatenate and strip the
+    end-of-word markers. Used by the roundtrip property tests."""
+    return "".join(tokens).replace(end, "")
+
+
+def bpe_token_count(
+    df: DataFrame,
+    text_col: str,
+    model: dict,
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Per-row learned-vocabulary token count — the budget signal
+    sequence packing / mixture planning should use once a real
+    tokenizer exists (textops' regex count is the model-free stand-in)."""
+    toks = bpe_tokenize(df, text_col, model, out_col="__bpe")
+    return toks.withColumn(out_col, F.size("__bpe")).drop("__bpe")
+
+
+__all__ = [
+    "PRETOKEN_RE",
+    "END",
+    "train_bpe",
+    "learn_merges",
+    "bpe_tokenize",
+    "bpe_token_count",
+    "bpe_decode_tokens",
+]

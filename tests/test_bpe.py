@@ -1,0 +1,98 @@
+"""BPE tokenizer (operators/bpe): hand-computed merge learning,
+exact-roundtrip tokenization (hypothesis property), determinism across
+partition layouts, NULL degrade, and the memo'd Arrow apply path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators.bpe import (
+    END,
+    bpe_decode_tokens,
+    bpe_token_count,
+    bpe_tokenize,
+    learn_merges,
+    train_bpe,
+)
+
+
+def test_learn_merges_hand_computed():
+    """'abab' x10 + 'ab' x5: pair counts are (a,b)=25... wait —
+    computed by hand: 'abab' symbols (a,b,a,b</w>): pairs per word
+    (a,b)=1, (b,a)=1, (a,b</w>)=1, each x10; 'ab' (a,b</w>): x5.
+    Round 1 best = (a,b</w>) with 15 vs (a,b)=10, (b,a)=10 -> merge
+    (a, b</w>). Round 2: 'abab' -> (a,b,ab</w>): (a,b)=10,
+    (b,ab</w>)=10 -> tie broken lexicographically GREATEST ->
+    (b, ab</w>)."""
+    hist = {"abab": 10, "ab": 5}
+    merges = learn_merges(hist, 2)
+    assert merges == [("a", "b" + END), ("b", "ab" + END)]
+
+
+def test_learn_merges_stops_when_nothing_repeats():
+    assert learn_merges({"xy": 1}, 10) == []  # every pair count 1
+    assert learn_merges({}, 10) == []
+    assert learn_merges({"": 5}, 10) == []
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, "the cat sat on the mat, the cat ate 42 fish!")
+        for i in range(20)
+    ] + [(100, "unseen wordforms don't break application"), (101, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    return train_bpe(corpus, "text", n_merges=50, max_words=1000)
+
+
+def test_train_learns_frequent_units(model):
+    # ' the' appears constantly: some merge chain must assemble it
+    joined = {"".join(p) for p in model["merges"]}
+    assert any("the" in t for t in joined)
+
+
+def test_tokenize_roundtrips_and_null_degrades(spark, corpus, model):
+    out = bpe_tokenize(corpus, "text", model).toPandas().set_index("doc_id")
+    for doc_id, row in out.iterrows():
+        text = row["text"]
+        if text is None:
+            assert list(row["bpe_tokens"]) == []
+        else:
+            assert bpe_decode_tokens(list(row["bpe_tokens"])) == text
+
+
+def test_roundtrip_property_hypothesis(spark, model):
+    """ANY text (unicode, odd whitespace, punctuation runs) must
+    tokenize -> decode back to itself: the pretokenizer covers every
+    character and merges only concatenate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(max_size=80))
+    def check(text):
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        toks = bpe_tokenize(df, "text", model).collect()[0]["bpe_tokens"]
+        assert bpe_decode_tokens(list(toks)) == text
+
+    check()
+
+
+def test_training_is_partitioning_invariant(spark, corpus):
+    a = train_bpe(corpus, "text", n_merges=30, max_words=1000)
+    b = train_bpe(corpus.repartition(13), "text", n_merges=30, max_words=1000)
+    assert a["merges"] == b["merges"]
+
+
+def test_token_count_composes(spark, corpus, model):
+    out = bpe_token_count(corpus, "text", model).toPandas().set_index("doc_id")
+    assert out.loc[101, "n_bpe_tokens"] == 0
+    assert (out.drop(101).n_bpe_tokens > 0).all()
+    # learned tokenization compresses: fewer tokens than characters
+    n0 = out.loc[0, "n_bpe_tokens"]
+    assert n0 < len("the cat sat on the mat, the cat ate 42 fish!")
