@@ -96,3 +96,76 @@ def test_token_count_composes(spark, corpus, model):
     # learned tokenization compresses: fewer tokens than characters
     n0 = out.loc[0, "n_bpe_tokens"]
     assert n0 < len("the cat sat on the mat, the cat ate 42 fish!")
+
+
+def test_incremental_trainer_matches_naive_recount():
+    """The incremental pair-count maintenance must learn EXACTLY the
+    merges of a from-scratch recount (the naive reference below) on
+    randomized histograms — the classic place index/delta bookkeeping
+    silently drifts."""
+    import random
+
+    from clustering_spark.operators.bpe import _word_symbols
+
+    def naive(word_counts, n_merges):
+        words, counts = [], []
+        for w, c in word_counts.items():
+            s = list(_word_symbols(w))
+            if s:
+                words.append(s)
+                counts.append(c)
+        merges = []
+        for _ in range(n_merges):
+            pc = {}
+            for sym, c in zip(words, counts):
+                for i in range(len(sym) - 1):
+                    pc[(sym[i], sym[i + 1])] = pc.get(
+                        (sym[i], sym[i + 1]), 0
+                    ) + c
+            if not pc:
+                break
+            (a, b), n = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+            if n < 2:
+                break
+            merges.append((a, b))
+            for sym in words:
+                i = 0
+                while i < len(sym) - 1:
+                    if sym[i] == a and sym[i + 1] == b:
+                        sym[i : i + 2] = [a + b]
+                    else:
+                        i += 1
+        return merges
+
+    rng = random.Random(99)
+    for trial in range(15):
+        hist = {
+            "".join(
+                rng.choice("abcde") for _ in range(rng.randint(1, 7))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(1, 30))
+        }
+        want = naive(dict(hist), 25)
+        got = learn_merges(dict(hist), 25)
+        assert got == want, (trial, hist)
+
+
+def test_tokens_feed_sequence_packing(spark, corpus, model):
+    """Capability composition: learned token counts are the budget
+    signal for FFD sequence packing — every pack respects the budget
+    and every document is placed exactly once."""
+    from clustering_spark.operators.packing import pack_sequences
+
+    counted = bpe_token_count(
+        corpus.filter(F.col("text").isNotNull()), "text", model
+    )
+    packed = pack_sequences(
+        counted, id_col="doc_id", token_col="n_bpe_tokens", max_tokens=40
+    )
+    pdf = packed.toPandas()
+    assert set(pdf.doc_id) == set(
+        r.doc_id for r in counted.select("doc_id").collect()
+    )
+    fit = pdf[~pdf.oversize]
+    assert (fit.groupby("pack_id").n_tokens.sum() <= 40).all()
+    assert (pdf[pdf.oversize].n_tokens > 40).all()
