@@ -1,0 +1,95 @@
+"""Capstone: the full crawl-to-training-data path composed from this
+round's pieces — WARC ingest → HTTP projection → HTML extraction →
+quality gate → exact dedup → BPE tokenize → sequence packing. Every
+stage already has its own unit/oracle pins; this test pins that they
+COMPOSE (schemas line up, degrade contracts don't leak, the chain
+stays two Python stages + native expressions until the pack)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators import textops
+from clustering_spark.operators.bpe import bpe_token_count, train_bpe
+from clustering_spark.operators.dedup import exact_dedup
+from clustering_spark.operators.packing import pack_sequences
+from clustering_spark.operators.textnorm import extract_html_text
+from clustering_spark.sources.warc_source import (
+    make_http_response,
+    make_warc,
+    read_warc,
+    warc_responses,
+)
+
+
+def _page(body_text: str) -> bytes:
+    return make_http_response(
+        f"<html><head><style>p{{x}}</style></head><body><p>{body_text}"
+        "</p></body></html>".encode()
+    )
+
+
+@pytest.fixture
+def crawl_dir(tmp_path):
+    prose = (
+        "The river carried the old boats past the mill and the town "
+        "woke slowly to the sound of water over stone."
+    )
+    records = [
+        ("warcinfo", "", b"software: capstone\r\n"),
+        ("response", "http://a.example/1", _page(prose)),
+        ("response", "http://a.example/dup", _page(prose)),  # exact dup
+        (
+            "response",
+            "http://b.example/2",
+            _page("Quiet gardens grow beside the long road north."),
+        ),
+        ("response", "http://spam.example/", _page("$ 0 ! 9 " * 30)),
+        ("response", "http://bin.example/", make_http_response(b"\x00\x01")),
+    ]
+    (tmp_path / "crawl-00000.warc.gz").write_bytes(
+        make_warc(records, gzip_members=True)
+    )
+    return str(tmp_path)
+
+
+def test_crawl_to_packed_sequences(spark, crawl_dir):
+    # 1. ingest + HTTP projection (two mapInPandas stages, per-file
+    #    degrade already pinned in test_warc)
+    resp = warc_responses(read_warc(spark, crawl_dir))
+    html = resp.filter(F.col("http_content_type").startswith("text/html"))
+
+    # 2. HTML -> text (native regexp chain), quality gate (native)
+    docs = extract_html_text(html, "text", out_col="clean").select(
+        F.col("url"), F.col("clean").alias("text")
+    )
+    docs = textops.quality_features(docs, "text")
+    kept = docs.filter(
+        (F.col("n_tokens") >= 5) & (F.col("quality_score") >= 0.5)
+    ).select("url", "text")
+    kept_urls = {r.url for r in kept.collect()}
+    assert "http://spam.example/" not in kept_urls  # gated out
+    assert "http://bin.example/" not in kept_urls   # never text/html
+    assert {"http://a.example/1", "http://a.example/dup",
+            "http://b.example/2"} <= kept_urls
+
+    # 3. exact dedup on content: survivors = min-id per content hash,
+    #    joined back to the text (the shuffle carries only (hash, id))
+    keyed = kept.withColumn("doc_id", F.xxhash64("url"))
+    survivors = exact_dedup(keyed, ["text"], "doc_id")
+    deduped = keyed.join(survivors.select("doc_id"), "doc_id")
+    texts = [r.text for r in deduped.collect()]
+    assert len(texts) == len(set(texts)) == 2  # dup page collapsed
+    assert survivors.agg(F.sum("n_copies")).first()[0] == 3
+
+    # 4. learned tokenizer over the surviving corpus, then packing
+    model = train_bpe(deduped, "text", n_merges=40, max_words=500)
+    counted = bpe_token_count(deduped, "text", model)
+    packed = pack_sequences(
+        counted, id_col="doc_id", token_col="n_bpe_tokens", max_tokens=64
+    )
+    pdf = packed.toPandas()
+    assert len(pdf) == 2  # every surviving doc placed exactly once
+    fit = pdf[~pdf.oversize]
+    assert (fit.groupby("pack_id").n_tokens.sum() <= 64).all()
