@@ -787,23 +787,31 @@ def audio_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
 
 
 AUDIO_FEATURES_SCHEMA = (
-    "id long, rms double, peak double, zero_cross_rate double"
+    "id long, rms double, peak double, zero_cross_rate double, "
+    "spectral_centroid_hz double, spectral_bandwidth_hz double"
 )
 
 
 def audio_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
-    """Per-blob loudness/activity features over 16-bit PCM WAV —
-    RMS, absolute peak (both normalized to [0, 1]) and zero-crossing
-    rate (sign flips per sample on the channel-mean signal): the
-    silence-gate / clipping-gate signals of audio corpus curation,
+    """Per-blob loudness/activity/spectral features over 16-bit PCM
+    WAV — RMS, absolute peak (both normalized to [0, 1]),
+    zero-crossing rate (sign flips per sample on the channel-mean
+    signal), and the magnitude-spectrum centroid + bandwidth in Hz
+    (one numpy rFFT over the same signal): the silence-gate /
+    clipping-gate / tone-vs-noise signals of audio corpus curation,
     computed as ONE vectorized numpy pass per blob inside mapInPandas
-    (Arrow batches; no row-at-a-time Python). Blobs that aren't
-    16-bit PCM WAV (other depths/codecs, corrupt, NULL) degrade to
-    NULL features — route them with audio_header_meta first."""
+    (Arrow batches; no row-at-a-time Python). A zero-energy signal
+    has no spectral shape: centroid/bandwidth degrade to NULL while
+    rms/peak stay 0. Blobs that aren't 16-bit PCM WAV (other
+    depths/codecs, corrupt, NULL) degrade to NULL features — route
+    them with audio_header_meta first."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["id", "rms", "peak", "zero_cross_rate"]
+        cols = [
+            "id", "rms", "peak", "zero_cross_rate",
+            "spectral_centroid_hz", "spectral_bandwidth_hz",
+        ]
         for pdf in it:
             out = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
@@ -839,6 +847,23 @@ def audio_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                             if len(x) > 1
                             else 0.0
                         )
+                        # spectral shape: centroid + bandwidth of the
+                        # magnitude spectrum (rFFT of the mean signal;
+                        # DC excluded so silence offsets don't read as
+                        # 0 Hz tones). Pure sine at f -> centroid ~ f,
+                        # bandwidth ~ 0; white noise -> centroid ~
+                        # rate/4 with wide bandwidth.
+                        mag = np.abs(np.fft.rfft(x))[1:]
+                        total = float(mag.sum())
+                        if total > 0:
+                            freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)[1:]
+                            cen = float((freqs * mag).sum() / total)
+                            row["spectral_centroid_hz"] = cen
+                            row["spectral_bandwidth_hz"] = float(
+                                np.sqrt(
+                                    (((freqs - cen) ** 2) * mag).sum() / total
+                                )
+                            )
                 except (ValueError, struct.error, TypeError, AttributeError):
                     pass  # NULL features: undecodable residue, not a crash
                 out.append(row)

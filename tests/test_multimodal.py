@@ -701,3 +701,42 @@ class TestJpegPerceptual:
         assert blob[:2] == b"\xff\xd8"  # still a JPEG container
         w, h, ch, _ = decode_baseline(blob)
         assert (w, h, ch) == (24, 16, 1)
+
+
+def test_audio_spectral_features_analytic_pins(spark):
+    """rFFT spectral shape with analytic expectations: a pure sine at
+    f has centroid ≈ f and near-zero bandwidth; white noise has a
+    much wider bandwidth; silence has NO spectral shape (NULL) while
+    rms/peak stay 0."""
+    import numpy as np
+
+    from clustering_spark.operators.multimodal import (
+        audio_features,
+        make_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    noise_frames = (rng.integers(-16000, 16000, 8000)).astype("<i2")
+    import struct as _struct
+
+    noise = (
+        b"RIFF" + _struct.pack("<I", 36 + 16000) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + _struct.pack("<I", 16000) + noise_frames.tobytes()
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_wav(8000, sample_rate=8000, freq_hz=400.0))),
+            (2, bytearray(make_wav(500, amplitude=0.0))),  # silence
+            (3, bytearray(noise)),
+        ],
+        "id long, blob binary",
+    )
+    got = {
+        r["id"]: r.asDict() for r in audio_features(df, "blob", "id").collect()
+    }
+    assert abs(got[1]["spectral_centroid_hz"] - 400.0) < 5.0
+    assert got[1]["spectral_bandwidth_hz"] < 50.0
+    assert got[2]["spectral_centroid_hz"] is None
+    assert got[2]["rms"] == 0.0
+    assert got[3]["spectral_bandwidth_hz"] > 500.0  # broadband
