@@ -1028,11 +1028,13 @@ def make_mp4(
     n_tracks: int = 2,
     brand: bytes = b"isom",
     largesize_moov: bool = False,
+    tracks: list[bytes] | None = None,
 ) -> bytes:
     """Deterministic minimal ISO-BMFF fixture (stdlib only): ftyp +
-    moov(mvhd + n_tracks empty trak boxes) + a tiny mdat.
-    ``largesize_moov`` wraps moov in a 64-bit largesize header to
-    exercise that branch of the box walk."""
+    moov(mvhd + trak boxes) + a tiny mdat. ``tracks`` supplies
+    fully-populated trak boxes (make_mp4_track) in place of the
+    ``n_tracks`` empty ones; ``largesize_moov`` wraps moov in a 64-bit
+    largesize header to exercise that branch of the box walk."""
 
     def box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
         if largesize:
@@ -1044,14 +1046,170 @@ def make_mp4(
     mvhd = bytes([0]) + b"\x00\x00\x00" + b"\x00" * 8 + struct.pack(
         ">II", timescale, int(duration_sec * timescale)
     ) + b"\x00" * 80
-    moov_body = box(b"mvhd", mvhd) + b"".join(
-        box(b"trak", b"") for _ in range(n_tracks)
+    trak_boxes = (
+        b"".join(tracks)
+        if tracks is not None
+        else b"".join(box(b"trak", b"") for _ in range(n_tracks))
     )
+    moov_body = box(b"mvhd", mvhd) + trak_boxes
     return (
         box(b"ftyp", brand + struct.pack(">I", 0) + brand)
         + box(b"moov", moov_body, largesize=largesize_moov)
         + box(b"mdat", b"\x00" * 16)
     )
+
+
+TRACK_STATS_SCHEMA = (
+    "id long, track_idx int, handler string, n_samples long, "
+    "duration_sec double, fps double, n_bytes long, bitrate_bps double"
+)
+
+
+def _mp4_track_stats(b: bytes):
+    """Per-track sample-table statistics from the box structure alone
+    — no codec: mdhd timescale/duration, hdlr type, stsz sample
+    count/bytes. Yields (handler, n_samples, duration_sec, fps,
+    n_bytes, bitrate_bps) per trak; fields degrade to None where the
+    track omits a table (fps/bitrate need a positive duration)."""
+    for btype, s, e in _iter_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in _iter_boxes(b, s, e):
+            if ityp != b"trak":
+                continue
+            timescale = duration = None
+            handler = None
+            n_samples = n_bytes = None
+            for mtyp, ms, me in _iter_boxes(b, is_, ie):
+                if mtyp != b"mdia":
+                    continue
+                for dtyp, ds, de in _iter_boxes(b, ms, me):
+                    if dtyp == b"mdhd" and de - ds >= 4:
+                        ver = b[ds]
+                        if ver == 1 and de - ds >= 32:
+                            timescale, duration = struct.unpack(
+                                ">IQ", b[ds + 20 : ds + 32]
+                            )
+                        elif ver == 0 and de - ds >= 24:
+                            timescale, duration = struct.unpack(
+                                ">II", b[ds + 12 : ds + 20]
+                            )
+                    elif dtyp == b"hdlr" and de - ds >= 12:
+                        handler = b[ds + 8 : ds + 12].decode(
+                            "ascii", "replace"
+                        )
+                    elif dtyp == b"minf":
+                        for styp, ss, se in _iter_boxes(b, ds, de):
+                            if styp != b"stbl":
+                                continue
+                            for ttyp, ts, te in _iter_boxes(b, ss, se):
+                                if ttyp == b"stsz" and te - ts >= 12:
+                                    size, cnt = struct.unpack(
+                                        ">II", b[ts + 4 : ts + 12]
+                                    )
+                                    n_samples = cnt
+                                    if size:
+                                        n_bytes = size * cnt
+                                    else:
+                                        want = ts + 12 + 4 * cnt
+                                        if want <= te:
+                                            n_bytes = sum(
+                                                struct.unpack(
+                                                    f">{cnt}I",
+                                                    b[ts + 12 : want],
+                                                )
+                                            )
+            dur = (
+                duration / timescale
+                if timescale not in (None, 0) and duration is not None
+                else None
+            )
+            fps = (
+                n_samples / dur
+                if dur and n_samples is not None
+                else None
+            )
+            bps = 8.0 * n_bytes / dur if dur and n_bytes is not None else None
+            yield handler, n_samples, dur, fps, n_bytes, bps
+
+
+def video_track_stats(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Per-track ISO-BMFF sample statistics — handler type, sample
+    count, duration, fps, payload bytes, bitrate — from mdhd/hdlr/stsz
+    alone, codec-free: THE first-pass curation filters for a 100 TB
+    video corpus (drop sub-1 fps slideshows, cap bitrate outliers,
+    route audio-only containers) before any decoder runs. Same
+    degrade contract as the other header passes: non-BMFF rows emit
+    nothing, malformed BMFF emits one track_idx=-1 row with handler
+    'corrupt'."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "id", "track_idx", "handler", "n_samples",
+            "duration_sec", "fps", "n_bytes", "bitrate_bps",
+        ]
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                if not (
+                    len(b) >= 12
+                    and b[4:8]
+                    in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip")
+                ):
+                    continue
+                try:
+                    for i, st_row in enumerate(_mp4_track_stats(b)):
+                        handler, n, dur, fps, nb, bps = st_row
+                        out.append(
+                            {
+                                "id": rid, "track_idx": i,
+                                "handler": handler, "n_samples": n,
+                                "duration_sec": dur, "fps": fps,
+                                "n_bytes": nb, "bitrate_bps": bps,
+                            }
+                        )
+                except (ValueError, struct.error):
+                    out.append(
+                        dict.fromkeys(cols)
+                        | {"id": rid, "track_idx": -1, "handler": "corrupt"}
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, TRACK_STATS_SCHEMA
+    )
+
+
+def make_mp4_track(
+    handler: bytes = b"vide",
+    n_samples: int = 50,
+    sample_size: int = 1000,
+    timescale: int = 25,
+    duration: int = 50,
+    uniform_stsz: bool = True,
+) -> bytes:
+    """One fully-populated trak box (mdhd + hdlr + minf/stbl/stsz) for
+    video_track_stats fixtures. ``uniform_stsz=False`` emits the
+    per-sample size-table form."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mdhd = bytes(4) + bytes(8) + struct.pack(">II", timescale, duration) + bytes(4)
+    hdlr = bytes(8) + handler + bytes(12)
+    if uniform_stsz:
+        stsz = bytes(4) + struct.pack(">II", sample_size, n_samples)
+    else:
+        stsz = bytes(4) + struct.pack(">II", 0, n_samples) + b"".join(
+            struct.pack(">I", sample_size + i) for i in range(n_samples)
+        )
+    stbl = box(b"stsz", stsz)
+    minf = box(b"stbl", stbl)
+    mdia = box(b"mdhd", mdhd) + box(b"hdlr", hdlr) + box(b"minf", minf)
+    return box(b"trak", box(b"mdia", mdia))
 
 
 # ------------------------------------------- other RIFF forms (WEBP/AVI)

@@ -740,3 +740,50 @@ def test_audio_spectral_features_analytic_pins(spark):
     assert got[2]["spectral_centroid_hz"] is None
     assert got[2]["rms"] == 0.0
     assert got[3]["spectral_bandwidth_hz"] > 500.0  # broadband
+
+
+def test_video_track_stats_codec_free(spark):
+    """Sample-table stats from mdhd/hdlr/stsz alone: a 25 fps video
+    track (50 samples / 2 s) at 1000 B/sample -> fps 25, bitrate
+    200 kbps; an audio track via the size-table stsz form; empty traks
+    (no tables) degrade fields to NULL; garbage emits nothing."""
+    from clustering_spark.operators.multimodal import (
+        make_mp4,
+        make_mp4_track,
+        video_track_stats,
+    )
+
+    vid = make_mp4_track(
+        b"vide", n_samples=50, sample_size=1000, timescale=25, duration=50
+    )
+    aud = make_mp4_track(
+        b"soun", n_samples=100, sample_size=200, timescale=8000,
+        duration=16000, uniform_stsz=False,
+    )
+    full = make_mp4(tracks=[vid, aud])
+    empty = make_mp4(n_tracks=1)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(full)),
+            (2, bytearray(empty)),
+            (3, bytearray(b"not video")),
+            (4, None),
+        ],
+        "id long, blob binary",
+    )
+    out = video_track_stats(df, "blob", "id").toPandas()
+    assert set(out.id) == {1, 2}
+    t = out[out.id == 1].set_index("track_idx")
+    assert t.loc[0, "handler"] == "vide"
+    assert t.loc[0, "n_samples"] == 50
+    assert t.loc[0, "duration_sec"] == 2.0
+    assert t.loc[0, "fps"] == 25.0
+    assert t.loc[0, "n_bytes"] == 50_000
+    assert t.loc[0, "bitrate_bps"] == 200_000.0
+    assert t.loc[1, "handler"] == "soun"
+    # size-table form: sum(200 + i for i in range(100))
+    assert t.loc[1, "n_bytes"] == sum(200 + i for i in range(100))
+    assert abs(t.loc[1, "duration_sec"] - 2.0) < 1e-9
+    e = out[out.id == 2]
+    assert len(e) == 1 and e.iloc[0].handler is None
+    assert e.iloc[0].fps is None or pd.isna(e.iloc[0].fps)
