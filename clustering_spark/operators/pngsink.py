@@ -150,13 +150,24 @@ def _safe_component(v) -> str:
     (no hidden files, no '..'). Missing keys (None, or the NaN pandas
     substitutes for a NULL group key) render as 'None' — one
     documented name for the NULL-keyed segment, not float repr
-    drift ('nan')."""
+    drift ('nan').
+
+    INJECTIVE under sanitization: when characters were replaced, an
+    8-hex digest of the original value is appended — otherwise two
+    DISTINCT segments ('a/b' vs 'a_b', 'x y' vs 'x_y') would sanitize
+    to the same filename and the second PNG would silently overwrite
+    the first."""
+    import hashlib as _hashlib
     import re as _re
 
     if _norm_label(v) is None:
         return "None"
-    s = _re.sub(r"[^A-Za-z0-9._\-]", "_", str(v))
-    return ("_" + s[1:]) if s.startswith(".") else (s or "_")
+    raw = str(v)
+    s = _re.sub(r"[^A-Za-z0-9._\-]", "_", raw)
+    s = ("_" + s[1:]) if s.startswith(".") else (s or "_")
+    if s != raw:
+        s += "-" + _hashlib.md5(raw.encode("utf-8")).hexdigest()[:8]
+    return s
 
 
 def write_cluster_pngs(
@@ -186,7 +197,10 @@ def write_cluster_pngs(
             list(zip(part[x_col], part[y_col], part["cluster"])),
             width,
             height,
-            sorted(part["cluster"].unique()),
+            # NOT pre-sorted: _render_png normalizes labels and sorts
+            # with a None-safe key itself; sorted() here raised
+            # TypeError on object-dtype labels mixing None with values
+            list(part["cluster"].unique()),
         )
         # segment VALUES are data, not trusted path components: strip
         # separators/specials so 'a/b' or '../escape' cannot nest,

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 from clustering_spark.operators import multimodal as mm
+from clustering_spark.operators import pngsink
 from clustering_spark.operators.pngsink import scatter_bins, write_cluster_pngs
 
 
@@ -109,3 +110,41 @@ def test_raster_size_mismatch_fails_fast(spark, tmp_path):
     binned = scatter_bins(df, ["seg"], "x", "y", "cl", width=64, height=64)
     with pytest.raises(ValueError, match="raster"):
         write_cluster_pngs(binned, ["seg"], str(tmp_path), width=8, height=8)
+
+
+def test_distinct_segments_cannot_collide_after_sanitization(spark, tmp_path):
+    """'a/b' and 'a_b' sanitize to the same base name; the digest
+    suffix must keep their PNGs distinct instead of silently
+    overwriting (review batch 25)."""
+    rows = [(s, float(i), float(i), 0) for s in ("a/b", "a_b") for i in range(3)]
+    df = spark.createDataFrame(rows, "seg string, x double, y double, cl int")
+    bins = pngsink.scatter_bins(df, ["seg"], "x", "y", "cl", width=4, height=4)
+    paths = pngsink.write_cluster_pngs(
+        bins, ["seg"], str(tmp_path), width=4, height=4
+    )
+    assert len(paths) == len(set(paths)) == 2
+    # clean values keep their plain name (no digest noise)
+    assert pngsink._safe_component("BUILDING") == "BUILDING"
+    assert pngsink._safe_component("a/b") != pngsink._safe_component("a_b")
+
+
+def test_object_dtype_null_cluster_labels_render(spark, tmp_path):
+    """String cluster labels with NULLs are object dtype in pandas —
+    sorted(unique()) raised TypeError before the batch-25 fix; the
+    render must place NULL-cluster pixels at their own shade."""
+    rows = [
+        ("s", 0.0, 0.0, "k0"),
+        ("s", 1.0, 1.0, None),
+        ("s", 2.0, 2.0, "k1"),
+    ]
+    df = spark.createDataFrame(rows, "seg string, x double, y double, cl string")
+    bins = pngsink.scatter_bins(df, ["seg"], "x", "y", "cl", width=4, height=4)
+    paths = pngsink.write_cluster_pngs(
+        bins, ["seg"], str(tmp_path), width=4, height=4
+    )
+    assert len(paths) == 1
+    from clustering_spark.operators.multimodal import _png_decode
+
+    w, h, ch, samples = _png_decode(open(paths[0], "rb").read())
+    assert (w, h, ch) == (4, 4, 1)
+    assert len({v for v in samples if v != 0}) == 3  # three shades
