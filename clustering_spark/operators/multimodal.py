@@ -137,12 +137,16 @@ _JPEG_SOF = {
 }
 
 
-def _jpeg_dims(b: bytes) -> tuple[int, int, int]:
-    """(width, height, components) from the SOF0/SOF2/... header of a
-    JPEG — a marker-segment walk (ITU-T T.81 B.2.2), no entropy decode
-    and no codec. Mirrors what ``identify``/EXIF readers do: dimensions
-    are metadata, available natively even where pixel decode needs a
-    real codec library."""
+def _jpeg_dims(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, components, sof_marker) from the SOF0/SOF2/...
+    header of a JPEG — a marker-segment walk (ITU-T T.81 B.2.2), no
+    entropy decode and no codec. Mirrors what ``identify``/EXIF readers
+    do: dimensions are metadata, available natively even where pixel
+    decode needs a real codec library. The SOF marker identifies the
+    coding process — the router labels baseline-family streams (SOF0/1,
+    decodable by operators/jpeg) differently from progressive (SOF2,
+    needs PIL), because that's the routing decision a mixed corpus
+    makes."""
     if b[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG")
     pos = 2
@@ -167,7 +171,7 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int]:
             _prec, h, w, ncomp = struct.unpack(
                 ">BHHB", b[pos + 4 : pos + 10]
             )
-            return w, h, ncomp
+            return w, h, ncomp, marker
         if marker == 0xDA:  # SOS: entropy data follows, SOF was missed
             break
         pos += 2 + seglen
@@ -209,7 +213,11 @@ def image_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                         w, h = struct.unpack(">II", ihdr)
                     elif b[:2] == JPEG_MAGIC:
                         fmt = "jpeg"
-                        w, h, _ = _jpeg_dims(b)
+                        w, h, _ncomp, sof = _jpeg_dims(b)
+                        if sof not in (0xC0, 0xC1):
+                            # routing signal: this variant needs PIL,
+                            # the baseline family decodes natively
+                            fmt = "jpeg-progressive"
                 except (ValueError, struct.error):
                     fmt, w, h = "corrupt", None, None
                 out.append({"id": rid, "format": fmt, "width": w, "height": h})
@@ -1412,8 +1420,15 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                                 ">II", b[16:24]
                             )
                         elif b[:2] == JPEG_MAGIC:
-                            row["media_type"], row["format"] = "image", "jpeg"
-                            row["width"], row["height"], _ = _jpeg_dims(b)
+                            row["media_type"] = "image"
+                            (
+                                row["width"], row["height"], _nc, sof
+                            ) = _jpeg_dims(b)
+                            row["format"] = (
+                                "jpeg"
+                                if sof in (0xC0, 0xC1)
+                                else "jpeg-progressive"
+                            )
                         elif b[:4] == b"RIFF":
                             # RIFF is a family, not a format: route on
                             # the form type at b[8:12] — WAVE is audio,

@@ -196,8 +196,21 @@ class TestJpeg:
         return p.read_bytes()
 
     def test_jpeg_dims_native(self, jpeg_bytes):
-        w, h, ncomp = mm._jpeg_dims(jpeg_bytes)
-        assert (w, h, ncomp) == (16, 8, 1)
+        w, h, ncomp, sof = mm._jpeg_dims(jpeg_bytes)
+        assert (w, h, ncomp, sof) == (16, 8, 1, 0xC0)
+
+    def test_header_meta_labels_progressive(self, spark, jpeg_bytes):
+        """Dims parse for ANY SOF process, but the format label must
+        route: baseline-family 'jpeg' decodes natively, SOF2 becomes
+        'jpeg-progressive' (needs PIL)."""
+        prog = jpeg_bytes.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        df = spark.createDataFrame(
+            [(1, jpeg_bytes), (2, prog)], "id long, img binary"
+        )
+        out = mm.image_header_meta(df, "img", "id").toPandas().set_index("id")
+        assert out.loc[1, "format"] == "jpeg"
+        assert out.loc[2, "format"] == "jpeg-progressive"
+        assert (out.loc[2, "width"], out.loc[2, "height"]) == (16, 8)
 
     def test_header_meta_mixed_formats(self, spark, jpeg_bytes):
         rows = [
