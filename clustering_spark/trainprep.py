@@ -79,6 +79,12 @@ class PrepConfig:
     # this — docs that are distinct pages but mostly boilerplate/
     # copied passages. None = stage off (no extra jobs).
     max_shared_chunk_frac: float | None = None
+    # exported BPE model (operators/bpe.train_bpe): when set, the
+    # packing budget counts LEARNED-vocabulary tokens (bpe_token_count)
+    # instead of the heuristic whitespace count — the budget the
+    # training run actually consumes. Costs one Arrow tokenize pass
+    # over the survivors.
+    bpe_model: dict | None = None
 
 
 def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
@@ -272,8 +278,17 @@ def prepare_corpus(
     )
     # quality_gate already computed n_tokens on the FINAL text (no
     # stage after it rewrites text_c), so reuse it instead of paying a
-    # second strip+split scan over every survivor
-    if "n_tokens" in split.columns:
+    # second strip+split scan over every survivor; a configured BPE
+    # model overrides both — the pack budget should count the tokens
+    # the training run actually consumes
+    if cfg.bpe_model is not None:
+        from clustering_spark.operators.bpe import bpe_token_count
+
+        with_tok = bpe_token_count(
+            split, text_c, cfg.bpe_model, out_col="__ntok"
+        )
+        tok_c = "__ntok"
+    elif "n_tokens" in split.columns:
         with_tok, tok_c = split, "n_tokens"
     else:
         with_tok = split.withColumn("__ntok", textops.token_count(text_c))

@@ -343,3 +343,34 @@ def test_drop_oversize_excludes_long_docs_from_sequences(spark):
     # default keeps the oversize sequence, flagged
     out2 = prepare_corpus(df, PrepConfig(thresholds=None, pack_max_tokens=64))
     assert any(r.oversize for r in out2["sequences"].collect())
+
+
+def test_bpe_model_drives_pack_budget(spark):
+    """With cfg.bpe_model set, the packing budget counts LEARNED
+    tokens: pack token sums must match bpe_token_count recomputed
+    directly, not the whitespace heuristic."""
+    from clustering_spark.operators.bpe import bpe_token_count, train_bpe
+
+    df = spark.createDataFrame(
+        [(i, GOOD_A if i % 2 else GOOD_B) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    model = train_bpe(df, "text", n_merges=30, max_words=500)
+    cfg = PrepConfig(
+        thresholds=QualityThresholds(min_quality_score=0.0),
+        jaccard_threshold=0.99,  # keep every doc distinct enough
+        pack_max_tokens=200,
+        bpe_model=model,
+    )
+    out = trainprep.prepare_corpus(df, cfg)
+    packs = out["packs"].toPandas()
+    survivors = out["unique"]
+    want = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(survivors, "text", model).collect()
+    }
+    got = dict(zip(packs.doc_id, packs.n_tokens))
+    assert got == {k: want[k] for k in got}
+    assert (
+        packs.groupby(["split", "pack_id"]).n_tokens.sum() <= 200
+    ).all()
