@@ -1345,7 +1345,15 @@ def synthetic_media_blob(d: int) -> bytes:
     arithmetic in lock-step with SQL_MEDIA_METADATA in queries.py."""
     fam = d % 6
     if fam == 0:
-        return make_fake_image(2 + d % 31, 2 + (d // 31) % 17, d % 256)
+        # patterned (not flat) FAKE image, dims >= 9x8 so the dHash
+        # 9x8 area-mean grid has no empty/degenerate cells: pixel
+        # (x, y) = (7x + 13y + d) mod 256 — pure arithmetic, so the
+        # oracle can recompute the 64-bit dHash by enumerating pixels
+        w, h = 9 + d % 24, 8 + (d // 31) % 16
+        payload = bytes(
+            (7 * x + 13 * y + d) % 256 for y in range(h) for x in range(w)
+        )
+        return MAGIC + struct.pack(">HH", w, h) + payload
     if fam == 1:
         return make_wav(
             100 + d % 100, sample_rate=8000, n_channels=1 + d % 2

@@ -1784,13 +1784,20 @@ def q_media_metadata(spark, sf_dir):
        WAV / MP4 / WEBP / AVI / garbage keyed on doc_id % 6), whose
        header parameters are pure arithmetic in doc_id so the DuckDB
        oracle recomputes every field the router must recover without
-       parsing a byte — the strip_html round-trip template pattern.
+       parsing a byte — the strip_html round-trip template pattern;
+    3. image_dhash — the perceptual 64-bit dHash over the same blobs
+       (fam-0 images carry an arithmetic pixel pattern, so the oracle
+       ENUMERATES the pixels in SQL and replays the exact 9x8
+       area-mean + left>right bit packing; cell sums are small
+       integers, hence bit-identical doubles in both engines; the
+       other families decode to NULL on both sides).
 
-    The join is doc_id-equi over the same scan; at gate scale AQE
-    broadcasts it, and the real 100 TB surface is each stage alone."""
+    The joins are doc_id-equi over the same scan; at gate scale AQE
+    broadcasts them, and the real 100 TB surface is each stage alone."""
     import pandas as pd
 
     from clustering_spark.operators.multimodal import (
+        image_dhash,
         media_header_meta,
         media_metadata,
         synthetic_media_blob,
@@ -1828,36 +1835,72 @@ def q_media_metadata(spark, sf_dir):
         F.col("n_tracks").cast("long").alias("n_tracks"),
         "video_duration_sec",
     )
-    return meta.join(hdr, "doc_id")
+    dh = image_dhash(blobs, "blob", "doc_id").select(
+        F.col("id").alias("doc_id"), "dhash"
+    )
+    return meta.join(hdr, "doc_id").join(dh, "doc_id")
 
 
 # Oracle twin of synthetic_media_blob's arithmetic (family = doc_id % 6)
 # — keep in lock-step with operators/multimodal.py:synthetic_media_blob.
+# The dh CTE replays _dhash64 exactly on the fam-0 pixel formula
+# (7x + 13y + d mod 256): enumerate pixels, bin them with the same
+# integer-division 9x8 edges, area-mean per cell (small-integer sums →
+# bit-identical doubles), bit = left > right, weight 2^(r*8+c) with the
+# top bit folded into BIGINT's sign.
 SQL_MEDIA_METADATA = """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-       sha256(text) AS content_sha256,
-       CASE doc_id % 6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+WITH dims AS (
+  SELECT doc_id,
+         9 + doc_id % 24 AS w,
+         8 + (doc_id // 31) % 16 AS h
+  FROM documents WHERE doc_id % 6 = 0),
+px AS (
+  SELECT d.doc_id, d.w, d.h, y.range AS y, x.range AS x,
+         CAST((7 * x.range + 13 * y.range + d.doc_id) % 256 AS DOUBLE) AS v
+  FROM dims d, range(33) x, range(24) y
+  WHERE x.range < d.w AND y.range < d.h),
+cells AS (
+  SELECT p.doc_id, r.range AS r, c.range AS c, avg(p.v) AS m
+  FROM px p, range(8) r, range(9) c
+  WHERE p.y >= (r.range * p.h) // 8 AND p.y < ((r.range + 1) * p.h) // 8
+    AND p.x >= (c.range * p.w) // 9 AND p.x < ((c.range + 1) * p.w) // 9
+  GROUP BY 1, 2, 3),
+dh AS (
+  SELECT a.doc_id,
+         sum(CASE WHEN a.m > b.m THEN
+               CASE WHEN a.r * 8 + a.c = 63
+                    THEN -9223372036854775807 - 1
+                    ELSE CAST(1 AS BIGINT) << (a.r * 8 + a.c) END
+             ELSE 0 END) AS dhash
+  FROM cells a JOIN cells b
+    ON a.doc_id = b.doc_id AND a.r = b.r AND a.c + 1 = b.c
+  WHERE a.c < 8
+  GROUP BY 1)
+SELECT t.doc_id, octet_length(encode(t.text)) AS n_bytes,
+       sha256(t.text) AS content_sha256,
+       CASE t.doc_id % 6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             WHEN 2 THEN 'video' WHEN 3 THEN 'image' WHEN 4 THEN 'video'
             ELSE 'unknown' END AS media_type,
-       CASE doc_id % 6 WHEN 0 THEN 'fake' WHEN 1 THEN 'wav-pcm'
+       CASE t.doc_id % 6 WHEN 0 THEN 'fake' WHEN 1 THEN 'wav-pcm'
             WHEN 2 THEN 'mp4' WHEN 3 THEN 'webp' WHEN 4 THEN 'avi'
             ELSE 'unknown' END AS format,
-       CASE doc_id % 6 WHEN 0 THEN 2 + doc_id % 31
-            WHEN 3 THEN 1 + doc_id % 200
+       CASE t.doc_id % 6 WHEN 0 THEN 9 + t.doc_id % 24
+            WHEN 3 THEN 1 + t.doc_id % 200
             WHEN 4 THEN 320 END AS width,
-       CASE doc_id % 6 WHEN 0 THEN 2 + (doc_id // 31) % 17
-            WHEN 3 THEN 1 + (doc_id // 3) % 150
+       CASE t.doc_id % 6 WHEN 0 THEN 8 + (t.doc_id // 31) % 16
+            WHEN 3 THEN 1 + (t.doc_id // 3) % 150
             WHEN 4 THEN 240 END AS height,
-       CASE WHEN doc_id % 6 = 1 THEN 1 + doc_id % 2 END AS n_channels,
-       CASE WHEN doc_id % 6 = 1 THEN 8000 END AS sample_rate,
-       CASE WHEN doc_id % 6 = 1
-            THEN (100 + doc_id % 100) / 8000.0 END AS audio_duration_sec,
-       CASE doc_id % 6 WHEN 2 THEN 1 + doc_id % 3
-            WHEN 4 THEN 1 + doc_id % 2 END AS n_tracks,
-       CASE doc_id % 6 WHEN 2 THEN (1 + doc_id % 10) / 2.0
-            WHEN 4 THEN CAST(1 + doc_id % 8 AS DOUBLE)
-            END AS video_duration_sec
-FROM documents
+       CASE WHEN t.doc_id % 6 = 1 THEN 1 + t.doc_id % 2 END AS n_channels,
+       CASE WHEN t.doc_id % 6 = 1 THEN 8000 END AS sample_rate,
+       CASE WHEN t.doc_id % 6 = 1
+            THEN (100 + t.doc_id % 100) / 8000.0 END AS audio_duration_sec,
+       CASE t.doc_id % 6 WHEN 2 THEN 1 + t.doc_id % 3
+            WHEN 4 THEN 1 + t.doc_id % 2 END AS n_tracks,
+       CASE t.doc_id % 6 WHEN 2 THEN (1 + t.doc_id % 10) / 2.0
+            WHEN 4 THEN CAST(1 + t.doc_id % 8 AS DOUBLE)
+            END AS video_duration_sec,
+       dh.dhash AS dhash
+FROM documents t LEFT JOIN dh ON t.doc_id = dh.doc_id
 """
 
 
