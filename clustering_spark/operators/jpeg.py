@@ -240,6 +240,8 @@ def _split_scan(b: bytes, pos: int):
         if nxt == 0x00:  # stuffed literal 0xFF
             cur.append(0xFF)
             pos += 2
+        elif nxt == 0xFF:  # fill byte before a marker (B.1.1.2) —
+            pos += 1  # legal inside scans ahead of RSTn; skip, re-look
         elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
             segs.append(bytes(cur))
             cur = bytearray()
@@ -346,6 +348,17 @@ def _decode_impl(b: bytes):
                         f"component {cid}"
                     )
                 comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, _tq in comps:
+                if hmax % hi or vmax % vi:
+                    # the np.repeat upsample assumes integer ratios;
+                    # spec-legal non-divisible factors (e.g. 3x1 luma
+                    # with 2x1 chroma) need fractional upsampling
+                    raise NotImplementedError(
+                        f"non-integer sampling ratio: component {cid} is "
+                        f"{hi}x{vi} against max {hmax}x{vmax}"
+                    )
             if w * h > MAX_DECODE_PIXELS:
                 raise ValueError(
                     f"{w}x{h} exceeds MAX_DECODE_PIXELS "

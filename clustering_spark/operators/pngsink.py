@@ -166,7 +166,9 @@ def _safe_component(v) -> str:
     s = _re.sub(r"[^A-Za-z0-9._\-]", "_", raw)
     s = ("_" + s[1:]) if s.startswith(".") else (s or "_")
     if s != raw:
-        s += "-" + _hashlib.md5(raw.encode("utf-8")).hexdigest()[:8]
+        # sha256 (not md5): md5 construction raises on FIPS-enabled
+        # Python builds; 8 hex chars of either is plenty for injectivity
+        s += "-" + _hashlib.sha256(raw.encode("utf-8")).hexdigest()[:8]
     return s
 
 

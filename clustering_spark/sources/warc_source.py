@@ -71,6 +71,11 @@ def _parse_warc_bytes(raw: bytes):
             clen = int(headers.get("content-length", ""))
         except ValueError:
             raise ValueError("WARC record missing Content-Length") from None
+        if clen < 0:
+            # a crafted/corrupt negative length would move the parse
+            # position BACKWARDS (pos = body_start + clen), re-yielding
+            # the same record forever — reject before it can loop
+            raise ValueError(f"negative Content-Length {clen}")
         body_start = hdr_end + 4
         if body_start + clen > n:
             raise ValueError("WARC payload overruns file")

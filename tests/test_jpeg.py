@@ -229,3 +229,35 @@ def test_mutation_fuzz_never_crashes_with_internal_errors():
         except (ValueError, NotImplementedError):
             pass
         # anything else propagates and fails the test
+
+def test_fill_bytes_before_restart_marker_decode():
+    """T.81 B.1.1.2: runs of 0xFF fill bytes are legal padding before
+    any marker, including RSTn inside the entropy scan. Injecting fill
+    bytes ahead of each restart marker must decode to the identical
+    image (previously _split_scan mistook FF FF for a terminating
+    marker and truncated the scan)."""
+    img = np.linspace(0, 255, 40 * 40).reshape(40, 40).astype(np.uint8)
+    b = encode_baseline(img, restart_interval=3)
+    assert b"\xff\xd0" in b
+    base = np.frombuffer(decode_baseline(b)[3], np.uint8)
+    padded = b
+    for rst in range(8):
+        padded = padded.replace(
+            bytes([0xFF, 0xD0 + rst]), bytes([0xFF, 0xFF, 0xFF, 0xD0 + rst])
+        )
+    assert len(padded) > len(b)
+    got = np.frombuffer(decode_baseline(padded)[3], np.uint8)
+    assert np.array_equal(got, base)
+
+
+def test_non_divisible_sampling_ratio_is_explicit_gate():
+    """Spec-legal but unsupported non-integer sampling ratios (3x1 luma
+    against 2x1 chroma) must raise NotImplementedError naming the
+    factors at SOF time — not an opaque ValueError from np.stack."""
+    b = bytearray(encode_baseline(_smooth_rgb()))
+    sof = bytes(b).index(b"\xff\xc0")
+    assert b[sof + 11] == 0x11  # 4:4:4 encode: comp0 is 1x1
+    b[sof + 11] = 0x31  # luma 3x1
+    b[sof + 14] = 0x21  # cb 2x1 -> hmax 3 not divisible by 2
+    with pytest.raises(NotImplementedError, match="non-integer sampling"):
+        decode_baseline(bytes(b))

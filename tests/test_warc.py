@@ -106,3 +106,28 @@ def test_truncated_payload_is_corrupt_not_partial(spark, tmp_path):
     pdf = read_warc(spark, str(tmp_path)).toPandas()
     assert list(pdf.warc_type) == ["corrupt"]
     assert "overruns" in pdf.error[0]
+
+def test_negative_content_length_rejected_not_infinite(spark, tmp_path):
+    """A crafted negative Content-Length must not move the parse
+    position backwards (which would re-yield the same record forever
+    and OOM the task) — the file degrades to one corrupt row."""
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Length: -26\r\n"
+        b"\r\n"
+    )
+    (tmp_path / "evil.warc").write_bytes(rec)
+    pdf = read_warc(spark, str(tmp_path)).toPandas()
+    assert list(pdf.warc_type) == ["corrupt"]
+    assert "negative Content-Length" in pdf.error[0]
+
+
+def test_negative_content_length_driverside_parse_terminates():
+    """Same guard at the parser level: the generator raises instead of
+    looping, even when -clen exactly re-points at the record start."""
+    from clustering_spark.sources.warc_source import _parse_warc_bytes
+
+    rec = b"WARC/1.0\r\nContent-Length: -50\r\n\r\n" + b"x" * 100
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        list(_parse_warc_bytes(rec))
