@@ -48,12 +48,16 @@ HEADLINE = [
     "cluster_fit",
     "dedup_exact",
     "minhash_neardup",
-    "cosine_topk",
     "text_quality",
     "ngram_jaccard",
     "simhash_neardup",
     "embedding_neardup_lsh",
+    # round 12: knn_join absorbed the cosine_topk entry (union, same
+    # operators) — expect roughly the sum of the two old numbers
     "knn_join",
+    # round 12 addition: the pinned-model PCA/whitening projection —
+    # a per-row Arrow GEMM whose regression would otherwise hide
+    "pca_project",
     # streaming: availableNow drain of the watermarked tumbling-window
     # agg (memory sink) — a state-store or ingestion regression moves
     # this number the same way batch plan regressions move the others

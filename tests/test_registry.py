@@ -107,3 +107,23 @@ def test_approx_distinct_within_tolerance(spark):
     assert len(out) > 0
     rel_err = (out.approx_users - out.exact_users).abs() / out.exact_users
     assert (rel_err <= 0.05).all()
+
+
+def test_planted_twohot_separation_bound():
+    """Proof backup for the embedding_neardup_lsh hash gate: over the
+    whole gid space of the planted construction (v = 2e_i + e_j,
+    i = gid % 64, j = gid div 64), distinct gids never reach cosine
+    0.9 (max is 6/(3*sqrt(5)) ~ 0.894 for 3e_i vs 2e_i + e_j), and
+    equal gids give cosine 1 — so the 0.9-threshold exact verify emits
+    exactly the same-gid pairs, independent of the LSH hash family."""
+    import numpy as np
+
+    V = np.zeros((4096, 64))
+    g = np.arange(4096)
+    V[g, g % 64] += 2.0
+    V[g, g // 64] += 1.0
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    off = C - np.eye(4096)
+    assert off.max() < 0.895
+    assert np.allclose(np.diag(C), 1.0)
