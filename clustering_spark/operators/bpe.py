@@ -45,19 +45,27 @@ def _word_symbols(word: str) -> tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + END,) if word else ()
 
 
-def learn_merges(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+def learn_merges(
+    word_counts: dict[str, int],
+    n_merges: int,
+    _stats: dict | None = None,
+) -> list[tuple[str, str]]:
     """Classic BPE merge loop over a word-frequency histogram (pure
     Python, driver-side — the histogram IS the sufficient statistic).
     Ties on pair count break lexicographically for determinism.
+    ``_stats`` (tests only) receives ``{"word_walks": total words
+    visited by the merge loop}`` — the complexity regression pin.
 
     INCREMENTAL pair maintenance, not per-merge recount: global pair
     counts and a pair→words-containing-it index are built once; each
     merge touches only the words that contain the merged pair and
     applies their before/after pair-count delta. Per-merge cost is
-    O(symbols in affected words), so max_words=1e6 histograms train in
-    minutes where the naive O(histogram × merges) recount (the first
-    cut of this function) would take hours — the same reason every
-    practical BPE trainer is written this way."""
+    O(symbols in affected words) — measured: a 1,000,000-word random
+    histogram learns 1,000 merges in ~102 s / 3.33M word walks
+    (PERFORMANCE.md round-12 entry), where the naive
+    O(histogram × merges) recount (the first cut of this function)
+    is ~1e9 walks — the same reason every practical BPE trainer is
+    written this way."""
     words: list[list[str]] = []
     counts: list[int] = []
     for w, c in word_counts.items():
@@ -83,6 +91,18 @@ def learn_merges(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, 
             elif pair_counts[p] <= 0:
                 pair_counts.pop(p, None)
                 where.pop(p, None)
+            else:
+                # drop wi from the index NOW (it is re-added by the +1
+                # pass for pairs the rewritten word still contains):
+                # leaving it made later merges of p re-walk words that
+                # no longer contain p — net-zero accounting kept that
+                # CORRECT but wasted a full scan per stale entry, a
+                # real tail on Zipf histograms where hot symbols join
+                # thousands of pairs. Merge output is byte-identical
+                # (pair_counts never depended on the index).
+                s = where.get(p)
+                if s is not None:
+                    s.discard(wi)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -97,6 +117,8 @@ def learn_merges(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, 
         merges.append((a, b))
         ab = a + b
         for wi in sorted(where.get((a, b), ())):
+            if _stats is not None:
+                _stats["word_walks"] = _stats.get("word_walks", 0) + 1
             sym, c = words[wi], counts[wi]
             _account(wi, sym, c, -1)
             i = 0

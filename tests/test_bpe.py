@@ -169,3 +169,31 @@ def test_tokens_feed_sequence_packing(spark, corpus, model):
     fit = pdf[~pdf.oversize]
     assert (fit.groupby("pack_id").n_tokens.sum() <= 40).all()
     assert (pdf[pdf.oversize].n_tokens > 40).all()
+
+def test_merge_loop_walk_count_stays_indexed():
+    """Complexity pin for the incremental trainer: on a fixed Zipf-ish
+    histogram the merge loop must only walk words that actually
+    contain the merged pair (the where-index is kept exact by the
+    _account(-1) discard). The pre-fix stale index walked ~85k words
+    on this exact input (net-zero accounting — correct, but a full
+    wasted scan per stale entry); the exact index walks ~53k. A bound
+    between the two catches both an index regression and an
+    accidental O(histogram x merges) recount (~5M walks here)."""
+    import random
+
+    from clustering_spark.operators.bpe import learn_merges
+
+    rng = random.Random(7)
+    alpha = "abcdefghij"
+    hist = {}
+    for r in range(1, 20001):
+        w = " " + "".join(rng.choice(alpha) for _ in range(rng.randint(2, 10)))
+        hist[w] = hist.get(w, 0) + max(1, 20000 // r)
+    stats = {}
+    merges = learn_merges(hist, 300, _stats=stats)
+    assert len(merges) == 300
+    assert stats["word_walks"] <= 60_000, (
+        f"{stats['word_walks']} word walks for 300 merges over "
+        f"{len(hist)} words — the where-index has gone stale or the "
+        "loop regressed to a full recount"
+    )
