@@ -278,6 +278,7 @@ def _decode_impl(b: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
+    dri = 0  # restart interval in MCUs (0 = none declared)
     pos = 2
     n = len(b)
     while pos + 4 <= n:
@@ -319,6 +320,9 @@ def _decode_impl(b: bytes):
                 tbl = np.zeros(64, dtype=np.int32)
                 tbl[ZIGZAG] = raw
                 quant[tq] = tbl
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(payload) >= 2:
+                (dri,) = struct.unpack(">H", payload[:2])
         elif marker == 0xC4:  # DHT: one or more tables
             i = 0
             while i < len(payload):
@@ -365,7 +369,14 @@ def _decode_impl(b: bytes):
                     f"({MAX_DECODE_PIXELS}) — refusing a decompression "
                     "bomb; raise jpeg.MAX_DECODE_PIXELS if intentional"
                 )
-            if w == 0 or h == 0:
+            if h == 0:
+                # B.2.2 allows Y=0 in SOF with the real height arriving
+                # in a DNL segment after the scan — a deliberate,
+                # named capability gate, not generic corruption
+                raise NotImplementedError(
+                    "DNL-deferred frame height (SOF Y=0) not supported"
+                )
+            if w == 0:
                 raise ValueError("zero-dimension frame")
             frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -401,15 +412,16 @@ def _decode_impl(b: bytes):
                         f"missing Huffman table DC{td}/AC{ta}"
                     )
             return _decode_scan(
-                b, pos, frame, scan_tabs, quant, huff_dc, huff_ac
+                b, pos, frame, scan_tabs, quant, huff_dc, huff_ac, dri
             )
-        # else: APPn / COM / DRI(handled implicitly by RST split) / DNL
-        # — skip. (DRI's interval isn't needed: restart segments are
-        # discovered from the RST markers themselves.)
+        # else: APPn / COM / DNL — skip. (Restart SEGMENTS are split on
+        # the RST markers themselves; DRI's interval additionally lets
+        # the MCU loop advance at the declared boundary even when a
+        # segment's byte padding isn't drained — see _decode_scan.)
     raise ValueError("no SOS marker — truncated JPEG")
 
 
-def _decode_scan(b, pos, frame, scan_tabs, quant, huff_dc, huff_ac):
+def _decode_scan(b, pos, frame, scan_tabs, quant, huff_dc, huff_ac, dri=0):
     w, h, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -445,11 +457,16 @@ def _decode_scan(b, pos, frame, scan_tabs, quant, huff_dc, huff_ac):
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
         mcu += 1
         # advance to the next restart segment when this one is drained
-        # to (at most) padding bits
+        # to (at most) padding bits — or, when DRI declared the
+        # interval, at the declared MCU boundary regardless: a
+        # conformant stream whose padding forms a full (stuffed) 0xFF
+        # byte never LOOKS drained, and without the DRI check the loop
+        # would try to decode the next MCU out of padding and fail a
+        # valid file with 'entropy data exhausted'
         if (
             seg_i + 1 < len(segs)
-            and br.pos >= len(br.data)
             and mcu < total_mcus
+            and (br.pos >= len(br.data) or (dri and mcu % dri == 0))
         ):
             seg_i += 1
             br = _BitReader(segs[seg_i])

@@ -2640,6 +2640,16 @@ def _write_crawl_warc() -> str:
     )
 
     os.makedirs(_WARC_CRAWL_DIR, exist_ok=True)
+    # read_warc scans the whole DIRECTORY, so any stray file (a
+    # mkstemp orphan from a crashed previous writer, say) would add
+    # corrupt rows and break the hash — drop everything that isn't
+    # one of the two fixture names before (re)writing them
+    for junk in os.listdir(_WARC_CRAWL_DIR):
+        if junk not in ("crawl.warc.gz", "junk.warc"):
+            try:
+                os.remove(os.path.join(_WARC_CRAWL_DIR, junk))
+            except OSError:
+                pass
     records = []
     for i in range(_WARC_N_RECORDS):
         url = f"http://site{i % 5}.example/page/{i}"

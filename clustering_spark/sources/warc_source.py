@@ -93,9 +93,14 @@ def _parse_warc_bytes(raw: bytes):
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """One row per WARC record across every file under ``path``:
     (file, record_idx, warc_type, url, warc_date, record_id,
-    content_type, payload, error). A file that fails to parse yields a
-    single ``warc_type='corrupt'`` row with the error message and NULL
-    payload — observable, never batch-fatal."""
+    content_type, payload, error). A file that fails to parse is never
+    batch-fatal: records parsed BEFORE the failure point are kept
+    (salvage — a 1 GB segment with one corrupt tail record should not
+    lose its good records), and one ``warc_type='corrupt'`` row with
+    ``record_idx=-1`` carries the error, so corruption is observable
+    per file (``max(warc_type='corrupt')`` per file flags it) while
+    good data survives. A file that is garbage from byte 0 therefore
+    yields exactly the one corrupt row."""
     cols = [
         "file", "record_idx", "warc_type", "url", "warc_date",
         "record_id", "content_type", "payload", "error",

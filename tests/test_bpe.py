@@ -197,3 +197,45 @@ def test_merge_loop_walk_count_stays_indexed():
         f"{len(hist)} words — the where-index has gone stale or the "
         "loop regressed to a full recount"
     )
+
+def test_pretoken_re_java_python_agree_beyond_bmp(spark):
+    """train_bpe splits with Spark's Java regex while bpe_tokenize
+    splits with Python re — the two MUST produce identical pretokens
+    or training learns units the applier never sees. The round-11
+    verdict noted agreement was asserted, not proven, for non-BMP
+    input: prove it over astral-plane emoji (surrogate pairs in
+    Java's UTF-16), math alphanumerics, combining marks, flags (two
+    regional indicators), unicode apostrophes, and control/whitespace
+    runs."""
+    import re
+
+    from clustering_spark.operators.bpe import PRETOKEN_RE
+
+    cases = [
+        "plain ascii text's fine",
+        "emoji \U0001f600\U0001f600 run",
+        "math \U0001d54f's tail",           # astral letter + ascii contraction
+        "flags \U0001f1fa\U0001f1f8 pair",  # two regional indicators
+        "combining á mark",
+        "uni’s apostrophe",            # U+2019, not the ASCII quote
+        "tabs\tand\nnewlines\x0b\x0c\r mixed",
+        "digits123and456",
+        "\U0001f600start and end\U0001f600",
+        "  leading double space",
+        "CRLF\r\nrun '''",
+    ]
+    pat = re.compile(PRETOKEN_RE)
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, t string")
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select(
+            "i",
+            F.regexp_extract_all(F.col("t"), F.lit(PRETOKEN_RE), F.lit(0)).alias(
+                "toks"
+            ),
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == pat.findall(s), f"case {i}: {s!r}"
+        # and the split is lossless (tokens concatenate back)
+        assert "".join(pat.findall(s)) == s, f"case {i} drops characters"

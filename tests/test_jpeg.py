@@ -261,3 +261,30 @@ def test_non_divisible_sampling_ratio_is_explicit_gate():
     b[sof + 14] = 0x21  # cb 2x1 -> hmax 3 not divisible by 2
     with pytest.raises(NotImplementedError, match="non-integer sampling"):
         decode_baseline(bytes(b))
+
+def test_dnl_deferred_height_is_named_gate():
+    """SOF Y=0 with a post-scan DNL segment is spec-legal (B.2.2);
+    the decoder gates it as NotImplementedError naming DNL, not a
+    generic zero-dimension ValueError."""
+    b = bytearray(encode_baseline(np.full((16, 16), 128, np.uint8)))
+    sof = bytes(b).index(b"\xff\xc0")
+    b[sof + 5 : sof + 7] = b"\x00\x00"  # frame height -> 0
+    with pytest.raises(NotImplementedError, match="DNL"):
+        decode_baseline(bytes(b))
+
+def test_full_byte_padding_before_rst_advances_via_dri():
+    """A conformant encoder may end a restart interval with a full
+    byte of 1-padding — which is 0xFF, travels STUFFED (FF 00), and
+    therefore never lets the segment look byte-drained. With DRI
+    honored, the decoder advances at the declared MCU boundary and
+    decodes identically; before the fix this valid stream died with
+    'entropy data exhausted'."""
+    img = np.linspace(0, 255, 40 * 40).reshape(40, 40).astype(np.uint8)
+    b = encode_baseline(img, restart_interval=3)
+    base = np.frombuffer(decode_baseline(b)[3], np.uint8)
+    # simulate the padding byte: a stuffed 0xFF immediately before the
+    # first restart marker
+    first_rst = b.index(b"\xff\xd0")
+    padded = b[:first_rst] + b"\xff\x00" + b[first_rst:]
+    got = np.frombuffer(decode_baseline(padded)[3], np.uint8)
+    assert np.array_equal(got, base)

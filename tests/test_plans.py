@@ -474,3 +474,15 @@ def test_media_metadata_gate_join_is_broadcast_no_wide_exchange(spark):
     strategies = join_strategies(df)
     assert strategies, "expected a join in the media_metadata plan"
     assert all("SortMerge" not in s for s in strategies), strategies
+
+
+def test_pca_project_single_spread_no_wide_exchange(spark):
+    """The pca_project gate entry (frozen whitened model over the
+    embeddings scan) is apply-wide's whole point: one Arrow batch
+    kernel over the scan, per-component projections — no hash/range
+    exchange anywhere; the only exchange is load_spread's deliberate
+    round-robin spread."""
+    df = QUERIES["pca_project"](spark, SF_DIR)
+    p = formatted_plan(df)
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert count_shuffles(df) <= 1  # round-robin spread only

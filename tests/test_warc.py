@@ -131,3 +131,49 @@ def test_negative_content_length_driverside_parse_terminates():
     rec = b"WARC/1.0\r\nContent-Length: -50\r\n\r\n" + b"x" * 100
     with pytest.raises(ValueError, match="negative Content-Length"):
         list(_parse_warc_bytes(rec))
+
+def test_midfile_corruption_salvages_prefix_records(spark, tmp_path):
+    """The degrade contract, stated precisely: records parsed before
+    the failure point are KEPT (a 1 GB segment with one bad tail
+    record must not lose its good records) and the failure itself is
+    one observable corrupt row — so readers can both salvage and flag
+    per file."""
+    good = make_warc(
+        [("response", "http://ok.example/", make_http_response(b"fine"))]
+    )
+    (tmp_path / "mixed.warc").write_bytes(good + b"GARBAGE TAIL BYTES")
+    pdf = (
+        read_warc(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("record_idx")
+        .reset_index(drop=True)
+    )
+    assert list(pdf.warc_type) == ["corrupt", "response"]
+    assert pdf.error[0].startswith("ValueError: expected WARC version")
+    assert pdf.url[1] == "http://ok.example/"
+
+
+def test_lying_content_length_across_member_boundary_degrades(spark, tmp_path):
+    """A record whose Content-Length overruns its own gzip member
+    steals bytes from the next member after decompress-concatenation;
+    the parser must fail the file observably at the desync point, not
+    loop or emit fabricated records past it."""
+    import gzip as _gz
+
+    rec1 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 60\r\n\r\n" + b"x" * 20  # lies: 60 > 20
+    )
+    rec2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 4\r\n\r\ngood\r\n\r\n"
+    )
+    blob = _gz.compress(rec1) + _gz.compress(rec2)
+    (tmp_path / "liar.warc.gz").write_bytes(blob)
+    pdf = read_warc(spark, str(tmp_path)).toPandas()
+    # record 1 swallows rec2's head; the parse then desyncs and the
+    # file flags corrupt — crucially rec2 is NOT emitted as valid
+    kinds = sorted(pdf.warc_type)
+    assert "corrupt" in kinds
+    assert len(pdf[pdf.url == "http://"]) == 0
+    assert (pdf.warc_type == "response").sum() <= 1
