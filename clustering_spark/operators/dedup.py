@@ -1581,6 +1581,7 @@ def semantic_dedup_pairs(
     nlist: int = 1024,
     seed: int = 42,
     max_cell_rows: int = 65_536,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space into
@@ -1602,6 +1603,12 @@ def semantic_dedup_pairs(
     exactly-computed cosine ≥ threshold. Cells larger than
     ``max_cell_rows`` raise (pick a bigger nlist) rather than OOM a
     task — per-cell memory is (rows × dim) float64.
+
+    ``centroids`` (optional, (nlist, d) array-like): serve with a
+    FROZEN codebook instead of fitting one — the train-once/apply-wide
+    production shape, and what makes the operator oracle-replayable
+    (the hash gate pins the codebook; cell assignment is then pure
+    arithmetic).
 
     Returns (id_a, id_b, cosine) with id_a < id_b; compose with
     ``graph.connected_components`` + min-id (or keep-farthest-from-
@@ -1641,7 +1648,11 @@ def semantic_dedup_pairs(
     if base.limit(1).count() == 0:
         return df.sparkSession.createDataFrame([], out_schema)
 
-    idx = IVFIndex(nlist=nlist, seed=seed).fit(df, vec_col)
+    idx = IVFIndex(nlist=nlist, seed=seed)
+    if centroids is not None:
+        idx.centroids = np.asarray(centroids, dtype=np.float64)
+    else:
+        idx.fit(df, vec_col)
     celled = base.withColumn("cell", idx._cell_expr("__v"))
     cols = [f.name for f in out_schema.fields]
 
@@ -1683,16 +1694,19 @@ def semantic_dedup_keep(
     threshold: float = 0.95,
     nlist: int = 1024,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """Survivor ids after semantic dedup: pairs → connected components
     → min-id survivor per component (consistent with every other dedup
     operator here; the paper's keep-farthest-from-centroid rule is a
     different tie-break over the same components). Output: the
-    surviving subset of ``df`` ids, one column ``id_col``."""
+    surviving subset of ``df`` ids, one column ``id_col``.
+    ``centroids`` serves a frozen codebook (see semantic_dedup_pairs)."""
     from clustering_spark.operators.graph import connected_components
 
     pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, threshold=threshold, nlist=nlist, seed=seed
+        df, id_col, vec_col, threshold=threshold, nlist=nlist, seed=seed,
+        centroids=centroids,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     ids = df.select(F.col(id_col))

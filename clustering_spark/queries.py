@@ -2461,18 +2461,36 @@ def _ivf_topk_sql() -> str:
     from clustering_spark.pinned import IVF_CENTROIDS
 
     C = np.asarray(IVF_CENTROIDS, dtype=np.float64)
-    c2 = (C**2).sum(axis=1)
     qv = np.asarray(QUERY_VEC, dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
     d2 = ((C - qn) ** 2).sum(axis=1)
     probe = [int(c) for c in np.argsort(d2)[:4]]
+    return f"""
+WITH {_pinned_cells_cte()}
+SELECT vec_id, round(list_cosine_similarity(v, {_QV_SQL}), 6) AS cosine
+FROM assigned WHERE cell IN ({", ".join(str(p) for p in probe)})
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _pinned_cells_cte() -> str:
+    """Shared WITH-clause body assigning every embedding its cell from
+    the frozen sf0.01 codebook — replays IVFIndex._cell_expr's score
+    ``|c|² − 2·(x̂·c)`` (x̂ = x/max(‖x‖, 1e-12)) per centroid with
+    first-min argmin. Used by the ivf_topk AND semantic_dedup_keep
+    oracles so the two gates cannot drift on cell assignment."""
+    import numpy as np
+
+    from clustering_spark.pinned import IVF_CENTROIDS
+
+    C = np.asarray(IVF_CENTROIDS, dtype=np.float64)
+    c2 = (C**2).sum(axis=1)
     scores = ",\n           ".join(
         f"{c2[ci]!r} - 2.0 * list_inner_product(v, "
         "[" + ", ".join(repr(float(x)) for x in C[ci]) + "]) / nrm"
         for ci in range(len(C))
     )
-    return f"""
-WITH nn AS (
+    return f"""nn AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          greatest(sqrt(list_inner_product(embedding::DOUBLE[],
                                           embedding::DOUBLE[])), 1e-12) AS nrm
@@ -2485,11 +2503,7 @@ WITH nn AS (
   SELECT vec_id, v,
          list_position(cellscores, list_min(cellscores)) - 1 AS cell
   FROM scored
-)
-SELECT vec_id, round(list_cosine_similarity(v, {_QV_SQL}), 6) AS cosine
-FROM assigned WHERE cell IN ({", ".join(str(p) for p in probe)})
-ORDER BY cosine DESC, vec_id LIMIT 10
-"""
+)"""
 
 
 def q_pca_project(spark, sf_dir):
@@ -2748,14 +2762,54 @@ SELECT -1, '__corrupt__', NULL, NULL,
 
 
 def q_semantic_dedup_keep(spark, sf_dir):
-    """SemDeDup survivor set: IVF cells -> per-cell cosine GEMM pairs
-    -> connected components -> min-id survivor per component (rows-only:
-    the iterative centroid fit is not SQL-expressible; pair recall vs
-    the exact GEMM is pinned in tests/test_dedup.py)."""
+    """SemDeDup survivor set ON THE HASH GATE (round 12): frozen-
+    codebook cells (clustering_spark/pinned.py — the same sf0.01
+    fit ivf_topk pins, so the two gates share one cell-assignment
+    truth) -> per-cell exact cosine GEMM pairs -> connected
+    components -> min-id survivor. Every stage is now oracle-
+    replayable: cell argmin is pinned arithmetic, within-cell pairs
+    are a SQL self-join, components are the recursive-CTE pattern
+    SQL_NEARDUP_COMPONENTS established. The live fit path (centroids
+    omitted) keeps its pytest recall pin in tests/test_dedup.py."""
+    from clustering_spark.pinned import IVF_CENTROIDS
+
     e = load_spread(spark, sf_dir, "embeddings")
     return dedup.semantic_dedup_keep(
-        e, "vec_id", "embedding", threshold=0.4, nlist=16, seed=42
+        e, "vec_id", "embedding", threshold=0.4, nlist=16, seed=42,
+        centroids=IVF_CENTROIDS,
     )
+
+
+def _semantic_dedup_keep_sql() -> str:
+    """Oracle generated from the pinned codebook: cells (shared CTE
+    with ivf_topk) -> within-cell pairs at cosine >= 0.4 -> symmetric
+    closure -> min-reachable-label components -> min-id survivors.
+    NULL-id/vector rows would survive unconditionally on the Spark
+    side; the tables carry none, and the cells CTE's NULL filter
+    mirrors the operator's."""
+    return f"""
+WITH RECURSIVE {_pinned_cells_cte()},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS node, least(min(v), u) AS comp FROM reach GROUP BY u)
+SELECT e.vec_id
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+WHERE e.vec_id = coalesce(c.comp, e.vec_id)
+"""
 
 
 # =====================================================================
@@ -2834,12 +2888,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_distinct_event_types": q_stream_distinct_event_types,
     "stream_dedup_replay": q_stream_dedup_replay,
     "strip_html": q_strip_html,
+    "semantic_dedup_keep": q_semantic_dedup_keep,
     # -- rows-only (not ANSI-SQL-expressible; invariants in tests/) ---
     "approx_distinct_users": q_approx_distinct_users,
     "cluster_fit": q_cluster_fit,
     "optimal_k": q_optimal_k,
     "result_docs": q_result_docs,
-    "semantic_dedup_keep": q_semantic_dedup_keep,
 }
 
 ORACLES: dict[str, str] = {
@@ -2888,14 +2942,15 @@ ORACLES: dict[str, str] = {
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
     "stream_dedup_replay": SQL_STREAM_DEDUP_REPLAY,
     "strip_html": SQL_STRIP_HTML,
+    "semantic_dedup_keep": _semantic_dedup_keep_sql(),
     # no oracle (not ANSI-SQL-expressible) — rows-only checks:
     #   approx_distinct_users (HLL estimates are implementation-
     #   specific; tolerance pinned in tests), cluster_fit / optimal_k /
     #   result_docs (iterative ML on the real tables — cluster_assign
-    #   is their gated planted-construction twin), semantic_dedup_keep
-    #   (iterative centroid fit; recall pin in tests/test_dedup.py).
+    #   is their gated planted-construction twin).
     # Round 12 converted the near-dup trio (planted identical-content
-    # corpora — recall provably 1, verify exactly the SQL set) and
-    # ivf_topk (pinned codebook) to full hash gates above.
+    # corpora — recall provably 1, verify exactly the SQL set),
+    # ivf_topk AND semantic_dedup_keep (both via the pinned sf0.01
+    # codebook) to full hash gates above.
     # Invariants covered in tests/.
 }
