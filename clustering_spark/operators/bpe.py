@@ -160,8 +160,15 @@ def train_bpe(
         .collect()
     )
     hist = {r["w"]: r["count"] for r in counts}
+    # the initial symbol alphabet (chars + char</w> forms) rides the
+    # model so build_vocab can assign COMPLETE, deterministic ids —
+    # merges alone only name the learned units, not the base symbols
+    alphabet: set[str] = set()
+    for w in hist:
+        alphabet.update(_word_symbols(w))
     return {
         "merges": learn_merges(hist, n_merges),
+        "alphabet": sorted(alphabet),
         "pretoken_re": PRETOKEN_RE,
         "end": END,
     }
@@ -230,6 +237,77 @@ def bpe_tokenize(
     return df.mapInPandas(batches, schema)
 
 
+UNK = "<unk>"  # id 0: chars never seen in the training histogram
+
+
+def build_vocab(model: dict) -> dict[str, int]:
+    """Deterministic token→id table from a trained model: id 0 is
+    ``<unk>`` (a character outside the training alphabet — this is a
+    CHAR-level BPE, not byte-level, so unseen codepoints are possible
+    at apply time), the sorted initial alphabet follows, then one id
+    per merge in learned order (the classic BPE vocabulary shape).
+    Merged tokens that equal an alphabet entry cannot occur (a merge
+    always concatenates two symbols), so ids are collision-free."""
+    if "alphabet" not in model:
+        raise ValueError(
+            "model has no 'alphabet' (trained before round 12?) — "
+            "re-train with train_bpe, or inject model['alphabet']"
+        )
+    vocab = {UNK: 0}
+    for sym in model["alphabet"]:
+        vocab[sym] = len(vocab)
+    for a, b in map(tuple, model["merges"]):
+        tok = a + b
+        # a merge CAN reproduce an existing token when two different
+        # pairs concatenate to the same string (e.g. ('a','bc') after
+        # ('ab','c') both spell 'abc') — first id wins, the duplicate
+        # merge maps to it
+        vocab.setdefault(tok, len(vocab))
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    model: dict,
+    out_col: str = "bpe_ids",
+) -> DataFrame:
+    """Append ``out_col`` (array<int> of vocabulary ids) — what a
+    training pipeline actually feeds the model; the string-token form
+    (bpe_tokenize) is the debugging view. Same Arrow kernel + memo
+    shape; tokens outside the vocabulary (unseen chars) map to
+    ``<unk>`` = 0. Roundtrips exactly through decode for in-alphabet
+    text (property-tested)."""
+    vocab = build_vocab(model)
+    toks = bpe_tokenize(df, text_col, model, out_col="__bpe_toks")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        unk = vocab[UNK]
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                [vocab.get(t, unk) for t in row] for row in pdf["__bpe_toks"]
+            ]
+            yield pdf.drop(columns=["__bpe_toks"])
+
+    schema = ", ".join(
+        f"`{c}` {t}" for c, t in df.dtypes
+    ) + f", `{out_col}` array<int>"
+    return toks.mapInPandas(batches, schema)
+
+
+def bpe_decode_ids(
+    ids: list[int], model: dict, end: str = END
+) -> str:
+    """Inverse of bpe_encode_ids for in-vocabulary sequences (driver-
+    side helper for tests/inspection; ``<unk>`` decodes to the empty
+    string — the original character is unrecoverable by design)."""
+    inv = {i: t for t, i in build_vocab(model).items()}
+    return "".join(
+        inv[i] if inv.get(i, UNK) != UNK else "" for i in ids
+    ).replace(end, "")
+
+
 def bpe_decode_tokens(tokens: list[str], end: str = END) -> str:
     """Inverse of the per-row tokenization: concatenate and strip the
     end-of-word markers. Used by the roundtrip property tests."""
@@ -252,9 +330,13 @@ def bpe_token_count(
 __all__ = [
     "PRETOKEN_RE",
     "END",
+    "UNK",
     "train_bpe",
     "learn_merges",
+    "build_vocab",
     "bpe_tokenize",
+    "bpe_encode_ids",
+    "bpe_decode_ids",
     "bpe_token_count",
     "bpe_decode_tokens",
 ]

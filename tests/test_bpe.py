@@ -239,3 +239,60 @@ def test_pretoken_re_java_python_agree_beyond_bmp(spark):
         assert got[i] == pat.findall(s), f"case {i}: {s!r}"
         # and the split is lossless (tokens concatenate back)
         assert "".join(pat.findall(s)) == s, f"case {i} drops characters"
+
+def test_vocab_is_deterministic_and_collision_free(model):
+    from clustering_spark.operators.bpe import UNK, build_vocab
+
+    v1, v2 = build_vocab(model), build_vocab(model)
+    assert v1 == v2
+    assert v1[UNK] == 0
+    ids = list(v1.values())
+    assert ids == list(range(len(ids)))  # dense, no gaps, no collisions
+    # every alphabet symbol and every merged token is addressable
+    assert all(sym in v1 for sym in model["alphabet"])
+    assert all((a + b) in v1 for a, b in model["merges"])
+
+
+def test_encode_ids_matches_tokens_and_roundtrips(spark, corpus, model):
+    from clustering_spark.operators.bpe import (
+        UNK,
+        bpe_decode_ids,
+        build_vocab,
+        bpe_encode_ids,
+    )
+
+    vocab = build_vocab(model)
+    toks = (
+        bpe_tokenize(corpus, "text", model).toPandas().set_index("doc_id")
+    )
+    ids = (
+        bpe_encode_ids(corpus, "text", model).toPandas().set_index("doc_id")
+    )
+    for doc in toks.index:
+        expect = [vocab.get(t, 0) for t in toks.loc[doc, "bpe_tokens"]]
+        assert list(ids.loc[doc, "bpe_ids"]) == expect
+    # the training corpus is in-alphabet: ids decode back to the text
+    row = ids.loc[0, "bpe_ids"]
+    assert (
+        bpe_decode_ids(list(row), model)
+        == "the cat sat on the mat, the cat ate 42 fish!"
+    )
+    assert vocab[UNK] == 0
+
+
+def test_encode_ids_unseen_chars_map_to_unk(spark, model):
+    from clustering_spark.operators.bpe import bpe_encode_ids
+
+    df = spark.createDataFrame(
+        [(0, "cat éé mat")], "doc_id long, text string"
+    )  # é never appears in the training corpus
+    out = bpe_encode_ids(df, "text", model).toPandas()
+    assert 0 in list(out.bpe_ids[0])  # unk present
+    assert any(i != 0 for i in out.bpe_ids[0])  # known parts still encode
+
+
+def test_vocab_requires_alphabet():
+    from clustering_spark.operators.bpe import build_vocab
+
+    with pytest.raises(ValueError, match="alphabet"):
+        build_vocab({"merges": []})
