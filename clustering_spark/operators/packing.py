@@ -189,6 +189,89 @@ def materialize_packs(
     )
 
 
+def materialize_id_rows(
+    docs: DataFrame,
+    assignment: DataFrame,
+    id_col: str,
+    ids_col: str,
+    seq_len: int,
+    eos_id: int,
+    pad_id: int,
+) -> DataFrame:
+    """The final mile of the training-data pipeline: turn a
+    pack_sequences assignment plus per-doc TOKEN-ID arrays
+    (bpe_encode_ids output) into fixed-length training rows —
+    one row per pack with:
+
+      * ``input_ids``  array<int>, length EXACTLY ``seq_len``: member
+        id arrays in FFD placement order, ``eos_id`` appended after
+        every document, ``pad_id`` filling the tail;
+      * ``doc_map``    array<int>, same length: which member ordinal
+        (0-based, placement order) owns each position — EOS positions
+        belong to their document, padding is ``-1``. This is the
+        position→document table a blockwise/intra-doc attention mask
+        is built from;
+      * ``n_docs``, ``n_real_tokens`` (ids + EOS, pre-padding), and
+        ``overflow`` — true when ids + EOS marks exceed ``seq_len``
+        and the row was TAIL-TRUNCATED. Never silent: budget packs
+        with EOS-inclusive counts (n_tokens = len(ids) + 1 per doc and
+        max_tokens = seq_len) and overflow stays false.
+
+    Everything is native array HOFs (flatten/transform/slice/repeat) —
+    JVM-side, zero Python in the path; the only shuffle is the
+    inherent pack-member co-location, same as materialize_packs."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    joined = assignment.join(
+        docs.select(
+            F.col(id_col),
+            # NULL ids arrays count as empty docs (EOS only) — the
+            # NULL-degrade contract of the text stack; dropping them
+            # would break n_docs against the assignment
+            F.coalesce(
+                F.col(ids_col).cast("array<int>"), F.array().cast("array<int>")
+            ).alias("__ids"),
+        ),
+        on=id_col,
+    )
+    member = F.struct(
+        (-F.col("n_tokens")).alias("s1"),
+        F.col(id_col).alias("s2"),
+        F.col("__ids").alias("ids"),
+    )
+    grouped = joined.groupBy("pack_id").agg(
+        F.array_sort(F.collect_list(member)).alias("__m"),
+        F.count("*").alias("n_docs"),
+    )
+    with_eos = F.transform(
+        F.col("__m"),
+        lambda m: F.concat(m["ids"], F.array(F.lit(eos_id).cast("int"))),
+    )
+    flat = F.flatten(with_eos)
+    owner = F.flatten(
+        F.transform(
+            with_eos,
+            lambda arr, i: F.array_repeat(i.cast("int"), F.size(arr)),
+        )
+    )
+    n_real = F.size(flat)
+    pad_n = F.greatest(F.lit(0), F.lit(seq_len) - n_real)
+    return grouped.select(
+        "pack_id",
+        "n_docs",
+        n_real.alias("n_real_tokens"),
+        (n_real > seq_len).alias("overflow"),
+        F.concat(
+            F.slice(flat, 1, seq_len),
+            F.array_repeat(F.lit(pad_id).cast("int"), pad_n),
+        ).alias("input_ids"),
+        F.concat(
+            F.slice(owner, 1, seq_len),
+            F.array_repeat(F.lit(-1).cast("int"), pad_n),
+        ).alias("doc_map"),
+    )
+
+
 def pack_stats(assignment: DataFrame, max_tokens: int) -> DataFrame:
     """Per-pack summary of a pack_sequences assignment: doc count,
     token total, fill ratio. One narrow groupBy — the monitoring query

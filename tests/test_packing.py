@@ -226,3 +226,112 @@ def test_null_text_member_keeps_separator_count(spark):
     s = seqs[0]
     assert s.n_docs == 3
     assert s.sequence.count("|") == s.n_docs - 1
+
+
+class TestMaterializeIdRows:
+    def _mk(self, spark):
+        from clustering_spark.operators.packing import (
+            materialize_id_rows,
+            pack_sequences,
+        )
+
+        # EOS-inclusive budgets: n_tokens = len(ids) + 1, seq_len = 8
+        docs = spark.createDataFrame(
+            [
+                (1, [10, 11, 12]),   # 4 with EOS
+                (2, [20]),           # 2
+                (3, [30, 31]),       # 3
+                (4, None),           # NULL ids -> EOS-only doc (1)
+            ],
+            "doc_id long, bpe_ids array<int>",
+        )
+        budgets = docs.selectExpr(
+            "doc_id", "coalesce(size(bpe_ids), 0) + 1 AS n_tok"
+        )
+        asg = pack_sequences(
+            budgets, "doc_id", "n_tok", max_tokens=8, num_buckets=1
+        )
+        rows = materialize_id_rows(
+            docs, asg, "doc_id", "bpe_ids", seq_len=8, eos_id=99, pad_id=0
+        ).toPandas()
+        return rows.sort_values("pack_id").reset_index(drop=True)
+
+    def test_rows_are_exact_length_eos_separated_padded(self, spark):
+        rows = self._mk(spark)
+        assert (rows.input_ids.map(len) == 8).all()
+        assert (rows.doc_map.map(len) == 8).all()
+        assert not rows.overflow.any()  # EOS-inclusive budgets fit
+        # total real tokens across packs = sum(len(ids)+1) = 4+2+3+1
+        assert rows.n_real_tokens.sum() == 10
+        for _, r in rows.iterrows():
+            ids, dm = list(r.input_ids), list(r.doc_map)
+            real = r.n_real_tokens
+            # padding tail
+            assert ids[real:] == [0] * (8 - real)
+            assert dm[real:] == [-1] * (8 - real)
+            # every document's span ends with EOS and owns its EOS
+            for d in range(r.n_docs):
+                span = [i for i, o in enumerate(dm) if o == d]
+                assert span, "every member owns at least its EOS slot"
+                assert ids[span[-1]] == 99
+            # placement order: doc_map ordinals are non-decreasing
+            reals = [o for o in dm if o >= 0]
+            assert reals == sorted(reals)
+
+    def test_overflow_is_flagged_not_silent(self, spark):
+        from clustering_spark.operators.packing import (
+            materialize_id_rows,
+            pack_sequences,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, list(range(10)))], "doc_id long, bpe_ids array<int>"
+        )
+        # budget LIES (counts without EOS): 10 tokens fit max_tokens=10
+        # but ids+EOS = 11 > seq_len=10 -> overflow must be flagged
+        asg = pack_sequences(
+            docs.selectExpr("doc_id", "size(bpe_ids) AS n_tok"),
+            "doc_id",
+            "n_tok",
+            max_tokens=10,
+            num_buckets=1,
+        )
+        rows = materialize_id_rows(
+            docs, asg, "doc_id", "bpe_ids", seq_len=10, eos_id=99, pad_id=0
+        ).toPandas()
+        assert rows.overflow.all()
+        assert (rows.input_ids.map(len) == 10).all()
+
+    def test_composes_with_bpe_ids_end_to_end(self, spark):
+        """bpe_encode_ids -> EOS-inclusive budgets -> pack -> id rows:
+        the full learn-tokenize-pack final mile, token-exact."""
+        from clustering_spark.operators.bpe import (
+            bpe_encode_ids,
+            train_bpe,
+        )
+        from clustering_spark.operators.packing import (
+            materialize_id_rows,
+            pack_sequences,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "pack the packs " * (1 + i % 3)) for i in range(12)],
+            "doc_id long, text string",
+        )
+        model = train_bpe(docs, "text", n_merges=20, max_words=100)
+        with_ids = bpe_encode_ids(docs, "text", model)
+        budgets = with_ids.selectExpr(
+            "doc_id", "bpe_ids", "size(bpe_ids) + 1 AS n_tok"
+        )
+        asg = pack_sequences(
+            budgets, "doc_id", "n_tok", max_tokens=64, num_buckets=4
+        )
+        rows = materialize_id_rows(
+            budgets, asg, "doc_id", "bpe_ids", seq_len=64, eos_id=1, pad_id=0
+        ).toPandas()
+        assert not rows.overflow.any()
+        assert (rows.input_ids.map(len) == 64).all()
+        total_ids = sum(
+            len(r) + 1 for r in with_ids.toPandas().bpe_ids
+        )
+        assert rows.n_real_tokens.sum() == total_ids
