@@ -85,6 +85,15 @@ class PrepConfig:
     # training run actually consumes. Costs one Arrow tokenize pass
     # over the survivors.
     bpe_model: dict | None = None
+    # emit fixed-seq_len TOKEN-ID training rows (`id_rows` output via
+    # packing.materialize_id_rows). Requires bpe_model. Opt-in because
+    # it changes the packing budget to EOS-INCLUSIVE counts
+    # (size(ids) + 1 per doc with seq_len = pack_max_tokens — the
+    # budget that makes overflow impossible by construction) and pays
+    # one id-encoding pass instead of the count-only pass.
+    emit_id_rows: bool = False
+    eos_id: int = 1
+    pad_id: int = 0
 
 
 def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
@@ -281,7 +290,18 @@ def prepare_corpus(
     # second strip+split scan over every survivor; a configured BPE
     # model overrides both — the pack budget should count the tokens
     # the training run actually consumes
-    if cfg.bpe_model is not None:
+    if cfg.emit_id_rows and cfg.bpe_model is None:
+        raise ValueError("emit_id_rows requires a bpe_model")
+    if cfg.emit_id_rows:
+        from clustering_spark.operators.bpe import bpe_encode_ids
+
+        # one id-encoding pass; the budget is EOS-INCLUSIVE so
+        # materialize_id_rows can never overflow by construction
+        with_tok = bpe_encode_ids(
+            split, text_c, cfg.bpe_model, out_col="__bpe_ids"
+        ).withColumn("__ntok", F.size("__bpe_ids") + F.lit(1))
+        tok_c = "__ntok"
+    elif cfg.bpe_model is not None:
         from clustering_spark.operators.bpe import bpe_token_count
 
         with_tok = bpe_token_count(
@@ -293,7 +313,7 @@ def prepare_corpus(
     else:
         with_tok = split.withColumn("__ntok", textops.token_count(text_c))
         tok_c = "__ntok"
-    packs_parts, seq_parts = [], []
+    packs_parts, seq_parts, idrow_parts = [], [], []
     for label in cfg.split_fractions:
         part = with_tok.filter(F.col("split") == label)
         if cfg.drop_oversize:
@@ -307,10 +327,22 @@ def prepare_corpus(
                 "split", F.lit(label)
             )
         )
+        if cfg.emit_id_rows:
+            idrow_parts.append(
+                packing.materialize_id_rows(
+                    part,
+                    p,
+                    id_c,
+                    "__bpe_ids",
+                    seq_len=cfg.pack_max_tokens,
+                    eos_id=cfg.eos_id,
+                    pad_id=cfg.pad_id,
+                ).withColumn("split", F.lit(label))
+            )
     packs = reduce(DataFrame.unionByName, packs_parts)
     sequences = reduce(DataFrame.unionByName, seq_parts)
 
-    return {
+    out = {
         "clean": clean,
         "unique": unique,
         "split": split,
@@ -318,3 +350,6 @@ def prepare_corpus(
         "packs": packs,
         "sequences": sequences,
     }
+    if cfg.emit_id_rows:
+        out["id_rows"] = reduce(DataFrame.unionByName, idrow_parts)
+    return out

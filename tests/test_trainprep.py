@@ -374,3 +374,45 @@ def test_bpe_model_drives_pack_budget(spark):
     assert (
         packs.groupby(["split", "pack_id"]).n_tokens.sum() <= 200
     ).all()
+
+
+def test_emit_id_rows_end_to_end(spark):
+    """cfg.emit_id_rows: the chain ends at fixed-seq_len TOKEN-ID rows
+    — EOS-inclusive budgets make overflow impossible by construction,
+    rows are exactly seq_len long, real-token totals are token-exact
+    vs per-doc id arrays, and id rows never straddle splits."""
+    from clustering_spark.operators.bpe import bpe_encode_ids, train_bpe
+
+    df = spark.createDataFrame(
+        [(i, GOOD_A if i % 2 else GOOD_B) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    model = train_bpe(df, "text", n_merges=30, max_words=500)
+    cfg = PrepConfig(
+        thresholds=QualityThresholds(min_quality_score=0.0),
+        jaccard_threshold=0.99,
+        pack_max_tokens=256,
+        bpe_model=model,
+        emit_id_rows=True,
+        eos_id=7,
+        pad_id=0,
+    )
+    out = trainprep.prepare_corpus(df, cfg)
+    rows = out["id_rows"].toPandas()
+    assert not rows.overflow.any()
+    assert (rows.input_ids.map(len) == 256).all()
+    assert (rows.doc_map.map(len) == 256).all()
+    survivors = out["unique"]
+    per_doc = bpe_encode_ids(survivors, "text", model).toPandas()
+    assert rows.n_real_tokens.sum() == sum(
+        len(r) + 1 for r in per_doc.bpe_ids
+    )
+    # split labels present and id rows exist for every non-empty split
+    packs = out["packs"].toPandas()
+    assert set(rows.split) == set(packs.split)
+
+
+def test_emit_id_rows_requires_model(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bpe_model"):
+        trainprep.prepare_corpus(df, PrepConfig(emit_id_rows=True))
