@@ -237,23 +237,39 @@ def bpe_tokenize(
     return df.mapInPandas(batches, schema)
 
 
-UNK = "<unk>"  # id 0: chars never seen in the training histogram
+UNK = "<unk>"  # chars never seen in the training histogram
+PAD = "<pad>"  # reserved filler for fixed-length id rows
+EOS = "<eos>"  # reserved end-of-document marker for packed id rows
 
 
-def build_vocab(model: dict) -> dict[str, int]:
-    """Deterministic token→id table from a trained model: id 0 is
-    ``<unk>`` (a character outside the training alphabet — this is a
-    CHAR-level BPE, not byte-level, so unseen codepoints are possible
-    at apply time), the sorted initial alphabet follows, then one id
-    per merge in learned order (the classic BPE vocabulary shape).
-    Merged tokens that equal an alphabet entry cannot occur (a merge
-    always concatenates two symbols), so ids are collision-free."""
+def build_vocab(
+    model: dict, specials: tuple[str, ...] = (UNK,)
+) -> dict[str, int]:
+    """Deterministic token→id table from a trained model: the
+    ``specials`` get the first ids in order (``<unk>`` MUST be among
+    them — a character outside the training alphabet maps there; this
+    is a CHAR-level BPE, not byte-level, so unseen codepoints are
+    possible at apply time), the sorted initial alphabet follows, then
+    one id per merge in learned order (the classic BPE vocabulary
+    shape). Reserve ``PAD``/``EOS`` here when emitting packed id rows:
+    an eos/pad id chosen from the REAL vocabulary range silently
+    collides with a legitimate token (a decoder then cannot tell a
+    document boundary from that token — found the hard way in the
+    crawl capstone). Merged tokens that equal an alphabet entry cannot
+    occur (a merge always concatenates two symbols), so ids are
+    collision-free."""
     if "alphabet" not in model:
         raise ValueError(
             "model has no 'alphabet' (trained before round 12?) — "
             "re-train with train_bpe, or inject model['alphabet']"
         )
-    vocab = {UNK: 0}
+    if UNK not in specials:
+        raise ValueError(f"specials must include {UNK!r}")
+    vocab: dict[str, int] = {}
+    for sp in specials:
+        if sp in vocab:
+            raise ValueError(f"duplicate special token {sp!r}")
+        vocab[sp] = len(vocab)
     for sym in model["alphabet"]:
         vocab[sym] = len(vocab)
     for a, b in map(tuple, model["merges"]):
@@ -271,14 +287,17 @@ def bpe_encode_ids(
     text_col: str,
     model: dict,
     out_col: str = "bpe_ids",
+    specials: tuple[str, ...] = (UNK,),
 ) -> DataFrame:
     """Append ``out_col`` (array<int> of vocabulary ids) — what a
     training pipeline actually feeds the model; the string-token form
     (bpe_tokenize) is the debugging view. Same Arrow kernel + memo
     shape; tokens outside the vocabulary (unseen chars) map to
-    ``<unk>`` = 0. Roundtrips exactly through decode for in-alphabet
+    ``<unk>``. Pass the same ``specials`` you plan to pack with
+    (e.g. ``(UNK, PAD, EOS)``) so the reserved ids are carved out of
+    the id space. Roundtrips exactly through decode for in-alphabet
     text (property-tested)."""
-    vocab = build_vocab(model)
+    vocab = build_vocab(model, specials)
     toks = bpe_tokenize(df, text_col, model, out_col="__bpe_toks")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -297,14 +316,20 @@ def bpe_encode_ids(
 
 
 def bpe_decode_ids(
-    ids: list[int], model: dict, end: str = END
+    ids: list[int],
+    model: dict,
+    end: str = END,
+    specials: tuple[str, ...] = (UNK,),
 ) -> str:
     """Inverse of bpe_encode_ids for in-vocabulary sequences (driver-
-    side helper for tests/inspection; ``<unk>`` decodes to the empty
-    string — the original character is unrecoverable by design)."""
-    inv = {i: t for t, i in build_vocab(model).items()}
+    side helper for tests/inspection). Every special — ``<unk>``,
+    ``<pad>``, ``<eos>``, … — decodes to the empty string: none of
+    them carries recoverable source text."""
+    vocab = build_vocab(model, specials)
+    drop = {vocab[sp] for sp in specials}
+    inv = {i: t for t, i in vocab.items()}
     return "".join(
-        inv[i] if inv.get(i, UNK) != UNK else "" for i in ids
+        "" if i in drop else inv.get(i, "") for i in ids
     ).replace(end, "")
 
 
@@ -331,6 +356,8 @@ __all__ = [
     "PRETOKEN_RE",
     "END",
     "UNK",
+    "PAD",
+    "EOS",
     "train_bpe",
     "learn_merges",
     "build_vocab",

@@ -90,10 +90,14 @@ class PrepConfig:
     # it changes the packing budget to EOS-INCLUSIVE counts
     # (size(ids) + 1 per doc with seq_len = pack_max_tokens — the
     # budget that makes overflow impossible by construction) and pays
-    # one id-encoding pass instead of the count-only pass.
+    # one id-encoding pass instead of the count-only pass. eos_id /
+    # pad_id default to the RESERVED specials (<eos>/<pad> ids from
+    # build_vocab(model, (UNK, PAD, EOS))) — an explicit override
+    # picked from the real vocabulary range would silently collide
+    # with a legitimate token, so only override with ids you reserved.
     emit_id_rows: bool = False
-    eos_id: int = 1
-    pad_id: int = 0
+    eos_id: int | None = None
+    pad_id: int | None = None
 
 
 def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
@@ -293,12 +297,25 @@ def prepare_corpus(
     if cfg.emit_id_rows and cfg.bpe_model is None:
         raise ValueError("emit_id_rows requires a bpe_model")
     if cfg.emit_id_rows:
-        from clustering_spark.operators.bpe import bpe_encode_ids
+        from clustering_spark.operators.bpe import (
+            EOS,
+            PAD,
+            UNK,
+            bpe_encode_ids,
+            build_vocab,
+        )
 
-        # one id-encoding pass; the budget is EOS-INCLUSIVE so
+        # one id-encoding pass with PAD/EOS reserved OUT of the real
+        # id range (a vocabulary-range eos would silently collide with
+        # a legitimate token); the budget is EOS-INCLUSIVE so
         # materialize_id_rows can never overflow by construction
+        specials = (UNK, PAD, EOS)
+        vocab = build_vocab(cfg.bpe_model, specials)
+        eos_id = cfg.eos_id if cfg.eos_id is not None else vocab[EOS]
+        pad_id = cfg.pad_id if cfg.pad_id is not None else vocab[PAD]
         with_tok = bpe_encode_ids(
-            split, text_c, cfg.bpe_model, out_col="__bpe_ids"
+            split, text_c, cfg.bpe_model, out_col="__bpe_ids",
+            specials=specials,
         ).withColumn("__ntok", F.size("__bpe_ids") + F.lit(1))
         tok_c = "__ntok"
     elif cfg.bpe_model is not None:
@@ -335,8 +352,8 @@ def prepare_corpus(
                     id_c,
                     "__bpe_ids",
                     seq_len=cfg.pack_max_tokens,
-                    eos_id=cfg.eos_id,
-                    pad_id=cfg.pad_id,
+                    eos_id=eos_id,
+                    pad_id=pad_id,
                 ).withColumn("split", F.lit(label))
             )
     packs = reduce(DataFrame.unionByName, packs_parts)

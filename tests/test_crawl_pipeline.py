@@ -93,3 +93,67 @@ def test_crawl_to_packed_sequences(spark, crawl_dir):
     assert len(pdf) == 2  # every surviving doc placed exactly once
     fit = pdf[~pdf.oversize]
     assert (fit.groupby("pack_id").n_tokens.sum() <= 64).all()
+
+
+def test_crawl_to_trainer_input_id_rows(spark, crawl_dir):
+    """Round-12 extension of the capstone: the chain no longer stops
+    at packed TEXT — it ends at what a trainer loads. WARC → text →
+    gate → dedup → BPE ids → EOS-inclusive packing →
+    materialize_id_rows, token-exact and overflow-free."""
+    from clustering_spark.operators.bpe import (
+        EOS,
+        PAD,
+        UNK,
+        bpe_encode_ids,
+        build_vocab,
+    )
+    from clustering_spark.operators.packing import materialize_id_rows
+
+    specials = (UNK, PAD, EOS)
+
+    resp = warc_responses(read_warc(spark, crawl_dir))
+    html = resp.filter(F.col("http_content_type").startswith("text/html"))
+    docs = extract_html_text(html, "text", out_col="clean").select(
+        F.col("url"), F.col("clean").alias("text")
+    )
+    docs = textops.quality_features(docs, "text")
+    kept = docs.filter(
+        (F.col("n_tokens") >= 5) & (F.col("quality_score") >= 0.5)
+    ).select("url", "text")
+    keyed = kept.withColumn("doc_id", F.xxhash64("url"))
+    survivors = exact_dedup(keyed, ["text"], "doc_id")
+    deduped = keyed.join(survivors.select("doc_id"), "doc_id")
+
+    model = train_bpe(deduped, "text", n_merges=40, max_words=500)
+    vocab = build_vocab(model, specials)
+    with_ids = bpe_encode_ids(deduped, "text", model, specials=specials)
+    budgeted = with_ids.withColumn(
+        "n_tok", F.size("bpe_ids") + F.lit(1)  # EOS-inclusive
+    )
+    asg = pack_sequences(
+        budgeted, id_col="doc_id", token_col="n_tok", max_tokens=128
+    )
+    rows = materialize_id_rows(
+        budgeted, asg, "doc_id", "bpe_ids",
+        seq_len=128, eos_id=vocab[EOS], pad_id=vocab[PAD],
+    ).toPandas()
+    assert not rows.overflow.any()  # EOS-inclusive budgets, no oversize
+    assert (rows.input_ids.map(len) == 128).all()
+    per_doc = with_ids.toPandas()
+    assert rows.n_real_tokens.sum() == sum(
+        len(r) + 1 for r in per_doc.bpe_ids
+    )
+    # the id stream decodes back to the surviving corpus text
+    from clustering_spark.operators.bpe import bpe_decode_ids
+
+    decoded = set()
+    for _, r in rows.iterrows():
+        # split the flat stream back on per-doc boundaries via doc_map
+        by_doc: dict[int, list[int]] = {}
+        for i, o in zip(r.input_ids, r.doc_map):
+            if o >= 0:
+                by_doc.setdefault(o, []).append(i)
+        for ids in by_doc.values():
+            decoded.add(bpe_decode_ids(list(ids), model, specials=specials))
+    want = {r.text for r in deduped.collect()}
+    assert decoded == want

@@ -393,9 +393,7 @@ def test_emit_id_rows_end_to_end(spark):
         jaccard_threshold=0.99,
         pack_max_tokens=256,
         bpe_model=model,
-        emit_id_rows=True,
-        eos_id=7,
-        pad_id=0,
+        emit_id_rows=True,  # eos/pad default to the RESERVED specials
     )
     out = trainprep.prepare_corpus(df, cfg)
     rows = out["id_rows"].toPandas()
@@ -403,7 +401,11 @@ def test_emit_id_rows_end_to_end(spark):
     assert (rows.input_ids.map(len) == 256).all()
     assert (rows.doc_map.map(len) == 256).all()
     survivors = out["unique"]
-    per_doc = bpe_encode_ids(survivors, "text", model).toPandas()
+    from clustering_spark.operators.bpe import EOS, PAD, UNK
+
+    per_doc = bpe_encode_ids(
+        survivors, "text", model, specials=(UNK, PAD, EOS)
+    ).toPandas()
     assert rows.n_real_tokens.sum() == sum(
         len(r) + 1 for r in per_doc.bpe_ids
     )
