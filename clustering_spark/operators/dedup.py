@@ -1652,7 +1652,7 @@ def semantic_dedup_pairs(
     if centroids is not None:
         idx.centroids = np.asarray(centroids, dtype=np.float64)
     else:
-        idx.fit(df, vec_col)
+        idx.fit(df, vec_col)  # IVFIndex numpy fit: no JVM job to guard
     celled = base.withColumn("cell", idx._cell_expr("__v"))
     cols = [f.name for f in out_schema.fields]
 
