@@ -2624,7 +2624,8 @@ FROM documents
 # =====================================================================
 
 _WARC_CRAWL_DIR = "/tmp/spark_graft_warc_crawl"
-_WARC_N_RECORDS = 120
+_WARC_N_RECORDS = 120   # gzip-member segment (the crawl wire layout)
+_WARC_N_PLAIN = 30      # plain uncompressed segment (both layouts gated)
 
 
 def _crawl_payload_text(i: int) -> str:
@@ -2639,9 +2640,12 @@ def _write_crawl_warc() -> str:
     """Deterministic two-file crawl fixture at a FIXED path:
     ``crawl.warc.gz`` uses the per-record-gzip-member wire layout
     Common-Crawl-style segments ship (every 6th record is a request,
-    excluded downstream; every 10th-i%10==3 response is a 404), and
-    ``junk.warc`` is structural garbage exercising the per-file
-    corrupt-degrade contract. Each response body is the strip_html
+    excluded downstream; every 10th-i%10==3 response is a 404),
+    ``plain.warc`` carries the same construction UNCOMPRESSED (both
+    wire layouts on the gate; its records continue the arithmetic at
+    construction ids >= _WARC_N_RECORDS while record_idx restarts per
+    file), and ``junk.warc`` is structural garbage exercising the
+    per-file corrupt-degrade contract. Each response body is the strip_html
     template from q_strip_html wrapped around _crawl_payload_text, so
     the SQL oracle reconstructs every output column from the
     construction rule alone — DuckDB never needs a WARC reader."""
@@ -2659,33 +2663,42 @@ def _write_crawl_warc() -> str:
     # corrupt rows and break the hash — drop everything that isn't
     # one of the two fixture names before (re)writing them
     for junk in os.listdir(_WARC_CRAWL_DIR):
-        if junk not in ("crawl.warc.gz", "junk.warc"):
+        if junk not in ("crawl.warc.gz", "plain.warc", "junk.warc"):
             try:
                 os.remove(os.path.join(_WARC_CRAWL_DIR, junk))
             except OSError:
                 pass
-    records = []
-    for i in range(_WARC_N_RECORDS):
-        url = f"http://site{i % 5}.example/page/{i}"
-        if i % 6 == 0:
-            records.append(("request", url, b"GET / HTTP/1.1\r\n\r\n"))
-            continue
-        html = (
-            "<!DOCTYPE html><html><head><style>p{color:red}</style></head>"
-            '<body><!-- nav --><script type="text/javascript">var x = 1 < 2;'
-            "</script><h1>Ti<b>tle</b></h1><p>"
-            + _crawl_payload_text(i)
-            + "</p></body></html>"
-        )
-        status = 404 if i % 10 == 3 else 200
-        records.append(
-            ("response", url, make_http_response(html.encode(), status))
-        )
-    blob = make_warc(records, gzip_members=True)
-    fd, tmp = tempfile.mkstemp(dir=_WARC_CRAWL_DIR)
-    with os.fdopen(fd, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, f"{_WARC_CRAWL_DIR}/crawl.warc.gz")
+    def _records(lo: int, hi: int) -> list:
+        recs = []
+        for i in range(lo, hi):
+            url = f"http://site{i % 5}.example/page/{i}"
+            if i % 6 == 0:
+                recs.append(("request", url, b"GET / HTTP/1.1\r\n\r\n"))
+                continue
+            html = (
+                "<!DOCTYPE html><html><head><style>p{color:red}</style>"
+                '</head><body><!-- nav --><script type="text/javascript">'
+                "var x = 1 < 2;</script><h1>Ti<b>tle</b></h1><p>"
+                + _crawl_payload_text(i)
+                + "</p></body></html>"
+            )
+            status = 404 if i % 10 == 3 else 200
+            recs.append(
+                ("response", url, make_http_response(html.encode(), status))
+            )
+        return recs
+
+    for fname, blob in (
+        ("crawl.warc.gz", make_warc(_records(0, _WARC_N_RECORDS),
+                                    gzip_members=True)),
+        ("plain.warc", make_warc(
+            _records(_WARC_N_RECORDS, _WARC_N_RECORDS + _WARC_N_PLAIN),
+            gzip_members=False)),
+    ):
+        fd, tmp = tempfile.mkstemp(dir=_WARC_CRAWL_DIR)
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, f"{_WARC_CRAWL_DIR}/{fname}")
     fd, tmp = tempfile.mkstemp(dir=_WARC_CRAWL_DIR)
     with os.fdopen(fd, "wb") as f:
         f.write(b"NOT A WARC SEGMENT")
@@ -2729,17 +2742,22 @@ def q_warc_crawl(spark, sf_dir):
 
 # the extracted text replays the SAME whitespace-pass skeleton as
 # SQL_STRIP_HTML (see that oracle's derivation comment) around the
-# arithmetic payload; record_idx counts ALL records in file order, so
-# response i keeps index i past the skipped request records
+# arithmetic payload; record_idx counts ALL records in file order
+# (restarting per file — plain.warc's records sit at construction ids
+# >= _WARC_N_RECORDS but re-index from 0), so response i keeps its
+# within-file index past the skipped request records
 SQL_WARC_CRAWL = f"""
-WITH idx AS (SELECT unnest(range({_WARC_N_RECORDS})) AS i),
+WITH idx AS (
+  SELECT unnest(range({_WARC_N_RECORDS + _WARC_N_PLAIN})) AS i
+),
 resp AS (
   SELECT i,
          'warc doc ' || i || ' alpha' || (i * 7) % 13
            || ' beta' || (i * 3) % 11 AS payload
   FROM idx WHERE i % 6 <> 0
 )
-SELECT i AS record_idx,
+SELECT CASE WHEN i < {_WARC_N_RECORDS} THEN i
+            ELSE i - {_WARC_N_RECORDS} END AS record_idx,
        'http://site' || (i % 5) || '.example/page/' || i AS url,
        CAST(CASE WHEN i % 10 = 3 THEN 404 ELSE 200 END AS BIGINT)
          AS http_status,
