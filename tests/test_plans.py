@@ -486,3 +486,38 @@ def test_pca_project_single_spread_no_wide_exchange(spark):
     p = formatted_plan(df)
     assert "hashpartitioning" not in p and "rangepartitioning" not in p
     assert count_shuffles(df) <= 1  # round-robin spread only
+
+
+def test_materialize_id_rows_is_jvm_only_one_inherent_shuffle(spark):
+    """The id-row materialization is the last op before the training
+    sink — it must stay native (array HOFs, no Python/Arrow eval node)
+    with only the inherent pack-member co-location shuffle beyond the
+    assignment's own applyInPandas grouping."""
+    from clustering_spark.operators.packing import (
+        materialize_id_rows,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [int(i), int(i) + 1]) for i in range(100)],
+        "doc_id long, ids array<int>",
+    )
+    asg = pack_sequences(
+        docs.selectExpr("doc_id", "size(ids) + 1 AS n_tok"),
+        "doc_id", "n_tok", max_tokens=16, num_buckets=4,
+    )
+    rows = materialize_id_rows(
+        docs, asg, "doc_id", "ids", seq_len=16, eos_id=-2, pad_id=-3
+    )
+    # cut the plan at the (already-pinned-elsewhere) packing stage:
+    # audit only the materialization ABOVE a static assignment
+    static = spark.createDataFrame(asg.collect(), asg.schema)
+    rows2 = materialize_id_rows(
+        docs, static, "doc_id", "ids", seq_len=16, eos_id=-2, pad_id=-3
+    )
+    tree = plan_tree(rows2)
+    assert "ArrowEval" not in tree and "BatchEvalPython" not in tree
+    # join + groupBy over two in-memory sides: exchanges are bounded
+    assert count_shuffles(rows2) <= 3
+    pdf = rows.toPandas()
+    assert (pdf.input_ids.map(len) == 16).all()
