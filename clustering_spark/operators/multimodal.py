@@ -721,23 +721,31 @@ def _wav_meta(b: bytes) -> tuple[str, int, int, int, int, float]:
 
     The chunk walk honors the RIFF spec's WORD alignment (odd-sized
     chunks are followed by a pad byte) and tolerates extra chunks
-    (LIST/INFO, fact, cue) in any order. ``format`` is 'wav-pcm' for
-    format code 1, 'wav-float' for 3, else 'wav-other' — compressed
-    payloads are still measurable from the header (n_frames via
-    block_align), they just aren't decodable here."""
+    (LIST/INFO, fact, cue) in any order. ``format`` names the codec
+    family via audio_codec.WAV_FORMAT_NAMES ('wav-pcm', 'wav-float',
+    'wav-ulaw', 'wav-alaw', 'wav-ima-adpcm'; WAVE_FORMAT_EXTENSIBLE
+    resolves through its SubFormat GUID), else 'wav-other'. For
+    block codecs (IMA ADPCM) ``n_frames`` counts real sample frames
+    via the fmt chunk's wSamplesPerBlock, not blocks."""
+    from clustering_spark.operators.audio_codec import (
+        WAV_FORMAT_NAMES,
+        _parse_fmt,
+    )
+
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos = 12
     fmt_code = channels = rate = bits = block_align = None
+    samples_per_block = None
     data_size = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         body = b[pos + 8 : pos + 8 + csize]
         if cid == b"fmt " and len(body) >= 16:
-            fmt_code, channels, rate, _brate, block_align, bits = struct.unpack(
-                "<HHIIHH", body[:16]
-            )
+            fmt_code, channels, rate, block_align, bits = _parse_fmt(body)
+            if fmt_code == 0x11 and len(body) >= 20:
+                (samples_per_block,) = struct.unpack("<H", body[18:20])
         elif cid == b"data":
             # header may promise more than the blob carries (truncated
             # upload): measure what is actually present
@@ -748,7 +756,9 @@ def _wav_meta(b: bytes) -> tuple[str, int, int, int, int, float]:
     if channels == 0 or rate == 0 or block_align == 0:
         raise ValueError("degenerate fmt chunk")
     frames = data_size // block_align
-    fmt = {1: "wav-pcm", 3: "wav-float"}.get(fmt_code, "wav-other")
+    if samples_per_block:  # block codec: frames = blocks x samples/block
+        frames *= samples_per_block
+    fmt = WAV_FORMAT_NAMES.get(fmt_code, "wav-other")
     return fmt, channels, rate, bits, frames, frames / rate
 
 
@@ -801,19 +811,23 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def audio_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
-    """Per-blob loudness/activity/spectral features over 16-bit PCM
-    WAV — RMS, absolute peak (both normalized to [0, 1]),
-    zero-crossing rate (sign flips per sample on the channel-mean
-    signal), and the magnitude-spectrum centroid + bandwidth in Hz
-    (one numpy rFFT over the same signal): the silence-gate /
-    clipping-gate / tone-vs-noise signals of audio corpus curation,
-    computed as ONE vectorized numpy pass per blob inside mapInPandas
-    (Arrow batches; no row-at-a-time Python). A zero-energy signal
-    has no spectral shape: centroid/bandwidth degrade to NULL while
-    rms/peak stay 0. Blobs that aren't 16-bit PCM WAV (other
-    depths/codecs, corrupt, NULL) degrade to NULL features — route
-    them with audio_header_meta first."""
+    """Per-blob loudness/activity/spectral features over every WAV
+    codec ``audio_codec.decode_wav_samples`` covers (integer PCM
+    8/16/24/32, IEEE float, G.711 mu-law/A-law, IMA ADPCM,
+    WAVE_FORMAT_EXTENSIBLE) — RMS, absolute peak (both normalized to
+    [0, 1]), zero-crossing rate (sign flips per sample on the
+    channel-mean signal), and the magnitude-spectrum centroid +
+    bandwidth in Hz (one numpy rFFT over the same signal): the
+    silence-gate / clipping-gate / tone-vs-noise signals of audio
+    corpus curation, computed as ONE vectorized numpy pass per blob
+    inside mapInPandas (Arrow batches; no row-at-a-time Python). A
+    zero-energy signal has no spectral shape: centroid/bandwidth
+    degrade to NULL while rms/peak stay 0. Blobs outside the decoder's
+    codec set (MP3-in-WAV, proprietary ADPCMs, corrupt, NULL) degrade
+    to NULL features — route them with audio_header_meta first."""
     import numpy as np
+
+    from clustering_spark.operators.audio_codec import decode_wav_samples
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -827,26 +841,9 @@ def audio_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 row["id"] = rid
                 try:
                     b = bytes(blob)
-                    fmt, ch, rate, bits, frames, _dur = _wav_meta(b)
-                    if fmt == "wav-pcm" and bits == 16 and frames > 0:
-                        # locate the data chunk payload
-                        pos, payload = 12, None
-                        while pos + 8 <= len(b):
-                            cid = b[pos : pos + 4]
-                            (csize,) = struct.unpack(
-                                "<I", b[pos + 4 : pos + 8]
-                            )
-                            if cid == b"data":
-                                payload = b[pos + 8 : pos + 8 + csize]
-                                break
-                            pos += 8 + csize + (csize & 1)
-                        n = (len(payload) // (2 * ch)) * ch
-                        x = (
-                            np.frombuffer(payload, dtype="<i2", count=n)
-                            .reshape(-1, ch)
-                            .mean(axis=1)
-                            / 32768.0
-                        )
+                    frames, rate = decode_wav_samples(b)
+                    if len(frames) > 0:
+                        x = frames.mean(axis=1)
                         row["rms"] = float(np.sqrt((x**2).mean()))
                         row["peak"] = float(np.abs(x).max())
                         s = np.signbit(x)
@@ -872,7 +869,10 @@ def audio_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                                     (((freqs - cen) ** 2) * mag).sum() / total
                                 )
                             )
-                except (ValueError, struct.error, TypeError, AttributeError):
+                except (
+                    NotImplementedError, ValueError,
+                    struct.error, TypeError, AttributeError,
+                ):
                     pass  # NULL features: undecodable residue, not a crash
                 out.append(row)
             yield pd.DataFrame(out, columns=cols)
