@@ -1335,6 +1335,179 @@ def make_avi(
     return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
 
 
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def make_avi_mjpeg(frames, fps: float = 25.0, in_rec_lists: bool = False) -> bytes:
+    """Deterministic MJPEG AVI fixture: each element of ``frames`` is
+    an (H, W) gray or (H, W, 3) RGB uint8 array, encoded to a real
+    baseline JPEG (operators/jpeg.encode_baseline) and laid out as a
+    '00dc' chunk in LIST movi, after a spec-shaped LIST hdrl (avih +
+    strl with an 'MJPG'-handler strh and a BITMAPINFOHEADER strf).
+    ``in_rec_lists=True`` wraps each frame chunk in a LIST 'rec '
+    group — the interleaved layout some muxers emit — to exercise the
+    extractor's recursive walk."""
+    import numpy as np
+
+    from clustering_spark.operators.jpeg import encode_baseline
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    avih = struct.pack(
+        "<14I",
+        int(1e6 / fps), 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, int(fps), 0, len(frames), 0, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(_riff_chunk(b"strh", strh)) + len(_riff_chunk(b"strf", strf))
+    ) + b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + _riff_chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = bytearray(b"movi")
+    for f in frames:
+        dc = _riff_chunk(b"00dc", encode_baseline(f))
+        if in_rec_lists:
+            dc = b"LIST" + struct.pack("<I", 4 + len(dc)) + b"rec " + dc
+        movi_body += dc
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
+    inner = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+
+def avi_video_frames(b: bytes):
+    """Yield ``(frame_idx, payload_bytes)`` for the video-stream
+    chunks ('##dc'/'##db') inside a RIFF/AVI LIST movi, descending
+    into LIST 'rec ' interleave groups. Codec-agnostic at this layer —
+    the payload is whatever the muxer wrote (JPEG bytes for MJPEG).
+    Raises ValueError if the container is not RIFF/AVI; a truncated
+    movi stops at the boundary (frames before the cut survive, the
+    same salvage contract as read_warc)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    idx = 0
+
+    def walk(buf: bytes):
+        nonlocal idx
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (csize,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + csize]
+            if cid == b"LIST" and body[:4] in (b"movi", b"rec "):
+                # descend into whatever bytes a (possibly truncated)
+                # LIST actually carries — frames before the cut survive
+                yield from walk(body[4:])
+                if len(body) < csize:
+                    return
+            elif len(body) < csize:
+                return  # truncated leaf chunk: stop at the boundary
+            elif (
+                len(cid) == 4
+                and cid[:2].isdigit()
+                and cid[2:] in (b"dc", b"db")
+            ):
+                yield idx, body
+                idx += 1
+            pos += 8 + csize + (csize & 1)
+
+    yield from walk(b[12:])
+
+
+AVI_FRAME_SCHEMA = (
+    "id long, frame_idx int, width int, height int, "
+    "mean_luma double, frame binary"
+)
+
+
+def avi_frame_sample(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    every_n: int = 1,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Decode-and-sample MJPEG AVI video blobs: every n-th video chunk
+    is decoded with the repo's own baseline JPEG codec and emitted as
+    (id, frame_idx, width, height, mean_luma, frame) where ``frame``
+    is the original JPEG bytes — directly consumable by image_dhash /
+    resize_images / decode_image_meta, so video dedup composes with
+    the image stages. ``max_frames`` caps the fan-out per blob (a
+    long video should not explode a task).
+
+    Mixed-corpus contract: a non-AVI or NULL blob yields no rows (use
+    media_header_meta to route first); a frame whose payload is not a
+    decodable baseline JPEG keeps its row with NULL width/height/
+    mean_luma and the payload preserved — observable, never
+    batch-fatal. This is honest MJPEG-only video decode: real codecs
+    (H.264 & co) stay behind the NotImplementedError gate in
+    decode_image_meta, but the MJPEG family — the one video codec that
+    IS stdlib-decodable — now decodes for real."""
+    import numpy as np
+
+    from clustering_spark.operators.jpeg import decode_baseline
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "frame_idx", "width", "height", "mean_luma", "frame"]
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                try:
+                    frames = avi_video_frames(b)
+                    taken = 0
+                    for fidx, payload in frames:
+                        if fidx % every_n:
+                            continue
+                        if max_frames is not None and taken >= max_frames:
+                            break
+                        row = {
+                            "id": rid, "frame_idx": fidx,
+                            "width": None, "height": None,
+                            "mean_luma": None, "frame": payload,
+                        }
+                        try:
+                            w, h, ch, samples = decode_baseline(payload)
+                            arr = np.frombuffer(
+                                samples, dtype=np.uint8
+                            ).reshape(h, w, ch)
+                            luma = (
+                                0.299 * arr[:, :, 0]
+                                + 0.587 * arr[:, :, 1]
+                                + 0.114 * arr[:, :, 2]
+                                if ch == 3
+                                else arr[:, :, 0].astype(np.float64)
+                            )
+                            row["width"], row["height"] = w, h
+                            row["mean_luma"] = float(luma.mean())
+                        except (NotImplementedError, ValueError):
+                            pass  # undecodable frame: observable NULLs
+                        out.append(row)
+                        taken += 1
+                except ValueError:
+                    continue  # not an AVI container: no frames
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, AVI_FRAME_SCHEMA
+    )
+
+
 def synthetic_media_blob(d: int) -> bytes:
     """Deterministic mixed-corpus blob for integer id ``d`` — the gate
     fixture generator behind the ``media_metadata`` oracle entry: the
