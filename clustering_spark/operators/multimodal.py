@@ -218,6 +218,15 @@ def image_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                             # routing signal: this variant needs PIL,
                             # the baseline family decodes natively
                             fmt = "jpeg-progressive"
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        from clustering_spark.operators.gif import gif_meta
+
+                        w, h, n_frames = gif_meta(b)
+                        # routing signal mirroring jpeg-progressive:
+                        # stills decode natively (first frame IS the
+                        # image); animations keep dims here and full
+                        # decode routes through PIL when present
+                        fmt = "gif" if n_frames == 1 else "gif-animated"
                 except (ValueError, struct.error):
                     fmt, w, h = "corrupt", None, None
                 out.append({"id": rid, "format": fmt, "width": w, "height": h})
@@ -284,6 +293,19 @@ def _jpeg_meta(b: bytes) -> tuple[int, int, float]:
     return w, h, float(arr.mean()) if arr.size else 0.0
 
 
+def _gif_meta(b: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_intensity) via the stdlib+numpy GIF
+    decoder (operators/gif.decode_gif, first frame) — the third
+    codec-free family next to _png_meta and _jpeg_meta."""
+    import numpy as np
+
+    from clustering_spark.operators.gif import decode_gif
+
+    w, h, _ch, samples = decode_gif(b)
+    arr = np.frombuffer(samples, dtype=np.uint8)
+    return w, h, float(arr.mean()) if arr.size else 0.0
+
+
 IMAGE_META_SCHEMA = "id long, width int, height int, n_pixels long, mean_intensity double"
 
 
@@ -344,6 +366,9 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                         w, h, mean = _png_meta(b)
                     except NotImplementedError:
                         w, h, mean = _pil_meta(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    # stdlib GIF decode (first frame), PIL not needed
+                    w, h, mean = _gif_meta(b)
                 elif _HAVE_PIL:
                     w, h, mean = _pil_meta(b)
                 elif b[:2] == JPEG_MAGIC:
@@ -357,7 +382,7 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                         "no decoder for this image format in this "
                         "environment; supported without codecs: the "
                         "synthetic FAKE container, baseline 8-bit PNG, "
-                        "and baseline sequential JPEG"
+                        "baseline sequential JPEG, and GIF"
                     )
                 out.append(
                     {
@@ -583,9 +608,9 @@ def make_png(
 
 def _decode_gray(b: bytes):
     """(H, W) float64 grayscale array for the codec-free formats (FAKE
-    container, baseline 8-bit PNG, baseline sequential JPEG); raises
-    NotImplementedError for formats needing a real codec — the same
-    gate as decode_image_meta."""
+    container, baseline 8-bit PNG, baseline sequential JPEG, GIF);
+    raises NotImplementedError for formats needing a real codec — the
+    same gate as decode_image_meta."""
     import numpy as np
 
     if b[:4] == MAGIC:
@@ -595,11 +620,19 @@ def _decode_gray(b: bytes):
             .reshape(h, w)
             .astype(np.float64)
         )
-    if b[: len(PNG_MAGIC)] == PNG_MAGIC or b[:2] == JPEG_MAGIC:
+    if (
+        b[: len(PNG_MAGIC)] == PNG_MAGIC
+        or b[:2] == JPEG_MAGIC
+        or b[:6] in (b"GIF87a", b"GIF89a")
+    ):
         if b[:2] == JPEG_MAGIC:
             from clustering_spark.operators.jpeg import decode_baseline
 
             w, h, ch, samples = decode_baseline(b)
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            from clustering_spark.operators.gif import decode_gif
+
+            w, h, ch, samples = decode_gif(b)
         else:
             w, h, ch, samples = _png_decode(b)
         arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
@@ -614,8 +647,8 @@ def _decode_gray(b: bytes):
             )
         return arr[:, :, 0].astype(np.float64)
     raise NotImplementedError(
-        "dhash supports the FAKE container, baseline 8-bit PNG, and "
-        "baseline sequential JPEG without codecs"
+        "dhash supports the FAKE container, baseline 8-bit PNG, "
+        "baseline sequential JPEG, and GIF without codecs"
     )
 
 

@@ -1,0 +1,198 @@
+"""GIF codec (operators/gif.py): LZW round-trips through the module's
+own encoder (variable code width, table reset, interlace, cScSc), the
+block-walk header pass, malformed-input gates, and the multimodal
+integration (header routing, decode_image_meta, dHash).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from clustering_spark.operators.gif import (
+    decode_gif,
+    encode_gif,
+    gif_meta,
+)
+
+
+def _rgb(samples: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(samples, np.uint8).reshape(h, w, 3)
+
+
+class TestRoundTrip:
+    def test_gray_exact(self):
+        rng = np.random.default_rng(1)
+        g = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+        w, h, ch, samples = decode_gif(encode_gif(g))
+        assert (w, h, ch) == (53, 37, 3)
+        arr = _rgb(samples, w, h)
+        assert (arr == g[:, :, None]).all()  # gray palette is identity
+
+    def test_rgb_palette_exact(self):
+        rng = np.random.default_rng(2)
+        pal = rng.integers(0, 256, (100, 3)).astype(np.uint8)
+        img = pal[rng.integers(0, 100, (41, 29))]
+        w, h, ch, samples = decode_gif(encode_gif(img))
+        assert (_rgb(samples, w, h) == img).all()
+
+    def test_interlaced_exact(self):
+        rng = np.random.default_rng(3)
+        g = rng.integers(0, 256, (50, 20)).astype(np.uint8)
+        b = encode_gif(g, interlace=True)
+        w, h, ch, samples = decode_gif(b)
+        assert (_rgb(samples, w, h)[:, :, 0] == g).all()
+
+    def test_table_reset_big_image(self):
+        # enough entropy to fill the 4096-entry LZW table repeatedly
+        rng = np.random.default_rng(4)
+        g = rng.integers(0, 256, (200, 300)).astype(np.uint8)
+        w, h, ch, samples = decode_gif(encode_gif(g))
+        assert (_rgb(samples, w, h)[:, :, 0] == g).all()
+
+    def test_constant_image_cscsc_path(self):
+        g = np.full((64, 64), 7, np.uint8)
+        w, h, ch, samples = decode_gif(encode_gif(g))
+        assert (_rgb(samples, w, h)[:, :, 0] == 7).all()
+
+    def test_two_color_small_code_size(self):
+        # 2 colors -> 2-entry palette -> min LZW code size 2 (floor)
+        img = np.zeros((10, 16, 3), np.uint8)
+        img[:, 8:] = (255, 0, 0)
+        w, h, ch, samples = decode_gif(encode_gif(img))
+        assert (_rgb(samples, w, h) == img).all()
+
+    def test_gif87a_version(self):
+        g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        b = encode_gif(g, version=b"GIF87a")
+        assert b[:6] == b"GIF87a"
+        w, h, ch, samples = decode_gif(b)
+        assert (_rgb(samples, w, h)[:, :, 0] == g).all()
+
+    def test_too_many_colors_rejected(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+        with pytest.raises(ValueError, match="distinct colors"):
+            encode_gif(img)
+
+
+class TestHeaderWalk:
+    def test_meta_counts_frames_and_skips_extensions(self):
+        g = np.arange(100, dtype=np.uint8).reshape(10, 10)
+        b = bytearray(encode_gif(g))
+        # splice a graphic-control extension before the image block
+        # (descriptor starts after the 13-byte header + 768-byte
+        # identity palette — find() would hit 0x2C inside the palette)
+        at = 13 + 768
+        assert b[at] == 0x2C
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        spliced = bytes(b[:at]) + gce + bytes(b[at:])
+        w, h, n = gif_meta(spliced)
+        assert (w, h, n) == (10, 10, 1)
+        # the decoder also walks past the extension
+        ww, hh, _, _ = decode_gif(spliced)
+        assert (ww, hh) == (10, 10)
+
+    def test_meta_multi_frame(self):
+        g1 = encode_gif(np.zeros((4, 4), np.uint8))
+        # append a second image block by splicing before the trailer
+        body = g1[:-1]
+        second = g1[13 + 768 : -1]  # descriptor+lzw of the first frame
+        two = body + second + b"\x3b"
+        assert gif_meta(two)[2] == 2
+
+    def test_not_gif_raises(self):
+        with pytest.raises(ValueError, match="not a GIF"):
+            gif_meta(b"PNG....")
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"JFIF")
+
+    def test_truncated_subblocks_raise(self):
+        g = encode_gif(np.zeros((8, 8), np.uint8))
+        with pytest.raises(ValueError):
+            decode_gif(g[: len(g) - 20])
+
+    def test_unknown_block_raises(self):
+        g = bytearray(encode_gif(np.zeros((4, 4), np.uint8)))
+        at = 13 + 768
+        assert g[at] == 0x2C
+        g[at] = 0x99
+        with pytest.raises(ValueError, match="unknown GIF block"):
+            decode_gif(bytes(g))
+
+    def test_pixel_budget_guard(self):
+        # 65535x65535 logical screen in a 30-byte stream must be
+        # rejected before allocating the canvas
+        hdr = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+        with pytest.raises(ValueError, match="budget"):
+            decode_gif(hdr + b"\x2c" + b"\x00" * 12)
+
+    def test_lzw_underrun_is_loud(self):
+        g = bytearray(encode_gif(np.zeros((16, 16), np.uint8)))
+        # zero out the last data sub-block length prefix chain: cut
+        # pixels by truncating LZW data but keep structure parseable
+        b = bytes(g)
+        at = 13 + 768
+        assert b[at] == 0x2C
+        # rebuild with half the lzw payload
+        desc_end = at + 10 + 1  # descriptor + min-code byte
+        n = b[desc_end]
+        cut = b[: desc_end + 1 + n // 4]
+        cut += b"\x00\x3b"  # terminator + trailer
+        # shrink the sub-block length prefix to match what remains
+        cut = bytearray(cut)
+        cut[desc_end] = n // 4
+        with pytest.raises(ValueError, match="underrun|truncated|end of file"):
+            decode_gif(bytes(cut))
+
+
+class TestMultimodalIntegration:
+    def test_header_meta_routes_gif(self, spark):
+        from clustering_spark.operators.multimodal import image_header_meta
+
+        g = encode_gif(np.zeros((12, 20), np.uint8))
+        g1 = encode_gif(np.zeros((4, 4), np.uint8))
+        two = g1[:-1] + g1[13 + 768 : -1] + b"\x3b"  # 2 frames
+        df = spark.createDataFrame(
+            [(1, bytearray(g)), (2, bytearray(two)),
+             (3, bytearray(b"GIF89a" + b"\xff" * 4))],
+            "id long, blob binary",
+        )
+        got = {
+            r["id"]: r.asDict()
+            for r in image_header_meta(df, "blob", "id").collect()
+        }
+        assert got[1]["format"] == "gif"
+        assert (got[1]["width"], got[1]["height"]) == (20, 12)
+        assert got[2]["format"] == "gif-animated"
+        assert got[3]["format"] == "corrupt"
+
+    def test_decode_image_meta_gif(self, spark):
+        from clustering_spark.operators.multimodal import decode_image_meta
+
+        g = np.full((10, 10), 80, np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_gif(g)))], "id long, blob binary"
+        )
+        r = decode_image_meta(df, "blob", "id").collect()[0]
+        assert (r["width"], r["height"], r["n_pixels"]) == (10, 10, 100)
+        assert abs(r["mean_intensity"] - 80.0) < 1e-9
+
+    def test_dhash_covers_gif_and_matches_png_twin(self, spark):
+        # the same pixels through GIF and PNG must produce the SAME
+        # perceptual hash — dhash is decode-invariant by construction
+        from clustering_spark.operators.multimodal import (
+            image_dhash,
+            make_png,
+        )
+
+        rng = np.random.default_rng(6)
+        g = rng.integers(0, 256, (24, 33)).astype(np.uint8)
+        png = make_png(33, 24, g.tobytes(), color_type=0)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_gif(g))), (2, bytearray(png))],
+            "id long, blob binary",
+        )
+        got = {r["id"]: r["dhash"] for r in image_dhash(df, "blob", "id").collect()}
+        assert got[1] is not None
+        assert got[1] == got[2]

@@ -217,8 +217,9 @@ class TestJpeg:
             (1, jpeg_bytes),
             (2, mm.make_fake_image(4, 3, fill=10)),
             (3, mm.make_png(5, 2, bytes(10), 0)),
-            (4, b"GIF89a not supported"),
+            (4, b"BM not a supported format"),  # BMP: no decoder
             (5, b"\xff\xd8\xff\xd9"),  # JPEG SOI+EOI, no SOF: corrupt
+            (6, b"GIF89a not a real gif"),  # GIF magic, garbage body
         ]
         df = spark.createDataFrame(rows, "id long, img binary")
         out = mm.image_header_meta(df, "img", "id").toPandas().set_index("id")
@@ -231,6 +232,7 @@ class TestJpeg:
         assert out.loc[4, "format"] == "unknown"
         assert out.loc[4, "width"] is None or out.isna().loc[4, "width"]
         assert out.loc[5, "format"] == "corrupt"
+        assert out.loc[6, "format"] == "corrupt"  # GIF is routed now
 
     def test_decode_jpeg_without_pil_real_pixels(self, spark, jpeg_bytes):
         """The round-11 capability close: baseline JPEG pixel decode no
