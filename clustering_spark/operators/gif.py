@@ -67,12 +67,23 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
     out = bytearray()
     prev: int | None = None
 
-    bitpos = 0
-    nbits = len(data) * 8
-    buf = int.from_bytes(data, "little")
-    while bitpos + code_size <= nbits:
-        code = (buf >> bitpos) & ((1 << code_size) - 1)
-        bitpos += code_size
+    # streaming LSB-first bit accumulator: O(1) per code. (A whole-
+    # stream int.from_bytes + shift would be O(stream) PER CODE —
+    # quadratic on megabyte LZW streams.)
+    acc = 0
+    accbits = 0
+    bytepos = 0
+    n = len(data)
+    while True:
+        while accbits < code_size and bytepos < n:
+            acc |= data[bytepos] << accbits
+            accbits += 8
+            bytepos += 1
+        if accbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        accbits -= code_size
         if code == clear:
             table = list(base)
             code_size = min_code_size + 1

@@ -1431,24 +1431,32 @@ def avi_video_frames(b: bytes):
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
 
+    # iterative walk with an explicit stack: a crafted AVI nesting
+    # thousands of LIST 'rec ' levels must not RecursionError the task
+    # (untrusted crawl input). Each stack frame is (buffer, pos,
+    # truncated_parent) — truncated LISTs still yield the frames they
+    # actually carry (salvage), then stop their level.
     idx = 0
-
-    def walk(buf: bytes):
-        nonlocal idx
-        pos = 0
+    stack: list[tuple[bytes, int]] = [(b[12:], 0)]
+    while stack:
+        buf, pos = stack.pop()
         while pos + 8 <= len(buf):
             cid = buf[pos : pos + 4]
             (csize,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             body = buf[pos + 8 : pos + 8 + csize]
+            truncated = len(body) < csize
             if cid == b"LIST" and body[:4] in (b"movi", b"rec "):
-                # descend into whatever bytes a (possibly truncated)
-                # LIST actually carries — frames before the cut survive
-                yield from walk(body[4:])
-                if len(body) < csize:
-                    return
-            elif len(body) < csize:
-                return  # truncated leaf chunk: stop at the boundary
-            elif (
+                if truncated:
+                    # descend into the partial LIST; its parent level
+                    # ends here (frames before the cut survive)
+                    stack.append((body[4:], 0))
+                    break
+                stack.append((buf, pos + 8 + csize + (csize & 1)))
+                buf, pos = body[4:], 0
+                continue
+            if truncated:
+                break  # truncated leaf chunk: stop at the boundary
+            if (
                 len(cid) == 4
                 and cid[:2].isdigit()
                 and cid[2:] in (b"dc", b"db")
@@ -1456,8 +1464,6 @@ def avi_video_frames(b: bytes):
                 yield idx, body
                 idx += 1
             pos += 8 + csize + (csize & 1)
-
-    yield from walk(b[12:])
 
 
 AVI_FRAME_SCHEMA = (

@@ -136,3 +136,41 @@ class TestSparkFrameSample:
         )
         hashed = image_dhash(sampled, "frame", "fid").toPandas()
         assert hashed.dhash.notna().all()
+
+
+def test_deeply_nested_rec_lists_no_recursion_error():
+    """A crafted AVI nesting thousands of LIST 'rec ' levels is
+    untrusted-input DoS against a recursive walker — the iterative
+    walk must still find the frame."""
+    import struct
+
+    inner = b"00dc" + struct.pack("<I", 4) + b"test"
+    for _ in range(5000):
+        body = b"rec " + inner
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+    avi = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    assert list(avi_video_frames(avi)) == [(0, b"test")]
+
+
+def test_frames_after_nested_rec_list_keep_file_order():
+    """Frames inside a rec group and frames after it must come out in
+    file order with consecutive indices."""
+    import struct
+
+    def dc(payload):
+        return b"00dc" + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    rec_body = b"rec " + dc(b"one")
+    movi_body = (
+        b"movi"
+        + dc(b"zero")
+        + b"LIST" + struct.pack("<I", len(rec_body)) + rec_body
+        + dc(b"two")
+    )
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    avi = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+    assert list(avi_video_frames(avi)) == [
+        (0, b"zero"), (1, b"one"), (2, b"two")
+    ]

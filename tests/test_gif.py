@@ -196,3 +196,19 @@ class TestMultimodalIntegration:
         got = {r["id"]: r["dhash"] for r in image_dhash(df, "blob", "id").collect()}
         assert got[1] is not None
         assert got[1] == got[2]
+
+
+def test_megapixel_decode_is_linear_time():
+    """The LZW bit reader must be O(1) per code (streaming
+    accumulator) — a whole-stream bigint shifted per code is quadratic
+    and a 1.4 MB stream would take minutes, not sub-second. 5 s is a
+    generous CI bound that still fails hard on quadratic behavior."""
+    import time
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (1000, 1000)).astype(np.uint8)
+    b = encode_gif(g)
+    t0 = time.time()
+    w, h, ch, samples = decode_gif(b)
+    assert time.time() - t0 < 5.0
+    assert (_rgb(samples, w, h)[:, :, 0] == g).all()
