@@ -699,7 +699,7 @@ def image_dhash(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
+            ids, hashes = [], []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 try:
                     # TypeError covers bytes(None): a NULL blob is
@@ -707,8 +707,16 @@ def image_dhash(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                     h = _dhash64(_decode_gray(bytes(blob)))
                 except (NotImplementedError, ValueError, struct.error, TypeError):
                     h = None
-                out.append({"id": rid, "dhash": h})
-            yield pd.DataFrame(out, columns=["id", "dhash"])
+                ids.append(rid)
+                hashes.append(h)
+            # nullable Int64, NOT a dict-records DataFrame: mixing None
+            # with python ints infers float64, silently truncating any
+            # hash whose set-bit span exceeds the 53-bit mantissa before
+            # Arrow casts back to long (a few low bits lost — a wrong
+            # perceptual hash that still looks plausible)
+            yield pd.DataFrame(
+                {"id": ids, "dhash": pd.array(hashes, dtype="Int64")}
+            )
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         batches, DHASH_SCHEMA
@@ -1547,15 +1555,43 @@ def avi_frame_sample(
     )
 
 
+# Gray levels whose BT.601 luma on equal channels is EXACT in float64
+# (0.299*v + 0.587*v + 0.114*v == v): the GIF gate family draws its
+# pixels from this set so the decoded luma — decode_gif emits RGB, so
+# _decode_gray applies the luma formula — is bit-identical to the
+# palette index, keeping the dHash cell means integer-exact and the
+# SQL oracle able to replay them (191 of 256 levels qualify).
+EXACT_LUMAS = tuple(
+    v for v in range(256) if 0.299 * v + 0.587 * v + 0.114 * v == float(v)
+)
+
+
 def synthetic_media_blob(d: int) -> bytes:
     """Deterministic mixed-corpus blob for integer id ``d`` — the gate
     fixture generator behind the ``media_metadata`` oracle entry: the
     blob's header parameters are pure arithmetic in ``d`` (family =
-    d % 6), so a SQL oracle can compute the fields media_header_meta
+    d % 7), so a SQL oracle can compute the fields media_header_meta
     must recover without ever parsing bytes (the same round-trip
     template pattern as strip_html's entity-escaped oracle). Keep the
-    arithmetic in lock-step with SQL_MEDIA_METADATA in queries.py."""
-    fam = d % 6
+    arithmetic in lock-step with SQL_MEDIA_METADATA in queries.py.
+
+    Family 5 (round 12) is a REAL single-frame gray GIF: the oracle
+    still computes dims and dHash from the construction arithmetic
+    alone, but Spark can only match by actually LZW-decoding the GIF —
+    the codec itself is on the hash gate, the same trick as fam 0's
+    arithmetic pixels but through a real compressed format."""
+    fam = d % 7
+    if fam == 5:
+        import numpy as np
+
+        from clustering_spark.operators.gif import encode_gif
+
+        w, h = 9 + d % 21, 8 + (d // 17) % 12
+        y, x = np.mgrid[0:h, 0:w]
+        idx = (7 * x + 13 * y + d) % len(EXACT_LUMAS)
+        return encode_gif(
+            np.asarray(EXACT_LUMAS, dtype=np.uint8)[idx]
+        )
     if fam == 0:
         # patterned (not flat) FAKE image, dims >= 9x8 so the dHash
         # 9x8 area-mean grid has no empty/degenerate cells: pixel
@@ -1648,6 +1684,17 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                                 "jpeg"
                                 if sof in (0xC0, 0xC1)
                                 else "jpeg-progressive"
+                            )
+                        elif b[:6] in (b"GIF87a", b"GIF89a"):
+                            from clustering_spark.operators.gif import (
+                                gif_meta,
+                            )
+
+                            row["media_type"] = "image"
+                            w, h, n_frames = gif_meta(b)
+                            row["width"], row["height"] = w, h
+                            row["format"] = (
+                                "gif" if n_frames == 1 else "gif-animated"
                             )
                         elif b[:4] == b"RIFF":
                             # RIFF is a family, not a format: route on

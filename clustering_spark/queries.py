@@ -1774,16 +1774,21 @@ def q_media_metadata(spark, sf_dir):
     2. media_header_meta — the mixed-corpus header router (image/
        audio/video families in ONE mapInPandas scan) over a
        deterministic per-doc blob (synthetic_media_blob: FAKE image /
-       WAV / MP4 / WEBP / AVI / garbage keyed on doc_id % 6), whose
-       header parameters are pure arithmetic in doc_id so the DuckDB
-       oracle recomputes every field the router must recover without
-       parsing a byte — the strip_html round-trip template pattern;
-    3. image_dhash — the perceptual 64-bit dHash over the same blobs
-       (fam-0 images carry an arithmetic pixel pattern, so the oracle
+       WAV / MP4 / WEBP / AVI / GIF / garbage keyed on doc_id % 7),
+       whose header parameters are pure arithmetic in doc_id so the
+       DuckDB oracle recomputes every field the router must recover
+       without parsing a byte — the strip_html round-trip template
+       pattern;
+    3. image_dhash — the perceptual 64-bit dHash over the same blobs.
+       Fam-0 images carry an arithmetic pixel pattern, so the oracle
        ENUMERATES the pixels in SQL and replays the exact 9x8
-       area-mean + left>right bit packing; cell sums are small
-       integers, hence bit-identical doubles in both engines; the
-       other families decode to NULL on both sides).
+       area-mean + left>right bit packing; fam-5 (round 12) is a REAL
+       single-frame GIF of the same doctrine — pixels drawn from the
+       EXACT_LUMAS table so the decode->BT.601-luma path is
+       integer-exact — which puts the LZW codec itself on the hash
+       gate (Spark can only match by decoding the GIF). Cell sums are
+       integer-valued doubles, hence bit-identical in both engines;
+       the other families hash to NULL on both sides.
 
     The joins are doc_id-equi over the same scan; at gate scale AQE
     broadcasts them, and the real 100 TB surface is each stage alone."""
@@ -1828,28 +1833,56 @@ def q_media_metadata(spark, sf_dir):
         F.col("n_tracks").cast("long").alias("n_tracks"),
         "video_duration_sec",
     )
+    # the hash rides the GATE as a decimal STRING: a nullable int64
+    # column pays a float64 round-trip in both engines' pandas bridges
+    # (None + int infers float), and hashes whose set-bit span exceeds
+    # the 53-bit mantissa then round DIFFERENTLY in Arrow vs DuckDB
+    # (found on a real fam-5 value, doc 397 at sf0.001) — strings
+    # compare exactly; production callers keep the long column
     dh = image_dhash(blobs, "blob", "doc_id").select(
-        F.col("id").alias("doc_id"), "dhash"
+        F.col("id").alias("doc_id"),
+        F.col("dhash").cast("string").alias("dhash"),
     )
     return meta.join(hdr, "doc_id").join(dh, "doc_id")
 
 
-# Oracle twin of synthetic_media_blob's arithmetic (family = doc_id % 6)
+# Oracle twin of synthetic_media_blob's arithmetic (family = doc_id % 7)
 # — keep in lock-step with operators/multimodal.py:synthetic_media_blob.
-# The dh CTE replays _dhash64 exactly on the fam-0 pixel formula
-# (7x + 13y + d mod 256): enumerate pixels, bin them with the same
-# integer-division 9x8 edges, area-mean per cell (small-integer sums →
-# bit-identical doubles), bit = left > right, weight 2^(r*8+c) with the
-# top bit folded into BIGINT's sign.
-SQL_MEDIA_METADATA = """
+# The dh CTE replays _dhash64 exactly on the TWO decodable-image
+# families: fam 0's raw pixel formula (7x + 13y + d mod 256) and fam
+# 5's REAL GIF, whose pixels index the EXACT_LUMAS table (gray levels
+# with bit-exact BT.601 luma on equal channels — so Spark's
+# decode_gif → RGB → luma path lands on the same integers). Enumerate
+# pixels, bin with the same integer-division 9x8 edges, area-mean per
+# cell (integer-valued doubles → order-independent sums), bit = left >
+# right, weight 2^(r*8+c) with the top bit folded into BIGINT's sign.
+# Spark can only match fam 5 by actually LZW-decoding the GIF: the
+# codec is on the hash gate.
+
+
+def _media_metadata_sql() -> str:
+    from clustering_spark.operators.multimodal import EXACT_LUMAS
+
+    lumas = "[" + ", ".join(str(v) for v in EXACT_LUMAS) + "]"
+    n = len(EXACT_LUMAS)
+    return f"""
 WITH dims AS (
-  SELECT doc_id,
-         9 + doc_id % 24 AS w,
-         8 + (doc_id // 31) % 16 AS h
-  FROM documents WHERE doc_id % 6 = 0),
+  SELECT doc_id, 9 + doc_id % 24 AS w, 8 + (doc_id // 31) % 16 AS h,
+         0 AS fam
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 9 + doc_id % 21 AS w, 8 + (doc_id // 17) % 12 AS h,
+         5 AS fam
+  FROM documents WHERE doc_id % 7 = 5),
 px AS (
   SELECT d.doc_id, d.w, d.h, y.range AS y, x.range AS x,
-         CAST((7 * x.range + 13 * y.range + d.doc_id) % 256 AS DOUBLE) AS v
+         CASE WHEN d.fam = 0
+              THEN CAST((7 * x.range + 13 * y.range + d.doc_id) % 256
+                        AS DOUBLE)
+              ELSE CAST(({lumas})[
+                     CAST((7 * x.range + 13 * y.range + d.doc_id) % {n}
+                          AS INT) + 1] AS DOUBLE)
+         END AS v
   FROM dims d, range(33) x, range(24) y
   WHERE x.range < d.w AND y.range < d.h),
 cells AS (
@@ -1871,30 +1904,37 @@ dh AS (
   GROUP BY 1)
 SELECT t.doc_id, octet_length(encode(t.text)) AS n_bytes,
        sha256(t.text) AS content_sha256,
-       CASE t.doc_id % 6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       CASE t.doc_id % 7 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             WHEN 2 THEN 'video' WHEN 3 THEN 'image' WHEN 4 THEN 'video'
+            WHEN 5 THEN 'image'
             ELSE 'unknown' END AS media_type,
-       CASE t.doc_id % 6 WHEN 0 THEN 'fake' WHEN 1 THEN 'wav-pcm'
+       CASE t.doc_id % 7 WHEN 0 THEN 'fake' WHEN 1 THEN 'wav-pcm'
             WHEN 2 THEN 'mp4' WHEN 3 THEN 'webp' WHEN 4 THEN 'avi'
+            WHEN 5 THEN 'gif'
             ELSE 'unknown' END AS format,
-       CASE t.doc_id % 6 WHEN 0 THEN 9 + t.doc_id % 24
+       CASE t.doc_id % 7 WHEN 0 THEN 9 + t.doc_id % 24
             WHEN 3 THEN 1 + t.doc_id % 200
-            WHEN 4 THEN 320 END AS width,
-       CASE t.doc_id % 6 WHEN 0 THEN 8 + (t.doc_id // 31) % 16
+            WHEN 4 THEN 320
+            WHEN 5 THEN 9 + t.doc_id % 21 END AS width,
+       CASE t.doc_id % 7 WHEN 0 THEN 8 + (t.doc_id // 31) % 16
             WHEN 3 THEN 1 + (t.doc_id // 3) % 150
-            WHEN 4 THEN 240 END AS height,
-       CASE WHEN t.doc_id % 6 = 1 THEN 1 + t.doc_id % 2 END AS n_channels,
-       CASE WHEN t.doc_id % 6 = 1 THEN 8000 END AS sample_rate,
-       CASE WHEN t.doc_id % 6 = 1
+            WHEN 4 THEN 240
+            WHEN 5 THEN 8 + (t.doc_id // 17) % 12 END AS height,
+       CASE WHEN t.doc_id % 7 = 1 THEN 1 + t.doc_id % 2 END AS n_channels,
+       CASE WHEN t.doc_id % 7 = 1 THEN 8000 END AS sample_rate,
+       CASE WHEN t.doc_id % 7 = 1
             THEN (100 + t.doc_id % 100) / 8000.0 END AS audio_duration_sec,
-       CASE t.doc_id % 6 WHEN 2 THEN 1 + t.doc_id % 3
+       CASE t.doc_id % 7 WHEN 2 THEN 1 + t.doc_id % 3
             WHEN 4 THEN 1 + t.doc_id % 2 END AS n_tracks,
-       CASE t.doc_id % 6 WHEN 2 THEN (1 + t.doc_id % 10) / 2.0
+       CASE t.doc_id % 7 WHEN 2 THEN (1 + t.doc_id % 10) / 2.0
             WHEN 4 THEN CAST(1 + t.doc_id % 8 AS DOUBLE)
             END AS video_duration_sec,
-       dh.dhash AS dhash
+       CAST(dh.dhash AS VARCHAR) AS dhash
 FROM documents t LEFT JOIN dh ON t.doc_id = dh.doc_id
 """
+
+
+SQL_MEDIA_METADATA = _media_metadata_sql()
 
 
 def q_text_quality(spark, sf_dir):

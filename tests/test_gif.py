@@ -212,3 +212,28 @@ def test_megapixel_decode_is_linear_time():
     w, h, ch, samples = decode_gif(b)
     assert time.time() - t0 < 5.0
     assert (_rgb(samples, w, h)[:, :, 0] == g).all()
+
+
+def test_dhash_int64_exact_in_mixed_null_batches(spark):
+    """A batch mixing undecodable rows (NULL hash) with decodable ones
+    must not infer float64 for the hash column — an int64 whose set-bit
+    span exceeds the 53-bit mantissa would silently lose low bits
+    between pandas and Arrow (found live: synthetic_media_blob(397)'s
+    GIF). Pin the exact int through the Spark stage."""
+    from clustering_spark.operators.multimodal import (
+        _decode_gray,
+        _dhash64,
+        image_dhash,
+        synthetic_media_blob,
+    )
+
+    blob = synthetic_media_blob(397)  # fam 5 GIF, non-representable hash
+    expect = _dhash64(_decode_gray(blob))
+    assert float(expect) != expect  # the value MUST exercise the trap
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not an image")), (3, None)],
+        "id long, blob binary",
+    ).coalesce(1)  # one batch: int and None share a column
+    got = {r["id"]: r["dhash"] for r in image_dhash(df, "blob", "id").collect()}
+    assert got[1] == expect
+    assert got[2] is None and got[3] is None
