@@ -1,13 +1,21 @@
-"""Baseline JPEG (ITU-T T.81, Huffman sequential DCT) codec on the
-stdlib + numpy alone — no PIL/libjpeg in this container.
+"""JPEG (ITU-T T.81) Huffman DCT codec on the stdlib + numpy alone —
+no PIL/libjpeg in this container.
 
 This closes the last image-capability gate: ``decode_image_meta`` could
 parse JPEG headers natively (SOF walk) but had to raise for pixels
-without PIL. The decoder here handles the baseline process most web
-JPEGs use — SOF0/SOF1, 8-bit, grayscale or YCbCr, any sampling
-factors (4:4:4 / 4:2:2 / 4:2:0), restart markers, 16-bit quant
-tables — and raises honest ``NotImplementedError`` for progressive
-(SOF2) / arithmetic / hierarchical processes.
+without PIL. The decoder handles the two processes web JPEGs actually
+use — baseline/extended sequential (SOF0/SOF1) and, since round 12,
+PROGRESSIVE (SOF2, Annex G.2: spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB runs, restart
+intervals) — 8-bit, grayscale or YCbCr, any sampling factors
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, 16-bit quant tables.
+Lossless / arithmetic / hierarchical processes raise honest
+``NotImplementedError``. A progressive ENCODER (``encode_progressive``,
+script-driven scan schedule) exists so the progressive decoder is
+pinned by exact pixel parity against the sequential pipeline — both
+encoders share one coefficient-preparation path, so a progressive
+file and a baseline file of the same array decode to identical
+pixels.
 
 Speed posture, stated plainly: the entropy decode is a pure-Python
 bit-reader (the IDCT/upsample/color steps are vectorized numpy). Like
@@ -253,16 +261,22 @@ def _split_scan(b: bytes, pos: int):
 
 
 def decode_baseline(b: bytes):
-    """Decode a baseline JPEG. Returns ``(width, height, channels,
-    samples)`` with ``samples`` row-major uint8 bytes (graymap for 1
-    component, RGB for 3). Raises ``ValueError`` on malformed streams
-    and ``NotImplementedError`` for non-baseline processes — never
-    internal KeyError/IndexError/struct.error (fuzz-pinned in
-    tests/test_jpeg.py)."""
+    """Decode a Huffman-DCT JPEG — baseline/extended sequential
+    (SOF0/SOF1) or progressive (SOF2). Returns ``(width, height,
+    channels, samples)`` with ``samples`` row-major uint8 bytes
+    (graymap for 1 component, RGB for 3). Raises ``ValueError`` on
+    malformed streams and ``NotImplementedError`` for
+    lossless/arithmetic/hierarchical processes — never internal
+    KeyError/IndexError/struct.error (fuzz-pinned in tests/test_jpeg.py
+    and tests/test_jpeg_progressive.py). The name predates progressive
+    support and is kept for API stability; ``decode_jpeg`` aliases it."""
     try:
         return _decode_impl(b)
     except struct.error as exc:
         raise ValueError(f"malformed JPEG stream: {exc}") from exc
+
+
+decode_jpeg = decode_baseline
 
 
 # decompression-bomb guard: a few-hundred-byte stream whose SOF claims
@@ -279,6 +293,8 @@ def _decode_impl(b: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
     dri = 0  # restart interval in MCUs (0 = none declared)
+    progressive = False
+    prog_store = None  # cid -> (blocks_y, blocks_x, 64) int32 coefficients
     pos = 2
     n = len(b)
     while pos + 4 <= n:
@@ -288,8 +304,10 @@ def _decode_impl(b: bytes):
         if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before any scan
-            break
+        if marker == 0xD9:  # EOI
+            if progressive and prog_store is not None:
+                return _reconstruct_progressive(frame, prog_store, quant)
+            break  # EOI before any scan
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / stray RSTn: standalone markers, no length field
             pos += 2
@@ -336,7 +354,8 @@ def _decode_impl(b: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(
                     bits, vals
                 )
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1: Huffman sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # Huffman sequential/progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -379,22 +398,38 @@ def _decode_impl(b: bytes):
             if w == 0:
                 raise ValueError("zero-dimension frame")
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended sequential Huffman JPEG is "
-                f"supported (got SOF marker 0xFF{marker:02X} — "
-                "progressive/arithmetic/hierarchical)"
+                "only baseline/extended-sequential and progressive "
+                f"Huffman JPEG are supported (got SOF marker "
+                f"0xFF{marker:02X} — lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not payload:
+                raise ValueError("truncated SOS header")
             ns = payload[0]
-            scan_tabs = {}
+            scan_comps = []  # (cid, td, ta) in scan order
             for si in range(ns):
                 cs, tdta = payload[1 + 2 * si : 3 + 2 * si]
-                scan_tabs[cs] = (tdta >> 4, tdta & 0x0F)
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            scan_tabs = {cs: (td, ta) for cs, td, ta in scan_comps}
             w, h, comps = frame
+            if progressive:
+                if len(payload) < 4 + 2 * ns:
+                    raise ValueError("truncated progressive SOS header")
+                ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+                ahal = payload[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if prog_store is None:
+                    prog_store = _alloc_prog_store(frame)
+                pos = _decode_prog_scan(
+                    b, pos, frame, scan_comps, (ss, se, ah, al),
+                    huff_dc, huff_ac, dri, prog_store,
+                )
+                continue
             if ns != len(comps):
                 raise NotImplementedError(
                     "non-interleaved multi-scan baseline JPEG not supported"
@@ -418,6 +453,11 @@ def _decode_impl(b: bytes):
         # the RST markers themselves; DRI's interval additionally lets
         # the MCU loop advance at the declared boundary even when a
         # segment's byte padding isn't drained — see _decode_scan.)
+    if progressive and prog_store is not None:
+        # the 2-byte EOI can sit past the 4-byte marker-read window;
+        # every decoded scan was complete, so reconstruct (missing-EOI
+        # tolerance, matching common decoders)
+        return _reconstruct_progressive(frame, prog_store, quant)
     raise ValueError("no SOS marker — truncated JPEG")
 
 
@@ -471,7 +511,252 @@ def _decode_scan(b, pos, frame, scan_tabs, quant, huff_dc, huff_ac, dri=0):
             seg_i += 1
             br = _BitReader(segs[seg_i])
             preds = {cid: 0 for cid, *_ in comps}
-    # upsample + crop
+    return _planes_to_image(frame, planes)
+
+
+# ---------------------------------------------------- progressive decode
+#
+# T.81 Annex G.2 (public spec): a progressive frame accumulates
+# quantized coefficients across multiple scans — DC first/refine
+# (spectral band 0, successive-approximation bit planes) and AC
+# first/refine (bands [Ss, Se] of ONE component per scan, with
+# end-of-band run coding). The coefficient store persists across
+# scans; reconstruction (dequant + IDCT + upsample + color) happens
+# once, at EOI. The control flow below follows the spec's decision
+# tables (G.2.2), which the classic public decoders implement the
+# same way.
+
+
+def _comp_block_grid(frame, cid):
+    """(blocks_y, blocks_x) a NON-INTERLEAVED scan traverses for one
+    component: ceil dims of the component's own sample array (A.2.3),
+    NOT the MCU-padded grid."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for c, hi, vi, _tq in comps:
+        if c == cid:
+            cw = -(-w * hi // hmax)
+            ch = -(-h * vi // vmax)
+            return -(-ch // 8), -(-cw // 8)
+    raise ValueError(f"scan references unknown component {cid}")
+
+
+def _alloc_prog_store(frame):
+    """Per-component coefficient arrays at the MCU-padded block grid
+    (interleaved DC scans traverse the full padded grid; the
+    non-interleaved sub-grid is its top-left corner)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return {
+        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+        for cid, hi, vi, _tq in comps
+    }
+
+
+def _decode_prog_scan(
+    b, pos, frame, scan_comps, band, huff_dc, huff_ac, dri, store
+):
+    """Decode one progressive scan into ``store``; returns the byte
+    position of the terminating marker for the caller's marker walk."""
+    ss, se, ah, al = band
+    w, h, comps = frame
+    by_id = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
+    for cid, _td, _ta in scan_comps:
+        if cid not in by_id:
+            raise ValueError(f"SOS references unknown component {cid}")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0 (G.1.1.1)")
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not ss <= se <= 63:
+            raise ValueError(f"bad spectral band [{ss}, {se}]")
+    if ah and ah != al + 1:
+        raise ValueError(f"successive approximation Ah={ah} with Al={al}")
+    if al > 13:
+        raise ValueError(f"point transform Al={al} out of range")
+    for cid, td, ta in scan_comps:
+        if ss == 0 and ah == 0 and td not in huff_dc:
+            raise ValueError(f"missing Huffman table DC{td}")
+        if ss > 0 and ta not in huff_ac:
+            raise ValueError(f"missing Huffman table AC{ta}")
+
+    segs, end = _split_scan(b, pos)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    state = {"eobrun": 0, "preds": {cid: 0 for cid, _t, _a in scan_comps}}
+
+    if ss == 0 and len(scan_comps) > 1:
+        # interleaved DC scan: MCU traversal over the padded grid
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        total = mcus_x * mcus_y
+
+        def decode_unit(u):
+            my, mx = divmod(u, mcus_x)
+            for cid, td, _ta in scan_comps:
+                hi, vi = by_id[cid]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        blk = store[cid][my * vi + byy, mx * hi + bxx]
+                        _prog_dc(br, blk, huff_dc.get(td), ah, al,
+                                 state, cid)
+    else:
+        # single-component scan (DC or AC): component block raster
+        cid, td, ta = scan_comps[0]
+        bh, bw = _comp_block_grid(frame, cid)
+        total = bh * bw
+
+        def decode_unit(u):
+            blk = store[cid][u // bw, u % bw]
+            if ss == 0:
+                _prog_dc(br, blk, huff_dc.get(td), ah, al, state, cid)
+            elif ah == 0:
+                _prog_ac_first(br, blk, huff_ac[ta], ss, se, al, state)
+            else:
+                _prog_ac_refine(br, blk, huff_ac[ta], ss, se, al, state)
+
+    unit = 0
+    while unit < total:
+        decode_unit(unit)
+        unit += 1
+        # restart-boundary advance. With DRI declared, the boundary is
+        # authoritative — progressive units can be a few BITS each, so
+        # the sequential path's byte-drained heuristic fires early
+        # (the segment's last byte is buffered while undecoded bits
+        # for later units remain). Without DRI a conformant stream has
+        # no RSTs; the drained fallback only matters for stray ones.
+        if (
+            seg_i + 1 < len(segs)
+            and unit < total
+            and (
+                (dri and unit % dri == 0)
+                or (not dri and br.pos >= len(br.data) and br.n == 0)
+            )
+        ):
+            seg_i += 1
+            br = _BitReader(segs[seg_i])
+            state["eobrun"] = 0
+            state["preds"] = {c: 0 for c, _t, _a in scan_comps}
+    return end
+
+
+def _prog_dc(br, blk, dc_tab, ah, al, state, cid):
+    if ah == 0:  # first pass: full-precision diff, shifted up by Al
+        t = _decode_symbol(br, dc_tab)
+        diff = _extend(br.read(t), t) if t else 0
+        state["preds"][cid] += diff
+        blk[0] = state["preds"][cid] << al
+    else:  # refinement: one bit per block at position Al
+        if br.read(1):
+            blk[0] |= 1 << al
+    return blk
+
+
+def _prog_ac_first(br, blk, ac_tab, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        blk[ZIGZAG[k]] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(br, blk, ac_tab, ss, se, al, state):
+    """AC successive-approximation refinement (G.2.2 / the classic
+    public control flow): new coefficients arrive as ±1<<Al; every
+    already-nonzero coefficient passed over consumes one correction
+    bit; EOB runs carry correction bits for the rest of the band."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_symbol(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement code with size > 1 (corrupt scan)"
+                    )
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                c = int(blk[ZIGZAG[k]])
+                if c != 0:
+                    if br.read(1) and (c & p1) == 0:
+                        blk[ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            blk[ZIGZAG[k]] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(blk[ZIGZAG[k]])
+            if c != 0 and br.read(1) and (c & p1) == 0:
+                blk[ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(frame, store, quant):
+    """Dequantize + IDCT the accumulated coefficient store (one
+    vectorized einsum per component) and assemble the final image
+    through the shared upsample/color tail."""
+    w, h, comps = frame
+    m = _DCT_M
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        if tq not in quant:
+            raise ValueError(f"missing quant table {tq}")
+        blocks = store[cid]
+        bh, bw, _ = blocks.shape
+        dq = quant[tq].astype(np.float64).reshape(8, 8)
+        coeff = blocks.reshape(bh, bw, 8, 8).astype(np.float64) * dq
+        spatial = np.einsum("ij,yxjk,kl->yxil", m.T, coeff, m) + 128.0
+        planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _planes_to_image(frame, planes)
+
+
+def _planes_to_image(frame, planes):
+    """Upsample + crop + color-convert component planes into the final
+    (w, h, channels, samples) tuple — shared by the sequential and
+    progressive reconstruction paths."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out_planes = []
     for cid, hi, vi, _tq in comps:
         p = planes[cid]
@@ -567,16 +852,15 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_baseline(
-    arr: np.ndarray,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array
-    as a baseline JFIF JPEG with the Annex K example tables. 3-channel
-    input converts to YCbCr; ``subsample=True`` emits 4:2:0 chroma.
-    ``restart_interval`` > 0 inserts DRI/RSTn every that many MCUs.
-    Lossy exactly the way JPEG is lossy (DCT quantization)."""
+def _prep_components(arr: np.ndarray, subsample: bool):
+    """Shared front half of the sequential and progressive encoders:
+    color transform, chroma downsample, MCU padding, DCT, quantize.
+    Returns (nc, w, h, comps, qtabs, mcus_x, mcus_y, blocks) with
+    ``comps`` entries (cid, hi, vi, tq, td, ta) and ``blocks[cid]`` a
+    (blocks_y, blocks_x, 64) int32 array of natural-order quantized
+    coefficients. One function so the two encoders can never drift in
+    coefficient arithmetic (the progressive parity test relies on
+    bit-identical coefficients)."""
     arr = np.asarray(arr, dtype=np.float64)
     if arr.ndim == 2:
         planes = [arr]
@@ -602,14 +886,9 @@ def encode_baseline(
     qtabs = {0: np.frombuffer(QUANT_LUMA, np.uint8).astype(np.int32)}
     if nc == 3:
         qtabs[1] = np.frombuffer(QUANT_CHROMA, np.uint8).astype(np.int32)
-    dc_enc = {0: _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)}
-    ac_enc = {0: _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)}
-    if nc == 3:
-        dc_enc[1] = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
-        ac_enc[1] = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
-    # per-component padded planes at their own resolution
-    comp_planes = []
+    m = _DCT_M
+    blocks: dict[int, np.ndarray] = {}
     for (cid, hi, vi, tq, _td, _ta), p in zip(comps, planes):
         if hi < hmax or vi < vmax:
             # box-filter downsample (pad to even first)
@@ -623,9 +902,36 @@ def encode_baseline(
         p = np.pad(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
-        comp_planes.append(p)
+        bh, bwd = th // 8, tw // 8
+        tiles = p.reshape(bh, 8, bwd, 8).transpose(0, 2, 1, 3) - 128.0
+        coeff = np.einsum("ij,yxjk,kl->yxil", m, tiles, m.T)
+        q = np.round(
+            coeff.reshape(bh, bwd, 64)
+            / qtabs[tq].astype(np.float64)[None, None, :]
+        ).astype(np.int32)
+        blocks[cid] = q
+    return nc, w, h, comps, qtabs, mcus_x, mcus_y, blocks
 
-    m = _DCT_M
+
+def encode_baseline(
+    arr: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array
+    as a baseline JFIF JPEG with the Annex K example tables. 3-channel
+    input converts to YCbCr; ``subsample=True`` emits 4:2:0 chroma.
+    ``restart_interval`` > 0 inserts DRI/RSTn every that many MCUs.
+    Lossy exactly the way JPEG is lossy (DCT quantization)."""
+    nc, w, h, comps, _qtabs, mcus_x, mcus_y, blocks = _prep_components(
+        arr, subsample
+    )
+    dc_enc = {0: _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)}
+    ac_enc = {0: _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)}
+    if nc == 3:
+        dc_enc[1] = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_enc[1] = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
     bw = _BitWriter()
     preds = {cid: 0 for cid, *_ in comps}
     chunks = []  # entropy chunks between restarts
@@ -637,20 +943,13 @@ def encode_baseline(
             bw = _BitWriter()
             preds = {cid: 0 for cid, *_ in comps}
         my, mx = divmod(mcu, mcus_x)
-        for (cid, hi, vi, tq, td, ta), p in zip(comps, comp_planes):
+        for cid, hi, vi, tq, td, ta in comps:
             for by in range(vi):
                 for bx in range(hi):
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coeff = m @ block @ m.T
-                    q = np.round(
-                        coeff.reshape(64) / qtabs[tq].astype(np.float64)
-                    ).astype(np.int32)
-                    pred_new = _encode_block(
+                    q = blocks[cid][my * vi + by, mx * hi + bx]
+                    preds[cid] = _encode_block(
                         bw, q, dc_enc[td], ac_enc[ta], preds[cid]
                     )
-                    preds[cid] = pred_new
     bw.flush()
     chunks.append(bytes(bw.out))
 
@@ -683,5 +982,277 @@ def encode_baseline(
         if i:
             out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
         out += chunk
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------- progressive encode
+#
+# Fixture-grade progressive encoder (T.81 Annex G.1): same Annex K
+# tables and the SAME quantized coefficients as encode_baseline
+# (shared _prep_components), emitted across a scan script of DC
+# first/refine and AC first/refine band scans. Exists so the
+# progressive DECODER is pinned by exact pixel parity against the
+# sequential pipeline with no binary assets — and because a
+# progressive writer is itself part of a complete JPEG surface.
+
+#: default scan scripts (component indices into `comps`): the classic
+#: spectral-selection + successive-approximation progression shape —
+#: coarse DC first, low AC bands, then bit-plane refinements down to
+#: Al=0 for every (component, band).
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+)
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+# Progressive AC scans emit EOBn symbols (r<<4, r=1..14) that the
+# Annex K SEQUENTIAL tables don't define — progressive files carry
+# their own AC table. A flat canonical code (176 symbols, all 8 bits:
+# every (r, s) with s<=10) is legal (max code 175 < 255 so the
+# reserved all-ones code is never assigned), trivially correct, and
+# compression-irrelevant for fixtures.
+PROG_AC_VALS = bytes((r << 4) | s for r in range(16) for s in range(11))
+PROG_AC_BITS = bytes([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0])
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: bit emission plus the
+    EOB-run / buffered-correction-bit machinery shared by the AC
+    passes, chunked on restart boundaries."""
+
+    def __init__(self):
+        self.bw = _BitWriter()
+        self.chunks: list[bytes] = []
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits under the EOB run
+
+    def flush_eob(self, ac_enc):
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            c, ln = ac_enc[nbits << 4]
+            self.bw.write(c, ln)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            for bit in self.pending:
+                self.bw.write(bit, 1)
+            self.pending = []
+            self.eobrun = 0
+
+    def restart(self, ac_enc):
+        if ac_enc is not None:
+            self.flush_eob(ac_enc)
+        self.bw.flush()
+        self.chunks.append(bytes(self.bw.out))
+        self.bw = _BitWriter()
+
+    def finish(self, ac_enc) -> list[bytes]:
+        if ac_enc is not None:
+            self.flush_eob(ac_enc)
+        self.bw.flush()
+        self.chunks.append(bytes(self.bw.out))
+        return self.chunks
+
+
+def _enc_dc_unit(sw, blk, dc_enc, ah, al, preds, cid):
+    if ah == 0:
+        temp = int(blk[0]) >> al  # arithmetic shift (G.1.2.1)
+        diff = temp - preds[cid]
+        preds[cid] = temp
+        t, code = _magnitude(diff)
+        c, ln = dc_enc[t]
+        sw.bw.write(c, ln)
+        if t:
+            sw.bw.write(code, t)
+    else:
+        sw.bw.write((int(blk[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first_block(sw, blk, ac_enc, ss, se, al):
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(blk[ZIGZAG[k]])
+        t = (v >> al) if v >= 0 else -((-v) >> al)  # toward-zero shift
+        if t == 0:
+            run += 1
+            continue
+        sw.flush_eob(ac_enc)
+        while run > 15:
+            c, ln = ac_enc[0xF0]  # ZRL
+            sw.bw.write(c, ln)
+            run -= 16
+        s, code = _magnitude(t)
+        c, ln = ac_enc[(run << 4) | s]
+        sw.bw.write(c, ln)
+        sw.bw.write(code, s)
+        run = 0
+    if run:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eob(ac_enc)
+
+
+def _enc_ac_refine_block(sw, blk, ac_enc, ss, se, al):
+    vals = [int(blk[ZIGZAG[k]]) for k in range(ss, se + 1)]
+    mags = [(abs(v) >> al) for v in vals]
+    # band ends after the LAST newly-significant coefficient (mag 1);
+    # everything past it joins the EOB run
+    last_new = -1
+    for i, t in enumerate(mags):
+        if t == 1:
+            last_new = i
+    r = 0
+    corr: list[int] = []  # correction bits queued behind the next code
+    for i in range(last_new + 1):
+        t = mags[i]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs must be emitted at ANY nonzero position once r > 15 —
+        # history positions included — so every buffered correction
+        # bit belongs to a position inside the 16-zero window its ZRL
+        # covers (the decoder consumes bits during the ZRL walk)
+        if r > 15:
+            sw.flush_eob(ac_enc)
+            while r > 15:
+                c, ln = ac_enc[0xF0]
+                sw.bw.write(c, ln)
+                for bit in corr:
+                    sw.bw.write(bit, 1)
+                corr = []
+                r -= 16
+        if t > 1:  # history-nonzero: correction bit rides the stream
+            corr.append(t & 1)
+            continue
+        # t == 1: newly significant at this bit plane
+        sw.flush_eob(ac_enc)
+        c, ln = ac_enc[(r << 4) | 1]
+        sw.bw.write(c, ln)
+        sw.bw.write(1 if vals[i] > 0 else 0, 1)
+        for bit in corr:
+            sw.bw.write(bit, 1)
+        corr = []
+        r = 0
+    # tail: zero/history coefficients after the last new one join the
+    # EOB run; their correction bits buffer until the run flushes.
+    # (corr is always empty here — the loop ends on a t==1 flush.)
+    if last_new < len(mags) - 1:
+        sw.eobrun += 1
+        sw.pending += [mags[i] & 1 for i in range(last_new + 1, len(mags))
+                       if mags[i] > 1]
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eob(ac_enc)
+
+
+def encode_progressive(
+    arr: np.ndarray,
+    subsample: bool = False,
+    scans: tuple | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode as a progressive JFIF JPEG (SOF2). ``scans`` is a tuple
+    of (component_indices, Ss, Se, Ah, Al) following T.81's rules (DC
+    scans may interleave components; AC scans take one component;
+    every band must reach Al=0 for full fidelity) — defaults to the
+    classic spectral-selection + successive-approximation script.
+    Quantized coefficients are IDENTICAL to encode_baseline's (shared
+    preparation), so decoding both files yields identical pixels —
+    the property the decoder parity tests pin."""
+    nc, w, h, comps, _qtabs, mcus_x, mcus_y, blocks = _prep_components(
+        arr, subsample
+    )
+    if scans is None:
+        scans = _PROG_SCRIPT_GRAY if nc == 1 else _PROG_SCRIPT_COLOR
+    dc_enc = {0: _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)}
+    ac_enc = {0: _build_encode_table(PROG_AC_BITS, PROG_AC_VALS)}
+    if nc == 3:
+        dc_enc[1] = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_enc[1] = ac_enc[0]
+
+    zz_luma = bytes(QUANT_LUMA[ZIGZAG[k]] for k in range(64))
+    zz_chroma = bytes(QUANT_CHROMA[ZIGZAG[k]] for k in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + zz_luma)
+    if nc == 3:
+        out += _seg(0xFFDB, b"\x01" + zz_chroma)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid, hi, vi, tq, _td, _ta in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xFFC2, sof)
+    out += _seg(0xFFC4, b"\x00" + DC_LUMA_BITS + DC_LUMA_VALS)
+    out += _seg(0xFFC4, b"\x10" + PROG_AC_BITS + PROG_AC_VALS)
+    if nc == 3:
+        out += _seg(0xFFC4, b"\x01" + DC_CHROMA_BITS + DC_CHROMA_VALS)
+        out += _seg(0xFFC4, b"\x11" + PROG_AC_BITS + PROG_AC_VALS)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    frame = (w, h, [(cid, hi, vi, tq) for cid, hi, vi, tq, _d, _a in comps])
+
+    for comp_idxs, ss, se, ah, al in scans:
+        scan_comps = [comps[i] for i in comp_idxs]
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("AC scans must cover exactly one component")
+        sw = _ProgScanWriter()
+        ac_for_flush = ac_enc[scan_comps[0][5]] if ss > 0 else None
+        preds = {c[0]: 0 for c in scan_comps}
+        if ss == 0 and len(scan_comps) > 1:
+            total = mcus_x * mcus_y
+            for mcu in range(total):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    sw.restart(ac_for_flush)
+                    preds = {c[0]: 0 for c in scan_comps}
+                my, mx = divmod(mcu, mcus_x)
+                for cid, hi, vi, _tq, td, _ta in scan_comps:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            _enc_dc_unit(
+                                sw, blocks[cid][my * vi + by, mx * hi + bx],
+                                dc_enc[td], ah, al, preds, cid,
+                            )
+        else:
+            cid, _hi, _vi, _tq, td, ta = scan_comps[0]
+            bh, bwd = _comp_block_grid(frame, cid)
+            total = bh * bwd
+            for u in range(total):
+                if restart_interval and u and u % restart_interval == 0:
+                    sw.restart(ac_for_flush)
+                    preds = {c[0]: 0 for c in scan_comps}
+                blk = blocks[cid][u // bwd, u % bwd]
+                if ss == 0:
+                    _enc_dc_unit(sw, blk, dc_enc[td], ah, al, preds, cid)
+                elif ah == 0:
+                    _enc_ac_first_block(sw, blk, ac_enc[ta], ss, se, al)
+                else:
+                    _enc_ac_refine_block(sw, blk, ac_enc[ta], ss, se, al)
+        chunks = sw.finish(ac_for_flush)
+        sos = bytes([len(scan_comps)])
+        for cid, _hi, _vi, _tq, td, ta in scan_comps:
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        for i, chunk in enumerate(chunks):
+            if i:
+                out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            out += chunk
     out += b"\xff\xd9"
     return bytes(out)

@@ -143,10 +143,10 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int, int]:
     entropy decode and no codec. Mirrors what ``identify``/EXIF readers
     do: dimensions are metadata, available natively even where pixel
     decode needs a real codec library. The SOF marker identifies the
-    coding process — the router labels baseline-family streams (SOF0/1,
-    decodable by operators/jpeg) differently from progressive (SOF2,
-    needs PIL), because that's the routing decision a mixed corpus
-    makes."""
+    coding process — the router labels baseline-family streams (SOF0/1)
+    differently from progressive (SOF2), an encoding-mix statistic a
+    curation pipeline wants even though operators/jpeg decodes BOTH
+    natively since round 12."""
     if b[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG")
     pos = 2
@@ -215,8 +215,8 @@ def image_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                         fmt = "jpeg"
                         w, h, _ncomp, sof = _jpeg_dims(b)
                         if sof not in (0xC0, 0xC1):
-                            # routing signal: this variant needs PIL,
-                            # the baseline family decodes natively
+                            # encoding-mix label; both families decode
+                            # natively via operators/jpeg (round 12)
                             fmt = "jpeg-progressive"
                     elif b[:6] in (b"GIF87a", b"GIF89a"):
                         from clustering_spark.operators.gif import gif_meta
@@ -318,10 +318,10 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     length validated — a truncated container fails loudly); REAL
     baseline 8-bit PNG via the stdlib decoder (``_png_decode`` — no
     native codec needed), with non-baseline PNG variants falling back
-    to PIL when installed; REAL baseline sequential JPEG via the
-    stdlib+numpy decoder (``operators/jpeg.decode_baseline`` —
+    to PIL when installed; REAL JPEG via the stdlib+numpy decoder
+    (``operators/jpeg.decode_baseline`` — baseline AND progressive,
     grayscale/YCbCr, any subsampling, restart markers), with
-    progressive/arithmetic raising a precise NotImplementedError; any
+    lossless/arithmetic raising a precise NotImplementedError; any
     other format through PIL when the environment has it, else
     NotImplementedError (clearly a stub, never silently wrong). NULL
     blobs raise with a pointer to ``image_header_meta`` (the
@@ -372,10 +372,10 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 elif _HAVE_PIL:
                     w, h, mean = _pil_meta(b)
                 elif b[:2] == JPEG_MAGIC:
-                    # REAL pixel decode on the stdlib+numpy baseline
-                    # codec (operators/jpeg) — progressive/arithmetic
-                    # variants still raise NotImplementedError from
-                    # decode_baseline with the precise reason
+                    # REAL pixel decode on the stdlib+numpy codec
+                    # (operators/jpeg, baseline + progressive) —
+                    # lossless/arithmetic variants still raise
+                    # NotImplementedError with the precise reason
                     w, h, mean = _jpeg_meta(b)
                 else:
                     raise NotImplementedError(
@@ -690,12 +690,13 @@ def image_dhash(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     few bits while the raw bytes (and sha256) differ completely.
 
     Mixed-corpus contract (same as image_header_meta): blobs without a
-    codec-free decoder (progressive/arithmetic JPEG, unknown formats,
+    codec-free decoder (lossless/arithmetic JPEG, unknown formats,
     corrupt payloads) get a NULL dhash instead of failing the batch —
-    a mixed 100 TB image table must degrade per row. Baseline
-    sequential JPEG decodes for real (operators/jpeg), so perceptual
-    dedup covers the common web-image case. Pair with
-    image_header_meta to count/route the undecodable residue."""
+    a mixed 100 TB image table must degrade per row. JPEG (baseline
+    AND progressive) and GIF decode for real (operators/jpeg,
+    operators/gif), so perceptual dedup covers the common web-image
+    cases. Pair with image_header_meta to count/route the undecodable
+    residue."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -180,11 +180,18 @@ def test_16bit_quant_table_decode():
     assert decode_baseline(b16) == decode_baseline(b)
 
 
-def test_progressive_and_truncated_gates():
+def test_malformed_and_truncated_gates():
     img = np.zeros((8, 8), dtype=np.uint8)
     b = encode_baseline(img)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # a BASELINE stream whose SOF marker is flipped to SOF2 is now
+    # parsed as progressive — and rejected as malformed, because its
+    # baseline SOS (Se=63 with Ss=0) violates the progressive scan
+    # rules (G.1.1.1); round 12 made real SOF2 streams decodable
+    # (tests/test_jpeg_progressive.py)
+    with pytest.raises(ValueError, match="Se=0"):
         decode_baseline(b.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_baseline(b.replace(b"\xff\xc0", b"\xff\xc3", 1))
     with pytest.raises(ValueError):
         decode_baseline(b"\x00\x01not a jpeg")
     with pytest.raises(ValueError, match="no SOS"):
