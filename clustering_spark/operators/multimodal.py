@@ -924,6 +924,126 @@ def audio_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     )
 
 
+AUDIO_FP_SCHEMA = "id long, afp long"
+
+_AFP_RATE = 8000
+_AFP_FRAME = 1024
+_AFP_HOP = 512
+_AFP_BANDS = 64  # one spectral-mask bit per band
+
+
+def _audio_fp64(x, rate: int):
+    """64-bit perceptual audio fingerprint of a mono float signal —
+    a spectral-MASK hash from the published band-energy fingerprint
+    family (Haitsma & Kalker 2002): resample to 8 kHz, Hann-windowed
+    rFFT frames, 64 log-spaced band energies over 300-3500 Hz
+    time-averaged over the clip, bit m = band m above the mean band
+    energy. The mean threshold (rather than neighbor comparison) is
+    what makes the hash stable on sparse spectra: most bands of tonal
+    or speech-like audio sit on the noise floor, where adjacent-band
+    ordering is a coin flip under codec noise, while 'above the
+    clip-mean' is decided by orders of magnitude. Exactly invariant to
+    volume and resampling, and empirically bit-identical across
+    PCM16/PCM8/G.711/ADPCM re-encodes of the same content — the audio
+    analogue of the image dHash, feeding the same pigeonhole hamming
+    pair search. Returns None when the signal is shorter than one
+    analysis frame (~128 ms) or has no spectral shape (silence)."""
+    import numpy as np
+
+    if rate != _AFP_RATE:
+        n_out = int(round(len(x) * _AFP_RATE / rate))
+        if n_out < 2:
+            return None
+        t_in = np.arange(len(x)) / rate
+        t_out = np.arange(n_out) / _AFP_RATE
+        x = np.interp(t_out, t_in, x)
+    if len(x) < _AFP_FRAME:
+        return None
+    n_frames = 1 + (len(x) - _AFP_FRAME) // _AFP_HOP
+    idx = (
+        np.arange(_AFP_FRAME)[None, :]
+        + _AFP_HOP * np.arange(n_frames)[:, None]
+    )
+    win = np.hanning(_AFP_FRAME)
+    spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
+    if float(spec.sum()) == 0.0:
+        return None  # silence has no spectral shape
+    freqs = np.fft.rfftfreq(_AFP_FRAME, 1.0 / _AFP_RATE)
+    edges = 300.0 * (3500.0 / 300.0) ** (
+        np.arange(_AFP_BANDS + 1) / _AFP_BANDS
+    )
+    band_of = np.searchsorted(edges, freqs, side="right") - 1
+    mean_spec = spec.mean(axis=0)  # time-average FIRST
+    energy = np.zeros(_AFP_BANDS)
+    valid = (band_of >= 0) & (band_of < _AFP_BANDS)
+    np.add.at(energy, band_of[valid], mean_spec[valid])
+    bits = energy > energy.mean()  # 64 spectral-mask bits
+    weights = 1 << np.arange(64, dtype=np.uint64)
+    return int(
+        (bits.astype(np.uint64) * weights)
+        .sum(dtype=np.uint64)
+        .astype(np.int64)
+    )
+
+
+def audio_fingerprint(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Per-blob 64-bit perceptual audio fingerprint over every WAV
+    codec decode_wav_samples covers. Mixed-corpus contract: blobs that
+    don't decode (unknown codecs, corrupt, NULL), silent signals, and
+    clips shorter than one analysis frame (~128 ms at 8 kHz) get a
+    NULL fingerprint — degrade per row, never batch-fatal. The same
+    recording re-encoded through a different codec / volume / sample
+    rate lands bit-identical or within a few hamming bits, so audio
+    near-dup composes with the SimHash/dHash pigeonhole machinery."""
+    import numpy as np  # noqa: F401  (used via _audio_fp64)
+
+    from clustering_spark.operators.audio_codec import decode_wav_samples
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                fp = None
+                try:
+                    frames, rate = decode_wav_samples(bytes(blob))
+                    if len(frames):
+                        fp = _audio_fp64(frames.mean(axis=1), rate)
+                except (
+                    NotImplementedError, ValueError,
+                    struct.error, TypeError,
+                ):
+                    pass
+                ids.append(rid)
+                fps.append(fp)
+            # nullable Int64: None + int must not infer float64 (the
+            # image_dhash truncation lesson — bit spans > 53 lose bits)
+            yield pd.DataFrame(
+                {"id": ids, "afp": pd.array(fps, dtype="Int64")}
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, AUDIO_FP_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame, bin_col: str, id_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: fingerprints + the SAME
+    pigeonhole chunk equi-join and bit_count verify the text SimHash
+    and image dHash paths run (dedup.hamming_pair_search). Audio bytes
+    never leave the scan — only (id, 8-byte fingerprint) rides the
+    explode and the join. Returns (id_a, id_b, hamming), id_a < id_b."""
+    from clustering_spark.operators.dedup import hamming_pair_search
+
+    sigs = (
+        audio_fingerprint(df, bin_col, id_col)
+        .filter(F.col("afp").isNotNull())
+        .select(F.col("id").alias("__id"), F.col("afp").alias("sig"))
+    )
+    return hamming_pair_search(sigs, max_hamming)
+
+
 def make_wav(
     n_frames: int,
     sample_rate: int = 8000,
