@@ -509,7 +509,14 @@ def make_wav_ex(
             b"\x00" if len(body) & 1 else b""
         )
 
-    inner = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", payload)
+    inner = b"WAVE" + chunk(b"fmt ", fmt_body)
+    if code != 1:
+        # the spec REQUIRES a fact chunk for non-PCM formats: its
+        # dwSampleLength is the exact per-channel frame count — the
+        # only correct duration source for block codecs whose final
+        # block is partial (data_size // block_align truncates it)
+        inner += chunk(b"fact", struct.pack("<I", n))
+    inner += chunk(b"data", payload)
     return b"RIFF" + struct.pack("<I", len(inner)) + inner
 
 

@@ -779,6 +779,7 @@ def _wav_meta(b: bytes) -> tuple[str, int, int, int, int, float]:
     pos = 12
     fmt_code = channels = rate = bits = block_align = None
     samples_per_block = None
+    fact_frames = None
     data_size = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
@@ -788,6 +789,11 @@ def _wav_meta(b: bytes) -> tuple[str, int, int, int, int, float]:
             fmt_code, channels, rate, block_align, bits = _parse_fmt(body)
             if fmt_code == 0x11 and len(body) >= 20:
                 (samples_per_block,) = struct.unpack("<H", body[18:20])
+        elif cid == b"fact" and len(body) >= 4:
+            # spec-required for non-PCM formats: exact per-channel
+            # frame count — the only correct duration for block codecs
+            # whose final block is partial
+            (fact_frames,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             # header may promise more than the blob carries (truncated
             # upload): measure what is actually present
@@ -797,9 +803,12 @@ def _wav_meta(b: bytes) -> tuple[str, int, int, int, int, float]:
         raise ValueError("missing fmt or data chunk")
     if channels == 0 or rate == 0 or block_align == 0:
         raise ValueError("degenerate fmt chunk")
-    frames = data_size // block_align
-    if samples_per_block:  # block codec: frames = blocks x samples/block
-        frames *= samples_per_block
+    if fmt_code != 1 and fact_frames is not None:
+        frames = fact_frames
+    else:
+        frames = data_size // block_align
+        if samples_per_block:  # block codec: blocks x samples/block
+            frames *= samples_per_block
     fmt = WAV_FORMAT_NAMES.get(fmt_code, "wav-other")
     return fmt, channels, rate, bits, frames, frames / rate
 
@@ -1724,9 +1733,19 @@ def synthetic_media_blob(d: int) -> bytes:
         )
         return MAGIC + struct.pack(">HH", w, h) + payload
     if fam == 1:
-        return make_wav(
-            100 + d % 100, sample_rate=8000, n_channels=1 + d % 2
-        )
+        import numpy as np
+
+        from clustering_spark.operators.audio_codec import make_wav_ex
+
+        # codec varies arithmetically so the ROUTER's codec naming and
+        # the fact-chunk frame math are both on the hash gate: the
+        # ADPCM members are SHORTER than one 505-sample block, so
+        # data_size // block_align would report 0 frames — only the
+        # spec's fact chunk yields the oracle's n. Payload is silence
+        # (header fields are what the gate checks).
+        n, ch = 100 + d % 100, 1 + d % 2
+        codec = ("pcm16", "ulaw", "alaw", "ima-adpcm")[(d // 7) % 4]
+        return make_wav_ex(np.zeros((n, ch)), 8000, codec)
     if fam == 2:
         # duration picked so duration/timescale is an exact double:
         # int((1+d%10)/2 * 1000) = 500*(1+d%10)

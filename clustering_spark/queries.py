@@ -1908,7 +1908,10 @@ SELECT t.doc_id, octet_length(encode(t.text)) AS n_bytes,
             WHEN 2 THEN 'video' WHEN 3 THEN 'image' WHEN 4 THEN 'video'
             WHEN 5 THEN 'image'
             ELSE 'unknown' END AS media_type,
-       CASE t.doc_id % 7 WHEN 0 THEN 'fake' WHEN 1 THEN 'wav-pcm'
+       CASE t.doc_id % 7 WHEN 0 THEN 'fake'
+            WHEN 1 THEN CASE (t.doc_id // 7) % 4
+                 WHEN 0 THEN 'wav-pcm' WHEN 1 THEN 'wav-ulaw'
+                 WHEN 2 THEN 'wav-alaw' ELSE 'wav-ima-adpcm' END
             WHEN 2 THEN 'mp4' WHEN 3 THEN 'webp' WHEN 4 THEN 'avi'
             WHEN 5 THEN 'gif'
             ELSE 'unknown' END AS format,

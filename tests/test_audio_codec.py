@@ -228,3 +228,22 @@ class TestSparkIntegration:
         # extensible resolves through the SubFormat GUID
         assert got[5]["format"] == "wav-pcm"
         assert got[5]["n_frames"] == 2020
+
+
+def test_fact_chunk_gives_exact_frames_for_short_adpcm(spark):
+    """Non-PCM WAVs carry a spec-required fact chunk with the exact
+    per-channel frame count. For an ADPCM clip SHORTER than one block
+    (505 samples), data_size // block_align is 0 — only the fact chunk
+    yields the true count. This path is also on the media_metadata
+    hash gate (fam-1 blobs vary their codec arithmetically)."""
+    import numpy as np
+
+    from clustering_spark.operators.multimodal import audio_header_meta
+
+    blob = make_wav_ex(np.zeros(150), 8000, "ima-adpcm")
+    assert b"fact" in blob
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    r = audio_header_meta(df, "blob", "id").collect()[0]
+    assert r["format"] == "wav-ima-adpcm"
+    assert r["n_frames"] == 150
+    assert abs(r["duration_sec"] - 150 / 8000) < 1e-12
