@@ -75,7 +75,10 @@ HEADLINE = [
 # bench row a kernel regression there would surface only as gate
 # slowness nobody attributes. Fewer runs — optimal_k alone is ~17 s.
 GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
-GATE_QUERIES = ["optimal_k", "result_docs", "cluster_fit"]
+# media_metadata joined round 12: its fam-5 blobs LZW-decode real GIFs
+# per row, so the gate entry now has a codec kernel whose regression
+# should show up as a tracked number, not unattributed gate slowness
+GATE_QUERIES = ["optimal_k", "result_docs", "cluster_fit", "media_metadata"]
 GATE_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_GATE_RUNS", "3")))
 
 # run-to-run max/min above this flags CPU-steal / contention pollution
