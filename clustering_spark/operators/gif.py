@@ -289,6 +289,158 @@ def decode_gif(b: bytes):
     raise ValueError("GIF has no image frames")
 
 
+def gif_frames(b: bytes, max_frames: int | None = None):
+    """Iterate an animated GIF's frames: yields ``(frame_idx,
+    delay_centiseconds, rgb_bytes)`` where ``rgb_bytes`` is the FULL
+    logical-screen canvas after compositing the frame — Graphic
+    Control Extension semantics honored (transparent pixels preserve
+    the underlying canvas; disposal 2 restores the background after
+    the frame shows; disposal 3 restores the pre-frame canvas).
+    ``max_frames`` caps the fan-out like avi_frame_sample. Raises
+    ValueError on malformed streams; a truncated tail stops after the
+    last complete frame (the AVI/WARC salvage contract)."""
+    if b[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, bg_idx, _aspect = struct.unpack("<HHBBB", b[6:13])
+    if sw == 0 or sh == 0 or sw * sh > MAX_DECODE_PIXELS:
+        raise ValueError("bad GIF logical screen")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[min(bg_idx, len(gct) - 1)]
+        if gct is not None
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    gce = None  # (disposal, delay_cs, transparent_idx)
+    idx = 0
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:
+            return
+        if block == 0x21:
+            label = b[pos + 1] if pos + 1 < len(b) else None
+            try:
+                sb = _SubBlockReader(b, pos + 2)
+            except ValueError:
+                return  # truncated extension: salvage complete frames
+            if label == 0xF9 and len(sb.data) >= 4:
+                p, d_lo, d_hi, t_idx = sb.data[:4]
+                gce = ((p >> 2) & 0x07, d_lo | (d_hi << 8),
+                       t_idx if p & 1 else None)
+            pos = sb.end
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 10 > len(b):
+            return
+        left, top, fw, fh, ipacked = struct.unpack(
+            "<HHHHB", b[pos + 1 : pos + 10]
+        )
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+            if len(ct) < 3 * n:
+                return
+            ct = ct.reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        if fw == 0 or fh == 0 or fw * fh > MAX_DECODE_PIXELS:
+            raise ValueError("degenerate GIF frame dims")
+        min_code = b[pos]
+        try:
+            sb = _SubBlockReader(b, pos + 1)
+            pixels = _lzw_decode(sb.data, min_code, fw * fh)
+        except ValueError:
+            return  # truncated frame: earlier frames already yielded
+        if len(pixels) < fw * fh:
+            return
+        pos = sb.end
+        pidx = np.frombuffer(
+            bytes(pixels[: fw * fh]), dtype=np.uint8
+        ).reshape(fh, fw)
+        if ipacked & 0x40:
+            pidx = _deinterlace(pidx)
+        if int(pidx.max()) >= len(ct):
+            raise ValueError("GIF pixel index beyond color table")
+        disposal, delay_cs, t_idx = gce if gce else (0, 0, None)
+        y1, x1 = min(top + fh, sh), min(left + fw, sw)
+        sub = pidx[: y1 - top, : x1 - left]
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top:y1, left:x1]
+        rgb = ct[sub]
+        if t_idx is not None:
+            opaque = sub != t_idx
+            region[opaque] = rgb[opaque]
+        else:
+            region[...] = rgb
+        yield idx, delay_cs, canvas.tobytes()
+        if disposal == 2:
+            canvas[top:y1, left:x1] = bg_rgb
+        elif disposal == 3:
+            canvas = saved
+        gce = None
+        idx += 1
+        if max_frames is not None and idx >= max_frames:
+            return
+
+
+def encode_gif_animation(
+    frames,
+    delays_cs=10,
+    transparent_index: int | None = None,
+    disposal: int = 0,
+) -> bytes:
+    """Multi-frame GIF89a fixture: each element of ``frames`` is an
+    (H, W) uint8 index array over the 256-level gray palette, drawn
+    full-canvas. ``delays_cs`` is one int or a per-frame list;
+    ``transparent_index``/``disposal`` apply to every frame's GCE.
+    Exists so gif_frames' compositing rules are pinned without binary
+    assets."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    if isinstance(delays_cs, int):
+        delays_cs = [delays_cs] * len(frames)
+    palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    out += palette.tobytes()
+    for f, delay in zip(frames, delays_cs):
+        if f.shape != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        packed = (disposal & 0x07) << 2
+        t_idx = 0
+        if transparent_index is not None:
+            packed |= 1
+            t_idx = transparent_index
+        out += bytes([0x21, 0xF9, 4, packed, delay & 0xFF,
+                      (delay >> 8) & 0xFF, t_idx, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        lzw = _lzw_encode(f.tobytes(), 8)
+        out.append(8)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def encode_gif(
     arr: np.ndarray, interlace: bool = False, version: bytes = b"GIF89a"
 ) -> bytes:

@@ -1696,6 +1696,80 @@ EXACT_LUMAS = tuple(
 )
 
 
+GIF_FRAME_SCHEMA = (
+    "id long, frame_idx int, delay_cs int, width int, height int, "
+    "mean_luma double, frame binary"
+)
+
+
+def gif_frame_sample(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    every_n: int = 1,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Decode-and-sample animated-GIF blobs (the video-adjacent image
+    family): every n-th composited frame — GCE transparency and
+    disposal honored by operators/gif.gif_frames — emitted as (id,
+    frame_idx, delay_cs, width, height, mean_luma, frame) with
+    ``frame`` re-encoded as a baseline RGB PNG, directly consumable by
+    image_dhash / decode_image_meta, so animation near-dup composes
+    with the image stages exactly like avi_frame_sample's MJPEG
+    frames. ``max_frames`` caps the per-blob fan-out. Non-GIF and NULL
+    blobs yield no rows; a truncated animation keeps the frames before
+    the cut (salvage contract)."""
+    import numpy as np
+
+    from clustering_spark.operators.gif import gif_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "id", "frame_idx", "delay_cs", "width", "height",
+            "mean_luma", "frame",
+        ]
+        for pdf in it:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                try:
+                    taken = 0
+                    for fidx, delay, rgb in gif_frames(b):
+                        if fidx % every_n:
+                            continue
+                        if max_frames is not None and taken >= max_frames:
+                            break
+                        # dims from the header (frames are full-canvas)
+                        w, h = struct.unpack("<HH", b[6:10])
+                        arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                        luma = (
+                            0.299 * arr[:, :, 0]
+                            + 0.587 * arr[:, :, 1]
+                            + 0.114 * arr[:, :, 2]
+                        )
+                        out.append(
+                            {
+                                "id": rid,
+                                "frame_idx": fidx,
+                                "delay_cs": delay,
+                                "width": w,
+                                "height": h,
+                                "mean_luma": float(luma.mean()),
+                                "frame": make_png(w, h, rgb, 2),
+                            }
+                        )
+                        taken += 1
+                except ValueError:
+                    continue  # not a GIF / malformed header: no rows
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, GIF_FRAME_SCHEMA
+    )
+
+
 def synthetic_media_blob(d: int) -> bytes:
     """Deterministic mixed-corpus blob for integer id ``d`` — the gate
     fixture generator behind the ``media_metadata`` oracle entry: the

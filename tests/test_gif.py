@@ -237,3 +237,100 @@ def test_dhash_int64_exact_in_mixed_null_batches(spark):
     got = {r["id"]: r["dhash"] for r in image_dhash(df, "blob", "id").collect()}
     assert got[1] == expect
     assert got[2] is None and got[3] is None
+
+
+class TestAnimation:
+    """gif_frames GCE compositing + the gif_frame_sample operator."""
+
+    def test_frames_delays_and_pixels(self):
+        from clustering_spark.operators.gif import (
+            encode_gif_animation,
+            gif_frames,
+        )
+
+        fr = [np.full((10, 12), v, np.uint8) for v in (50, 120, 200)]
+        b = encode_gif_animation(fr, delays_cs=[5, 10, 15])
+        got = list(gif_frames(b))
+        assert [(i, d) for i, d, _ in got] == [(0, 5), (1, 10), (2, 15)]
+        for (_, _, rgb), f in zip(got, fr):
+            assert (_rgb(rgb, 12, 10)[:, :, 0] == f).all()
+
+    def test_transparency_preserves_canvas(self):
+        from clustering_spark.operators.gif import (
+            encode_gif_animation,
+            gif_frames,
+        )
+
+        f0 = np.full((10, 12), 50, np.uint8)
+        f1 = np.full((10, 12), 7, np.uint8)  # 7 = transparent
+        f1[:5] = 99
+        b = encode_gif_animation([f0, f1], transparent_index=7)
+        arr = _rgb(list(gif_frames(b))[1][2], 12, 10)
+        assert (arr[:5, :, 0] == 99).all()
+        assert (arr[5:, :, 0] == 50).all()  # frame 0 shows through
+
+    def test_disposal_restore_background(self):
+        from clustering_spark.operators.gif import (
+            encode_gif_animation,
+            gif_frames,
+        )
+
+        f0 = np.full((8, 8), 200, np.uint8)
+        f1 = np.full((8, 8), 7, np.uint8)  # fully transparent frame
+        b = encode_gif_animation(
+            [f0, f1], transparent_index=7, disposal=2
+        )
+        got = list(gif_frames(b))
+        # frame 0 shows its pixels; after disposal-2 the canvas is
+        # background, so the fully-transparent frame 1 shows bg (0)
+        assert (_rgb(got[0][2], 8, 8)[:, :, 0] == 200).all()
+        assert (_rgb(got[1][2], 8, 8)[:, :, 0] == 0).all()
+
+    def test_truncated_animation_salvages_prefix(self):
+        from clustering_spark.operators.gif import (
+            encode_gif_animation,
+            gif_frames,
+        )
+
+        fr = [np.full((16, 16), 30 * i, np.uint8) for i in range(4)]
+        b = encode_gif_animation(fr)
+        got = list(gif_frames(b[: len(b) - 40]))
+        assert 1 <= len(got) < 4
+
+    def test_spark_frame_sample_composes_with_dhash(self, spark):
+        from clustering_spark.operators.gif import encode_gif_animation
+        from clustering_spark.operators.multimodal import (
+            gif_frame_sample,
+            image_dhash,
+        )
+        from pyspark.sql import functions as F
+
+        y, x = np.mgrid[0:20, 0:24]
+        fr = [((7 * x + 13 * y + 40 * i) % 256).astype(np.uint8)
+              for i in range(5)]
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_gif_animation(fr))),
+             (2, bytearray(b"not a gif")), (3, None)],
+            "id long, blob binary",
+        )
+        out = gif_frame_sample(df, "blob", "id", every_n=2).toPandas()
+        assert sorted(out.frame_idx) == [0, 2, 4]
+        assert (out.width == 24).all() and (out.height == 20).all()
+        # frames are standalone PNGs the image stages accept
+        sampled = gif_frame_sample(df, "blob", "id").withColumn(
+            "fid", F.col("frame_idx").cast("long")
+        )
+        hashed = image_dhash(sampled, "frame", "fid").toPandas()
+        assert hashed.dhash.notna().all()
+
+    def test_spark_frame_sample_cap(self, spark):
+        from clustering_spark.operators.gif import encode_gif_animation
+        from clustering_spark.operators.multimodal import gif_frame_sample
+
+        fr = [np.full((8, 8), 20 * i, np.uint8) for i in range(6)]
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_gif_animation(fr)))],
+            "id long, blob binary",
+        )
+        out = gif_frame_sample(df, "blob", "id", max_frames=2).toPandas()
+        assert sorted(out.frame_idx) == [0, 1]
