@@ -334,3 +334,36 @@ class TestAnimation:
         )
         out = gif_frame_sample(df, "blob", "id", max_frames=2).toPandas()
         assert sorted(out.frame_idx) == [0, 1]
+
+    def test_subregion_frame_composites_at_offset_and_clips(self):
+        """Frames smaller than the canvas composite at their left/top
+        offset; a frame overflowing the canvas edge clips instead of
+        crashing (the fixture encoder only emits full-canvas frames,
+        so these paths need hand-built descriptors)."""
+        import struct
+
+        from clustering_spark.operators.gif import (
+            _lzw_encode,
+            encode_gif_animation,
+            gif_frames,
+        )
+
+        base = encode_gif_animation([np.full((8, 8), 10, np.uint8)])
+
+        def with_patch(left, top, w, h, val):
+            body = bytearray(base[:-1])
+            body += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+            lzw = _lzw_encode(np.full((h, w), val, np.uint8).tobytes(), 8)
+            body.append(8)
+            body.append(len(lzw))
+            body += lzw
+            body.append(0)
+            body.append(0x3B)
+            return bytes(body)
+
+        arr = _rgb(list(gif_frames(with_patch(4, 5, 3, 2, 99)))[1][2], 8, 8)
+        assert (arr[5:7, 4:7, 0] == 99).all()
+        assert (arr[0:5, :, 0] == 10).all() and (arr[7, :, 0] == 10).all()
+        # overflow at the edge: clipped
+        arr = _rgb(list(gif_frames(with_patch(6, 6, 5, 2, 77)))[1][2], 8, 8)
+        assert (arr[6:8, 6:8, 0] == 77).all()
