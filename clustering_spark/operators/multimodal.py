@@ -178,6 +178,12 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int, int]:
     raise ValueError("JPEG missing SOF header")
 
 
+def _bmp_sniff(b: bytes) -> bool:
+    from clustering_spark.operators.bmp import looks_like_bmp
+
+    return looks_like_bmp(b)
+
+
 HEADER_META_SCHEMA = "id long, format string, width int, height int"
 
 
@@ -224,9 +230,14 @@ def image_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                         w, h, n_frames = gif_meta(b)
                         # routing signal mirroring jpeg-progressive:
                         # stills decode natively (first frame IS the
-                        # image); animations keep dims here and full
-                        # decode routes through PIL when present
+                        # image); animations decode frame-wise via
+                        # gif_frame_sample
                         fmt = "gif" if n_frames == 1 else "gif-animated"
+                    elif _bmp_sniff(b):
+                        from clustering_spark.operators.bmp import bmp_meta
+
+                        fmt = "bmp"
+                        w, h, _bpp, _comp = bmp_meta(b)
                 except (ValueError, struct.error):
                     fmt, w, h = "corrupt", None, None
                 out.append({"id": rid, "format": fmt, "width": w, "height": h})
@@ -306,6 +317,19 @@ def _gif_meta(b: bytes) -> tuple[int, int, float]:
     return w, h, float(arr.mean()) if arr.size else 0.0
 
 
+def _bmp_meta_decode(b: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_intensity) via the stdlib+numpy BMP
+    decoder (operators/bmp.decode_bmp) — the fourth codec-free image
+    family next to PNG/JPEG/GIF."""
+    import numpy as np
+
+    from clustering_spark.operators.bmp import decode_bmp
+
+    w, h, _ch, samples = decode_bmp(b)
+    arr = np.frombuffer(samples, dtype=np.uint8)
+    return w, h, float(arr.mean()) if arr.size else 0.0
+
+
 IMAGE_META_SCHEMA = "id long, width int, height int, n_pixels long, mean_intensity double"
 
 
@@ -369,6 +393,8 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     # stdlib GIF decode (first frame), PIL not needed
                     w, h, mean = _gif_meta(b)
+                elif _bmp_sniff(b):
+                    w, h, mean = _bmp_meta_decode(b)
                 elif _HAVE_PIL:
                     w, h, mean = _pil_meta(b)
                 elif b[:2] == JPEG_MAGIC:
@@ -624,6 +650,7 @@ def _decode_gray(b: bytes):
         b[: len(PNG_MAGIC)] == PNG_MAGIC
         or b[:2] == JPEG_MAGIC
         or b[:6] in (b"GIF87a", b"GIF89a")
+        or _bmp_sniff(b)
     ):
         if b[:2] == JPEG_MAGIC:
             from clustering_spark.operators.jpeg import decode_baseline
@@ -633,6 +660,10 @@ def _decode_gray(b: bytes):
             from clustering_spark.operators.gif import decode_gif
 
             w, h, ch, samples = decode_gif(b)
+        elif _bmp_sniff(b):
+            from clustering_spark.operators.bmp import decode_bmp
+
+            w, h, ch, samples = decode_bmp(b)
         else:
             w, h, ch, samples = _png_decode(b)
         arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
@@ -1910,6 +1941,16 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                             row["format"] = (
                                 "gif" if n_frames == 1 else "gif-animated"
                             )
+                        elif _bmp_sniff(b):
+                            from clustering_spark.operators.bmp import (
+                                bmp_meta,
+                            )
+
+                            row["media_type"] = "image"
+                            (
+                                row["width"], row["height"], _bpp, _c
+                            ) = bmp_meta(b)
+                            row["format"] = "bmp"
                         elif b[:4] == b"RIFF":
                             # RIFF is a family, not a format: route on
                             # the form type at b[8:12] — WAVE is audio,
