@@ -184,6 +184,71 @@ def _bmp_sniff(b: bytes) -> bool:
     return looks_like_bmp(b)
 
 
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _tiff_meta(b: bytes) -> tuple[int, int, int]:
+    """(width, height, compression_code) from a TIFF's first IFD — a
+    pure header walk (the public TIFF 6.0 baseline layout: byte-order
+    magic, IFD offset, 12-byte tag entries with inline SHORT/LONG
+    values). Dimensions and compression are the routing decision for
+    the scanned-document corpora that ship as TIFF; pixel decode
+    stays behind the PIL gate (LZW/CCITT/JPEG-in-TIFF need real
+    codecs). Raises ValueError on malformed headers."""
+    if b[:4] not in _TIFF_MAGICS:
+        raise ValueError("not a TIFF")
+    bo = "<" if b[:2] == b"II" else ">"
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack(bo + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD offset past end of file")
+    (n_entries,) = struct.unpack(bo + "H", b[ifd_off : ifd_off + 2])
+    w = h = None
+    comp = 1  # default: uncompressed
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        entry = b[at : at + 12]
+        if len(entry) < 12:
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, _count = struct.unpack(bo + "HHI", entry[:8])
+        if typ == 3:  # SHORT, inline
+            (val,) = struct.unpack(bo + "H", entry[8:10])
+        elif typ == 4:  # LONG, inline
+            (val,) = struct.unpack(bo + "I", entry[8:12])
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+        elif tag == 259:
+            comp = val
+    if w is None or h is None:
+        raise ValueError("TIFF IFD lacks ImageWidth/ImageLength")
+    return w, h, comp
+
+
+def make_tiff(width: int, height: int, compression: int = 1,
+              big_endian: bool = False) -> bytes:
+    """Deterministic header-only TIFF fixture (first IFD with dims +
+    compression; no strips) for the header-pass tests."""
+    bo = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    entries = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (259, 3, 1, compression),
+    ]
+    out = bytearray(magic + struct.pack(bo + "I", 8))
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, count, val in entries:
+        out += struct.pack(bo + "HHI", tag, typ, count)
+        out += struct.pack(bo + "H", val) + b"\x00\x00"
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    return bytes(out)
+
+
 HEADER_META_SCHEMA = "id long, format string, width int, height int"
 
 
@@ -238,6 +303,9 @@ def image_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
 
                         fmt = "bmp"
                         w, h, _bpp, _comp = bmp_meta(b)
+                    elif b[:4] in _TIFF_MAGICS:
+                        fmt = "tiff"
+                        w, h, _comp = _tiff_meta(b)
                 except (ValueError, struct.error):
                     fmt, w, h = "corrupt", None, None
                 out.append({"id": rid, "format": fmt, "width": w, "height": h})
@@ -1951,6 +2019,12 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                                 row["width"], row["height"], _bpp, _c
                             ) = bmp_meta(b)
                             row["format"] = "bmp"
+                        elif b[:4] in _TIFF_MAGICS:
+                            row["media_type"] = "image"
+                            (
+                                row["width"], row["height"], _c
+                            ) = _tiff_meta(b)
+                            row["format"] = "tiff"
                         elif b[:4] == b"RIFF":
                             # RIFF is a family, not a format: route on
                             # the form type at b[8:12] — WAVE is audio,

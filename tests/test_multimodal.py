@@ -802,3 +802,29 @@ def test_video_track_stats_codec_free(spark):
     e = out[out.id == 2]
     assert len(e) == 1 and e.iloc[0].handler is None
     assert e.iloc[0].fps is None or pd.isna(e.iloc[0].fps)
+
+
+def test_tiff_header_pass_routes_dims_and_endianness(spark):
+    """TIFF first-IFD walk: dims + compression from the header alone,
+    both byte orders; decode stays a PIL-gated capability. Malformed
+    TIFFs degrade to 'corrupt' per the mixed-corpus contract."""
+    rows = [
+        (1, bytearray(mm.make_tiff(640, 480))),
+        (2, bytearray(mm.make_tiff(33, 44, big_endian=True))),
+        (3, bytearray(b"II*\x00\xff\xff\xff\xff")),  # IFD off the end
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {
+        r["id"]: r.asDict()
+        for r in mm.image_header_meta(df, "blob", "id").collect()
+    }
+    assert got[1]["format"] == "tiff"
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[2]["format"] == "tiff"
+    assert (got[2]["width"], got[2]["height"]) == (33, 44)
+    assert got[3]["format"] == "corrupt"
+    # the mixed-corpus router labels it too
+    r = mm.media_header_meta(df.filter("id = 1"), "blob", "id").collect()[0]
+    assert (r["media_type"], r["format"]) == ("image", "tiff")
+    # compression code surfaces through the meta helper (routing signal)
+    assert mm._tiff_meta(bytes(mm.make_tiff(8, 8, compression=5)))[2] == 5
