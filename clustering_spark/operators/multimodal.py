@@ -913,14 +913,26 @@ def _wav_meta(b: bytes) -> tuple[str, int, int, int, int, float]:
 
 
 def audio_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
-    """Per-blob WAV header metadata — the cheap first pass of audio
-    curation (duration/rate/channel filters, sample-rate buckets) that
-    must run over 100 TB of mixed blobs before any decode. Same
-    mixed-corpus contract as image_header_meta: blobs that aren't
-    RIFF/WAVE surface as format='unknown' (including other RIFF forms
-    — WEBP/AVI belong to media_header_meta), malformed RIFF/WAVE as
-    'corrupt', NULL blobs as unknown — one bad row never fails a
-    batch."""
+    """Per-blob audio-container header metadata — the cheap first
+    pass of audio curation (duration/rate/channel filters,
+    sample-rate buckets) that must run over 100 TB of mixed blobs
+    before any decode. Covers every audio container the engine
+    names: RIFF/WAVE (per-codec fmt walk), MP3 (frame-header walk +
+    Xing/VBRI tags), FLAC (STREAMINFO) and Ogg Vorbis/Opus (id
+    header + terminal granule) — ``n_frames`` is PCM sample frames
+    under every format so downstream duration/size filters are
+    format-agnostic; fields a format cannot know (MP3/Ogg bit depth)
+    stay NULL. Same mixed-corpus contract as image_header_meta:
+    blobs of no known audio container surface as format='unknown'
+    (including non-WAVE RIFF forms — WEBP/AVI belong to
+    media_header_meta), malformed ones as 'corrupt', NULL blobs as
+    unknown — one bad row never fails a batch."""
+    from clustering_spark.operators.mediafmt import (
+        _flac_meta,
+        _mp3_meta,
+        _mp3_sniff,
+        _ogg_meta,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -934,18 +946,39 @@ def audio_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 row["id"], row["format"] = rid, "unknown"
                 if blob is not None:
                     b = bytes(blob)
-                    # gate on the WAVE form type, not bare RIFF: WEBP
-                    # images and AVI videos are RIFF too and must stay
-                    # 'unknown' here (route them with media_header_meta)
-                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                        try:
+                    try:
+                        # gate on the WAVE form type, not bare RIFF:
+                        # WEBP images and AVI videos are RIFF too and
+                        # must stay 'unknown' here (route them with
+                        # media_header_meta)
+                        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                             (
                                 row["format"], row["n_channels"],
-                                row["sample_rate"], row["bits_per_sample"],
+                                row["sample_rate"],
+                                row["bits_per_sample"],
                                 row["n_frames"], row["duration_sec"],
                             ) = _wav_meta(b)
-                        except (ValueError, struct.error):
-                            row["format"] = "corrupt"
+                        elif b[:4] == b"fLaC":
+                            (
+                                row["format"], row["n_channels"],
+                                row["sample_rate"],
+                                row["bits_per_sample"],
+                                row["n_frames"], row["duration_sec"],
+                            ) = ("flac",) + _flac_meta(b)
+                        elif b[:4] == b"OggS":
+                            (
+                                row["format"], row["n_channels"],
+                                row["sample_rate"], row["n_frames"],
+                                row["duration_sec"],
+                            ) = _ogg_meta(b)
+                        elif _mp3_sniff(b):
+                            (
+                                row["n_channels"], row["sample_rate"],
+                                row["n_frames"], row["duration_sec"],
+                            ) = _mp3_meta(b)
+                            row["format"] = "mp3"
+                    except (ValueError, struct.error):
+                        row["format"] = "corrupt"
                 out.append(row)
             yield pd.DataFrame(out, columns=cols)
 
@@ -1256,15 +1289,20 @@ def _mp4_meta(b: bytes) -> tuple[str, str | None, int, int | None, float | None]
 
 
 def video_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
-    """Per-blob ISO-BMFF (MP4/MOV) container metadata — duration,
-    track count, brand — from the box walk alone, no codec. Completes
-    the image/audio/video header triple (image_header_meta,
-    audio_header_meta) under the same mixed-corpus contract: blobs
-    that aren't ISO-BMFF surface as format='unknown', structurally
-    broken ones as 'corrupt', NULL as unknown; one bad row never
-    fails a batch. Frame extraction stays behind sample_frames (FAKE
-    container) / the honest codec gates — this stage is the
-    header-only filter pass that runs over 100 TB first."""
+    """Per-blob video-container metadata — duration, track count,
+    brand — from the container walk alone, no codec: ISO-BMFF
+    (MP4/MOV box walk) and Matroska/WebM (EBML element walk; the
+    ``major_brand``/``timescale`` columns are ISO-BMFF concepts and
+    stay NULL there — DocType is what the ``format`` column carries,
+    'webm' vs 'matroska'). Completes the image/audio/video header
+    triple (image_header_meta, audio_header_meta) under the same
+    mixed-corpus contract: blobs of no known video container surface
+    as format='unknown', structurally broken ones as 'corrupt', NULL
+    as unknown; one bad row never fails a batch. Frame extraction
+    stays behind sample_frames (FAKE container) / avi_frame_sample /
+    the honest codec gates — this stage is the header-only filter
+    pass that runs over 100 TB first."""
+    from clustering_spark.operators.mediafmt import _mkv_meta
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -1290,6 +1328,14 @@ def video_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                                 row["n_tracks"], row["timescale"],
                                 row["duration_sec"],
                             ) = _mp4_meta(b)
+                        except (ValueError, struct.error):
+                            row["format"] = "corrupt"
+                    elif b[:4] == b"\x1aE\xdf\xa3":
+                        try:
+                            (
+                                row["format"], row["n_tracks"],
+                                _w, _h, row["duration_sec"],
+                            ) = _mkv_meta(b)
                         except (ValueError, struct.error):
                             row["format"] = "corrupt"
                 out.append(row)
@@ -1956,13 +2002,25 @@ MEDIA_HEADER_SCHEMA = (
 def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """ONE header pass over a mixed image/audio/video blob column:
     sniff the container magic per row and run the matching codec-free
-    parser (PNG/JPEG/FAKE dims, RIFF/WAVE audio shape, ISO-BMFF video
-    shape), emitting a ``media_type`` routing column plus the union of
-    the per-family fields (non-applicable fields NULL). This is the
-    user-facing first pass over a 100 TB mixed table — one scan, one
-    mapInPandas stage, instead of three family-specific passes each
-    re-reading every blob. Same degrade contract as the family
-    parsers: unknown/corrupt/NULL are values, never batch failures."""
+    parser (PNG/JPEG/GIF/BMP/TIFF/WEBP/FAKE image dims, RIFF/WAVE +
+    MP3 + FLAC + Ogg Vorbis/Opus audio shape, ISO-BMFF + AVI +
+    Matroska/WebM video shape), emitting a ``media_type`` routing
+    column plus the union of the per-family fields (non-applicable
+    fields NULL). This is the user-facing first pass over a 100 TB
+    mixed table — one scan, one mapInPandas stage, instead of three
+    family-specific passes each re-reading every blob. MP3 is sniffed
+    LAST (its predicate is a frame-sync scan, not a magic string, so
+    every magic-bearing family gets first claim). Same degrade
+    contract as the family parsers: unknown/corrupt/NULL are values,
+    never batch failures."""
+
+    from clustering_spark.operators.mediafmt import (
+        _flac_meta,
+        _mkv_meta,
+        _mp3_meta,
+        _mp3_sniff,
+        _ogg_meta,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -2063,6 +2121,38 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                                 row["format"], _brand, row["n_tracks"],
                                 _ts, row["video_duration_sec"],
                             ) = _mp4_meta(b)
+                        elif b[:4] == b"fLaC":
+                            row["media_type"] = "audio"
+                            row["format"] = "flac"
+                            (
+                                row["n_channels"], row["sample_rate"],
+                                _bits, _total,
+                                row["audio_duration_sec"],
+                            ) = _flac_meta(b)
+                        elif b[:4] == b"OggS":
+                            row["media_type"] = "audio"
+                            (
+                                row["format"], row["n_channels"],
+                                row["sample_rate"], _n,
+                                row["audio_duration_sec"],
+                            ) = _ogg_meta(b)
+                        elif b[:4] == b"\x1aE\xdf\xa3":
+                            row["media_type"] = "video"
+                            (
+                                row["format"], row["n_tracks"],
+                                row["width"], row["height"],
+                                row["video_duration_sec"],
+                            ) = _mkv_meta(b)
+                        elif _mp3_sniff(b):
+                            # last: the sync-scan sniff is the only
+                            # non-magic predicate, so every
+                            # magic-bearing family gets first claim
+                            row["media_type"] = "audio"
+                            row["format"] = "mp3"
+                            (
+                                row["n_channels"], row["sample_rate"],
+                                _n, row["audio_duration_sec"],
+                            ) = _mp3_meta(b)
                     except (ValueError, struct.error):
                         row["format"] = "corrupt"
                 out.append(row)

@@ -1,0 +1,283 @@
+"""Codec-free header parsers for the compressed web-media containers
+(operators/mediafmt.py): MP3 frame walk + Xing, FLAC STREAMINFO, Ogg
+Vorbis/Opus pages, Matroska/WebM EBML — pure-Python analytic pins
+plus the Spark family passes and the mixed-corpus router over all
+fourteen routed formats in ONE scan.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from clustering_spark.operators import multimodal as mm
+from clustering_spark.operators.mediafmt import (
+    _flac_meta,
+    _mkv_meta,
+    _mp3_first_frame,
+    _mp3_meta,
+    _mp3_sniff,
+    _ogg_meta,
+    make_flac,
+    make_mkv,
+    make_mp3,
+    make_ogg_opus,
+    make_ogg_vorbis,
+)
+
+
+class TestMp3:
+    def test_cbr_walk_exact_duration(self):
+        b = make_mp3(n_frames=30, rate=44100, bitrate_kbps=128)
+        ch, rate, n, dur = _mp3_meta(b)
+        assert (ch, rate, n) == (2, 44100, 30 * 1152)
+        assert dur == pytest.approx(30 * 1152 / 44100)
+
+    def test_xing_tag_preferred_over_walk(self):
+        # the Xing frame count is authoritative even when the blob is
+        # truncated mid-stream (the whole point of the VBR tag)
+        b = make_mp3(
+            n_frames=500, rate=48000, bitrate_kbps=64, mono=True,
+            xing=True,
+        )
+        ch, rate, n, dur = _mp3_meta(b[: len(b) // 2])
+        assert (ch, rate, n) == (1, 48000, 500 * 1152)
+
+    def test_id3v2_skip_and_mpeg2_spf(self):
+        b = make_mp3(
+            n_frames=20, rate=22050, bitrate_kbps=32, mpeg2=True,
+            id3_pad=300,
+        )
+        assert _mp3_first_frame(b) == 310  # 10-byte header + pad
+        ch, rate, n, dur = _mp3_meta(b)
+        assert n == 20 * 576  # MPEG2 layer III: 576 samples/frame
+        assert dur == pytest.approx(20 * 576 / 22050)
+
+    def test_truncated_final_frame_not_counted(self):
+        b = make_mp3(n_frames=10)[:-50]
+        assert _mp3_meta(b)[2] == 9 * 1152
+
+    def test_id3v1_trailer_ends_walk_cleanly(self):
+        b = make_mp3(n_frames=5) + b"TAG" + bytes(125)
+        assert _mp3_meta(b)[2] == 5 * 1152
+
+    def test_sniff_rejects_lone_sync_bytes(self):
+        # a random binary with 0xFF FB somewhere must NOT route as
+        # mp3: the sniff is anchored at byte 0 with a second-frame
+        # confirmation
+        assert not _mp3_sniff(b"\x00\xff\xfb\x90" + bytes(400))
+        assert not _mp3_sniff(b"\xff\xfb\x90\x00" + b"garbage" * 60)
+        assert _mp3_sniff(make_mp3(n_frames=2))
+        assert _mp3_sniff(make_mp3(n_frames=3, id3_pad=64))
+
+    def test_id3_without_frames_is_corrupt(self):
+        b = b"ID3\x03\x00\x00\x00\x00\x00\x10" + bytes(600)
+        with pytest.raises(ValueError):
+            _mp3_meta(b)
+
+
+class TestFlac:
+    def test_streaminfo_fields(self):
+        b = make_flac(
+            rate=22050, channels=2, bits=16, total_samples=44100
+        )
+        assert _flac_meta(b) == (2, 22050, 16, 44100, 2.0)
+
+    def test_unknown_total_samples_is_null_duration(self):
+        assert _flac_meta(make_flac(total_samples=0))[4] is None
+
+    def test_mono_24bit_96k(self):
+        b = make_flac(
+            rate=96000, channels=1, bits=24, total_samples=480000
+        )
+        assert _flac_meta(b) == (1, 96000, 24, 480000, 5.0)
+
+    def test_missing_streaminfo_raises(self):
+        with pytest.raises(ValueError):
+            _flac_meta(b"fLaC" + bytes([0x84]) + b"\x00\x00\x02ab")
+
+    def test_zero_rate_raises(self):
+        blob = bytearray(make_flac())
+        # zero out the 20 sample-rate bits (top of byte 18..20 of the
+        # streaminfo body at offset 8 header bytes)
+        packed = int.from_bytes(blob[8 + 10 : 8 + 18], "big")
+        packed &= (1 << 44) - 1
+        blob[8 + 10 : 8 + 18] = packed.to_bytes(8, "big")
+        with pytest.raises(ValueError):
+            _flac_meta(bytes(blob))
+
+
+class TestOgg:
+    def test_vorbis_duration_from_last_granule(self):
+        b = make_ogg_vorbis(rate=44100, channels=2, n_samples=88200)
+        assert _ogg_meta(b) == ("ogg-vorbis", 2, 44100, 88200, 2.0)
+
+    def test_opus_preskip_subtracted_at_48k(self):
+        b = make_ogg_opus(channels=1, preskip=312, n_samples=96000)
+        assert _ogg_meta(b) == ("ogg-opus", 1, 48000, 96000, 2.0)
+
+    def test_unknown_codec_is_ogg_other(self):
+        from clustering_spark.operators.mediafmt import _ogg_page
+
+        b = _ogg_page(b"\x7fFLAC rest", granule=0, htype=2) + _ogg_page(
+            b"x", granule=1000, htype=4, seq=1
+        )
+        fmt, ch, rate, n, dur = _ogg_meta(b)
+        assert fmt == "ogg-other"
+        assert (ch, rate, n, dur) == (None, None, None, None)
+
+    def test_truncated_page_raises(self):
+        b = make_ogg_vorbis()
+        with pytest.raises(ValueError):
+            _ogg_meta(b[:-10])
+
+    def test_second_stream_granules_ignored(self):
+        # a muxed second logical stream (different serial) must not
+        # contribute its granule to the first stream's duration
+        from clustering_spark.operators.mediafmt import _ogg_page
+
+        ident = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+            + struct.pack("<Iiii", 8000, 0, 0, 0) + b"\xb8\x01"
+        )
+        b = (
+            _ogg_page(ident, granule=0, serial=1, htype=2)
+            + _ogg_page(b"other", granule=999999, serial=2, seq=0)
+            + _ogg_page(b"end", granule=16000, serial=1, htype=4, seq=1)
+        )
+        assert _ogg_meta(b) == ("ogg-vorbis", 1, 8000, 16000, 2.0)
+
+
+class TestMkv:
+    def test_webm_video_fields(self):
+        b = make_mkv(
+            doctype="webm", duration_ms=2000.0,
+            video_dims=(320, 240), n_audio_tracks=1,
+        )
+        assert _mkv_meta(b) == ("webm", 2, 320, 240, 2.0)
+
+    def test_matroska_unknown_segment_size(self):
+        b = make_mkv(
+            doctype="matroska", video_dims=None, n_audio_tracks=2,
+            unknown_segment_size=True,
+        )
+        assert _mkv_meta(b) == ("matroska", 2, None, None, 2.0)
+
+    def test_timestamp_scale_applied(self):
+        # 100 us ticks: 5000 ticks -> 0.5 s
+        b = make_mkv(duration_ms=5000.0, ts_scale=100_000)
+        assert _mkv_meta(b)[4] == pytest.approx(0.5)
+
+    def test_element_overrunning_parent_raises(self):
+        b = bytearray(make_mkv())
+        # corrupt the Info element's size vint to overrun Segment
+        idx = bytes(b).find(b"\x15\x49\xa9\x66")
+        b[idx + 4] = 0x41  # 2-byte vint, huge size
+        b[idx + 5] = 0xFF
+        with pytest.raises(ValueError):
+            _mkv_meta(bytes(b))
+
+    def test_deep_nesting_is_iterative_not_recursive(self):
+        # TrackEntries nested 4000 deep (4x the default Python
+        # recursion limit): must walk with the explicit stack
+        from clustering_spark.operators.mediafmt import _evint
+
+        body = b""
+        for _ in range(4000):
+            body = b"\xae" + _evint(len(body)) + body
+        header = b"\x1aE\xdf\xa3" + bytes([0x80])
+        blob = header + b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7 + body
+        fmt, n_tracks, w, h, dur = _mkv_meta(blob)
+        assert n_tracks == 4000
+
+
+class TestSparkStages:
+    def test_audio_header_meta_mixed_corpus(self, spark):
+        rows = [
+            (1, mm.make_wav(8000, sample_rate=8000)),
+            (2, make_mp3(n_frames=30, rate=44100, bitrate_kbps=128)),
+            (3, make_flac(rate=22050, channels=2, total_samples=44100)),
+            (4, make_ogg_vorbis(rate=44100, channels=2, n_samples=88200)),
+            (5, make_ogg_opus(channels=1, preskip=0, n_samples=48000)),
+            (6, b"fLaC broken"),
+            (7, b"not audio at all"),
+            (8, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = (
+            mm.audio_header_meta(df, "blob", "id")
+            .toPandas()
+            .set_index("id")
+        )
+        assert out.loc[1, "format"] == "wav-pcm"
+        assert out.loc[2, "format"] == "mp3"
+        assert out.loc[2, "n_frames"] == 30 * 1152
+        assert out.loc[3, "format"] == "flac"
+        assert out.loc[3, "bits_per_sample"] == 16
+        assert out.loc[4, "format"] == "ogg-vorbis"
+        assert out.loc[4, "duration_sec"] == pytest.approx(2.0)
+        assert out.loc[5, "format"] == "ogg-opus"
+        assert out.loc[5, "duration_sec"] == pytest.approx(1.0)
+        assert out.loc[6, "format"] == "corrupt"
+        assert out.loc[7, "format"] == "unknown"
+        assert out.loc[8, "format"] == "unknown"
+
+    def test_video_header_meta_routes_mkv(self, spark):
+        rows = [
+            (1, mm.make_mp4(duration_sec=3.0)),
+            (2, make_mkv(doctype="webm", duration_ms=1500.0)),
+            (3, make_mkv(doctype="matroska", duration_ms=750.0)),
+        ]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = (
+            mm.video_header_meta(df, "blob", "id")
+            .toPandas()
+            .set_index("id")
+        )
+        assert out.loc[1, "format"] == "mp4"
+        assert out.loc[2, "format"] == "webm"
+        assert out.loc[2, "duration_sec"] == pytest.approx(1.5)
+        assert out.loc[2, "n_tracks"] == 2
+        assert out.loc[3, "format"] == "matroska"
+        # ISO-BMFF concepts stay NULL on EBML containers
+        assert out.loc[2, "major_brand"] is None
+
+    def test_router_all_formats_one_scan(self, spark):
+        import numpy as np
+
+        from clustering_spark.operators.gif import encode_gif
+
+        rows = [
+            (1, mm.make_fake_image(4, 3, fill=10)),
+            (2, mm.make_png(2, 2, bytes(4), color_type=0)),
+            (3, mm.make_wav(4000, sample_rate=8000)),
+            (4, mm.make_mp4(duration_sec=2.5)),
+            (5, mm.make_webp(64, 48)),
+            (6, encode_gif(np.zeros((2, 2), dtype=np.uint8))),
+            (7, make_mp3(n_frames=10)),
+            (8, make_flac(total_samples=22050, rate=22050)),
+            (9, make_ogg_opus(preskip=0, n_samples=24000)),
+            (10, make_mkv(doctype="webm", video_dims=(160, 90))),
+            (11, b"nothing recognizable here"),
+        ]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = (
+            mm.media_header_meta(df, "blob", "id")
+            .toPandas()
+            .set_index("id")
+        )
+        assert out.loc[1, "media_type"] == "image"
+        assert out.loc[3, "media_type"] == "audio"
+        assert out.loc[5, "format"] == "webp"
+        assert out.loc[6, "format"] == "gif"
+        assert out.loc[7, "format"] == "mp3"
+        assert out.loc[7, "media_type"] == "audio"
+        assert out.loc[8, "format"] == "flac"
+        assert out.loc[8, "audio_duration_sec"] == pytest.approx(1.0)
+        assert out.loc[9, "format"] == "ogg-opus"
+        assert out.loc[9, "audio_duration_sec"] == pytest.approx(0.5)
+        assert out.loc[10, "format"] == "webm"
+        assert (out.loc[10, "width"], out.loc[10, "height"]) == (160, 90)
+        assert out.loc[10, "media_type"] == "video"
+        assert out.loc[11, "format"] == "unknown"
