@@ -1919,7 +1919,7 @@ def synthetic_media_blob(d: int) -> bytes:
     """Deterministic mixed-corpus blob for integer id ``d`` — the gate
     fixture generator behind the ``media_metadata`` oracle entry: the
     blob's header parameters are pure arithmetic in ``d`` (family =
-    d % 7), so a SQL oracle can compute the fields media_header_meta
+    d % 10), so a SQL oracle can compute the fields media_header_meta
     must recover without ever parsing bytes (the same round-trip
     template pattern as strip_html's entity-escaped oracle). Keep the
     arithmetic in lock-step with SQL_MEDIA_METADATA in queries.py.
@@ -1928,8 +1928,47 @@ def synthetic_media_blob(d: int) -> bytes:
     still computes dims and dHash from the construction arithmetic
     alone, but Spark can only match by actually LZW-decoding the GIF —
     the codec itself is on the hash gate, the same trick as fam 0's
-    arithmetic pixels but through a real compressed format."""
-    fam = d % 7
+    arithmetic pixels but through a real compressed format.
+
+    Families 7-9 (round 12, later) gate the compressed-container
+    header passes of operators/mediafmt.py: MP3 whose duration the
+    router must recover through either the Xing tag or the full
+    frame walk (the tag's presence itself varies arithmetically, so
+    BOTH paths are hash-checked), FLAC via STREAMINFO bit unpacking,
+    and Matroska/WebM via the EBML walk (DocType naming, dims,
+    TimestampScale x Duration)."""
+    fam = d % 10
+    if fam == 7:
+        from clustering_spark.operators.mediafmt import make_mp3
+
+        # fam-7 ids are all odd (d ≡ 7 mod 10), so binary variety
+        # must ride d // 10, not d % 2
+        return make_mp3(
+            n_frames=10 + d % 40,
+            rate=(44100, 48000, 32000)[(d // 10) % 3],
+            bitrate_kbps=128,
+            mono=((d // 10) % 2 == 0),
+            xing=((d // 3) % 2 == 0),
+        )
+    if fam == 8:
+        from clustering_spark.operators.mediafmt import make_flac
+
+        rate = (22050, 44100, 96000)[(d // 10) % 3]
+        return make_flac(
+            rate=rate,
+            channels=1 + (d // 10) % 2,
+            bits=16 + 8 * ((d // 3) % 2),
+            total_samples=rate * (1 + d % 8),
+        )
+    if fam == 9:
+        from clustering_spark.operators.mediafmt import make_mkv
+
+        return make_mkv(
+            doctype="webm" if (d // 10) % 2 else "matroska",
+            duration_ms=250.0 * (1 + d % 12),
+            video_dims=(16 + d % 300, 9 + (d // 5) % 200),
+            n_audio_tracks=(d // 10) % 2,
+        )
     if fam == 5:
         import numpy as np
 

@@ -1774,11 +1774,15 @@ def q_media_metadata(spark, sf_dir):
     2. media_header_meta — the mixed-corpus header router (image/
        audio/video families in ONE mapInPandas scan) over a
        deterministic per-doc blob (synthetic_media_blob: FAKE image /
-       WAV / MP4 / WEBP / AVI / GIF / garbage keyed on doc_id % 7),
-       whose header parameters are pure arithmetic in doc_id so the
-       DuckDB oracle recomputes every field the router must recover
-       without parsing a byte — the strip_html round-trip template
-       pattern;
+       WAV / MP4 / WEBP / AVI / GIF / garbage / MP3 / FLAC /
+       Matroska-WebM keyed on doc_id % 10), whose header parameters
+       are pure arithmetic in doc_id so the DuckDB oracle recomputes
+       every field the router must recover without parsing a byte —
+       the strip_html round-trip template pattern. The MP3 members
+       alternate arithmetically between Xing-tagged and tagless, so
+       BOTH the tag path and the full frame walk are hash-checked;
+       the MKV members alternate DocType, so EBML string decode is
+       too;
     3. image_dhash — the perceptual 64-bit dHash over the same blobs.
        Fam-0 images carry an arithmetic pixel pattern, so the oracle
        ENUMERATES the pixels in SQL and replays the exact 9x8
@@ -1846,8 +1850,9 @@ def q_media_metadata(spark, sf_dir):
     return meta.join(hdr, "doc_id").join(dh, "doc_id")
 
 
-# Oracle twin of synthetic_media_blob's arithmetic (family = doc_id % 7)
-# — keep in lock-step with operators/multimodal.py:synthetic_media_blob.
+# Oracle twin of synthetic_media_blob's arithmetic (family = doc_id
+# % 10) — keep in lock-step with
+# operators/multimodal.py:synthetic_media_blob.
 # The dh CTE replays _dhash64 exactly on the TWO decodable-image
 # families: fam 0's raw pixel formula (7x + 13y + d mod 256) and fam
 # 5's REAL GIF, whose pixels index the EXACT_LUMAS table (gray levels
@@ -1869,11 +1874,11 @@ def _media_metadata_sql() -> str:
 WITH dims AS (
   SELECT doc_id, 9 + doc_id % 24 AS w, 8 + (doc_id // 31) % 16 AS h,
          0 AS fam
-  FROM documents WHERE doc_id % 7 = 0
+  FROM documents WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id, 9 + doc_id % 21 AS w, 8 + (doc_id // 17) % 12 AS h,
          5 AS fam
-  FROM documents WHERE doc_id % 7 = 5),
+  FROM documents WHERE doc_id % 10 = 5),
 px AS (
   SELECT d.doc_id, d.w, d.h, y.range AS y, x.range AS x,
          CASE WHEN d.fam = 0
@@ -1904,33 +1909,56 @@ dh AS (
   GROUP BY 1)
 SELECT t.doc_id, octet_length(encode(t.text)) AS n_bytes,
        sha256(t.text) AS content_sha256,
-       CASE t.doc_id % 7 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       CASE t.doc_id % 10 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             WHEN 2 THEN 'video' WHEN 3 THEN 'image' WHEN 4 THEN 'video'
             WHEN 5 THEN 'image'
+            WHEN 7 THEN 'audio' WHEN 8 THEN 'audio' WHEN 9 THEN 'video'
             ELSE 'unknown' END AS media_type,
-       CASE t.doc_id % 7 WHEN 0 THEN 'fake'
+       CASE t.doc_id % 10 WHEN 0 THEN 'fake'
             WHEN 1 THEN CASE (t.doc_id // 7) % 4
                  WHEN 0 THEN 'wav-pcm' WHEN 1 THEN 'wav-ulaw'
                  WHEN 2 THEN 'wav-alaw' ELSE 'wav-ima-adpcm' END
             WHEN 2 THEN 'mp4' WHEN 3 THEN 'webp' WHEN 4 THEN 'avi'
             WHEN 5 THEN 'gif'
+            WHEN 7 THEN 'mp3' WHEN 8 THEN 'flac'
+            WHEN 9 THEN CASE (t.doc_id // 10) % 2
+                 WHEN 0 THEN 'matroska' ELSE 'webm' END
             ELSE 'unknown' END AS format,
-       CASE t.doc_id % 7 WHEN 0 THEN 9 + t.doc_id % 24
+       CASE t.doc_id % 10 WHEN 0 THEN 9 + t.doc_id % 24
             WHEN 3 THEN 1 + t.doc_id % 200
             WHEN 4 THEN 320
-            WHEN 5 THEN 9 + t.doc_id % 21 END AS width,
-       CASE t.doc_id % 7 WHEN 0 THEN 8 + (t.doc_id // 31) % 16
+            WHEN 5 THEN 9 + t.doc_id % 21
+            WHEN 9 THEN 16 + t.doc_id % 300 END AS width,
+       CASE t.doc_id % 10 WHEN 0 THEN 8 + (t.doc_id // 31) % 16
             WHEN 3 THEN 1 + (t.doc_id // 3) % 150
             WHEN 4 THEN 240
-            WHEN 5 THEN 8 + (t.doc_id // 17) % 12 END AS height,
-       CASE WHEN t.doc_id % 7 = 1 THEN 1 + t.doc_id % 2 END AS n_channels,
-       CASE WHEN t.doc_id % 7 = 1 THEN 8000 END AS sample_rate,
-       CASE WHEN t.doc_id % 7 = 1
-            THEN (100 + t.doc_id % 100) / 8000.0 END AS audio_duration_sec,
-       CASE t.doc_id % 7 WHEN 2 THEN 1 + t.doc_id % 3
-            WHEN 4 THEN 1 + t.doc_id % 2 END AS n_tracks,
-       CASE t.doc_id % 7 WHEN 2 THEN (1 + t.doc_id % 10) / 2.0
+            WHEN 5 THEN 8 + (t.doc_id // 17) % 12
+            WHEN 9 THEN 9 + (t.doc_id // 5) % 200 END AS height,
+       CASE t.doc_id % 10 WHEN 1 THEN 1 + t.doc_id % 2
+            WHEN 7 THEN CASE (t.doc_id // 10) % 2
+                 WHEN 0 THEN 1 ELSE 2 END
+            WHEN 8 THEN 1 + (t.doc_id // 10) % 2 END AS n_channels,
+       CASE t.doc_id % 10 WHEN 1 THEN 8000
+            WHEN 7 THEN CASE (t.doc_id // 10) % 3
+                 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                 ELSE 32000 END
+            WHEN 8 THEN CASE (t.doc_id // 10) % 3
+                 WHEN 0 THEN 22050 WHEN 1 THEN 44100
+                 ELSE 96000 END END AS sample_rate,
+       CASE t.doc_id % 10
+            WHEN 1 THEN (100 + t.doc_id % 100) / 8000.0
+            WHEN 7 THEN (10 + t.doc_id % 40) * 1152 /
+                 CASE (t.doc_id // 10) % 3
+                      WHEN 0 THEN 44100.0 WHEN 1 THEN 48000.0
+                      ELSE 32000.0 END
+            WHEN 8 THEN CAST(1 + t.doc_id % 8 AS DOUBLE)
+            END AS audio_duration_sec,
+       CASE t.doc_id % 10 WHEN 2 THEN 1 + t.doc_id % 3
+            WHEN 4 THEN 1 + t.doc_id % 2
+            WHEN 9 THEN 1 + (t.doc_id // 10) % 2 END AS n_tracks,
+       CASE t.doc_id % 10 WHEN 2 THEN (1 + t.doc_id % 10) / 2.0
             WHEN 4 THEN CAST(1 + t.doc_id % 8 AS DOUBLE)
+            WHEN 9 THEN (1 + t.doc_id % 12) / 4.0
             END AS video_duration_sec,
        CAST(dh.dhash AS VARCHAR) AS dhash
 FROM documents t LEFT JOIN dh ON t.doc_id = dh.doc_id

@@ -218,8 +218,8 @@ def test_dhash_int64_exact_in_mixed_null_batches(spark):
     """A batch mixing undecodable rows (NULL hash) with decodable ones
     must not infer float64 for the hash column — an int64 whose set-bit
     span exceeds the 53-bit mantissa would silently lose low bits
-    between pandas and Arrow (found live: synthetic_media_blob(397)'s
-    GIF). Pin the exact int through the Spark stage."""
+    between pandas and Arrow (found live on a fam-5 gate GIF). Pin
+    the exact int through the Spark stage."""
     from clustering_spark.operators.multimodal import (
         _decode_gray,
         _dhash64,
@@ -227,7 +227,7 @@ def test_dhash_int64_exact_in_mixed_null_batches(spark):
         synthetic_media_blob,
     )
 
-    blob = synthetic_media_blob(397)  # fam 5 GIF, non-representable hash
+    blob = synthetic_media_blob(95)  # fam 5 GIF, non-representable hash
     expect = _dhash64(_decode_gray(blob))
     assert float(expect) != expect  # the value MUST exercise the trap
     df = spark.createDataFrame(

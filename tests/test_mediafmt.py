@@ -281,3 +281,47 @@ class TestSparkStages:
         assert (out.loc[10, "width"], out.loc[10, "height"]) == (160, 90)
         assert out.loc[10, "media_type"] == "video"
         assert out.loc[11, "format"] == "unknown"
+
+
+class TestGateFamilies:
+    """Lock-step pins for the round-12 gate families 7-9 of
+    synthetic_media_blob: the parser must recover exactly the
+    arithmetic the DuckDB oracle computes (the pytest twin of the
+    media_metadata hash gate, failing fast without DuckDB)."""
+
+    def test_mp3_family_arithmetic(self):
+        from clustering_spark.operators.multimodal import (
+            synthetic_media_blob,
+        )
+
+        for d in (7, 17, 27, 37, 107, 997):
+            ch, rate, n, dur = _mp3_meta(synthetic_media_blob(d))
+            assert rate == (44100, 48000, 32000)[(d // 10) % 3]
+            assert ch == (1 if (d // 10) % 2 == 0 else 2)
+            assert n == (10 + d % 40) * 1152
+            assert dur == (10 + d % 40) * 1152 / rate
+
+    def test_flac_family_arithmetic(self):
+        from clustering_spark.operators.multimodal import (
+            synthetic_media_blob,
+        )
+
+        for d in (8, 18, 28, 38, 108, 998):
+            ch, rate, bits, total, dur = _flac_meta(
+                synthetic_media_blob(d)
+            )
+            assert rate == (22050, 44100, 96000)[(d // 10) % 3]
+            assert ch == 1 + (d // 10) % 2
+            assert dur == float(1 + d % 8)
+
+    def test_mkv_family_arithmetic(self):
+        from clustering_spark.operators.multimodal import (
+            synthetic_media_blob,
+        )
+
+        for d in (9, 19, 29, 39, 109, 999):
+            fmt, n_tracks, w, h, dur = _mkv_meta(synthetic_media_blob(d))
+            assert fmt == ("webm" if (d // 10) % 2 else "matroska")
+            assert n_tracks == 1 + (d // 10) % 2
+            assert (w, h) == (16 + d % 300, 9 + (d // 5) % 200)
+            assert dur == (1 + d % 12) / 4.0
