@@ -398,6 +398,20 @@ def _bmp_meta_decode(b: bytes) -> tuple[int, int, float]:
     return w, h, float(arr.mean()) if arr.size else 0.0
 
 
+def _tiff_pixel_meta(b: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_intensity) via the stdlib+numpy TIFF
+    decoder (operators/tiff.decode_tiff) — the fifth codec-free image
+    family; CCITT/JPEG-in-TIFF/tiled forms still raise their precise
+    NotImplementedError for the PIL fallback to catch."""
+    import numpy as np
+
+    from clustering_spark.operators.tiff import decode_tiff
+
+    w, h, _ch, samples = decode_tiff(b)
+    arr = np.frombuffer(samples, dtype=np.uint8)
+    return w, h, float(arr.mean()) if arr.size else 0.0
+
+
 IMAGE_META_SCHEMA = "id long, width int, height int, n_pixels long, mean_intensity double"
 
 
@@ -463,6 +477,16 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                     w, h, mean = _gif_meta(b)
                 elif _bmp_sniff(b):
                     w, h, mean = _bmp_meta_decode(b)
+                elif b[:4] in _TIFF_MAGICS:
+                    # stdlib decoder for none/LZW/PackBits; the CCITT/
+                    # JPEG-in-TIFF/tiled forms fall back to PIL when
+                    # the environment has it
+                    try:
+                        w, h, mean = _tiff_pixel_meta(b)
+                    except NotImplementedError:
+                        if not _HAVE_PIL:
+                            raise
+                        w, h, mean = _pil_meta(b)
                 elif _HAVE_PIL:
                     w, h, mean = _pil_meta(b)
                 elif b[:2] == JPEG_MAGIC:
@@ -540,11 +564,19 @@ def resize_images(
                         h, w, ch
                     )
                     fmt = "jpeg"
+                elif b[:4] in _TIFF_MAGICS:
+                    from clustering_spark.operators.tiff import decode_tiff
+
+                    w, h, ch, samples = decode_tiff(b)
+                    arr = np.frombuffer(samples, dtype=np.uint8).reshape(
+                        h, w, ch
+                    )
+                    fmt = "tiff"
                 else:
                     raise NotImplementedError(
                         "resize supports the FAKE container, baseline "
-                        "8-bit PNG, and baseline sequential JPEG in "
-                        "this environment"
+                        "8-bit PNG, baseline sequential JPEG, and TIFF "
+                        "(none/LZW/PackBits) in this environment"
                     )
                 # nearest-neighbor sample grid (pixel-center rule)
                 ys = np.minimum(
@@ -566,6 +598,14 @@ def resize_images(
 
                     blob_out = encode_baseline(
                         resized[:, :, 0] if ch == 1 else resized
+                    )
+                elif fmt == "tiff":
+                    from clustering_spark.operators.tiff import encode_tiff
+
+                    blob_out = encode_tiff(
+                        resized[:, :, 0] if ch == 1 else resized,
+                        compression="lzw",
+                        predictor=True,
                     )
                 else:
                     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
@@ -702,9 +742,9 @@ def make_png(
 
 def _decode_gray(b: bytes):
     """(H, W) float64 grayscale array for the codec-free formats (FAKE
-    container, baseline 8-bit PNG, baseline sequential JPEG, GIF);
-    raises NotImplementedError for formats needing a real codec — the
-    same gate as decode_image_meta."""
+    container, baseline 8-bit PNG, JPEG, GIF, BMP, TIFF); raises
+    NotImplementedError for formats needing a real codec — the same
+    gate as decode_image_meta."""
     import numpy as np
 
     if b[:4] == MAGIC:
@@ -718,6 +758,7 @@ def _decode_gray(b: bytes):
         b[: len(PNG_MAGIC)] == PNG_MAGIC
         or b[:2] == JPEG_MAGIC
         or b[:6] in (b"GIF87a", b"GIF89a")
+        or b[:4] in _TIFF_MAGICS
         or _bmp_sniff(b)
     ):
         if b[:2] == JPEG_MAGIC:
@@ -728,6 +769,10 @@ def _decode_gray(b: bytes):
             from clustering_spark.operators.gif import decode_gif
 
             w, h, ch, samples = decode_gif(b)
+        elif b[:4] in _TIFF_MAGICS:
+            from clustering_spark.operators.tiff import decode_tiff
+
+            w, h, ch, samples = decode_tiff(b)
         elif _bmp_sniff(b):
             from clustering_spark.operators.bmp import decode_bmp
 
@@ -747,7 +792,8 @@ def _decode_gray(b: bytes):
         return arr[:, :, 0].astype(np.float64)
     raise NotImplementedError(
         "dhash supports the FAKE container, baseline 8-bit PNG, "
-        "baseline sequential JPEG, and GIF without codecs"
+        "baseline/progressive JPEG, GIF, BMP, and TIFF "
+        "(none/LZW/PackBits) without codecs"
     )
 
 

@@ -1,0 +1,436 @@
+"""Stdlib+numpy TIFF codec (public TIFF 6.0 baseline layout): decode
+for the compressions scanned-document corpora actually use —
+uncompressed (1), LZW (5, MSB-first variable-width codes with the
+spec's EARLY code-width change and horizontal-differencing predictor
+2) and PackBits (32773) — over bilevel (1-bit, both photometric
+polarities), 8-bit grayscale and 8-bit RGB, chunky planar layout,
+any strip structure. CCITT fax / JPEG-in-TIFF / tiled / planar /
+16-bit variants raise a precise NotImplementedError (the PIL route
+handles them when present). An encoder emits the same forms so
+round-trips pin the decoder with no binary assets.
+
+TIFF joins FAKE/PNG/JPEG/GIF/BMP as the fifth codec-free image
+family: the header pass (multimodal._tiff_meta) routes it already;
+this module closes the pixel gate for the dominant scanned-doc
+compressions.
+
+Reference parity note: the reference system (ykursadkaya/Clustering)
+has no image surface; this module belongs to the LLM-pipeline
+multimodal extension (SURVEY.md "beyond the reference" set).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# same decompression-bomb budget as the JPEG/GIF/BMP codecs
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
+_CLEAR, _EOI = 256, 257
+
+
+def _lzw_decode(data: bytes, max_bytes: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, 9→12
+    bit codes with the EARLY width change (the width grows when the
+    next free slot is 2^w - 1, one code sooner than GIF). Truncated
+    input yields the bytes decoded so far (strip salvage); a code
+    beyond the table raises."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = bitbuf << 8 | data[pos]
+            pos += 1
+            nbits += 8
+        code = bitbuf >> (nbits - width) & ((1 << width) - 1)
+        nbits -= width
+        if code == _CLEAR:
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if code == _EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= 256:
+                raise ValueError("LZW stream starts with a table code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        if len(out) > max_bytes:
+            raise ValueError("LZW output exceeds decode budget")
+        prev = entry
+        # early change: the encoder widens when ITS next free slot is
+        # 2^w - 1, and the decoder's table lags the encoder's by one
+        # entry (the encoder adds on emit, the decoder on receipt of
+        # the NEXT code) — so the decoder widens at 2^w - 2
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Width-synchronized TIFF LZW encoder (fixtures + round-trip
+    pins): emits Clear up front, resets the table when it fills, and
+    applies the same early width change the decoder expects."""
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = bitbuf << width | code
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf >> (nbits - 8) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code > 4093:  # table full: reset like real writers
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_EOI, width)
+    if nbits:
+        out.append(bitbuf << (8 - nbits) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_bytes: int) -> bytes:
+    """Apple PackBits: n in 0..127 copies n+1 literals, n in -127..-1
+    repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ctrl = data[pos]
+        pos += 1
+        if ctrl == 128:
+            continue
+        if ctrl < 128:
+            lits = data[pos : pos + ctrl + 1]
+            if len(lits) < ctrl + 1:
+                raise ValueError("truncated PackBits literals")
+            out += lits
+            pos += ctrl + 1
+        else:
+            if pos >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - ctrl)
+            pos += 1
+        if len(out) > max_bytes:
+            raise ValueError("PackBits output exceeds decode budget")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _read_tags(b: bytes) -> dict[int, list[int]]:
+    """First-IFD tag table as {tag: [values...]} for the integer
+    types (BYTE/SHORT/LONG), following out-of-line value offsets.
+    Raises ValueError on structural nonsense."""
+    if b[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF")
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    bo = "<" if b[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD offset past end of file")
+    (n_entries,) = struct.unpack(bo + "H", b[ifd_off : ifd_off + 2])
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        entry = b[at : at + 12]
+        if len(entry) < 12:
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, count = struct.unpack(bo + "HHI", entry[:8])
+        if typ not in sizes or count == 0:
+            continue
+        total = sizes[typ] * count
+        if count > 0xFFFF:
+            raise ValueError("implausible TIFF tag count")
+        if total <= 4:
+            raw = entry[8 : 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", entry[8:12])
+            raw = b[off : off + total]
+            if len(raw) < total:
+                raise ValueError("TIFF tag values past end of file")
+        tags[tag] = list(struct.unpack(bo + f"{count}{fmts[typ]}", raw))
+    return tags
+
+
+def decode_tiff(b: bytes):
+    """Decode a TIFF. Returns ``(width, height, channels, samples)``
+    row-major top-down uint8 — the decode_baseline/decode_gif/
+    decode_bmp contract. Raises ValueError on malformed streams and
+    NotImplementedError for forms outside the supported envelope
+    (compressions none/LZW/PackBits; 1-bit bilevel or 8-bit
+    gray/RGB; chunky planar; strips, not tiles)."""
+    tags = _read_tags(b)
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported (strips are)")
+    if 256 not in tags or 257 not in tags:
+        raise ValueError("TIFF IFD lacks ImageWidth/ImageLength")
+    w, h = tags[256][0], tags[257][0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)  # spec default: 1 bit per sample
+    planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TIFF dimensions")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError("TIFF exceeds decode pixel budget")
+    if planar != 1:
+        raise NotImplementedError("planar TIFF (PlanarConfig=2)")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} needs a real codec "
+            "(none/LZW/PackBits decode here; CCITT/JPEG route via PIL)"
+        )
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    bilevel = spp == 1 and bits == [1]
+    if not bilevel and (any(v != 8 for v in bits) or spp not in (1, 3)):
+        raise NotImplementedError(
+            f"TIFF bits={bits} spp={spp} (1-bit bilevel, 8-bit gray, "
+            "8-bit RGB are supported)"
+        )
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("TIFF IFD lacks strip offsets/byte counts")
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("strip offset/count length mismatch")
+    rows_per_strip = tags.get(278, [h])[0] or h
+
+    row_bytes = (w * (1 if bilevel else 8 * spp) + 7) // 8
+    need_total = row_bytes * h
+    chunks = []
+    got = 0
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = b[off : off + cnt]
+        if len(raw) < cnt:
+            raise ValueError("TIFF strip past end of file")
+        strip_rows = min(rows_per_strip, h - i * rows_per_strip)
+        if strip_rows <= 0:
+            raise ValueError("more strips than image rows")
+        expect = row_bytes * strip_rows
+        if comp == 1:
+            data = raw
+        elif comp == 5:
+            data = _lzw_decode(raw, expect)
+        else:
+            data = _packbits_decode(raw, expect)
+        if len(data) < expect:
+            raise ValueError("TIFF strip shorter than its rows")
+        chunks.append(data[:expect])
+        got += expect
+    if got < need_total:
+        raise ValueError("TIFF strips do not cover the image")
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)[:need_total]
+
+    if bilevel:
+        rows = flat.reshape(h, row_bytes)
+        bits_arr = np.unpackbits(rows, axis=1)[:, :w]
+        if photo == 0:  # WhiteIsZero: 0 = white
+            gray = np.where(bits_arr == 0, 255, 0).astype(np.uint8)
+        else:
+            gray = (bits_arr * 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+
+    arr = flat.reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: cumulative sum along x, mod 256
+        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+    if spp == 1:
+        if photo == 0:
+            arr = 255 - arr
+        return w, h, 1, np.ascontiguousarray(arr[:, :, 0]).tobytes()
+    if photo != 2:
+        raise ValueError("3-sample TIFF with non-RGB photometric")
+    return w, h, 3, np.ascontiguousarray(arr).tobytes()
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+    bilevel: bool = False,
+    big_endian: bool = False,
+) -> bytes:
+    """Deterministic TIFF fixture: (H, W) gray / (H, W, 3) RGB uint8
+    (or 0/1 values with ``bilevel=True``), compression in
+    none/lzw/packbits, optional horizontal predictor, any strip
+    height. ``photometric`` overrides the default (0 exercises
+    WhiteIsZero inversion)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        spp = 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w = arr.shape[:2]
+        spp = 3
+        if bilevel:
+            raise ValueError("bilevel fixtures are single-channel")
+    else:
+        raise ValueError("expected (H,W) or (H,W,3) uint8 array")
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    photo = photometric if photometric is not None else (
+        2 if spp == 3 else 1
+    )
+    rps = rows_per_strip or h
+
+    if bilevel:
+        row_bytes = (w + 7) // 8
+        data_rows = np.packbits(
+            (arr > 0).astype(np.uint8), axis=1
+        ).reshape(h, row_bytes)
+        bits_vals = [1]
+    else:
+        pix = arr.reshape(h, w, spp)
+        if predictor:
+            d = pix.astype(np.int16)
+            d[:, 1:, :] -= pix[:, :-1, :].astype(np.int16)
+            pix = (d % 256).astype(np.uint8)
+        row_bytes = w * spp
+        data_rows = pix.reshape(h, row_bytes)
+        bits_vals = [8] * spp
+
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = data_rows[y0 : y0 + rps].tobytes()
+        if comp_code == 5:
+            strips.append(_lzw_encode(raw))
+        elif comp_code == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    bo = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    entries = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, bits_vals),
+        (259, 3, [comp_code]),
+        (262, 3, [photo]),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+    ]
+    if predictor and not bilevel:
+        entries.append((317, 3, [2]))
+    # layout: header(8) + IFD + out-of-line values + strips
+    n_tag = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_bytes = 2 + 12 * n_tag + 4
+    extra_off = 8 + ifd_bytes
+    extra = bytearray()
+
+    def value_field(typ: int, vals: list[int]) -> bytes:
+        nonlocal extra
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(bo + f"{len(vals)}{fmt}", *vals)
+        if len(raw) <= 4:
+            return raw.ljust(4, b"\x00")
+        off = extra_off + len(extra)
+        extra += raw
+        return struct.pack(bo + "I", off)
+
+    # two passes: sizes of out-of-line values shift strip offsets, so
+    # reserve value space first, then place strips after it
+    tmp_extra_len = 0
+    for _tag, typ, vals in entries:
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        if size > 4:
+            tmp_extra_len += size
+    n_strips = len(strips)
+    for size_each in (4, 4):  # StripOffsets, StripByteCounts as LONG
+        if n_strips * size_each > 4:
+            tmp_extra_len += n_strips * size_each
+    strips_base = extra_off + tmp_extra_len
+    strip_offsets = []
+    acc = strips_base
+    for s in strips:
+        strip_offsets.append(acc)
+        acc += len(s)
+    all_entries = sorted(
+        entries
+        + [(273, 4, strip_offsets), (279, 4, [len(s) for s in strips])]
+    )
+    out = bytearray(magic + struct.pack(bo + "I", 8))
+    out += struct.pack(bo + "H", n_tag)
+    for tag, typ, vals in all_entries:
+        out += struct.pack(bo + "HHI", tag, typ, len(vals))
+        out += value_field(typ, vals)
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    assert len(extra) == tmp_extra_len
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+__all__ = ["decode_tiff", "encode_tiff", "MAX_DECODE_PIXELS"]

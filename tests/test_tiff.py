@@ -1,0 +1,204 @@
+"""TIFF codec (operators/tiff.py): encode/decode round-trips across
+compression x predictor x strip x endianness, bilevel polarities,
+WhiteIsZero inversion, the TIFF-LZW early-change width ladder, honest
+NotImplementedError gates, mutation fuzz, and the Spark dispatch
+(decode_image_meta, image_dhash, resize_images).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clustering_spark.operators.tiff import (
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def _rt(arr, **kw):
+    w, h, ch, s = decode_tiff(encode_tiff(arr, **kw))
+    got = np.frombuffer(s, np.uint8)
+    if ch == 1:
+        return got.reshape(h, w)
+    return got.reshape(h, w, ch)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+    @pytest.mark.parametrize("pred", [False, True])
+    @pytest.mark.parametrize("be", [False, True])
+    def test_gray_and_rgb(self, comp, pred, be):
+        rng = np.random.default_rng(11)
+        g = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+        assert (_rt(g, compression=comp, predictor=pred,
+                    big_endian=be) == g).all()
+        c = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        assert (_rt(c, compression=comp, predictor=pred,
+                    big_endian=be) == c).all()
+
+    def test_multi_strip(self):
+        rng = np.random.default_rng(12)
+        g = rng.integers(0, 256, (10, 40), dtype=np.uint8)
+        for rps in (1, 3, 10, 99):
+            assert (
+                _rt(g, compression="lzw", rows_per_strip=rps) == g
+            ).all()
+
+    def test_bilevel_both_polarities(self):
+        rng = np.random.default_rng(13)
+        bl = rng.integers(0, 2, (10, 30), dtype=np.uint8)
+        # BlackIsZero: 1 bits are white
+        assert (_rt(bl, bilevel=True, photometric=1) == bl * 255).all()
+        # WhiteIsZero: 0 bits are white
+        assert (
+            _rt(bl, bilevel=True, photometric=0)
+            == np.where(bl > 0, 0, 255)
+        ).all()
+
+    def test_white_is_zero_gray_inverts(self):
+        g = np.arange(25, dtype=np.uint8).reshape(5, 5)
+        assert (_rt(g, photometric=0) == 255 - g).all()
+
+    def test_predictor_bytes_differ_but_decode_equal(self):
+        # a smooth gradient: the predictor changes the wire bytes
+        # (that is its point) but not the decoded pixels
+        g = np.tile(np.arange(64, dtype=np.uint8) * 4, (8, 1))
+        a = encode_tiff(g, compression="lzw", predictor=False)
+        b = encode_tiff(g, compression="lzw", predictor=True)
+        assert a != b
+        wa, ha, _, sa = decode_tiff(a)
+        wb, hb, _, sb = decode_tiff(b)
+        assert sa == sb
+
+
+class TestLzw:
+    def test_width_ladder_and_reset(self):
+        # 300k random bytes force 10/11/12-bit codes AND a table
+        # reset — the early-change off-by-one lives exactly here
+        rng = np.random.default_rng(14)
+        data = bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))
+        assert _lzw_decode(_lzw_encode(data), 10**7) == data
+
+    def test_repetitive_data(self):
+        data = b"abab" * 5000 + b"x" * 3000
+        assert _lzw_decode(_lzw_encode(data), 10**6) == data
+
+    def test_output_budget_enforced(self):
+        data = bytes(1000)
+        with pytest.raises(ValueError):
+            _lzw_decode(_lzw_encode(data), 10)
+
+    def test_truncation_salvages_prefix(self):
+        data = b"scanned document row " * 100
+        enc = _lzw_encode(data)
+        got = _lzw_decode(enc[: len(enc) // 2], 10**6)
+        assert data.startswith(got) and len(got) > 0
+
+    def test_packbits_roundtrip_and_budget(self):
+        rng = np.random.default_rng(15)
+        runs = b"".join(
+            bytes([v]) * n
+            for v, n in zip(
+                rng.integers(0, 256, 200),
+                rng.integers(1, 300, 200),
+            )
+        )
+        assert _packbits_decode(_packbits_encode(runs), 10**6) == runs
+        with pytest.raises(ValueError):
+            _packbits_decode(_packbits_encode(runs), 10)
+
+
+class TestGates:
+    def test_ccitt_is_honest_gate(self):
+        g = np.zeros((4, 4), dtype=np.uint8)
+        blob = bytearray(encode_tiff(g))
+        # patch compression tag (259) value to CCITT G3 (3)
+        idx = blob.find(b"\x03\x01\x03\x00")  # tag 259, SHORT
+        assert idx > 0
+        blob[idx + 8] = 3
+        with pytest.raises(NotImplementedError, match="compression 3"):
+            decode_tiff(bytes(blob))
+
+    def test_16bit_is_honest_gate(self):
+        g = np.zeros((4, 4), dtype=np.uint8)
+        blob = bytearray(encode_tiff(g))
+        idx = blob.find(b"\x02\x01\x03\x00")  # tag 258 BitsPerSample
+        assert idx > 0
+        blob[idx + 8] = 16
+        with pytest.raises(NotImplementedError, match="bits"):
+            decode_tiff(bytes(blob))
+
+    def test_decode_budget(self):
+        g = np.zeros((4, 4), dtype=np.uint8)
+        blob = bytearray(encode_tiff(g))
+        # inflate ImageWidth (256, LONG) to 2^20 and height too
+        i256 = blob.find(b"\x00\x01\x04\x00")
+        i257 = blob.find(b"\x01\x01\x04\x00")
+        import struct as st
+
+        blob[i256 + 8 : i256 + 12] = st.pack("<I", 1 << 20)
+        blob[i257 + 8 : i257 + 12] = st.pack("<I", 1 << 20)
+        with pytest.raises(ValueError, match="budget"):
+            decode_tiff(bytes(blob))
+
+    def test_mutation_fuzz_degrade_contract(self):
+        import random
+
+        rng = random.Random(0x71FF)
+        g = np.arange(120, dtype=np.uint8).reshape(10, 12)
+        fixtures = [
+            encode_tiff(g),
+            encode_tiff(g, compression="lzw", predictor=True),
+            encode_tiff(g, compression="packbits", rows_per_strip=3),
+            encode_tiff((g % 2), bilevel=True),
+        ]
+        for _ in range(600):
+            base = bytearray(rng.choice(fixtures))
+            op = rng.randrange(3)
+            if op == 0 and len(base) > 2:
+                base = base[: rng.randrange(1, len(base))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 8)):
+                    base[rng.randrange(len(base))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(base))
+                del base[i : i + rng.randrange(1, 20)]
+            try:
+                decode_tiff(bytes(base))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+class TestSparkDispatch:
+    def test_decode_image_meta_and_dhash(self, spark):
+        from clustering_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(16)
+        g = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+        blob = encode_tiff(g, compression="lzw", predictor=True)
+        df = spark.createDataFrame([(1, blob)], "id long, img binary")
+        row = mm.decode_image_meta(df, "img", "id").collect()[0]
+        assert (row["width"], row["height"]) == (20, 12)
+        assert row["mean_intensity"] == pytest.approx(float(g.mean()))
+        dh = mm.image_dhash(df, "img", "id").collect()[0]
+        expect = mm._dhash64(g.astype(np.float64))
+        assert dh["dhash"] == expect
+
+    def test_resize_reemits_tiff(self, spark):
+        from clustering_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(17)
+        c = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        blob = encode_tiff(c, compression="packbits")
+        df = spark.createDataFrame([(1, blob)], "id long, img binary")
+        out = mm.resize_images(df, "img", "id", 8, 8).collect()[0]
+        w, h, ch, s = decode_tiff(bytes(out["image"]))
+        assert (w, h, ch) == (8, 8, 3)
+        # nearest-neighbor at exactly 2x downscale picks pixel centers
+        got = np.frombuffer(s, np.uint8).reshape(8, 8, 3)
+        assert (got == c[1::2, 1::2]).all()
