@@ -2228,6 +2228,13 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                                 row["width"], row["height"],
                                 row["video_duration_sec"],
                             ) = _mkv_meta(b)
+                        elif b[:5] == b"%PDF-":
+                            # documents route with type+format only;
+                            # pages/encryption live in pdf_header_meta
+                            # (running the full xref walk here would
+                            # price every mixed scan at PDF cost)
+                            row["media_type"] = "document"
+                            row["format"] = "pdf"
                         elif _mp3_sniff(b):
                             # last: the sync-scan sniff is the only
                             # non-magic predicate, so every

@@ -1,0 +1,235 @@
+"""PDF structural pass (operators/pdf.py): object lexer, classic and
+stream xref resolution, ObjStm indirection, text extraction, honest
+degrade on encrypted/corrupt inputs, mutation fuzz, and the Spark
+stages + router integration.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from clustering_spark.operators.pdf import (
+    PdfDocument,
+    _content_text,
+    _Lexer,
+    extract_pdf_text,
+    make_pdf,
+    pdf_header_meta,
+    pdf_meta,
+    pdf_text,
+)
+
+PAGES = [
+    "Hello world.\nSecond line here.",
+    "Page two text, with (parens) and \\ backslash.",
+]
+
+
+class TestLexer:
+    def test_scalars_and_containers(self):
+        lex = _Lexer(
+            b"<< /A 1 /B [ -2.5 (str) /Nm true null ] /C 3 0 R >>"
+        )
+        d = lex.parse()
+        assert d["/A"] == 1
+        assert d["/B"][0] == -2.5
+        assert d["/B"][1] == b"str"
+        assert d["/B"][2] == "/Nm"
+        assert d["/B"][3] is True
+        assert d["/B"][4] is None
+        assert d["/C"].num == 3
+
+    def test_string_escapes(self):
+        assert _Lexer(rb"(a\(b\)c\\d\n\101)").parse() == b"a(b)c\\d\nA"
+        assert _Lexer(b"(nested (parens) ok)").parse() == (
+            b"nested (parens) ok"
+        )
+
+    def test_hex_string_and_name_escape(self):
+        assert _Lexer(b"<48 65 6C6C6F>").parse() == b"Hello"
+        assert _Lexer(b"<486>").parse() == b"H`"  # odd digit padded
+        assert _Lexer(b"/A#20B").parse() == "/A B"
+
+    def test_number_vs_reference_disambiguation(self):
+        lex = _Lexer(b"[ 1 2 3 ]")  # NOT a reference: inside array
+        assert lex.parse() == [1, 2, 3]
+        lex = _Lexer(b"[ 1 0 R 2 ]")
+        arr = lex.parse()
+        assert arr[0].num == 1 and arr[1] == 2
+
+
+class TestLayouts:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"flate": False},
+            {"xref_stream": True},
+            {"xref_stream": True, "use_objstm": True},
+        ],
+    )
+    def test_meta_and_text(self, kw):
+        b = make_pdf(PAGES, **kw)
+        ver, n_pages, enc, n_obj = pdf_meta(b)
+        assert (ver, n_pages, enc) == ("1.7", 2, False)
+        text, good, bad = extract_pdf_text(b)
+        assert (good, bad) == (2, 0)
+        assert "Hello world.\nSecond line here." in text
+        assert "Page two text, with (parens) and \\ backslash." in text
+
+    def test_encrypted_meta_yes_text_refuses(self):
+        b = make_pdf(PAGES, encrypted=True)
+        assert pdf_meta(b)[2] is True
+        with pytest.raises(ValueError, match="encrypted"):
+            extract_pdf_text(b)
+
+    def test_broken_startxref_salvaged_by_brute_scan(self):
+        bb = bytearray(make_pdf(PAGES))
+        i = bb.rfind(b"startxref")
+        bb[i : i + 9] = b"stortxref"
+        assert pdf_meta(bytes(bb))[1] == 2
+        text, good, bad = extract_pdf_text(bytes(bb))
+        assert good == 2 and "Hello world." in text
+
+    def test_incremental_update_latest_wins(self):
+        # an appended update re-defining page 1's content: the brute
+        # scan takes the LAST definition, like a real reader applying
+        # the newest xref section
+        b = bytearray(make_pdf(["old text"]))
+        i = b.rfind(b"startxref")
+        b[i : i + 9] = b"stortxref"  # force the scan path
+        new = b"BT (new text) Tj ET"
+        b += (
+            b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new)
+            + new + b"\nendstream\nendobj\n"
+        )
+        text, good, bad = extract_pdf_text(bytes(b))
+        assert "new text" in text and "old text" not in text
+
+    def test_not_pdf_raises(self):
+        with pytest.raises(ValueError):
+            pdf_meta(b"hello world this is not a pdf")
+
+    def test_unsupported_filter_counts_failed_page(self):
+        b = make_pdf(["visible"])
+        b = b.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
+        text, good, bad = extract_pdf_text(b)
+        assert bad == 1 and good == 0 and text == ""
+
+
+class TestContentText:
+    def test_tj_array_kerning_space(self):
+        c = b"BT [ (Hel) -50 (lo) -300 (world) ] TJ ET"
+        assert _content_text(c) == "Hello world"
+
+    def test_quote_ops_break_lines(self):
+        c = b"BT (a) Tj T* (b) Tj ET BT (c) ' ET"
+        t = _content_text(c)
+        assert "a\nb" in t and "c" in t
+
+    def test_hex_show(self):
+        c = b"BT <48656C6C6F> Tj ET"
+        assert _content_text(c) == "Hello"
+
+
+class TestFuzz:
+    def test_mutation_fuzz_degrade_contract(self):
+        import random
+        import struct as st
+
+        rng = random.Random(0x9DF)
+        fixtures = [
+            make_pdf(PAGES),
+            make_pdf(PAGES, xref_stream=True, use_objstm=True),
+            make_pdf(["x"], flate=False),
+        ]
+        for _ in range(400):
+            base = bytearray(rng.choice(fixtures))
+            op = rng.randrange(3)
+            if op == 0 and len(base) > 2:
+                base = base[: rng.randrange(1, len(base))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 10)):
+                    base[rng.randrange(len(base))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(base))
+                del base[i : i + rng.randrange(1, 40)]
+            blob = bytes(base)
+            try:
+                pdf_meta(blob)
+                extract_pdf_text(blob)
+            except (ValueError, NotImplementedError, st.error,
+                    RecursionError):
+                pass
+
+
+class TestSparkStages:
+    def test_pdf_header_meta_mixed(self, spark):
+        rows = [
+            (1, make_pdf(PAGES)),
+            (2, make_pdf(["x"], encrypted=True)),
+            (3, b"%PDF-1.4 then nothing sensible"),
+            (4, b"not a pdf"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = pdf_header_meta(df, "blob", "id").toPandas().set_index("id")
+        assert out.loc[1, "format"] == "pdf"
+        assert out.loc[1, "n_pages"] == 2
+        assert bool(out.loc[1, "encrypted"]) is False
+        assert bool(out.loc[2, "encrypted"]) is True
+        # headerless tail: brute scan finds no objects -> still pdf,
+        # 0/None pages, never a batch failure
+        assert out.loc[3, "format"] in ("pdf", "corrupt")
+        assert out.loc[4, "format"] == "unknown"
+        assert out.loc[5, "format"] == "unknown"
+
+    def test_pdf_text_statuses(self, spark):
+        rows = [
+            (1, make_pdf(PAGES, xref_stream=True, use_objstm=True)),
+            (2, make_pdf(["x"], encrypted=True)),
+            (3, b"junk"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = pdf_text(df, "blob", "id").toPandas().set_index("id")
+        assert out.loc[1, "status"] == "ok"
+        assert "Hello world." in out.loc[1, "text"]
+        assert out.loc[1, "n_pages_ok"] == 2
+        assert out.loc[2, "status"] == "encrypted"
+        assert out.loc[3, "status"] == "unknown"
+        assert out.loc[4, "status"] == "unknown"
+
+    def test_router_labels_documents(self, spark):
+        from clustering_spark.operators import multimodal as mm
+
+        rows = [
+            (1, make_pdf(["doc"])),
+            (2, mm.make_fake_image(4, 3, fill=9)),
+        ]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = (
+            mm.media_header_meta(df, "blob", "id")
+            .toPandas()
+            .set_index("id")
+        )
+        assert out.loc[1, "media_type"] == "document"
+        assert out.loc[1, "format"] == "pdf"
+        assert out.loc[2, "media_type"] == "image"
+
+    def test_pdf_text_feeds_text_quality(self, spark):
+        """The composition a crawl pipeline runs: pdf_text ->
+        text_quality over the extracted column."""
+        from clustering_spark.operators.textops import quality_features
+
+        df = spark.createDataFrame(
+            [(1, make_pdf(["The quick brown fox jumps over a dog. " * 5]))],
+            "id long, blob binary",
+        )
+        txt = pdf_text(df, "blob", "id").filter("status = 'ok'")
+        scored = quality_features(txt.select("id", "text"), "text")
+        row = scored.collect()[0]
+        assert row["n_tokens"] > 30
+        assert row["quality_score"] > 0.25
