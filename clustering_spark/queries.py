@@ -2716,10 +2716,13 @@ def _write_crawl_warc() -> str:
     wire layouts on the gate; its records continue the arithmetic at
     construction ids >= _WARC_N_RECORDS while record_idx restarts per
     file), and ``junk.warc`` is structural garbage exercising the
-    per-file corrupt-degrade contract. Each response body is the strip_html
-    template from q_strip_html wrapped around _crawl_payload_text, so
-    the SQL oracle reconstructs every output column from the
-    construction rule alone — DuckDB never needs a WARC reader."""
+    per-file corrupt-degrade contract. Each html response body is the
+    strip_html template from q_strip_html wrapped around
+    _crawl_payload_text; every i%6==5 response is instead a REAL PDF
+    (alternating classic-xref / xref-stream / ObjStm layouts) whose
+    single page shows the same payload, so the SQL oracle
+    reconstructs every output column from the construction rule
+    alone — DuckDB never needs a WARC reader or a PDF reader."""
     import os
     import tempfile
 
@@ -2740,11 +2743,33 @@ def _write_crawl_warc() -> str:
             except OSError:
                 pass
     def _records(lo: int, hi: int) -> list:
+        from clustering_spark.operators.pdf import make_pdf
+
         recs = []
         for i in range(lo, hi):
             url = f"http://site{i % 5}.example/page/{i}"
             if i % 6 == 0:
                 recs.append(("request", url, b"GET / HTTP/1.1\r\n\r\n"))
+                continue
+            status = 404 if i % 10 == 3 else 200
+            if i % 6 == 5:
+                # PDF responses (round 12): single-line arithmetic
+                # page text, so extract_pdf_text returns the payload
+                # VERBATIM and the oracle replays it without a PDF
+                # reader; the xref layout alternates so classic
+                # tables, xref streams and ObjStm are all under the
+                # hash
+                xs = bool((i // 6) % 2)
+                blob = make_pdf(
+                    [_crawl_payload_text(i)],
+                    xref_stream=xs,
+                    use_objstm=xs and bool((i // 12) % 2),
+                )
+                recs.append(
+                    ("response", url, make_http_response(
+                        blob, status, content_type="application/pdf"
+                    ))
+                )
                 continue
             html = (
                 "<!DOCTYPE html><html><head><style>p{color:red}</style>"
@@ -2753,7 +2778,6 @@ def _write_crawl_warc() -> str:
                 + _crawl_payload_text(i)
                 + "</p></body></html>"
             )
-            status = 404 if i % 10 == 3 else 200
             recs.append(
                 ("response", url, make_http_response(html.encode(), status))
             )
@@ -2780,11 +2804,16 @@ def _write_crawl_warc() -> str:
 def q_warc_crawl(spark, sf_dir):
     """The crawl front door end-to-end on the hash gate: read_warc
     (gzip-member split + header parse) -> warc_responses (HTTP head
-    projection) -> extract_html_text, plus the corrupt-file degrade
-    surfaced as one '__corrupt__' row whose text carries the exact
-    deterministic error — a parse-position regression, a misrouted
-    record type, a dropped 404, or a degrade-contract break all flip
-    the hash."""
+    projection) -> per-content-type text extraction — strip_html for
+    the text/html responses, extract_pdf_text for the
+    application/pdf ones (round 12: the PDF parser's xref/ObjStm/
+    content-stream walk is under the hash too) — plus the
+    corrupt-file degrade surfaced as one '__corrupt__' row whose
+    text carries the exact deterministic error. A parse-position
+    regression, a misrouted record type, a dropped 404, a broken
+    xref resolver, or a degrade-contract break all flip the hash."""
+    import pandas as pd
+
     from clustering_spark.operators.textnorm import extract_html_text
     from clustering_spark.sources.warc_source import (
         read_warc,
@@ -2794,12 +2823,42 @@ def q_warc_crawl(spark, sf_dir):
     path = _write_crawl_warc()
     recs = read_warc(spark, path)
     resp = warc_responses(recs)
-    good = extract_html_text(resp, "text", out_col="text_plain").select(
+    html = resp.filter(F.col("http_content_type").startswith("text/html"))
+    good_html = extract_html_text(html, "text", out_col="text_plain").select(
         F.col("record_idx").cast("long").alias("record_idx"),
         "url",
         F.col("http_status").cast("long").alias("http_status"),
         "http_content_type",
         "text_plain",
+    )
+
+    def _pdf_batches(it):
+        from clustering_spark.operators.pdf import extract_pdf_text
+
+        for pdf_ in it:
+            texts = []
+            for body in pdf_["body"]:
+                try:
+                    t, _ok, _bad = extract_pdf_text(bytes(body))
+                except (ValueError, NotImplementedError):
+                    t = None
+                texts.append(t)
+            yield pd.DataFrame(
+                {
+                    "record_idx": pdf_["record_idx"].astype("int64"),
+                    "url": pdf_["url"],
+                    "http_status": pdf_["http_status"].astype("Int64"),
+                    "http_content_type": pdf_["http_content_type"],
+                    "text_plain": texts,
+                }
+            )
+
+    good_pdf = resp.filter(
+        F.col("http_content_type") == "application/pdf"
+    ).mapInPandas(
+        _pdf_batches,
+        "record_idx long, url string, http_status long, "
+        "http_content_type string, text_plain string",
     )
     corrupt = recs.filter(F.col("warc_type") == "corrupt").select(
         F.lit(-1).cast("long").alias("record_idx"),
@@ -2808,7 +2867,7 @@ def q_warc_crawl(spark, sf_dir):
         F.lit(None).cast("string").alias("http_content_type"),
         F.col("error").alias("text_plain"),
     )
-    return good.unionByName(corrupt)
+    return good_html.unionByName(good_pdf).unionByName(corrupt)
 
 
 # the extracted text replays the SAME whitespace-pass skeleton as
@@ -2832,8 +2891,10 @@ SELECT CASE WHEN i < {_WARC_N_RECORDS} THEN i
        'http://site' || (i % 5) || '.example/page/' || i AS url,
        CAST(CASE WHEN i % 10 = 3 THEN 404 ELSE 200 END AS BIGINT)
          AS http_status,
-       'text/html; charset=utf-8' AS http_content_type,
-       regexp_replace(
+       CASE WHEN i % 6 = 5 THEN 'application/pdf'
+            ELSE 'text/html; charset=utf-8' END AS http_content_type,
+       CASE WHEN i % 6 = 5 THEN payload  -- pdf: extracted verbatim
+            ELSE regexp_replace(
          regexp_replace(
            regexp_replace(
              regexp_replace(
@@ -2842,7 +2903,7 @@ SELECT CASE WHEN i < {_WARC_N_RECORDS} THEN i
                '[ \t\x0B\f\r]+', ' ', 'g'),
              ' ?\n ?', chr(10), 'g'),
            '\n{{3,}}', chr(10) || chr(10), 'g'),
-         '^[ \n]+|[ \n]+$', '', 'g') AS text_plain
+         '^[ \n]+|[ \n]+$', '', 'g') END AS text_plain
 FROM resp
 UNION ALL
 SELECT -1, '__corrupt__', NULL, NULL,
