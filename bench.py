@@ -77,8 +77,14 @@ HEADLINE = [
 GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # media_metadata joined round 12: its fam-5 blobs LZW-decode real GIFs
 # per row, so the gate entry now has a codec kernel whose regression
-# should show up as a tracked number, not unattributed gate slowness
-GATE_QUERIES = ["optimal_k", "result_docs", "cluster_fit", "media_metadata"]
+# should show up as a tracked number, not unattributed gate slowness.
+# warc_crawl joined later in round 12 when its fixture grew PDF
+# responses: the xref/ObjStm/content-stream walk is a real per-row
+# kernel there now, same rationale
+GATE_QUERIES = [
+    "optimal_k", "result_docs", "cluster_fit", "media_metadata",
+    "warc_crawl",
+]
 GATE_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_GATE_RUNS", "3")))
 
 # run-to-run max/min above this flags CPU-steal / contention pollution
