@@ -43,76 +43,14 @@ except ImportError:
 
 
 def _png_decode(b: bytes) -> tuple[int, int, int, bytes]:
-    """Minimal REAL decoder for baseline 8-bit PNG (color types
-    0/2/4/6, no interlace) on the stdlib alone: chunk walk → IHDR →
-    zlib-inflate concatenated IDAT → per-row unfilter (types 0-4 per
-    the PNG spec). Returns (width, height, channels, raw samples,
-    row-major). Pure-Python unfiltering is fixture-speed, not
-    codec-speed — a production image pipeline routes through the PIL
-    branch; this path makes the decode CONTRACT real and testable
-    without native codecs."""
-    import zlib
+    """REAL PNG decode on the stdlib+numpy alone — since round 12 the
+    FULL spec surface (every depth 1-16, gray/RGB/palette/alpha,
+    Adam7 interlace) via operators/png.decode_png; this wrapper keeps
+    the historical call sites and name. Returns (width, height,
+    channels, raw 8-bit samples, row-major)."""
+    from clustering_spark.operators.png import decode_png
 
-    if b[: len(PNG_MAGIC)] != PNG_MAGIC:
-        raise ValueError("not a PNG")
-    pos, ihdr, idat = len(PNG_MAGIC), None, bytearray()
-    while pos + 8 <= len(b):
-        (clen,) = struct.unpack(">I", b[pos : pos + 4])
-        ctype = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + clen]
-        pos += 12 + clen  # len + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} / color type {color} / "
-            f"interlace {interlace} not supported by the stdlib decoder"
-        )
-    ch = _PNG_CHANNELS[color]
-    stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    out = bytearray()
-    prev = bytearray(stride)
-    rpos = 0
-    for _ in range(h):
-        ft = raw[rpos]
-        row = bytearray(raw[rpos + 1 : rpos + 1 + stride])
-        rpos += 1 + stride
-        if ft == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
-                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                up = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out += row
-        prev = row
-    return w, h, ch, bytes(out)
+    return decode_png(b)
 
 
 def _png_meta(b: bytes) -> tuple[int, int, float]:
@@ -421,10 +359,10 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     per BATCH of images, not per image.
 
     Formats, by magic bytes: the synthetic FAKE container (payload
-    length validated — a truncated container fails loudly); REAL
-    baseline 8-bit PNG via the stdlib decoder (``_png_decode`` — no
-    native codec needed), with non-baseline PNG variants falling back
-    to PIL when installed; REAL JPEG via the stdlib+numpy decoder
+    length validated — a truncated container fails loudly); REAL PNG
+    via the stdlib decoder (``_png_decode`` → operators/png — the
+    FULL spec surface since round 12: every depth, palette, Adam7
+    interlace; no native codec needed); REAL JPEG via the stdlib+numpy decoder
     (``operators/jpeg.decode_baseline`` — baseline AND progressive,
     grayscale/YCbCr, any subsampling, restart markers), with
     lossless/arithmetic raising a precise NotImplementedError; any
@@ -460,18 +398,13 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                         )
                     payload = b[HEADER_LEN : HEADER_LEN + w * h]
                     mean = (sum(payload) / len(payload)) if payload else 0.0
-                elif b[: len(PNG_MAGIC)] == PNG_MAGIC and not _HAVE_PIL:
-                    w, h, mean = _png_meta(b)
                 elif b[: len(PNG_MAGIC)] == PNG_MAGIC:
-                    # PIL present: stdlib baseline decoder first (no
-                    # codec roundtrip), PIL fallback for the PNG
-                    # variants it doesn't cover (palette/16-bit/
-                    # interlaced) instead of crashing despite an
-                    # installed codec
-                    try:
-                        w, h, mean = _png_meta(b)
-                    except NotImplementedError:
-                        w, h, mean = _pil_meta(b)
+                    # round 12: the stdlib decoder covers the FULL
+                    # PNG spec surface (operators/png — every depth,
+                    # palette, Adam7), so no PIL fallback is needed;
+                    # malformed PNGs fail loudly (this is the strict
+                    # stage)
+                    w, h, mean = _png_meta(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     # stdlib GIF decode (first frame), PIL not needed
                     w, h, mean = _gif_meta(b)

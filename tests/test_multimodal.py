@@ -116,13 +116,29 @@ class TestPngDecode:
 
         check()
 
-    def test_unsupported_color_type_raises(self):
+    def test_palette_without_plte_is_corrupt(self):
+        # round 12: palette PNGs DECODE now (operators/png) — but one
+        # claiming color type 3 with no PLTE chunk is structurally
+        # corrupt, a ValueError not a capability gate
         png = mm.make_png(2, 2, bytes(4), color_type=0)
-        # corrupt the IHDR color type to 3 (palette) and re-walk
         idx = png.index(b"IHDR") + 4 + 9  # IHDR tag + w/h + depth
         bad = png[:idx] + bytes([3]) + png[idx + 1 :]
-        with pytest.raises(NotImplementedError, match="color type 3"):
+        with pytest.raises(ValueError, match="PLTE"):
             mm._png_decode(bad)
+
+    def test_palette_and_interlace_decode(self):
+        import numpy as np
+
+        from clustering_spark.operators.png import encode_png
+
+        pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+        idx = (np.arange(30, dtype=np.uint8) % 16).reshape(5, 6)
+        b = encode_png(idx, color_type=3, depth=4, interlace=True,
+                       palette=pal)
+        w, h, ch, samples = mm._png_decode(b)
+        got = np.frombuffer(samples, np.uint8).reshape(5, 6, 3)
+        assert (w, h, ch) == (6, 5, 3)
+        assert (got == pal[idx]).all()
 
 
 class TestResize:
