@@ -157,3 +157,96 @@ def test_crawl_to_trainer_input_id_rows(spark, crawl_dir):
             decoded.add(bpe_decode_ids(list(ids), model, specials=specials))
     want = {r.text for r in deduped.collect()}
     assert decoded == want
+
+
+def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
+    """Round-12 (late) extension: a real crawl is not all HTML — PDF
+    responses route through extract_pdf_text and MERGE with the
+    HTML-extracted docs into one corpus for the same downstream
+    gate/dedup/tokenize chain. Pins the Content-Type split, the PDF
+    leg's schema lining up with the HTML leg's, and that an
+    encrypted PDF degrades to a skipped row, never a batch failure."""
+    import pandas as pd
+
+    from clustering_spark.operators.pdf import make_pdf
+
+    prose_a = (
+        "Mountain paths wind upward through the pines and the morning "
+        "light settles on the valley floor below."
+    )
+    prose_b = (
+        "The archive keeps letters from three centuries of harbor "
+        "trade and every page smells of salt."
+    )
+    records = [
+        ("response", "http://h.example/1", _page(prose_a)),
+        (
+            "response",
+            "http://p.example/doc.pdf",
+            make_http_response(
+                make_pdf([prose_b], xref_stream=True),
+                content_type="application/pdf",
+            ),
+        ),
+        (
+            "response",
+            "http://p.example/locked.pdf",
+            make_http_response(
+                make_pdf(["secret"], encrypted=True),
+                content_type="application/pdf",
+            ),
+        ),
+    ]
+    (tmp_path / "mixed-00000.warc.gz").write_bytes(
+        make_warc(records, gzip_members=True)
+    )
+    resp = warc_responses(read_warc(spark, str(tmp_path)))
+
+    html = resp.filter(F.col("http_content_type").startswith("text/html"))
+    html_docs = extract_html_text(html, "text", out_col="clean").select(
+        "url", F.col("clean").alias("text")
+    )
+
+    from clustering_spark.operators.pdf import pdf_text
+
+    pdfs = resp.filter(F.col("http_content_type") == "application/pdf")
+    # keep url through the extraction stage via a join on record_idx
+    # within file — here one file, so record_idx is unique
+    extracted = pdf_text(
+        pdfs.select(F.col("record_idx").alias("rid"), "body"),
+        "body",
+        "rid",
+    )
+    pdf_docs = (
+        extracted.filter(F.col("status") == "ok")
+        .join(
+            pdfs.select(F.col("record_idx").alias("id"), "url"), "id"
+        )
+        .select("url", "text")
+    )
+
+    corpus = html_docs.unionByName(pdf_docs)
+    docs = textops.quality_features(corpus, "text")
+    kept = docs.filter(
+        (F.col("n_tokens") >= 5) & (F.col("quality_score") >= 0.5)
+    )
+    got = {r.url: r.text for r in kept.select("url", "text").collect()}
+    assert set(got) == {"http://h.example/1", "http://p.example/doc.pdf"}
+    assert prose_b in got["http://p.example/doc.pdf"]
+
+    # the encrypted PDF surfaced as a status row, not an exception
+    statuses = {
+        r.id: r.status for r in extracted.select("id", "status").collect()
+    }
+    assert "encrypted" in statuses.values()
+
+    # and the merged corpus tokenizes/packs like any other
+    keyed = kept.select("url", "text").withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    model = train_bpe(keyed, "text", n_merges=30, max_words=500)
+    counted = bpe_token_count(keyed, "text", model)
+    packed = pack_sequences(
+        counted, id_col="doc_id", token_col="n_bpe_tokens", max_tokens=64
+    )
+    assert packed.count() == 2
