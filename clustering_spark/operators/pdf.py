@@ -46,12 +46,20 @@ class _Ref:
         return f"Ref({self.num})"
 
 
+# containers nested deeper than this are crafted, not real documents;
+# the lexer recurses per nesting level, so an explicit cap keeps a
+# hostile blob from RecursionError-ing past the Spark stages' degrade
+# handlers (ValueError IS the degrade contract)
+MAX_NESTING = 256
+
+
 class _Lexer:
     """Minimal PDF object lexer over a bytes buffer."""
 
     def __init__(self, b: bytes, pos: int = 0):
         self.b = b
         self.pos = pos
+        self.depth = 0
 
     def _skip_ws(self) -> None:
         b, n = self.b, len(self.b)
@@ -81,6 +89,9 @@ class _Lexer:
             return self._parse_literal_string()
         if c == 0x5B:  # [ array ]
             self.pos += 1
+            self.depth += 1
+            if self.depth > MAX_NESTING:
+                raise ValueError("PDF containers nested too deeply")
             out = []
             while True:
                 self._skip_ws()
@@ -88,6 +99,7 @@ class _Lexer:
                     raise ValueError("unterminated PDF array")
                 if b[self.pos] == 0x5D:
                     self.pos += 1
+                    self.depth -= 1
                     return out
                 out.append(self.parse())
         if c == 0x2F:  # /Name
@@ -149,12 +161,16 @@ class _Lexer:
 
     def _parse_dict(self) -> dict:
         self.pos += 2
+        self.depth += 1
+        if self.depth > MAX_NESTING:
+            raise ValueError("PDF containers nested too deeply")
         out = {}
         b, n = self.b, len(self.b)
         while True:
             self._skip_ws()
             if b[self.pos : self.pos + 2] == b">>":
                 self.pos += 2
+                self.depth -= 1
                 return out
             if self.pos >= n:
                 raise ValueError("unterminated PDF dictionary")

@@ -160,8 +160,10 @@ class TestFuzz:
             try:
                 pdf_meta(blob)
                 extract_pdf_text(blob)
-            except (ValueError, NotImplementedError, st.error,
-                    RecursionError):
+            except (ValueError, NotImplementedError, st.error):
+                # NOT RecursionError: the lexer's MAX_NESTING guard
+                # turns crafted deep nesting into the ValueError the
+                # Spark stages' degrade contract catches
                 pass
 
 
@@ -233,3 +235,21 @@ class TestSparkStages:
         row = scored.collect()[0]
         assert row["n_tokens"] > 30
         assert row["quality_score"] > 0.25
+
+
+def test_deep_nesting_is_a_value_error_not_recursion():
+    """A crafted object with thousands of nested arrays must degrade
+    through the stages' ValueError contract, not RecursionError past
+    it (review batch 30)."""
+    blob = (
+        b"%PDF-1.7\n1 0 obj\n" + b"[" * 5000 + b"]" * 5000
+        + b"\nendobj\ntrailer\n<< /Root 1 0 R >>\n"
+    )
+    with pytest.raises(ValueError):
+        _Lexer(b"[" * 5000 + b"]" * 5000).parse()
+    # and through the document path: meta degrades, never raises
+    # RecursionError (brute scan parses the object)
+    try:
+        pdf_meta(blob)
+    except ValueError:
+        pass
