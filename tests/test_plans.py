@@ -521,3 +521,38 @@ def test_materialize_id_rows_is_jvm_only_one_inherent_shuffle(spark):
     assert count_shuffles(rows2) <= 3
     pdf = rows.toPandas()
     assert (pdf.input_ids.map(len) == 16).all()
+
+
+def test_pdf_text_single_scan_no_exchange(spark):
+    """pdf_text is ONE mapInPandas stage over the blob scan: no
+    exchange of any kind (the blobs must never ride a shuffle — at
+    100 TB that is the whole cost model), exactly one Arrow-backed
+    Python stage."""
+    from clustering_spark.operators.pdf import make_pdf, pdf_text
+
+    df = spark.createDataFrame(
+        [(i, make_pdf([f"p{i}"])) for i in range(4)],
+        "id long, blob binary",
+    )
+    out = pdf_text(df, "blob", "id")
+    assert count_shuffles(out) == 0
+    tree = plan_tree(out)
+    assert "MapInPandas" in tree or "ArrowEval" in tree
+
+
+def test_media_router_single_scan_no_exchange(spark):
+    """media_header_meta runs FOURTEEN format families in one
+    mapInPandas scan — the plan must show exactly that: one Python
+    stage, zero exchanges."""
+    from clustering_spark.operators.multimodal import (
+        make_fake_image,
+        media_header_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(i, make_fake_image(9, 8, fill=i)) for i in range(4)],
+        "id long, blob binary",
+    )
+    out = media_header_meta(df, "blob", "id")
+    assert count_shuffles(out) == 0
+    assert plan_tree(out).count("MapInPandas") == 1
