@@ -243,10 +243,11 @@ def decode_tiff(b: bytes):
         raise ValueError("TIFF exceeds decode pixel budget")
     if planar != 1:
         raise NotImplementedError("planar TIFF (PlanarConfig=2)")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a real codec "
-            "(none/LZW/PackBits decode here; CCITT/JPEG route via PIL)"
+            "(none/CCITT G3+G4/LZW/PackBits decode here; "
+            "JPEG-in-TIFF routes via PIL)"
         )
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -256,6 +257,15 @@ def decode_tiff(b: bytes):
             f"TIFF bits={bits} spp={spp} (1-bit bilevel, 8-bit gray, "
             "8-bit RGB are supported)"
         )
+    if comp in (2, 3, 4):
+        if not bilevel:
+            raise ValueError("CCITT compression requires 1-bit data")
+        t4opts = tags.get(292, [0])[0]
+        t6opts = tags.get(293, [0])[0]
+        if comp == 3 and t4opts & 1:
+            raise NotImplementedError("G3 2D (T4Options bit 0)")
+        if (comp == 3 and t4opts & 2) or (comp == 4 and t6opts & 2):
+            raise NotImplementedError("CCITT uncompressed-mode option")
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photo}")
     if 273 not in tags or 279 not in tags:
@@ -281,6 +291,24 @@ def decode_tiff(b: bytes):
             data = raw
         elif comp == 5:
             data = _lzw_decode(raw, expect)
+        elif comp in (2, 3, 4):
+            from clustering_spark.operators.ccitt import (
+                decode_g3_1d,
+                decode_g4,
+            )
+
+            # CCITT emits 1 = black, exactly TIFF's photometric-0
+            # (WhiteIsZero) sample convention — pack the bit rows so
+            # they flow through the same bilevel path as comp=1
+            if comp == 4:
+                bit_rows = decode_g4(raw, w, strip_rows)
+            else:
+                bit_rows = decode_g3_1d(
+                    raw, w, strip_rows,
+                    byte_align=(comp == 2),
+                    eol=(comp == 3),
+                )
+            data = np.packbits(bit_rows, axis=1).tobytes()
         else:
             data = _packbits_decode(raw, expect)
         if len(data) < expect:
@@ -338,7 +366,12 @@ def encode_tiff(
             raise ValueError("bilevel fixtures are single-channel")
     else:
         raise ValueError("expected (H,W) or (H,W,3) uint8 array")
-    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_code = {
+        "none": 1, "ccittrle": 2, "g3": 3, "g4": 4, "lzw": 5,
+        "packbits": 32773,
+    }[compression]
+    if comp_code in (2, 3, 4) and not bilevel:
+        raise ValueError("CCITT fixtures take bilevel=True input")
     photo = photometric if photometric is not None else (
         2 if spp == 3 else 1
     )
@@ -362,6 +395,24 @@ def encode_tiff(
 
     strips = []
     for y0 in range(0, h, rps):
+        if comp_code in (2, 3, 4):
+            from clustering_spark.operators.ccitt import (
+                encode_g3_1d,
+                encode_g4,
+            )
+
+            bit_rows = (arr[y0 : y0 + rps] > 0).astype(np.uint8)
+            if comp_code == 4:
+                strips.append(encode_g4(bit_rows))
+            else:
+                strips.append(
+                    encode_g3_1d(
+                        bit_rows,
+                        byte_align=(comp_code == 2),
+                        eol=(comp_code == 3),
+                    )
+                )
+            continue
         raw = data_rows[y0 : y0 + rps].tobytes()
         if comp_code == 5:
             strips.append(_lzw_encode(raw))

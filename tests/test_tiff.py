@@ -114,14 +114,15 @@ class TestLzw:
 
 
 class TestGates:
-    def test_ccitt_is_honest_gate(self):
+    def test_jpeg_in_tiff_is_honest_gate(self):
+        # CCITT G3/G4 decode natively now (operators/ccitt, see
+        # test_ccitt.py) — JPEG-in-TIFF (7) remains the honest gate
         g = np.zeros((4, 4), dtype=np.uint8)
         blob = bytearray(encode_tiff(g))
-        # patch compression tag (259) value to CCITT G3 (3)
         idx = blob.find(b"\x03\x01\x03\x00")  # tag 259, SHORT
         assert idx > 0
-        blob[idx + 8] = 3
-        with pytest.raises(NotImplementedError, match="compression 3"):
+        blob[idx + 8] = 7
+        with pytest.raises(NotImplementedError, match="compression 7"):
             decode_tiff(bytes(blob))
 
     def test_16bit_is_honest_gate(self):
