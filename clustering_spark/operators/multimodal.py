@@ -2168,6 +2168,16 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                             # price every mixed scan at PDF cost)
                             row["media_type"] = "document"
                             row["format"] = "pdf"
+                        elif b[:4] == b"PK\x03\x04":
+                            from clustering_spark.operators.office import (
+                                zip_kind,
+                            )
+
+                            # ZIP containers: docx/pptx/xlsx/epub are
+                            # documents; an unrecognized archive stays
+                            # format='zip' (an archive, not a doc)
+                            row["media_type"] = "document"
+                            row["format"] = zip_kind(b)
                         elif _mp3_sniff(b):
                             # last: the sync-scan sniff is the only
                             # non-magic predicate, so every

@@ -1,0 +1,404 @@
+"""Stdlib Office/EPUB document extraction (public OOXML / EPUB-OCF
+layouts): DOCX, PPTX, XLSX and EPUB are all ZIP containers
+(``zipfile`` is stdlib), and together with PDF and HTML they close
+out the document modalities a web crawl actually carries. Structure
+sniffing, per-container metadata, and text extraction feeding the
+same downstream stages (text_quality, dedup, language ID) the HTML
+and PDF legs feed.
+
+Extraction honesty:
+- DOCX: ``word/document.xml`` paragraph walk — ``w:t`` runs,
+  ``w:tab`` -> tab, ``w:br`` -> newline, paragraphs -> newlines.
+- PPTX: every ``ppt/slides/slideN.xml`` in numeric order; ``a:t``
+  runs, ``a:p`` paragraphs, slides separated by blank lines.
+- XLSX: the shared-string table (``xl/sharedStrings.xml``) — the
+  text cells; numbers/formulas are data, not prose, and are not
+  fabricated into text.
+- EPUB: every ``.xhtml/.html`` member in ARCHIVE order (stated:
+  spine order parsing is deliberately skipped — archive order is
+  what crawler replays see); XHTML is well-formed XML, so the walk
+  is an ElementTree text visit with script/style dropped and block
+  elements becoming newlines (tag-soup HTML belongs to
+  textnorm.strip_html, not here).
+- Members with the ZIP encryption flag -> status 'encrypted'; CFB
+  (legacy .doc/.xls and encrypted OOXML) is a different container
+  entirely and stays an honest gate.
+
+Zip-bomb posture: member reads are capped by declared AND actual
+size, total text by MAX_TEXT_BYTES — one hostile blob never holds a
+task.
+
+The reference system (ykursadkaya/Clustering) has no document
+surface; this module belongs to the LLM-pipeline extension
+(SURVEY.md "beyond the reference" set).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import struct
+import zipfile
+from xml.etree import ElementTree
+
+MAX_MEMBER_BYTES = 64 * 1024 * 1024
+MAX_TEXT_BYTES = 64 * 1024 * 1024
+
+ZIP_MAGIC = b"PK\x03\x04"
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_XH = "{http://www.w3.org/1999/xhtml}"
+
+_BLOCK_TAGS = frozenset(
+    "p div li ul ol h1 h2 h3 h4 h5 h6 tr table blockquote section "
+    "article br".split()
+)
+
+
+def _open_zip(b: bytes) -> zipfile.ZipFile:
+    try:
+        return zipfile.ZipFile(io.BytesIO(b))
+    except (zipfile.BadZipFile, OSError, RuntimeError) as e:
+        raise ValueError(f"not a readable ZIP: {e}") from e
+
+
+def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
+    import zlib
+
+    try:
+        info = zf.getinfo(name)
+        if info.flag_bits & 0x1:
+            raise ValueError(f"encrypted ZIP member {name}")
+        if info.file_size > MAX_MEMBER_BYTES:
+            raise ValueError(f"ZIP member {name} exceeds read budget")
+        # open/read re-parse the LOCAL header and inflate — both can
+        # fail independently of the central directory on a corrupt
+        # blob, so the whole read maps onto the ValueError contract
+        with zf.open(name) as f:
+            data = f.read(MAX_MEMBER_BYTES + 1)
+    except (zipfile.BadZipFile, OSError, RuntimeError, EOFError,
+            zlib.error) as e:
+        raise ValueError(f"bad ZIP member {name}: {e}") from e
+    if len(data) > MAX_MEMBER_BYTES:
+        raise ValueError(f"ZIP member {name} lied about its size")
+    return data
+
+
+def zip_kind(b: bytes) -> str:
+    """'docx' / 'pptx' / 'xlsx' / 'epub' / 'zip' from the member
+    inventory. Raises ValueError when the blob is not a readable ZIP."""
+    zf = _open_zip(b)
+    try:
+        names = set(zf.namelist())
+    except (zipfile.BadZipFile, OSError, RuntimeError) as e:
+        raise ValueError(f"bad ZIP directory: {e}") from e
+    if "word/document.xml" in names:
+        return "docx"
+    if "ppt/presentation.xml" in names:
+        return "pptx"
+    if "xl/workbook.xml" in names:
+        return "xlsx"
+    if "mimetype" in names:
+        try:
+            if _read_member(zf, "mimetype").strip() == (
+                b"application/epub+zip"
+            ):
+                return "epub"
+        except ValueError:
+            pass
+    return "zip"
+
+
+def office_meta(b: bytes) -> tuple[str, int, int, bool]:
+    """(kind, n_members, declared_uncompressed_bytes, any_encrypted)
+    — the routing pass over a ZIP-container blob."""
+    zf = _open_zip(b)
+    infos = zf.infolist()
+    total = sum(i.file_size for i in infos)
+    enc = any(i.flag_bits & 0x1 for i in infos)
+    return zip_kind(b), len(infos), total, enc
+
+
+def _parse_xml(data: bytes) -> ElementTree.Element:
+    try:
+        return ElementTree.fromstring(data)
+    except ElementTree.ParseError as e:
+        raise ValueError(f"malformed OOXML part: {e}") from e
+
+
+def extract_docx_text(b: bytes) -> str:
+    zf = _open_zip(b)
+    root = _parse_xml(_read_member(zf, "word/document.xml"))
+    paras = []
+    for p in root.iter(_W + "p"):
+        parts = []
+        for el in p.iter():
+            if el.tag == _W + "t" and el.text:
+                parts.append(el.text)
+            elif el.tag == _W + "tab":
+                parts.append("\t")
+            elif el.tag == _W + "br":
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras).strip()
+
+
+_SLIDE_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+
+
+def extract_pptx_text(b: bytes) -> str:
+    zf = _open_zip(b)
+    slides = sorted(
+        (int(m.group(1)), n)
+        for n in zf.namelist()
+        if (m := _SLIDE_RE.match(n))
+    )
+    out = []
+    for _num, name in slides:
+        root = _parse_xml(_read_member(zf, name))
+        paras = []
+        for p in root.iter(_A + "p"):
+            runs = [t.text for t in p.iter(_A + "t") if t.text]
+            if runs:
+                paras.append("".join(runs))
+        if paras:
+            out.append("\n".join(paras))
+    return "\n\n".join(out).strip()
+
+
+def extract_xlsx_text(b: bytes) -> str:
+    zf = _open_zip(b)
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return ""
+    root = _parse_xml(_read_member(zf, "xl/sharedStrings.xml"))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    lines = []
+    for si in root.iter(ns + "si"):
+        runs = [t.text for t in si.iter(ns + "t") if t.text]
+        if runs:
+            lines.append("".join(runs))
+    return "\n".join(lines).strip()
+
+
+def _xhtml_text(root: ElementTree.Element) -> str:
+    """Text visit over well-formed XHTML: script/style subtrees
+    dropped, block elements produce newlines, inline elements fuse."""
+    out: list[str] = []
+
+    def local(tag) -> str:
+        if not isinstance(tag, str):  # comments / PIs
+            return ""
+        return tag.rsplit("}", 1)[-1].lower()
+
+    def visit(el) -> None:
+        name = local(el.tag)
+        # head carries metadata (title/meta/link), not document prose
+        if name in ("script", "style", "noscript", "template", "head"):
+            return
+        if name in _BLOCK_TAGS:
+            out.append("\n")
+        if el.text:
+            out.append(el.text)
+        for child in el:
+            visit(child)
+            if child.tail:
+                out.append(child.tail)
+        if name in _BLOCK_TAGS:
+            out.append("\n")
+
+    visit(root)
+    text = "".join(out)
+    text = re.sub(r"[ \t\x0b\f\r]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    text = re.sub(r"\n{3,}", "\n\n", text)
+    return text.strip()
+
+
+def extract_epub_text(b: bytes) -> tuple[str, int, int]:
+    """(text, n_docs_ok, n_docs_failed) over every XHTML member in
+    archive order."""
+    zf = _open_zip(b)
+    ok = bad = 0
+    parts = []
+    total = 0
+    for name in zf.namelist():
+        if not name.lower().endswith((".xhtml", ".html", ".htm")):
+            continue
+        try:
+            t = _xhtml_text(_parse_xml(_read_member(zf, name)))
+            ok += 1
+            if t:
+                total += len(t)
+                if total > MAX_TEXT_BYTES:
+                    raise ValueError("EPUB text exceeds budget")
+                parts.append(t)
+        except ValueError:
+            bad += 1
+    return "\n\n".join(parts), ok, bad
+
+
+def extract_office_text(b: bytes) -> tuple[str, str]:
+    """(kind, text) for any supported ZIP-container document; plain
+    'zip' archives yield empty text (an archive is not a document)."""
+    kind = zip_kind(b)
+    if kind == "docx":
+        return kind, extract_docx_text(b)
+    if kind == "pptx":
+        return kind, extract_pptx_text(b)
+    if kind == "xlsx":
+        return kind, extract_xlsx_text(b)
+    if kind == "epub":
+        return kind, extract_epub_text(b)[0]
+    return kind, ""
+
+
+# --------------------------------------------------------- Spark stage
+
+
+OFFICE_TEXT_SCHEMA = "id long, kind string, status string, text string"
+
+
+def office_text(df, bin_col: str, id_col: str):
+    """Per-blob Office/EPUB text extraction — the ZIP-container
+    analogue of pdf_text, same degrade doctrine: non-ZIP blobs
+    surface as kind='unknown', broken/encrypted containers as
+    status 'corrupt'/'encrypted', NULL as unknown; one bad row never
+    fails a batch. One mapInPandas stage; blobs never ride a
+    shuffle."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "kind", "status", "text"]
+        for pdf_ in it:
+            out = []
+            for rid, blob in zip(pdf_[id_col], pdf_[bin_col]):
+                row = dict.fromkeys(cols)
+                row["id"], row["kind"] = rid, "unknown"
+                row["status"] = "unknown"
+                if blob is not None:
+                    b = bytes(blob)
+                    if b[:4] == ZIP_MAGIC:
+                        try:
+                            row["kind"], row["text"] = (
+                                extract_office_text(b)
+                            )
+                            row["status"] = "ok"
+                        except ValueError as e:
+                            row["kind"] = "zip"
+                            row["status"] = (
+                                "encrypted"
+                                if "encrypted" in str(e)
+                                else "corrupt"
+                            )
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, OFFICE_TEXT_SCHEMA
+    )
+
+
+# ------------------------------------------------------------ fixtures
+
+
+def _zip_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def make_docx(paragraphs: list[str]) -> bytes:
+    """Minimal spec-shaped DOCX: [Content_Types].xml +
+    word/document.xml with one w:p/w:r/w:t per paragraph."""
+    body = "".join(
+        f"<w:p><w:r><w:t>{_esc(p)}</w:t></w:r></w:p>"
+        for p in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w='
+        '"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{body}</w:body></w:document>"
+    )
+    return _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "word/document.xml": doc.encode(),
+        }
+    )
+
+
+def make_pptx(slides: list[list[str]]) -> bytes:
+    """Minimal PPTX: one slideN.xml per slide, one a:p per line."""
+    members: dict[str, bytes] = {
+        "[Content_Types].xml": b"<Types/>",
+        "ppt/presentation.xml": b"<p/>",
+    }
+    for i, lines in enumerate(slides, 1):
+        paras = "".join(
+            f"<a:p><a:r><a:t>{_esc(t)}</a:t></a:r></a:p>" for t in lines
+        )
+        members[f"ppt/slides/slide{i}.xml"] = (
+            '<?xml version="1.0"?><p:sld xmlns:p="x" xmlns:a='
+            '"http://schemas.openxmlformats.org/drawingml/2006/main">'
+            f"{paras}</p:sld>"
+        ).encode()
+    return _zip_bytes(members)
+
+
+def make_xlsx(strings: list[str]) -> bytes:
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sst = "".join(f"<si><t>{_esc(s)}</t></si>" for s in strings)
+    return _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "xl/workbook.xml": b"<wb/>",
+            "xl/sharedStrings.xml": (
+                f'<?xml version="1.0"?><sst xmlns="{ns}">{sst}</sst>'
+            ).encode(),
+        }
+    )
+
+
+def make_epub(chapters: list[str]) -> bytes:
+    """Minimal EPUB-OCF: mimetype + one XHTML chapter per string."""
+    members: dict[str, bytes] = {
+        "mimetype": b"application/epub+zip",
+        "META-INF/container.xml": b"<container/>",
+    }
+    for i, text in enumerate(chapters, 1):
+        members[f"OEBPS/ch{i}.xhtml"] = (
+            '<?xml version="1.0"?><html xmlns='
+            '"http://www.w3.org/1999/xhtml"><head><title>c</title>'
+            "<style>p{color:red}</style></head>"
+            f"<body><p>{_esc(text)}</p></body></html>"
+        ).encode()
+    return _zip_bytes(members)
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+__all__ = [
+    "zip_kind",
+    "office_meta",
+    "extract_docx_text",
+    "extract_pptx_text",
+    "extract_xlsx_text",
+    "extract_epub_text",
+    "extract_office_text",
+    "office_text",
+    "make_docx",
+    "make_pptx",
+    "make_xlsx",
+    "make_epub",
+    "ZIP_MAGIC",
+]
