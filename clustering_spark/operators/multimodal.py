@@ -2178,6 +2178,9 @@ def media_header_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                             # format='zip' (an archive, not a doc)
                             row["media_type"] = "document"
                             row["format"] = zip_kind(b)
+                        elif b[:5] == b"{\\rtf":
+                            row["media_type"] = "document"
+                            row["format"] = "rtf"
                         elif _mp3_sniff(b):
                             # last: the sync-scan sniff is the only
                             # non-magic predicate, so every

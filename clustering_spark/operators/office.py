@@ -260,12 +260,12 @@ OFFICE_TEXT_SCHEMA = "id long, kind string, status string, text string"
 
 
 def office_text(df, bin_col: str, id_col: str):
-    """Per-blob Office/EPUB text extraction — the ZIP-container
-    analogue of pdf_text, same degrade doctrine: non-ZIP blobs
-    surface as kind='unknown', broken/encrypted containers as
-    status 'corrupt'/'encrypted', NULL as unknown; one bad row never
-    fails a batch. One mapInPandas stage; blobs never ride a
-    shuffle."""
+    """Per-blob Office/EPUB/RTF text extraction — the ZIP-container
+    (and RTF) analogue of pdf_text, same degrade doctrine: blobs of
+    no known document container surface as kind='unknown',
+    broken/encrypted containers as status 'corrupt'/'encrypted',
+    NULL as unknown; one bad row never fails a batch. One
+    mapInPandas stage; blobs never ride a shuffle."""
     from typing import Iterator
 
     import pandas as pd
@@ -294,6 +294,13 @@ def office_text(df, bin_col: str, id_col: str):
                                 if "encrypted" in str(e)
                                 else "corrupt"
                             )
+                    elif b[: len(RTF_MAGIC)] == RTF_MAGIC:
+                        row["kind"] = "rtf"
+                        try:
+                            row["text"] = extract_rtf_text(b)
+                            row["status"] = "ok"
+                        except ValueError:
+                            row["status"] = "corrupt"
                 out.append(row)
             yield pd.DataFrame(out, columns=cols)
 
@@ -400,5 +407,146 @@ __all__ = [
     "make_pptx",
     "make_xlsx",
     "make_epub",
+    "extract_rtf_text",
+    "make_rtf",
     "ZIP_MAGIC",
+    "RTF_MAGIC",
 ]
+
+
+# ---------------------------------------------------------------- RTF
+
+RTF_MAGIC = b"{\\rtf"
+
+# destination groups whose payload is formatting/binary, not prose
+_RTF_SKIP = frozenset(
+    (
+        b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+        b"object", b"header", b"footer", b"headerl", b"headerr",
+        b"headerf", b"footerl", b"footerr", b"footerf", b"filetbl",
+        b"listtable", b"listoverridetable", b"revtbl", b"generator",
+        b"themedata", b"colorschememapping", b"datastore",
+        b"latentstyles",
+    )
+)
+
+_RTF_CW = re.compile(rb"\\([a-z]+)(-?\d+)? ?|\\([^a-z])", re.I)
+
+
+def extract_rtf_text(b: bytes) -> str:
+    """Best-effort text from an RTF document (public RTF spec): group
+    walk with destination skipping (font/color/style tables,
+    pictures, headers), ``\\par``/``\\line`` -> newline, ``\\tab`` ->
+    tab, ``\\'hh`` hex escapes decoded as cp1252, ``\\uN`` unicode
+    escapes honoring the current ``\\ucN`` skip count. Iterative (an
+    explicit group stack — crafted nesting cannot RecursionError) and
+    budget-capped. Raises ValueError when the blob is not RTF."""
+    if b[: len(RTF_MAGIC)] != RTF_MAGIC:
+        raise ValueError("not an RTF document")
+    out: list[str] = []
+    total = 0
+    pos = 0
+    n = len(b)
+    # group stack entries: [skipping, uc_count]
+    stack: list[list] = [[False, 1]]
+    pending_skip = 0  # chars to drop after \uN
+    while pos < n:
+        c = b[pos]
+        if c == 0x7B:  # {
+            stack.append(list(stack[-1]))
+            pos += 1
+            continue
+        if c == 0x7D:  # }
+            if len(stack) > 1:
+                stack.pop()
+            pos += 1
+            continue
+        if c == 0x5C:  # backslash
+            m = _RTF_CW.match(b, pos)
+            if not m:
+                pos += 1
+                continue
+            pos = m.end()
+            if m.group(3) is not None:  # control symbol
+                sym = m.group(3)
+                if sym == b"*":
+                    # ignorable destination: skip unless a known
+                    # text-bearing word follows (we skip all \*)
+                    stack[-1][0] = True
+                elif not stack[-1][0]:
+                    if sym in (b"\\", b"{", b"}"):
+                        out.append(sym.decode("latin-1"))
+                    elif sym == b"'":
+                        hx = b[pos : pos + 2]
+                        pos += 2
+                        if pending_skip > 0:
+                            pending_skip -= 1
+                        else:
+                            try:
+                                out.append(
+                                    bytes.fromhex(
+                                        hx.decode("latin-1")
+                                    ).decode("cp1252", "replace")
+                                )
+                            except ValueError:
+                                pass
+                    elif sym == b"~":
+                        out.append("\u00a0")
+                continue
+            word = m.group(1).lower()
+            arg = m.group(2)
+            if word in _RTF_SKIP:
+                stack[-1][0] = True
+            elif word == b"uc".lower() and arg is not None:
+                stack[-1][1] = max(0, int(arg))
+            elif not stack[-1][0]:
+                if word in (b"par", b"line", b"sect", b"page", b"row"):
+                    out.append("\n")
+                elif word == b"cell":
+                    out.append("\t")
+                elif word == b"tab":
+                    out.append("\t")
+                elif word == b"u" and arg is not None:
+                    cp = int(arg)
+                    if cp < 0:
+                        cp += 65536
+                    out.append(chr(cp))
+                    pending_skip = stack[-1][1]
+            continue
+        if c in (0x0D, 0x0A):
+            pos += 1
+            continue
+        # plain text run up to the next control character
+        end = pos
+        while end < n and b[end] not in (0x5C, 0x7B, 0x7D, 0x0D, 0x0A):
+            end += 1
+        if not stack[-1][0]:
+            chunk = b[pos:end].decode("cp1252", "replace")
+            if pending_skip:
+                drop = min(pending_skip, len(chunk))
+                chunk = chunk[drop:]
+                pending_skip -= drop
+            out.append(chunk)
+            total += len(chunk)
+            if total > MAX_TEXT_BYTES:
+                raise ValueError("RTF text exceeds budget")
+        pos = end
+    text = "".join(out)
+    text = re.sub(r"[ \t\x0b\f]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    text = re.sub(r"\n{3,}", "\n\n", text)
+    return text.strip()
+
+
+def make_rtf(paragraphs: list[str]) -> bytes:
+    """Minimal spec-shaped RTF fixture with a font table the
+    extractor must skip."""
+    body = "\\par ".join(
+        p.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
+        for p in paragraphs
+    )
+    return (
+        "{\\rtf1\\ansi{\\fonttbl{\\f0 Times New Roman;}}"
+        "{\\colortbl;\\red0\\green0\\blue0;}"
+        "\\f0\\fs24 " + body + "\\par}"
+    ).encode("cp1252")

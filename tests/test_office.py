@@ -196,3 +196,86 @@ class TestSpark:
         scored = quality_features(txt.select("id", "text"), "text")
         row = scored.collect()[0]
         assert row["n_tokens"] > 30 and row["quality_score"] > 0.25
+
+
+class TestRtf:
+    def test_paragraphs_and_table_skip(self):
+        from clustering_spark.operators.office import (
+            extract_rtf_text,
+            make_rtf,
+        )
+
+        r = make_rtf(["Hello RTF world.", "Second paragraph."])
+        assert extract_rtf_text(r) == (
+            "Hello RTF world.\nSecond paragraph."
+        )
+        # font/color tables must not leak (the bytes-vs-str skip-set
+        # bug the first smoke test caught)
+        assert "Times New Roman" not in extract_rtf_text(r)
+
+    def test_escapes(self):
+        from clustering_spark.operators.office import extract_rtf_text
+
+        assert extract_rtf_text(b"{\\rtf1 caf\\'e9\\par}") == "café"
+        assert extract_rtf_text(b"{\\rtf1\\uc1 a\\u233?b\\par}") == (
+            "aéb"
+        )
+        assert extract_rtf_text(rb"{\rtf1 a\{b\}c\\d\par}") == "a{b}c\\d"
+
+    def test_skip_state_restores_on_group_close(self):
+        from clustering_spark.operators.office import extract_rtf_text
+
+        t = extract_rtf_text(
+            b"{\\rtf1{\\fonttbl{\\f0 Arial;}}visible\\par}"
+        )
+        assert t == "visible"
+
+    def test_deep_nesting_is_iterative(self):
+        from clustering_spark.operators.office import extract_rtf_text
+
+        blob = b"{\\rtf1 " + b"{" * 50_000 + b"x" + b"}" * 50_000 + b"}"
+        assert extract_rtf_text(blob) == "x"
+
+    def test_not_rtf_raises_and_fuzz(self):
+        import random
+
+        from clustering_spark.operators.office import (
+            extract_rtf_text,
+            make_rtf,
+        )
+
+        with pytest.raises(ValueError):
+            extract_rtf_text(b"plain text")
+        rng = random.Random(0x127F)
+        base = make_rtf(["alpha beta", "gamma"])
+        for _ in range(300):
+            b = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0 and len(b) > 6:
+                b = b[: rng.randrange(6, len(b))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(b))
+                del b[i : i + rng.randrange(1, 10)]
+            try:
+                extract_rtf_text(bytes(b))
+            except ValueError:
+                pass
+
+    def test_stage_and_router(self, spark):
+        from clustering_spark.operators import multimodal as mm
+        from clustering_spark.operators.office import make_rtf
+
+        df = spark.createDataFrame(
+            [(1, make_rtf(["Memo text body."]))],
+            "id long, blob binary",
+        )
+        out = office_text(df, "blob", "id").collect()[0]
+        assert (out["kind"], out["status"]) == ("rtf", "ok")
+        assert out["text"] == "Memo text body."
+        route = mm.media_header_meta(df, "blob", "id").collect()[0]
+        assert (route["media_type"], route["format"]) == (
+            "document", "rtf",
+        )
