@@ -357,6 +357,16 @@ def _ogg_meta(b: bytes) -> tuple[str, int | None, int | None, int | None, float 
                 channels = payload[9]
                 (preskip,) = struct.unpack("<H", payload[10:12])
                 rate = 48000
+            elif payload[:5] == b"\x7fFLAC" and len(payload) >= 51:
+                # FLAC-in-Ogg (the FLAC-to-Ogg mapping spec): the BOS
+                # payload carries a verbatim fLaC+STREAMINFO stream at
+                # offset 9 (5 magic + 1 major + 1 minor + 2 BE header
+                # count) — reuse the native parser on it
+                fmt = "ogg-flac"
+                ch_, rate_, _bits, _tot, _dur = _flac_meta(
+                    payload[9:]
+                )
+                channels, rate = ch_, rate_
         if serial == first_serial and granule >= 0:
             last_granule = granule
     if first_serial is None:

@@ -376,3 +376,19 @@ def test_mutation_fuzz_degrade_contract():
                 fn(blob)
             except (ValueError, struct.error):
                 pass
+
+
+def test_ogg_flac_identification():
+    """FLAC-in-Ogg: the BOS payload embeds a verbatim fLaC+STREAMINFO
+    stream at offset 9; rate/channels come from the native FLAC
+    parser, duration from the terminal granule like any Ogg."""
+    from clustering_spark.operators.mediafmt import _ogg_page
+
+    flac_head = make_flac(
+        rate=48000, channels=2, total_samples=0, frame_bytes=0
+    )
+    bos = b"\x7fFLAC\x01\x00\x00\x00" + flac_head
+    b = _ogg_page(bos, granule=0, htype=2) + _ogg_page(
+        b"frames", granule=96000, htype=4, seq=1
+    )
+    assert _ogg_meta(b) == ("ogg-flac", 2, 48000, 96000, 2.0)
