@@ -382,6 +382,11 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
                 )
                 if start + r1 + r2 > width:
                     raise ValueError("G4 horizontal runs overrun row")
+                if r1 + r2 == 0 and a0 >= 0:
+                    # two zero-length runs advance nothing: only legal
+                    # as the imaginary start-of-line step — anywhere
+                    # else a crafted stream would loop forever
+                    raise ValueError("G4 horizontal mode stalls")
                 if color:
                     row[start : start + r1] = 1
                 else:

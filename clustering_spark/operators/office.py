@@ -495,6 +495,14 @@ def extract_rtf_text(b: bytes) -> str:
                 continue
             word = m.group(1).lower()
             arg = m.group(2)
+            if word == b"bin":
+                # \binN embeds N bytes of RAW binary — they are not
+                # RTF at all: a '}' byte inside them would corrupt
+                # the group stack and a '{' could leak binary into
+                # the text, so skip them positionally
+                skip = max(0, int(arg or 0))
+                pos = min(n, pos + skip)
+                continue
             if word in _RTF_SKIP:
                 stack[-1][0] = True
             elif word == b"uc".lower() and arg is not None:

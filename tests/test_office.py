@@ -279,3 +279,17 @@ class TestRtf:
         assert (route["media_type"], route["format"]) == (
             "document", "rtf",
         )
+
+
+def test_rtf_bin_payload_cannot_corrupt_group_tracking():
+    """\\binN embeds N raw bytes that are not RTF: '}' bytes inside
+    them must not pop the group stack (review batch 31)."""
+    from clustering_spark.operators.office import extract_rtf_text
+
+    payload = b"}}}}{{{{\x00\xff"  # hostile raw bytes
+    blob = (
+        b"{\\rtf1{\\pict\\bin" + str(len(payload)).encode() + b" "
+        + payload + b"}after pict\\par}"
+    )
+    t = extract_rtf_text(blob)
+    assert t == "after pict"
