@@ -2771,6 +2771,25 @@ def _write_crawl_warc() -> str:
                     ))
                 )
                 continue
+            if i % 6 == 4:
+                # DOCX responses (round 12, later): the OOXML ZIP
+                # container + w:p/w:t walk under the hash — the
+                # single arithmetic paragraph extracts verbatim.
+                # (ZIP member timestamps make the BYTES
+                # nondeterministic; the gate compares extracted TEXT,
+                # which is not.)
+                from clustering_spark.operators.office import make_docx
+
+                recs.append(
+                    ("response", url, make_http_response(
+                        make_docx([_crawl_payload_text(i)]), status,
+                        content_type=(
+                            "application/vnd.openxmlformats-"
+                            "officedocument.wordprocessingml.document"
+                        ),
+                    ))
+                )
+                continue
             html = (
                 "<!DOCTYPE html><html><head><style>p{color:red}</style>"
                 '</head><body><!-- nav --><script type="text/javascript">'
@@ -2807,11 +2826,14 @@ def q_warc_crawl(spark, sf_dir):
     projection) -> per-content-type text extraction — strip_html for
     the text/html responses, extract_pdf_text for the
     application/pdf ones (round 12: the PDF parser's xref/ObjStm/
-    content-stream walk is under the hash too) — plus the
+    content-stream walk is under the hash too), and
+    extract_office_text for the OOXML DOCX ones (round 12, later:
+    the ZIP container + w:p/w:t walk as well) — plus the
     corrupt-file degrade surfaced as one '__corrupt__' row whose
     text carries the exact deterministic error. A parse-position
     regression, a misrouted record type, a dropped 404, a broken
-    xref resolver, or a degrade-contract break all flip the hash."""
+    xref resolver, a ZIP-member misread, or a degrade-contract break
+    all flip the hash."""
     import pandas as pd
 
     from clustering_spark.operators.textnorm import extract_html_text
@@ -2860,6 +2882,39 @@ def q_warc_crawl(spark, sf_dir):
         "record_idx long, url string, http_status long, "
         "http_content_type string, text_plain string",
     )
+
+    def _office_batches(it):
+        from clustering_spark.operators.office import (
+            extract_office_text,
+        )
+
+        for pdf_ in it:
+            texts = []
+            for body in pdf_["body"]:
+                try:
+                    _kind, t = extract_office_text(bytes(body))
+                except (ValueError, NotImplementedError):
+                    t = None
+                texts.append(t)
+            yield pd.DataFrame(
+                {
+                    "record_idx": pdf_["record_idx"].astype("int64"),
+                    "url": pdf_["url"],
+                    "http_status": pdf_["http_status"].astype("Int64"),
+                    "http_content_type": pdf_["http_content_type"],
+                    "text_plain": texts,
+                }
+            )
+
+    good_office = resp.filter(
+        F.col("http_content_type").startswith(
+            "application/vnd.openxmlformats"
+        )
+    ).mapInPandas(
+        _office_batches,
+        "record_idx long, url string, http_status long, "
+        "http_content_type string, text_plain string",
+    )
     corrupt = recs.filter(F.col("warc_type") == "corrupt").select(
         F.lit(-1).cast("long").alias("record_idx"),
         F.lit("__corrupt__").alias("url"),
@@ -2867,7 +2922,11 @@ def q_warc_crawl(spark, sf_dir):
         F.lit(None).cast("string").alias("http_content_type"),
         F.col("error").alias("text_plain"),
     )
-    return good_html.unionByName(good_pdf).unionByName(corrupt)
+    return (
+        good_html.unionByName(good_pdf)
+        .unionByName(good_office)
+        .unionByName(corrupt)
+    )
 
 
 # the extracted text replays the SAME whitespace-pass skeleton as
@@ -2892,8 +2951,9 @@ SELECT CASE WHEN i < {_WARC_N_RECORDS} THEN i
        CAST(CASE WHEN i % 10 = 3 THEN 404 ELSE 200 END AS BIGINT)
          AS http_status,
        CASE WHEN i % 6 = 5 THEN 'application/pdf'
+            WHEN i % 6 = 4 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
             ELSE 'text/html; charset=utf-8' END AS http_content_type,
-       CASE WHEN i % 6 = 5 THEN payload  -- pdf: extracted verbatim
+       CASE WHEN i % 6 IN (4, 5) THEN payload  -- pdf/docx: verbatim
             ELSE regexp_replace(
          regexp_replace(
            regexp_replace(
