@@ -556,3 +556,17 @@ def test_media_router_single_scan_no_exchange(spark):
     out = media_header_meta(df, "blob", "id")
     assert count_shuffles(out) == 0
     assert plan_tree(out).count("MapInPandas") == 1
+
+
+def test_office_text_single_scan_no_exchange(spark):
+    """office_text mirrors pdf_text's cost model: ONE mapInPandas
+    stage, zero exchanges — document blobs never ride a shuffle."""
+    from clustering_spark.operators.office import make_docx, office_text
+
+    df = spark.createDataFrame(
+        [(i, make_docx([f"p{i}"])) for i in range(4)],
+        "id long, blob binary",
+    )
+    out = office_text(df, "blob", "id")
+    assert count_shuffles(out) == 0
+    assert plan_tree(out).count("MapInPandas") == 1
