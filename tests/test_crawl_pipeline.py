@@ -166,8 +166,7 @@ def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
     gate/dedup/tokenize chain. Pins the Content-Type split, the PDF
     leg's schema lining up with the HTML leg's, and that an
     encrypted PDF degrades to a skipped row, never a batch failure."""
-    import pandas as pd
-
+    from clustering_spark.operators.office import make_docx
     from clustering_spark.operators.pdf import make_pdf
 
     prose_a = (
@@ -194,6 +193,20 @@ def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
             make_http_response(
                 make_pdf(["secret"], encrypted=True),
                 content_type="application/pdf",
+            ),
+        ),
+        (
+            "response",
+            "http://o.example/memo.docx",
+            make_http_response(
+                make_docx(
+                    ["Quarterly planning notes cover staffing and "
+                     "the harbor expansion budget."]
+                ),
+                content_type=(
+                    "application/vnd.openxmlformats-officedocument"
+                    ".wordprocessingml.document"
+                ),
             ),
         ),
     ]
@@ -225,14 +238,40 @@ def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
         .select("url", "text")
     )
 
-    corpus = html_docs.unionByName(pdf_docs)
+    from clustering_spark.operators.office import office_text
+
+    offices = resp.filter(
+        F.col("http_content_type").startswith(
+            "application/vnd.openxmlformats"
+        )
+    )
+    office_docs = (
+        office_text(
+            offices.select(F.col("record_idx").alias("rid"), "body"),
+            "body",
+            "rid",
+        )
+        .filter(F.col("status") == "ok")
+        .join(
+            offices.select(F.col("record_idx").alias("id"), "url"),
+            "id",
+        )
+        .select("url", "text")
+    )
+
+    corpus = html_docs.unionByName(pdf_docs).unionByName(office_docs)
     docs = textops.quality_features(corpus, "text")
     kept = docs.filter(
         (F.col("n_tokens") >= 5) & (F.col("quality_score") >= 0.5)
     )
     got = {r.url: r.text for r in kept.select("url", "text").collect()}
-    assert set(got) == {"http://h.example/1", "http://p.example/doc.pdf"}
+    assert set(got) == {
+        "http://h.example/1",
+        "http://p.example/doc.pdf",
+        "http://o.example/memo.docx",
+    }
     assert prose_b in got["http://p.example/doc.pdf"]
+    assert "harbor expansion" in got["http://o.example/memo.docx"]
 
     # the encrypted PDF surfaced as a status row, not an exception
     statuses = {
@@ -249,4 +288,4 @@ def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
     packed = pack_sequences(
         counted, id_col="doc_id", token_col="n_bpe_tokens", max_tokens=64
     )
-    assert packed.count() == 2
+    assert packed.count() == 3
