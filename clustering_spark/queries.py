@@ -2834,86 +2834,26 @@ def q_warc_crawl(spark, sf_dir):
     regression, a misrouted record type, a dropped 404, a broken
     xref resolver, a ZIP-member misread, or a degrade-contract break
     all flip the hash."""
-    import pandas as pd
-
-    from clustering_spark.operators.textnorm import extract_html_text
     from clustering_spark.sources.warc_source import (
+        crawl_documents,
         read_warc,
         warc_responses,
     )
 
     path = _write_crawl_warc()
     recs = read_warc(spark, path)
-    resp = warc_responses(recs)
-    html = resp.filter(F.col("http_content_type").startswith("text/html"))
-    good_html = extract_html_text(html, "text", out_col="text_plain").select(
+    # ONE extraction pass over all three response modalities
+    # (crawl_documents dispatches on body magic: HTML stays in the
+    # JVM strip_html projection, PDF/DOCX extract in the Arrow
+    # stage) — the corrupt branch is the only second read of the
+    # source, and at production scale it rides the same single
+    # read_warc pass into a staging table
+    good = crawl_documents(warc_responses(recs)).select(
         F.col("record_idx").cast("long").alias("record_idx"),
         "url",
         F.col("http_status").cast("long").alias("http_status"),
         "http_content_type",
         "text_plain",
-    )
-
-    def _pdf_batches(it):
-        from clustering_spark.operators.pdf import extract_pdf_text
-
-        for pdf_ in it:
-            texts = []
-            for body in pdf_["body"]:
-                try:
-                    t, _ok, _bad = extract_pdf_text(bytes(body))
-                except (ValueError, NotImplementedError):
-                    t = None
-                texts.append(t)
-            yield pd.DataFrame(
-                {
-                    "record_idx": pdf_["record_idx"].astype("int64"),
-                    "url": pdf_["url"],
-                    "http_status": pdf_["http_status"].astype("Int64"),
-                    "http_content_type": pdf_["http_content_type"],
-                    "text_plain": texts,
-                }
-            )
-
-    good_pdf = resp.filter(
-        F.col("http_content_type") == "application/pdf"
-    ).mapInPandas(
-        _pdf_batches,
-        "record_idx long, url string, http_status long, "
-        "http_content_type string, text_plain string",
-    )
-
-    def _office_batches(it):
-        from clustering_spark.operators.office import (
-            extract_office_text,
-        )
-
-        for pdf_ in it:
-            texts = []
-            for body in pdf_["body"]:
-                try:
-                    _kind, t = extract_office_text(bytes(body))
-                except (ValueError, NotImplementedError):
-                    t = None
-                texts.append(t)
-            yield pd.DataFrame(
-                {
-                    "record_idx": pdf_["record_idx"].astype("int64"),
-                    "url": pdf_["url"],
-                    "http_status": pdf_["http_status"].astype("Int64"),
-                    "http_content_type": pdf_["http_content_type"],
-                    "text_plain": texts,
-                }
-            )
-
-    good_office = resp.filter(
-        F.col("http_content_type").startswith(
-            "application/vnd.openxmlformats"
-        )
-    ).mapInPandas(
-        _office_batches,
-        "record_idx long, url string, http_status long, "
-        "http_content_type string, text_plain string",
     )
     corrupt = recs.filter(F.col("warc_type") == "corrupt").select(
         F.lit(-1).cast("long").alias("record_idx"),
@@ -2922,11 +2862,7 @@ def q_warc_crawl(spark, sf_dir):
         F.lit(None).cast("string").alias("http_content_type"),
         F.col("error").alias("text_plain"),
     )
-    return (
-        good_html.unionByName(good_pdf)
-        .unionByName(good_office)
-        .unionByName(corrupt)
-    )
+    return good.unionByName(corrupt)
 
 
 # the extracted text replays the SAME whitespace-pass skeleton as

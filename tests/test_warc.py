@@ -177,3 +177,104 @@ def test_lying_content_length_across_member_boundary_degrades(spark, tmp_path):
     assert "corrupt" in kinds
     assert len(pdf[pdf.url == "http://"]) == 0
     assert (pdf.warc_type == "response").sum() <= 1
+
+
+class TestCrawlDocuments:
+    """crawl_documents: the ONE-pass multi-modality extraction over
+    warc_responses — dispatch on body magic, HTML in the JVM strip,
+    per-row corrupt degrade, no extra source scans."""
+
+    def _mixed_dir(self, tmp_path):
+        from clustering_spark.operators.office import make_docx
+        from clustering_spark.operators.pdf import make_pdf
+        from clustering_spark.sources.warc_source import (
+            make_http_response,
+            make_warc,
+        )
+
+        records = [
+            (
+                "response",
+                "http://h/1",
+                make_http_response(
+                    b"<html><body><p>web prose</p></body></html>"
+                ),
+            ),
+            (
+                "response",
+                "http://p/1",
+                make_http_response(
+                    make_pdf(["pdf prose"]),
+                    # LYING Content-Type: dispatch must follow magic
+                    content_type="text/html; charset=utf-8",
+                ),
+            ),
+            (
+                "response",
+                "http://o/1",
+                make_http_response(
+                    make_docx(["docx prose"]),
+                    content_type="application/octet-stream",
+                ),
+            ),
+            (
+                "response",
+                "http://r/1",
+                make_http_response(b"{\\rtf1 rtf prose\\par}"),
+            ),
+            (
+                "response",
+                "http://bad/1",
+                # ZIP magic + garbage: office extraction raises ->
+                # per-row corrupt degrade
+                make_http_response(b"PK\x03\x04 not really a zip"),
+            ),
+        ]
+        (tmp_path / "m.warc").write_bytes(make_warc(records))
+        return str(tmp_path)
+
+    def test_magic_dispatch_and_degrade(self, spark, tmp_path):
+        from clustering_spark.sources.warc_source import (
+            crawl_documents,
+            read_warc,
+            warc_responses,
+        )
+
+        out = (
+            crawl_documents(
+                warc_responses(read_warc(spark, self._mixed_dir(tmp_path)))
+            )
+            .toPandas()
+            .set_index("url")
+        )
+        assert out.loc["http://h/1", "doc_kind"] == "text"
+        assert out.loc["http://h/1", "text_plain"] == "web prose"
+        # servers lie: the PDF behind a text/html Content-Type still
+        # extracts as PDF because dispatch follows the bytes
+        assert out.loc["http://p/1", "doc_kind"] == "pdf"
+        assert out.loc["http://p/1", "text_plain"] == "pdf prose"
+        assert out.loc["http://o/1", "doc_kind"] == "docx"
+        assert out.loc["http://o/1", "text_plain"] == "docx prose"
+        assert out.loc["http://r/1", "doc_kind"] == "rtf"
+        assert out.loc["http://r/1", "text_plain"] == "rtf prose"
+        assert out.loc["http://bad/1", "doc_kind"] == "corrupt"
+        assert out.loc["http://bad/1", "text_plain"] is None
+
+    def test_single_pass_plan(self, spark, tmp_path):
+        from clustering_spark.plans import count_shuffles, plan_tree
+        from clustering_spark.sources.warc_source import (
+            crawl_documents,
+            read_warc,
+            warc_responses,
+        )
+
+        df = crawl_documents(
+            warc_responses(read_warc(spark, self._mixed_dir(tmp_path)))
+        )
+        tree = plan_tree(df)
+        # one linear chain: exactly the three Arrow stages (record
+        # split, HTTP projection, document extraction), ONE source
+        # scan, zero exchanges
+        assert count_shuffles(df) == 0
+        assert tree.count("MapInPandas") == 3
+        assert tree.count("Scan binaryFile") == 1
