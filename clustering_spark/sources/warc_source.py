@@ -26,6 +26,7 @@ schema, malformed input becomes observable rows, one parse per file.
 from __future__ import annotations
 
 import gzip
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -126,8 +127,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                                 "error": None,
                             }
                         )
-                except (ValueError, OSError, EOFError) as e:
-                    # OSError/EOFError: gzip-level corruption
+                except (ValueError, OSError, EOFError, zlib.error) as e:
+                    # OSError (incl. BadGzipFile) / EOFError / the
+                    # raw zlib.error: gzip-level corruption —
+                    # zlib.error subclasses Exception, NOT OSError,
+                    # so without naming it a mid-stream deflate error
+                    # ("invalid code", "distance too far back") broke
+                    # the per-file degrade contract and failed the
+                    # whole batch (found by the round-12 extended
+                    # fuzz campaign)
                     out.append(
                         dict.fromkeys(cols)
                         | {

@@ -278,3 +278,40 @@ class TestCrawlDocuments:
         assert count_shuffles(df) == 0
         assert tree.count("MapInPandas") == 3
         assert tree.count("Scan binaryFile") == 1
+
+
+def test_midstream_deflate_corruption_degrades_not_fails(spark, tmp_path):
+    """zlib.error subclasses Exception, NOT OSError: a gzip member
+    whose deflate stream is corrupted mid-body ('invalid code',
+    'distance too far back') escaped read_warc's per-file degrade
+    contract and failed the whole batch. Found by the round-12
+    extended fuzz campaign; pinned here with a deterministic
+    mid-stream bit flip."""
+    from clustering_spark.sources.warc_source import (
+        make_http_response,
+        make_warc,
+        read_warc,
+    )
+
+    blob = bytearray(
+        make_warc(
+            [("response", "http://x/", make_http_response(b"<p>hi</p>"))],
+            gzip_members=True,
+        )
+    )
+    # flip bits in the deflate body (past the 10-byte gzip header,
+    # before the 8-byte trailer) until parsing raises SOMETHING,
+    # then assert the Spark stage degrades instead of failing
+    import gzip as _gzip
+
+    for at in range(12, len(blob) - 9):
+        cand = bytearray(blob)
+        cand[at] ^= 0x55
+        try:
+            _gzip.decompress(bytes(cand))
+        except Exception:
+            break
+    (tmp_path / "bad.warc.gz").write_bytes(bytes(cand))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) >= 1
+    assert any(r["warc_type"] == "corrupt" for r in rows)
