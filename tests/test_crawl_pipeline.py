@@ -213,54 +213,24 @@ def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
     (tmp_path / "mixed-00000.warc.gz").write_bytes(
         make_warc(records, gzip_members=True)
     )
+    from clustering_spark.sources.warc_source import crawl_documents
+
     resp = warc_responses(read_warc(spark, str(tmp_path)))
 
-    html = resp.filter(F.col("http_content_type").startswith("text/html"))
-    html_docs = extract_html_text(html, "text", out_col="clean").select(
-        "url", F.col("clean").alias("text")
+    # ONE extraction pass over all modalities (html/pdf/docx
+    # dispatched on body magic; the encrypted PDF degrades per row)
+    corpus = (
+        crawl_documents(resp)
+        .filter(F.col("text_plain").isNotNull())
+        .select("url", F.col("text_plain").alias("text"), "doc_kind")
     )
+    kinds = {r.url: r.doc_kind for r in corpus.collect()}
+    assert kinds["http://h.example/1"] == "text"
+    assert kinds["http://p.example/doc.pdf"] == "pdf"
+    assert kinds["http://o.example/memo.docx"] == "docx"
+    assert "http://p.example/locked.pdf" not in kinds  # encrypted
 
-    from clustering_spark.operators.pdf import pdf_text
-
-    pdfs = resp.filter(F.col("http_content_type") == "application/pdf")
-    # keep url through the extraction stage via a join on record_idx
-    # within file — here one file, so record_idx is unique
-    extracted = pdf_text(
-        pdfs.select(F.col("record_idx").alias("rid"), "body"),
-        "body",
-        "rid",
-    )
-    pdf_docs = (
-        extracted.filter(F.col("status") == "ok")
-        .join(
-            pdfs.select(F.col("record_idx").alias("id"), "url"), "id"
-        )
-        .select("url", "text")
-    )
-
-    from clustering_spark.operators.office import office_text
-
-    offices = resp.filter(
-        F.col("http_content_type").startswith(
-            "application/vnd.openxmlformats"
-        )
-    )
-    office_docs = (
-        office_text(
-            offices.select(F.col("record_idx").alias("rid"), "body"),
-            "body",
-            "rid",
-        )
-        .filter(F.col("status") == "ok")
-        .join(
-            offices.select(F.col("record_idx").alias("id"), "url"),
-            "id",
-        )
-        .select("url", "text")
-    )
-
-    corpus = html_docs.unionByName(pdf_docs).unionByName(office_docs)
-    docs = textops.quality_features(corpus, "text")
+    docs = textops.quality_features(corpus.select("url", "text"), "text")
     kept = docs.filter(
         (F.col("n_tokens") >= 5) & (F.col("quality_score") >= 0.5)
     )
@@ -273,11 +243,10 @@ def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
     assert prose_b in got["http://p.example/doc.pdf"]
     assert "harbor expansion" in got["http://o.example/memo.docx"]
 
-    # the encrypted PDF surfaced as a status row, not an exception
-    statuses = {
-        r.id: r.status for r in extracted.select("id", "status").collect()
-    }
-    assert "encrypted" in statuses.values()
+    # the encrypted PDF surfaced as a per-row degrade (doc_kind
+    # 'corrupt', NULL text — asserted above), not an exception; the
+    # richer status taxonomy lives on the dedicated pdf_text stage
+    # (tests/test_pdf.py)
 
     # and the merged corpus tokenizes/packs like any other
     keyed = kept.select("url", "text").withColumn(
