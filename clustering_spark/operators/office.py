@@ -217,21 +217,30 @@ def _xhtml_text(root: ElementTree.Element) -> str:
 
 def extract_epub_text(b: bytes) -> tuple[str, int, int]:
     """(text, n_docs_ok, n_docs_failed) over every XHTML member in
-    archive order."""
+    archive order. Once collected text would exceed MAX_TEXT_BYTES,
+    extraction STOPS: the overflowing member and every remaining one
+    count as failed without being decoded, so ok+failed always equals
+    the members walked (same accounting as extract_pdf_text)."""
     zf = _open_zip(b)
     ok = bad = 0
     parts = []
     total = 0
+    budget_hit = False
     for name in zf.namelist():
         if not name.lower().endswith((".xhtml", ".html", ".htm")):
             continue
+        if budget_hit:
+            bad += 1
+            continue
         try:
             t = _xhtml_text(_parse_xml(_read_member(zf, name)))
+            if t and total + len(t) > MAX_TEXT_BYTES:
+                budget_hit = True
+                bad += 1
+                continue
             ok += 1
             if t:
                 total += len(t)
-                if total > MAX_TEXT_BYTES:
-                    raise ValueError("EPUB text exceeds budget")
                 parts.append(t)
         except ValueError:
             bad += 1

@@ -26,6 +26,8 @@ import re
 import struct
 import zlib
 
+from clustering_spark.operators.inflate import bounded_inflate
+
 # parse budgets: crafted PDFs must not hold a task hostage
 MAX_OBJECTS = 500_000
 MAX_TEXT_BYTES = 64 * 1024 * 1024
@@ -265,10 +267,10 @@ def _decode_stream(sdict: dict, raw: bytes) -> bytes:
     data = raw
     for filt, parm in zip(filters, parms):
         if filt == "/FlateDecode":
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as e:
-                raise ValueError(f"bad Flate stream: {e}") from e
+            # bounded inflate: the budget must cap the ALLOCATION,
+            # not be checked after a hostile ~1000:1 stream has
+            # already materialized gigabytes
+            data = bounded_inflate(data, MAX_TEXT_BYTES, "Flate")
             if isinstance(parm, dict) and parm.get("/Predictor", 1) > 1:
                 data = _png_unpredict(
                     data,
@@ -336,6 +338,7 @@ class PdfDocument:
         self._offsets: dict[int, int] = {}
         self._in_objstm: dict[int, int] = {}  # obj num -> container num
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple] = {}
         self._scanned = False
         self._load_xref_chain()
 
@@ -537,20 +540,35 @@ class PdfDocument:
         self._cache[num] = obj
         return obj
 
-    def _from_objstm(self, num: int) -> object:
-        container = self._in_objstm[num]
+    def _objstm_payload(self, container: int):
+        """(decoded payload, /First, {obj num -> offset}) for an
+        ObjStm, cached per container: an n-object stream inflates and
+        parses its header ONCE, not once per member (the O(n²) the
+        per-row 100 TB kernel cannot afford)."""
+        cached = self._objstm_cache.get(container)
+        if cached is not None:
+            return cached
         sdict, data = self._stream_of(container)
         if sdict is None or sdict.get("/Type") != "/ObjStm":
             raise ValueError("xref points into a non-ObjStm object")
         n = int(self.resolve(sdict.get("/N", 0)) or 0)
         first = int(self.resolve(sdict.get("/First", 0)) or 0)
         head = _Lexer(data, 0)
+        index: dict[int, int] = {}
         for _ in range(n):
             onum = head.parse()
             ooff = head.parse()
-            if onum == num:
-                return _Lexer(data, first + ooff).parse()
-        raise ValueError(f"object {num} not found in its ObjStm")
+            if isinstance(onum, int) and isinstance(ooff, int):
+                index.setdefault(onum, ooff)  # first definition wins
+        cached = (data, first, index)
+        self._objstm_cache[container] = cached
+        return cached
+
+    def _from_objstm(self, num: int) -> object:
+        data, first, index = self._objstm_payload(self._in_objstm[num])
+        if num not in index:
+            raise ValueError(f"object {num} not found in its ObjStm")
+        return _Lexer(data, first + index[num]).parse()
 
     def _stream_of(self, num: int):
         """(dict, decoded bytes) when object num is a stream."""
@@ -740,27 +758,44 @@ def pdf_meta(b: bytes) -> tuple[str | None, int | None, bool, int]:
     return doc.version, pages, doc.is_encrypted(), n_obj
 
 
-def extract_pdf_text(b: bytes) -> tuple[str, int, int]:
+def extract_pdf_text(
+    b: bytes, doc: PdfDocument | None = None
+) -> tuple[str, int, int]:
     """(text, n_pages_extracted, n_pages_failed): per-page text via
     the content-stream walk. Encrypted documents raise ValueError
     (content is ciphertext — extracting would be silently wrong);
     pages whose streams need unsupported filters are COUNTED failed,
-    not silently skipped."""
-    doc = PdfDocument(b)
+    not silently skipped. An already-parsed ``doc`` for the same
+    bytes can be passed to avoid re-walking the xref chain (the
+    pdf_text stage routes on encryption first).
+
+    Budget accounting: once collected text would exceed
+    MAX_TEXT_BYTES, extraction STOPS — the overflowing page and every
+    remaining page count as failed (without decoding them), so
+    ``n_pages_ok + n_pages_failed`` always equals the pages walked
+    and the abort is O(remaining pages), not O(remaining decodes)."""
+    if doc is None:
+        doc = PdfDocument(b)
     if doc.is_encrypted():
         raise ValueError("encrypted PDF: content streams are ciphertext")
     good = bad = 0
     parts: list[str] = []
     total = 0
+    budget_hit = False
     for page in doc.pages():
+        if budget_hit:
+            bad += 1
+            continue
         try:
             content = doc.page_content(page)
             t = _content_text(content)
+            if t and total + len(t) > MAX_TEXT_BYTES:
+                budget_hit = True
+                bad += 1
+                continue
             good += 1
             if t:
                 total += len(t)
-                if total > MAX_TEXT_BYTES:
-                    raise ValueError("PDF text exceeds budget")
                 parts.append(t)
         except NotImplementedError:
             bad += 1
@@ -1001,20 +1036,17 @@ def pdf_text(df, bin_col: str, id_col: str):
                     b = bytes(blob)
                     if b[:5] == b"%PDF-":
                         try:
-                            doc_encrypted = False
-                            try:
-                                doc_encrypted = PdfDocument(
-                                    b
-                                ).is_encrypted()
-                            except ValueError:
-                                pass
-                            if doc_encrypted:
+                            # ONE xref-chain parse per blob: the doc
+                            # built for the encryption check is the
+                            # doc extraction walks
+                            doc = PdfDocument(b)
+                            if doc.is_encrypted():
                                 row["status"] = "encrypted"
                             else:
                                 (
                                     row["text"], row["n_pages_ok"],
                                     row["n_pages_failed"],
-                                ) = extract_pdf_text(b)
+                                ) = extract_pdf_text(b, doc)
                                 row["status"] = "ok"
                         except (ValueError, NotImplementedError,
                                 struct.error):

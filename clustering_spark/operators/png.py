@@ -29,6 +29,8 @@ import zlib
 
 import numpy as np
 
+from clustering_spark.operators.inflate import bounded_inflate
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -150,10 +152,21 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG exceeds decode pixel budget")
     ch = _CHANNELS[color]
     fo = max(1, depth * ch // 8)
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"bad PNG IDAT stream: {e}") from e
+    # the exact inflated size is known from the geometry — h filtered
+    # rows of (stride + 1 filter byte), summed per pass under Adam7 —
+    # so inflation is bounded BEFORE allocation (a 1x1 IHDR riding a
+    # 200 MB-inflating IDAT is a bomb, not an image) and a stream
+    # carrying more data than the image geometry admits is rejected
+    if interlace == 0:
+        expected = h * ((w * ch * depth + 7) // 8 + 1)
+    else:
+        expected = sum(
+            ph * ((pw * ch * depth + 7) // 8 + 1)
+            for x0, y0, dx, dy in _ADAM7
+            if (pw := (w - x0 + dx - 1) // dx) > 0
+            and (ph := (h - y0 + dy - 1) // dy) > 0
+        )
+    raw = bounded_inflate(bytes(idat), expected, "PNG IDAT")
 
     img = np.zeros((h, w, ch), dtype=np.uint8)
     rpos = 0

@@ -230,7 +230,10 @@ def crawl_documents(responses: DataFrame) -> DataFrame:
     branch per Content-Type each re-reading every blob. Returns
     (file, record_idx, url, http_status, http_content_type,
     doc_kind, text_plain); extraction failures degrade per row to
-    doc_kind='corrupt' with NULL text."""
+    doc_kind='corrupt' with NULL text, except encrypted containers
+    (PDF /Encrypt, flagged ZIP members) which surface as
+    doc_kind='encrypted' — undecryptable-by-design is curation
+    signal, not breakage."""
     from clustering_spark.operators.textnorm import strip_html
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -258,8 +261,19 @@ def crawl_documents(responses: DataFrame) -> DataFrame:
                         extracted = extract_rtf_text(body)
                     else:
                         html_text = r.text
-                except (ValueError, NotImplementedError):
-                    kind, extracted = "corrupt", None
+                except (ValueError, NotImplementedError) as e:
+                    # encrypted containers are undecryptable BY
+                    # DESIGN, not broken — keep them separable from
+                    # corrupt rows, matching the pdf_text/office_text
+                    # status contract (same message heuristic as
+                    # office_text: every encrypted raise in the
+                    # family names it)
+                    kind = (
+                        "encrypted"
+                        if "encrypted" in str(e)
+                        else "corrupt"
+                    )
+                    extracted = None
                 rows.append(
                     {
                         "file": r.file,

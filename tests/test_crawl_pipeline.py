@@ -244,7 +244,7 @@ def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
     assert "harbor expansion" in got["http://o.example/memo.docx"]
 
     # the encrypted PDF surfaced as a per-row degrade (doc_kind
-    # 'corrupt', NULL text — asserted above), not an exception; the
+    # 'encrypted', NULL text — asserted above), not an exception; the
     # richer status taxonomy lives on the dedicated pdf_text stage
     # (tests/test_pdf.py)
 
@@ -258,3 +258,51 @@ def test_mixed_html_pdf_crawl_merges_into_one_corpus(spark, tmp_path):
         counted, id_col="doc_id", token_col="n_bpe_tokens", max_tokens=64
     )
     assert packed.count() == 3
+
+
+def test_encrypted_documents_surface_as_encrypted_kind(spark, tmp_path):
+    """Round-13 ADVICE: crawl_documents must keep undecryptable-by-
+    design documents (PDF /Encrypt, flagged ZIP members) separable
+    from corrupt ones — doc_kind='encrypted', matching the status
+    taxonomy of the dedicated pdf_text/office_text stages."""
+    from clustering_spark.operators.office import make_docx
+    from clustering_spark.operators.pdf import make_pdf
+    from clustering_spark.sources.warc_source import crawl_documents
+
+    # a DOCX whose members carry the ZIP encryption flag: set the
+    # general-purpose bit 0 in every local (PK\x03\x04 +6) and
+    # central-directory (PK\x01\x02 +8) header
+    docx = bytearray(make_docx(["locked prose"]))
+    for magic, off in ((b"PK\x03\x04", 6), (b"PK\x01\x02", 8)):
+        i = 0
+        while (i := docx.find(magic, i)) >= 0:
+            docx[i + off] |= 0x01
+            i += 4
+    records = [
+        (
+            "response",
+            "http://x.example/locked.pdf",
+            make_http_response(
+                make_pdf(["secret"], encrypted=True),
+                content_type="application/pdf",
+            ),
+        ),
+        (
+            "response",
+            "http://x.example/locked.docx",
+            make_http_response(bytes(docx)),
+        ),
+        (
+            "response",
+            "http://x.example/broken.zip",
+            make_http_response(b"PK\x03\x04 garbage, not a real zip"),
+        ),
+    ]
+    (tmp_path / "enc-00000.warc").write_bytes(make_warc(records))
+    out = crawl_documents(
+        warc_responses(read_warc(spark, str(tmp_path)))
+    )
+    kinds = {r.url: r.doc_kind for r in out.collect()}
+    assert kinds["http://x.example/locked.pdf"] == "encrypted"
+    assert kinds["http://x.example/locked.docx"] == "encrypted"
+    assert kinds["http://x.example/broken.zip"] == "corrupt"

@@ -293,3 +293,21 @@ def test_rtf_bin_payload_cannot_corrupt_group_tracking():
     )
     t = extract_rtf_text(blob)
     assert t == "after pict"
+
+
+def test_epub_budget_abort_accounting(monkeypatch):
+    """Round-13 ADVICE: same accounting contract as
+    extract_pdf_text — the overflowing member and everything after it
+    count failed exactly once, extraction stops decoding."""
+    from clustering_spark.operators import office as offmod
+    from clustering_spark.operators.office import (
+        extract_epub_text,
+        make_epub,
+    )
+
+    monkeypatch.setattr(offmod, "MAX_TEXT_BYTES", 10)
+    text, ok, bad = extract_epub_text(
+        make_epub(["tiny", "way past the ten byte budget", "after"])
+    )
+    assert (ok, bad) == (1, 2)
+    assert text == "tiny"

@@ -253,3 +253,69 @@ def test_deep_nesting_is_a_value_error_not_recursion():
         pdf_meta(blob)
     except ValueError:
         pass
+
+
+class TestBudgets:
+    """Round-13 ADVICE: (a) FlateDecode must bound the allocation,
+    not len-check after inflating a hostile ~1000:1 stream; (b) the
+    text budget abort must keep n_pages_ok + n_pages_failed equal to
+    the pages walked (the old path counted the overflowing page in
+    BOTH, and kept decoding every remaining page)."""
+
+    def test_flate_bomb_bounded(self):
+        from clustering_spark.operators.pdf import (
+            MAX_TEXT_BYTES,
+            _decode_stream,
+        )
+
+        bomb = zlib.compress(b"\x00" * (MAX_TEXT_BYTES + 4096), 9)
+        assert len(bomb) < 1024 * 1024  # small on the wire
+        with pytest.raises(ValueError, match="budget"):
+            _decode_stream({"/Filter": "/FlateDecode"}, bomb)
+
+    def test_budget_abort_accounting(self, monkeypatch):
+        from clustering_spark.operators import pdf as pdfmod
+
+        monkeypatch.setattr(pdfmod, "MAX_TEXT_BYTES", 10)
+        b = make_pdf(
+            ["tiny", "way past the ten byte budget", "after"],
+            flate=False,
+        )
+        text, good, bad = extract_pdf_text(b)
+        # page 1 fits; page 2 trips the budget; page 3 is counted
+        # failed WITHOUT being decoded — never double-counted
+        assert (good, bad) == (1, 2)
+        assert text == "tiny"
+
+    def test_objstm_payload_cached_once(self):
+        from clustering_spark.operators import pdf as pdfmod
+
+        b = make_pdf(PAGES, xref_stream=True, use_objstm=True)
+        doc = PdfDocument(b)
+        calls = {"n": 0}
+        orig = pdfmod.PdfDocument._stream_of
+
+        def counting(self, num):
+            calls["n"] += 1
+            return orig(self, num)
+
+        # route _stream_of through a counter: every member fetch of
+        # the ObjStm must reuse ONE decoded payload
+        doc._stream_of = counting.__get__(doc)
+        for num in list(doc._in_objstm):
+            doc.get(num)
+        containers = set(doc._in_objstm.values())
+        text_calls_for_objstm = sum(
+            1 for _ in containers
+        )  # one decode per distinct container
+        assert calls["n"] == text_calls_for_objstm
+
+    def test_single_document_parse_in_stage(self, spark):
+        # the stage's text output is unchanged by the single-parse
+        # refactor (the behavior pin; the perf claim is the code read)
+        rows = [(1, make_pdf(PAGES)), (2, make_pdf(["x"], encrypted=True))]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = pdf_text(df, "blob", "id").toPandas().set_index("id")
+        assert out.loc[1, "status"] == "ok"
+        assert "Hello world." in out.loc[1, "text"]
+        assert out.loc[2, "status"] == "encrypted"

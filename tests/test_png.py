@@ -9,7 +9,11 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from clustering_spark.operators.png import decode_png, encode_png
+from clustering_spark.operators.png import (
+    PNG_MAGIC,
+    decode_png,
+    encode_png,
+)
 
 
 def _rt(arr, **kw):
@@ -175,3 +179,68 @@ class TestSparkDispatch:
         # and the perceptual hash path covers them too
         dh = mm.image_dhash(df, "img", "id").toPandas().set_index("id")
         assert dh.loc[1, "dhash"] is not None
+
+
+class TestBombGuard:
+    """Round-13 ADVICE (medium): the decode budget must bound the
+    ALLOCATION, not be checked after zlib has already inflated a
+    hostile ~1000:1 stream. The geometry (h rows of stride+1 bytes)
+    is known before inflation, so a 1x1 IHDR riding a megabytes-
+    inflating IDAT is rejected by bounded_inflate without ever
+    materializing the payload."""
+
+    def test_tiny_ihdr_huge_idat_rejected(self):
+        import struct
+        import zlib as _z
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(
+                    ">I", _z.crc32(ctype + data) & 0xFFFFFFFF
+                )
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1 gray
+        bomb = _z.compress(b"\x00" * (50 * 1024 * 1024), 9)
+        blob = (
+            PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb)
+            + chunk(b"IEND", b"")
+        )
+        assert len(blob) < 1024 * 1024  # the attack is small on disk
+        with pytest.raises(ValueError, match="budget"):
+            decode_png(blob)
+
+    def test_idat_with_modest_excess_rejected(self):
+        # a stream carrying even a few bytes more than the geometry
+        # admits is a spec violation, not slack to ignore silently
+        import struct
+        import zlib as _z
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(
+                    ">I", _z.crc32(ctype + data) & 0xFFFFFFFF
+                )
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        # exact is 2 rows * (2 + 1) = 6 bytes; send 7
+        blob = (
+            PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(b"\x00" * 7))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="budget"):
+            decode_png(blob)
+
+    def test_exact_size_still_decodes(self):
+        arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        w, h, ch, samples = decode_png(encode_png(arr))
+        assert (w, h, ch) == (4, 4, 1)
+        assert np.frombuffer(samples, np.uint8).reshape(4, 4).tolist() \
+            == arr.tolist()
