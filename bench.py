@@ -140,8 +140,14 @@ def _calibration_probe(spark) -> dict[str, float]:
 
 
 def main() -> None:
-    from clustering_spark.queries import QUERIES
+    from clustering_spark.queries import OFF_GATE_QUERIES
+    from clustering_spark.queries import QUERIES as GATE_REGISTRY
     from clustering_spark.session import get_spark
+
+    # bench tracks gate entries AND queries retired from the driver's
+    # 50-entry gate window (e.g. revenue_by_nation) — retirement from
+    # the gate must not silently drop a perf-tracked plan
+    QUERIES = {**GATE_REGISTRY, **OFF_GATE_QUERIES}
 
     spark = get_spark("bench")
 

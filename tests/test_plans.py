@@ -63,7 +63,9 @@ def test_no_forced_broadcast_of_growing_dims(spark):
     contain a build side forced from a ResolvedHint on customer.
     (AQE may still CHOOSE broadcast at this sf; the invariant is that
     the logical plan carries no hint except for nation.)"""
-    df = QUERIES["revenue_by_nation"](spark, SF_DIR)
+    from clustering_spark.queries import OFF_GATE_QUERIES
+
+    df = OFF_GATE_QUERIES["revenue_by_nation"](spark, SF_DIR)
     logical = df._jdf.queryExecution().logical().toString()
     import re
 

@@ -48,7 +48,19 @@ def test_oracle_gated_entries_precede_rows_only():
 def test_bench_headline_queries_registered():
     import bench
 
-    assert all(name in QUERIES for name in bench.HEADLINE)
+    from clustering_spark.queries import OFF_GATE_QUERIES
+
+    known = {**QUERIES, **OFF_GATE_QUERIES}
+    assert all(name in known for name in bench.HEADLINE)
+
+
+def test_off_gate_queries_stay_oracle_checked():
+    """Entries retired from the 50-slot gate window keep their oracle
+    pairing — off the gate never means unchecked."""
+    from clustering_spark.queries import OFF_GATE_ORACLES, OFF_GATE_QUERIES
+
+    assert set(OFF_GATE_ORACLES) == set(OFF_GATE_QUERIES)
+    assert not set(OFF_GATE_QUERIES) & set(QUERIES)
 
 
 def test_cosine_topk_matches_numpy(spark):
@@ -100,12 +112,29 @@ def test_ivf_search_covers_bruteforce_topk(spark):
 
 def test_approx_distinct_within_tolerance(spark):
     """HLL estimate must land within 5x the requested rsd (1%) of the
-    exact count — the rows-only CORRECTNESS entry's real check."""
-    from clustering_spark.queries import QUERIES
+    exact count. Since round 13 the registry entry gates the VERDICT
+    column (hll_within_5pct) on the driver hash; this test keeps the
+    independent raw-estimate check so the verdict's own arithmetic is
+    cross-examined, not self-certifying."""
+    from clustering_spark.queries import QUERIES, load
 
     out = QUERIES["approx_distinct_users"](spark, SF_DIR).toPandas()
     assert len(out) > 0
-    rel_err = (out.approx_users - out.exact_users).abs() / out.exact_users
+    assert (out.hll_within_5pct == 1).all()
+    assert (out.exact_users > 0).all()
+
+    from pyspark.sql import functions as F
+
+    raw = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("a"),
+            F.count_distinct("user_id").alias("x"),
+        )
+        .toPandas()
+    )
+    rel_err = (raw.a - raw.x).abs() / raw.x
     assert (rel_err <= 0.05).all()
 
 

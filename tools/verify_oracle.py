@@ -96,14 +96,24 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from clustering_spark.queries import ORACLES, QUERIES
+    from clustering_spark.queries import (
+        OFF_GATE_ORACLES,
+        OFF_GATE_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
     from clustering_spark.session import get_spark
+
+    # off-gate entries (retired from the driver's 50-slot window) stay
+    # oracle-checked here — retirement never means unchecked
+    all_queries = {**QUERIES, **OFF_GATE_QUERIES}
+    all_oracles = {**ORACLES, **OFF_GATE_ORACLES}
 
     spark = get_spark("verify_oracle")
     con = duck_con(sf_dir)
     failures = 0
     t_all = time.monotonic()
-    for name, fn in QUERIES.items():
+    for name, fn in all_queries.items():
         if only and name not in only:
             continue
         t0 = time.monotonic()
@@ -115,7 +125,7 @@ def main() -> int:
             failures += 1
             continue
         dt = time.monotonic() - t0
-        if name not in ORACLES:
+        if name not in all_oracles:
             status = "ROWS-ONLY" if len(spark_pdf) >= 0 else "EMPTY"
             print(
                 f"ok   {name}: {len(spark_pdf)} rows ({status}, no oracle)"
@@ -123,7 +133,7 @@ def main() -> int:
             )
             continue
         try:
-            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            duck_pdf = con.execute(all_oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
