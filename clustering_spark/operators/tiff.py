@@ -53,6 +53,11 @@ def _lzw_decode(data: bytes, max_bytes: int) -> bytes:
             nbits += 8
         code = bitbuf >> (nbits - width) & ((1 << width) - 1)
         nbits -= width
+        # drop the consumed high bits: without this, bitbuf grows into
+        # an unbounded bignum and every `<< 8` is O(stream size) —
+        # quadratic decode (measured 0.01 MB/s vs 1.5 for the same
+        # loop shape in gif.py; found by tools/codec_bench.py, r13)
+        bitbuf &= (1 << nbits) - 1
         if code == _CLEAR:
             del table[258:]
             width = 9
