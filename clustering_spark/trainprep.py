@@ -370,3 +370,46 @@ def prepare_corpus(
     if cfg.emit_id_rows:
         out["id_rows"] = reduce(DataFrame.unionByName, idrow_parts)
     return out
+
+
+def media_survivors(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    image_max_hamming: int = 3,
+    audio_max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate MEDIA collapse — the multimodal twin of
+    prepare_corpus's text near-dup stage, same component -> keep
+    shape (operators/graph.py): perceptual signatures (image dHash /
+    audio fingerprint, each an 8-byte value — blobs never leave their
+    scan) -> the shared pigeonhole hamming pair search -> connected
+    components over the UNION of image and audio edges -> ONE
+    survivor per component (the minimum id present; graph.
+    dedup_by_component's row_number rule). Blobs that produce no
+    signature (text, video, unknown, corrupt) are provably not
+    near-dups of anything here and survive unconditionally.
+
+    The two modalities share one component pass but can never link:
+    a blob yields a dHash or a fingerprint, not both, so image and
+    audio edges touch disjoint id sets. Returns ``df``'s survivors
+    with a ``component`` column (singletons label themselves).
+
+    Scale shape: adds exactly the signature scans plus the slim
+    (id, 8-byte sig) pair exchanges and the (long, long) component
+    rounds — no new full-width shuffle of the media frame."""
+    from clustering_spark.operators import multimodal as mm
+    from clustering_spark.operators.graph import (
+        assign_components,
+        dedup_by_component,
+    )
+
+    img = mm.image_neardup_pairs(
+        df, bin_col, id_col, max_hamming=image_max_hamming
+    ).select("id_a", "id_b")
+    aud = mm.audio_neardup_pairs(
+        df, bin_col, id_col, max_hamming=audio_max_hamming
+    ).select("id_a", "id_b")
+    comp = connected_components(img.unionByName(aud))
+    kept = dedup_by_component(df, id_col, comp)
+    return assign_components(kept, id_col, comp)

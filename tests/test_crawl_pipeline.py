@@ -306,3 +306,92 @@ def test_encrypted_documents_surface_as_encrypted_kind(spark, tmp_path):
     assert kinds["http://x.example/locked.pdf"] == "encrypted"
     assert kinds["http://x.example/locked.docx"] == "encrypted"
     assert kinds["http://x.example/broken.zip"] == "corrupt"
+
+
+def test_mixed_modality_crawl_dedups_text_images_and_audio(spark, tmp_path):
+    """Round-13 capstone extension: ONE crawl carries HTML, images,
+    and audio; the text leg dedups exactly as before, and the new
+    trainprep.media_survivors stage collapses perceptual image/audio
+    near-dups (dHash / audio fingerprint -> shared pigeonhole pair
+    search -> connected components -> min-id survivor) — mixed-
+    modality dedup end-to-end from the same WARC ingest."""
+    import numpy as np
+
+    from clustering_spark.operators.multimodal import make_wav
+    from clustering_spark.operators.png import encode_png
+    from clustering_spark.trainprep import media_survivors
+
+    rng = np.random.default_rng(17)
+    pixels = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    # same pixels, different byte streams (filter choice): dHash-equal
+    img_a = encode_png(pixels, filter_type=0)
+    img_a2 = encode_png(pixels, filter_type=4)
+    img_b = encode_png(
+        rng.integers(0, 256, (32, 48), dtype=np.uint8), filter_type=0
+    )
+    # spectrally RICH fixtures (tone combs): a single pure tone lights
+    # only 1-2 of the 64 fingerprint bands, so any two tones sit
+    # within the hamming radius — combs of disjoint tones differ by
+    # ~17 bits while the same comb at lower volume is bit-identical
+    # (the fingerprint's volume invariance)
+    from clustering_spark.operators.audio_codec import make_wav_ex
+
+    t = np.arange(8000) / 8000.0
+
+    def comb(freqs):
+        return sum(np.sin(2 * np.pi * f * t) for f in freqs) / (
+            len(freqs) * 1.3
+        )
+
+    comb_a = comb([320, 450, 640, 900, 1270, 1800])
+    wav_a = make_wav_ex(comb_a)
+    wav_a2 = make_wav_ex(comb_a * 0.4)  # volume change: same print
+    wav_b = make_wav_ex(comb([380, 540, 760, 1080, 1520, 2150, 3040]))
+
+    prose = "The mill wheel turns all night under the cold stars."
+    records = [
+        ("response", "http://t.example/page", _page(prose)),
+        ("response", "http://t.example/page-copy", _page(prose)),
+        ("response", "http://m.example/a.png",
+         make_http_response(img_a, content_type="image/png")),
+        ("response", "http://m.example/a2.png",
+         make_http_response(img_a2, content_type="image/png")),
+        ("response", "http://m.example/b.png",
+         make_http_response(img_b, content_type="image/png")),
+        ("response", "http://m.example/a.wav",
+         make_http_response(wav_a, content_type="audio/wav")),
+        ("response", "http://m.example/a2.wav",
+         make_http_response(wav_a2, content_type="audio/wav")),
+        ("response", "http://m.example/b.wav",
+         make_http_response(wav_b, content_type="audio/wav")),
+    ]
+    (tmp_path / "mm-00000.warc.gz").write_bytes(
+        make_warc(records, gzip_members=True)
+    )
+    resp = warc_responses(read_warc(spark, str(tmp_path)))
+
+    # text leg: unchanged capstone chain (extract -> dedup survivors)
+    html = resp.filter(F.col("http_content_type").startswith("text/html"))
+    docs = extract_html_text(html, "text", out_col="clean").select(
+        "url", F.col("clean").alias("text")
+    ).withColumn("doc_id", F.xxhash64("url"))
+    text_surv = exact_dedup(docs, ["text"], "doc_id")
+    assert text_surv.count() == 1  # page-copy collapsed
+
+    # media leg: the binary responses through the survivor stage
+    media = resp.filter(
+        F.col("http_content_type").startswith("image/")
+        | F.col("http_content_type").startswith("audio/")
+    ).select("url", "record_idx", "body")
+    kept = media_survivors(media, "body", "record_idx").toPandas()
+    urls = set(kept.url)
+    # one survivor per perceptual group (min record_idx), singletons kept
+    assert "http://m.example/a.png" in urls
+    assert "http://m.example/a2.png" not in urls
+    assert "http://m.example/b.png" in urls
+    assert "http://m.example/a.wav" in urls
+    assert "http://m.example/a2.wav" not in urls
+    assert "http://m.example/b.wav" in urls
+    # survivors carry their component label; dup members collapsed
+    assert len(kept) == 4
+    assert (kept.component == kept.record_idx).all()  # min-id survivors
