@@ -328,54 +328,81 @@ def _ogg_pages(b: bytes):
         raise ValueError("trailing bytes after final page")
 
 
+def _classify_ogg_stream(payload: bytes):
+    """(fmt, channels, rate, preskip) for one logical stream's BOS
+    payload — '\\x01vorbis' (rate/channels in the id header),
+    'OpusHead' (channels + pre-skip; Opus granules are always 48 kHz,
+    RFC 7845 §4), or FLAC-in-Ogg (the mapping spec: a verbatim
+    fLaC+STREAMINFO stream at offset 9 = 5 magic + 1 major + 1 minor
+    + 2 BE header count). None for unrecognized codecs (Theora,
+    Speex, skeleton...)."""
+    if payload[:7] == b"\x01vorbis" and len(payload) >= 16:
+        channels = payload[11]
+        (rate,) = struct.unpack("<I", payload[12:16])
+        if rate == 0 or channels == 0:
+            raise ValueError("degenerate vorbis id header")
+        return "ogg-vorbis", channels, rate, 0
+    if payload[:8] == b"OpusHead" and len(payload) >= 12:
+        (preskip,) = struct.unpack("<H", payload[10:12])
+        return "ogg-opus", payload[9], 48000, preskip
+    if payload[:5] == b"\x7fFLAC" and len(payload) >= 51:
+        ch_, rate_, _bits, _tot, _dur = _flac_meta(payload[9:])
+        return "ogg-flac", ch_, rate_, 0
+    return None
+
+
 def _ogg_meta(b: bytes) -> tuple[str, int | None, int | None, int | None, float | None]:
     """(format, n_channels, sample_rate, n_samples, duration_sec)
-    from the page walk: the first (BOS) page's payload identifies
-    the codec — '\\x01vorbis' (rate/channels in the id header) or
-    'OpusHead' (channels + pre-skip; Opus granules are always 48 kHz)
-    — and the last non-continuation granule of that logical stream
-    gives the total PCM length (minus pre-skip for Opus, RFC 7845
-    §4). Unrecognized codecs surface as 'ogg-other' with NULL shape
-    fields rather than failing: the container is still valid Ogg."""
-    fmt = "ogg-other"
-    channels = rate = None
-    preskip = 0
-    first_serial = None
-    last_granule = None
-    for htype, granule, serial, ps, pe in _ogg_pages(b):
-        if first_serial is None:
-            first_serial = serial
-            payload = b[ps:pe]
-            if payload[:7] == b"\x01vorbis" and len(payload) >= 16:
-                fmt = "ogg-vorbis"
-                channels = payload[11]
-                (rate,) = struct.unpack("<I", payload[12:16])
-                if rate == 0 or channels == 0:
-                    raise ValueError("degenerate vorbis id header")
-            elif payload[:8] == b"OpusHead" and len(payload) >= 12:
-                fmt = "ogg-opus"
-                channels = payload[9]
-                (preskip,) = struct.unpack("<H", payload[10:12])
-                rate = 48000
-            elif payload[:5] == b"\x7fFLAC" and len(payload) >= 51:
-                # FLAC-in-Ogg (the FLAC-to-Ogg mapping spec): the BOS
-                # payload carries a verbatim fLaC+STREAMINFO stream at
-                # offset 9 (5 magic + 1 major + 1 minor + 2 BE header
-                # count) — reuse the native parser on it
-                fmt = "ogg-flac"
-                ch_, rate_, _bits, _tot, _dur = _flac_meta(
-                    payload[9:]
-                )
-                channels, rate = ch_, rate_
-        if serial == first_serial and granule >= 0:
-            last_granule = granule
-    if first_serial is None:
+    from the page walk. Round-13 review batch 34 extended this from
+    first-stream-only to the two container layouts crawls actually
+    carry (RFC 3533 §2):
+
+    - MULTIPLEXED (grouped) streams — e.g. Theora video + Vorbis
+      audio, every BOS page up front: each serial's first page is
+      classified independently and the FIRST recognized audio stream
+      is reported (first-page-only classification misfiled these as
+      'ogg-other' whenever the video stream's BOS came first).
+    - CHAINED streams — concatenated files sharing no pages (icecast
+      rips): every stream with the SAME (codec, channels, rate) shape
+      as the selected one contributes its PCM length, so duration is
+      the chain total, not the first chain's. (A parallel multiplex
+      of two same-shape audio streams would double-count; that layout
+      is essentially unseen vs ubiquitous chaining, and the trade is
+      stated here.)
+
+    Unrecognized-only containers still surface as 'ogg-other' with
+    NULL shape fields rather than failing: the container is valid
+    Ogg."""
+    streams: dict[int, dict] = {}
+    order = 0
+    for _htype, granule, serial, ps, pe in _ogg_pages(b):
+        st = streams.get(serial)
+        if st is None:
+            st = streams[serial] = {
+                "order": order,
+                "cls": _classify_ogg_stream(b[ps:pe]),
+                "last": None,
+            }
+            order += 1
+        if granule >= 0:
+            st["last"] = granule
+    if not streams:
         raise ValueError("no Ogg pages")
-    n_samples = dur = None
-    if rate is not None and last_granule is not None:
-        n_samples = max(0, last_granule - preskip)
-        dur = n_samples / rate
-    return fmt, channels, rate, n_samples, dur
+    ordered = sorted(streams.values(), key=lambda s: s["order"])
+    sel = next((s for s in ordered if s["cls"] is not None), None)
+    if sel is None:
+        return "ogg-other", None, None, None, None
+    fmt, channels, rate, _ = sel["cls"]
+    total = None
+    for s in ordered:
+        cls = s["cls"]
+        if cls is None or cls[:3] != (fmt, channels, rate):
+            continue
+        if s["last"] is not None:
+            n = max(0, s["last"] - cls[3])
+            total = n if total is None else total + n
+    dur = total / rate if total is not None and rate else None
+    return fmt, channels, rate, total, dur
 
 
 def _ogg_page(

@@ -167,17 +167,39 @@ def extract_pptx_text(b: bytes) -> str:
     return "\n\n".join(out).strip()
 
 
+_SHEET_RE = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+
+
 def extract_xlsx_text(b: bytes) -> str:
+    """Text cells from BOTH string storages the spec allows: the
+    shared-string table (xl/sharedStrings.xml — how writers that
+    dedup strings store them) AND inline strings (<c t="inlineStr">
+    <is><t> in the sheet XML — how streaming/generated workbooks
+    store them; round-13 review batch: these were silently dropped,
+    so an all-inline workbook extracted as empty). Sheets walk in
+    numeric order; numbers/formulas are data, not prose, and are not
+    fabricated into text."""
     zf = _open_zip(b)
-    if "xl/sharedStrings.xml" not in zf.namelist():
-        return ""
-    root = _parse_xml(_read_member(zf, "xl/sharedStrings.xml"))
+    names = zf.namelist()
     ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
     lines = []
-    for si in root.iter(ns + "si"):
-        runs = [t.text for t in si.iter(ns + "t") if t.text]
-        if runs:
-            lines.append("".join(runs))
+    if "xl/sharedStrings.xml" in names:
+        root = _parse_xml(_read_member(zf, "xl/sharedStrings.xml"))
+        for si in root.iter(ns + "si"):
+            runs = [t.text for t in si.iter(ns + "t") if t.text]
+            if runs:
+                lines.append("".join(runs))
+    sheets = sorted(
+        (int(m.group(1)), n)
+        for n in names
+        if (m := _SHEET_RE.match(n))
+    )
+    for _num, name in sheets:
+        root = _parse_xml(_read_member(zf, name))
+        for is_el in root.iter(ns + "is"):
+            runs = [t.text for t in is_el.iter(ns + "t") if t.text]
+            if runs:
+                lines.append("".join(runs))
     return "\n".join(lines).strip()
 
 

@@ -615,18 +615,30 @@ class PdfDocument:
                 n += 1
         return n or None
 
-    def _walk_pages(self, node, depth: int = 0):
-        """Yield page dicts in document order."""
-        if depth > 64 or not isinstance(node, dict):
+    def _walk_pages(self, node, depth: int = 0, _seen=None):
+        """Yield page dicts in document order. The visited set (by
+        object identity — ``get`` caches, so each object number is one
+        dict instance) is what actually stops crafted cycles: a depth
+        cap alone lets a self-referencing /Kids [N 0 R N 0 R] node
+        branch into 2^depth traversals without ever yielding a page —
+        an executor hang, not a parse error (round-13 review batch).
+        Legitimate trees never share nodes (one parent per kid), so
+        skipping revisits changes nothing for real documents."""
+        if _seen is None:
+            _seen = set()
+        if depth > 64 or not isinstance(node, dict) or id(node) in _seen:
             return
         t = node.get("/Type")
         if t == "/Page":
             yield node
             return
+        _seen.add(id(node))
         kids = self.resolve(node.get("/Kids"))
         if isinstance(kids, list):
             for k in kids[:MAX_OBJECTS]:
-                yield from self._walk_pages(self.resolve(k), depth + 1)
+                yield from self._walk_pages(
+                    self.resolve(k), depth + 1, _seen
+                )
 
     def pages(self):
         root = self.resolve(self.trailer.get("/Root"))

@@ -367,3 +367,59 @@ class TestAnimation:
         # overflow at the edge: clipped
         arr = _rgb(list(gif_frames(with_patch(6, 6, 5, 2, 77)))[1][2], 8, 8)
         assert (arr[6:8, 6:8, 0] == 77).all()
+
+
+class TestDisposal3Chains:
+    """Round-13 review batch 34: disposal-3 (restore-previous) chains
+    — each frame must composite onto the canvas as it was BEFORE the
+    previous disposal-3 frame rendered, so a run of transparent-
+    patch frames never accumulates."""
+
+    def test_restore_previous_chain_does_not_accumulate(self):
+        from clustering_spark.operators.gif import (
+            encode_gif_animation,
+            gif_frames,
+        )
+
+        base = np.full((4, 4), 50, dtype=np.uint8)
+        # three frames each painting a DIFFERENT cell with value 200,
+        # transparent elsewhere (index 7), disposal 3
+        f1 = np.full((4, 4), 7, dtype=np.uint8); f1[0, 0] = 200
+        f2 = np.full((4, 4), 7, dtype=np.uint8); f2[1, 1] = 200
+        f3 = np.full((4, 4), 7, dtype=np.uint8); f3[2, 2] = 200
+        blob = encode_gif_animation(
+            [base, f1, f2, f3], transparent_index=7, disposal=3
+        )
+        frames = {
+            i: np.frombuffer(rgb, np.uint8).reshape(4, 4, 3)
+            for i, _d, rgb in gif_frames(blob)
+        }
+        assert len(frames) == 4
+        # frame 0 painted the base; its disposal-3 restore brings back
+        # the EMPTY background canvas (index 0), so later frames show
+        # exactly one painted cell on black — never base, never the
+        # previous frame's cell
+        for fi, cell in ((1, (0, 0)), (2, (1, 1)), (3, (2, 2))):
+            got = frames[fi][..., 0]  # gray palette: R channel = index
+            assert got[cell] == 200, (fi, cell)
+            others = got.copy()
+            others[cell] = 0
+            assert (others == 0).all(), (fi, got)
+
+    def test_offcanvas_frame_descriptor_is_harmless(self):
+        from clustering_spark.operators.gif import (
+            encode_gif_animation,
+            gif_frames,
+        )
+
+        # hand-patch a frame's left/top beyond the canvas: compositing
+        # must clip to nothing, not wrap or crash
+        blob = bytearray(
+            encode_gif_animation([np.zeros((4, 4), np.uint8)])
+        )
+        i = blob.find(b"\x2c")  # image descriptor
+        blob[i + 1 : i + 5] = struct.pack("<HH", 100, 100)  # left, top
+        out = list(gif_frames(bytes(blob)))
+        assert len(out) == 1  # yielded, canvas untouched
+        rgb = np.frombuffer(out[0][2], np.uint8)
+        assert (rgb == 0).all()

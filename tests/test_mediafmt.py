@@ -392,3 +392,74 @@ def test_ogg_flac_identification():
         b"frames", granule=96000, htype=4, seq=1
     )
     assert _ogg_meta(b) == ("ogg-flac", 2, 48000, 96000, 2.0)
+
+
+class TestOggChainedAndMultiplexed:
+    """Round-13 review batch 34: the two real-crawl Ogg layouts
+    beyond a single logical stream (RFC 3533 §2)."""
+
+    def test_multiplexed_video_first_still_finds_audio(self):
+        from clustering_spark.operators.mediafmt import (
+            _ogg_meta,
+            _ogg_page,
+        )
+
+        # grouped BOS pages: an unrecognized (video-ish) stream on
+        # serial 1 FIRST, vorbis on serial 2 — then interleaved data
+        theora_bos = b"\x80theora" + bytes(40)
+        vorbis_bos = (
+            b"\x01vorbis" + bytes(4) + bytes([2])
+            + __import__("struct").pack("<Iiii", 44100, 0, 0, 0)
+            + b"\xb8\x01"
+        )
+        blob = (
+            _ogg_page(theora_bos, granule=0, serial=1, htype=2, seq=0)
+            + _ogg_page(vorbis_bos, granule=0, serial=2, htype=2, seq=0)
+            + _ogg_page(b"v" * 20, granule=300, serial=1, seq=1)
+            + _ogg_page(b"a" * 20, granule=44100, serial=2, seq=1)
+            + _ogg_page(b"a" * 20, granule=88200, serial=2, htype=4, seq=2)
+        )
+        fmt, ch, rate, n, dur = _ogg_meta(blob)
+        assert (fmt, ch, rate, n) == ("ogg-vorbis", 2, 44100, 88200)
+        assert dur == 2.0
+        # the video serial's granules (a different clock!) never
+        # leak into the audio duration
+
+    def test_chained_streams_sum_durations(self):
+        from clustering_spark.operators.mediafmt import (
+            _ogg_meta,
+            make_ogg_vorbis,
+        )
+
+        one = make_ogg_vorbis(rate=8000, channels=1, n_samples=8000)
+        two = make_ogg_vorbis(rate=8000, channels=1, n_samples=4000)
+        # chained = concatenated; the second chain reuses serial 1,
+        # which real muxers avoid — give it a distinct serial by
+        # patching the serial field of both its pages
+        two = bytearray(two)
+        i = 0
+        while (i := two.find(b"OggS", i)) >= 0:
+            two[i + 14 : i + 18] = (7).to_bytes(4, "little")
+            i += 4
+        fmt, ch, rate, n, dur = _ogg_meta(one + bytes(two))
+        assert (fmt, ch, rate) == ("ogg-vorbis", 1, 8000)
+        assert n == 12000 and dur == 1.5
+
+    def test_chained_different_shape_not_summed(self):
+        from clustering_spark.operators.mediafmt import (
+            _ogg_meta,
+            make_ogg_vorbis,
+        )
+
+        one = make_ogg_vorbis(rate=8000, channels=1, n_samples=8000)
+        two = bytearray(
+            make_ogg_vorbis(rate=44100, channels=2, n_samples=44100)
+        )
+        i = 0
+        while (i := two.find(b"OggS", i)) >= 0:
+            two[i + 14 : i + 18] = (9).to_bytes(4, "little")
+            i += 4
+        fmt, ch, rate, n, dur = _ogg_meta(one + bytes(two))
+        # selected stream = first chain; the differently-shaped chain
+        # cannot contribute samples to an 8 kHz mono total
+        assert (fmt, ch, rate, n, dur) == ("ogg-vorbis", 1, 8000, 8000, 1.0)

@@ -311,3 +311,49 @@ def test_epub_budget_abort_accounting(monkeypatch):
     )
     assert (ok, bad) == (1, 2)
     assert text == "tiny"
+
+
+def test_xlsx_inline_strings_extracted():
+    """Round-13 review batch 34: streaming/generated workbooks store
+    strings INLINE (<c t="inlineStr"><is><t>) instead of the shared-
+    string table — an all-inline workbook must not extract empty,
+    and mixed storage yields both."""
+    from clustering_spark.operators.office import (
+        _zip_bytes,
+        extract_xlsx_text,
+    )
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>inline alpha</t></is></c>'
+        '<c r="B1"><v>42</v></c>'
+        '<c r="C1" t="s"><v>0</v></c>'
+        "</row></sheetData></worksheet>"
+    ).encode()
+    inline_only = _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "xl/workbook.xml": b"<wb/>",
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+    assert extract_xlsx_text(inline_only) == "inline alpha"
+
+    sst = (
+        f'<?xml version="1.0"?><sst xmlns="{ns}">'
+        "<si><t>shared beta</t></si></sst>"
+    ).encode()
+    mixed = _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "xl/workbook.xml": b"<wb/>",
+            "xl/sharedStrings.xml": sst,
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+    out = extract_xlsx_text(mixed)
+    assert "shared beta" in out and "inline alpha" in out
+    # the numeric cell (42) is data, never fabricated into prose
+    assert "42" not in out

@@ -319,3 +319,85 @@ class TestBudgets:
         assert out.loc[1, "status"] == "ok"
         assert "Hello world." in out.loc[1, "text"]
         assert out.loc[2, "status"] == "encrypted"
+
+
+class TestAdversarialStructure:
+    """Round-13 review batch 33: the lexer/walker against crafted
+    crawl bytes — reference cycles, self-referencing page trees,
+    hostile /Length indirection, ObjStm mutual reference."""
+
+    def _raw_pdf(self, objects: dict[int, bytes], root: int = 1) -> bytes:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for num, body in objects.items():
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(out)
+        mx = max(objects) + 1
+        out += f"xref\n0 {mx}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, mx):
+            off = offsets.get(num, 0)
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            b"trailer\n<< /Size " + str(mx).encode()
+            + f" /Root {root} 0 R >>\nstartxref\n".encode()
+            + str(xref_at).encode() + b"\n%%EOF"
+        )
+        return bytes(out)
+
+    def test_self_referencing_kids_terminates(self):
+        # /Pages node whose Kids contain ITSELF twice: a depth cap
+        # alone branches 2^64 ways; the visited set must make this
+        # return (no pages) in milliseconds
+        blob = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Count 1 /Kids [ 2 0 R 2 0 R ] >>",
+        })
+        text, good, bad = extract_pdf_text(blob)
+        assert (text, good, bad) == ("", 0, 0)
+
+    def test_two_node_kids_cycle_terminates(self):
+        blob = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [ 3 0 R ] >>",
+            3: b"<< /Type /Pages /Kids [ 2 0 R 2 0 R ] >>",
+        })
+        assert extract_pdf_text(blob) == ("", 0, 0)
+
+    def test_reference_cycle_resolves_to_error_not_hang(self):
+        # object 2 IS "2 0 R": resolve must hit its hop cap
+        blob = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"2 0 R",
+        })
+        doc = PdfDocument(blob)
+        cat = doc.resolve(doc.trailer.get("/Root"))
+        with pytest.raises(ValueError, match="cycle"):
+            doc.resolve(cat.get("/Pages"))
+
+    def test_huge_length_degrades_to_salvage_or_error(self):
+        # /Length far past EOF: must raise (stream past end), never
+        # allocate
+        blob = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: (b"<< /Length 1152921504606846976 >>\nstream\nBT (x) Tj"
+                b" ET\nendstream"),
+        })
+        text, good, bad = extract_pdf_text(blob)
+        assert (good, bad) == (0, 1)  # page counted failed, no hang
+
+    def test_shared_page_object_still_yields_once(self):
+        # the same /Page object under two parents: visited-set rule
+        # yields it once (sharing is illegal in real PDFs; ONE yield
+        # beats an exponential walk)
+        blob = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [ 3 0 R 3 0 R ] >>",
+            3: b"<< /Type /Page >>",
+        })
+        doc = PdfDocument(blob)
+        pages = list(doc.pages())
+        assert len(pages) == 2  # Page nodes are not cycle members
