@@ -1,13 +1,14 @@
 """Stdlib CCITT fax codecs (public ITU-T T.4 / T.6 layouts): Group 4
 (MMR, TIFF compression 4), Group 3 one-dimensional (MH, TIFF
-compressions 2 and 3 with 1D lines) — the compressions the world's
-scanned-document TIFFs actually use. Decode AND encode, so the
-bilevel round-trip pins the code tables without binary assets.
+compressions 2 and 3 with 1D lines), and — since round 13 — Group 3
+TWO-dimensional (MR, TIFF compression 3 with the T4Options 2D bit:
+EOL-prefixed rows whose tag bit selects 1D or T.6-style 2D coding
+against the previous row). Decode AND encode, so the bilevel
+round-trip pins the code tables without binary assets.
 
-Scope honesty: G3 with the 2D T4Options bit and the T.6 extension
-escape (uncompressed mode) raise a precise ValueError/
-NotImplementedError; everything else here is the complete spec
-surface for the two codecs, including the shared extended makeup
+Scope honesty: the T.6 extension escape (uncompressed mode) raises a
+precise NotImplementedError; everything else here is the complete
+spec surface for the codecs, including the shared extended makeup
 codes to run length 2560.
 
 The code tables are transcribed from the public T.4 tables; the test
@@ -238,6 +239,33 @@ def _row_to_runs(row: np.ndarray) -> list[int]:
 # ------------------------------------------------------------ G3 (MH)
 
 
+def _expect_eol(r: _BitReader) -> None:
+    """Scan to the next EOL code (>= 11 zeros then a 1), tolerating
+    fill bits."""
+    zeros = 0
+    while True:
+        bit = r.read()
+        if bit:
+            if zeros >= 11:
+                return
+            raise ValueError("expected EOL before G3 row")
+        zeros += 1
+
+
+def _decode_1d_row(r: _BitReader, width: int) -> np.ndarray:
+    """One Modified-Huffman row: alternating white/black runs until
+    the row is full."""
+    runs = []
+    total = 0
+    color = 0
+    while total < width:
+        run = _read_run(r, _WHITE_TREE if color == 0 else _BLACK_TREE)
+        runs.append(run)
+        total += run
+        color ^= 1
+    return _runs_to_row(runs, width)
+
+
 def decode_g3_1d(
     data: bytes, width: int, height: int, byte_align: bool = True,
     eol: bool = False,
@@ -250,26 +278,34 @@ def decode_g3_1d(
     rows = []
     for _ in range(height):
         if eol:
-            # scan to the EOL code (tolerating fill bits)
-            zeros = 0
-            while True:
-                bit = r.read()
-                if bit:
-                    if zeros >= 11:
-                        break
-                    raise ValueError("expected EOL before G3 row")
-                zeros += 1
-        runs = []
-        total = 0
-        color = 0
-        while total < width:
-            run = _read_run(r, _WHITE_TREE if color == 0 else _BLACK_TREE)
-            runs.append(run)
-            total += run
-            color ^= 1
-        rows.append(_runs_to_row(runs, width))
+            _expect_eol(r)
+        rows.append(_decode_1d_row(r, width))
         if byte_align:
             r.align()
+    return np.stack(rows)
+
+
+def decode_g3_2d(data: bytes, width: int, height: int) -> np.ndarray:
+    """T.4 TWO-dimensional decode (MR — TIFF compression 3 with the
+    T4Options 2D bit, the round-13 closure of a long-standing honest
+    gate): every row is EOL-prefixed and the single bit AFTER each
+    EOL tags the row's coding — 1 = one-dimensional (MH runs), 0 =
+    two-dimensional against the previous row using exactly the T.6
+    vertical/horizontal/pass modes (the shared ``_decode_2d_row``).
+    The first row of a compliant stream is tagged 1D (its reference
+    line is imaginary all-white either way). Returns (height, width)
+    uint8 0/1, 1 = black."""
+    r = _BitReader(data)
+    ref = np.zeros(width, dtype=np.uint8)
+    rows = []
+    for _ in range(height):
+        _expect_eol(r)
+        if r.read():  # tag bit: 1 = 1D row
+            row = _decode_1d_row(r, width)
+        else:
+            row = _decode_2d_row(r, ref, width)
+        rows.append(row)
+        ref = row
     return np.stack(rows)
 
 
@@ -282,10 +318,7 @@ def encode_g3_1d(
     for row in arr:
         if eol:
             w.write(_EOL)
-        color = 0
-        for run in _row_to_runs(row):
-            _emit_run(w, run, _WHITE if color == 0 else _BLACK)
-            color ^= 1
+        _encode_1d_row(w, row)
         if byte_align:
             w.align()
     return w.bytes()
@@ -319,6 +352,81 @@ def _b1_b2(ref_tr: list[int], a0: int, color: int) -> tuple[int, int]:
     return b1, b2
 
 
+def _decode_2d_row(
+    r: _BitReader, ref: np.ndarray, width: int
+) -> np.ndarray:
+    """One two-dimensionally coded row against reference line ``ref``
+    — the mode machinery shared verbatim by T.6 (G4) and T.4-2D (the
+    MR tagged rows): vertical/horizontal/pass codes with the stall
+    guards that keep crafted streams from looping."""
+    ref_tr = _transitions(ref)
+    row = np.zeros(width, dtype=np.uint8)
+    a0 = -1
+    color = 0
+    while a0 < width:
+        b1, b2 = _b1_b2(ref_tr, a0, color)
+        if b1 < 0:
+            b1 = width
+        if b2 < 0:
+            b2 = width
+        # decode one mode code
+        if r.read():
+            mode = ("V", 0)
+        elif r.read():  # 01x
+            mode = ("V", 1) if r.read() else ("V", -1)
+        elif r.read():  # 001
+            mode = ("H", 0)
+        elif r.read():  # 0001
+            mode = ("P", 0)
+        else:  # 0000 1/0...
+            if r.read():
+                mode = ("V", 2) if r.read() else ("V", -2)
+            elif r.read():
+                mode = ("V", 3) if r.read() else ("V", -3)
+            else:
+                raise NotImplementedError(
+                    "T.6 extension/uncompressed mode"
+                )
+        if mode[0] == "P":
+            if b2 <= max(a0, 0) and b2 < width:
+                raise ValueError("G4 pass mode does not advance")
+            if color:
+                row[max(a0, 0) : b2] = 1
+            a0 = b2
+        elif mode[0] == "V":
+            a1 = b1 + mode[1]
+            # a1 must ADVANCE (a zero-length first run is legal
+            # only at line start, for rows that begin black) —
+            # otherwise a crafted stream could loop forever
+            if a1 < 0 or a1 > width or (a0 >= 0 and a1 <= a0):
+                raise ValueError("G4 vertical mode out of range")
+            if color:
+                row[max(a0, 0) : a1] = 1
+            a0 = a1
+            color ^= 1
+        else:  # horizontal: two MH runs from a0
+            start = max(a0, 0)
+            r1 = _read_run(
+                r, _WHITE_TREE if color == 0 else _BLACK_TREE
+            )
+            r2 = _read_run(
+                r, _BLACK_TREE if color == 0 else _WHITE_TREE
+            )
+            if start + r1 + r2 > width:
+                raise ValueError("G4 horizontal runs overrun row")
+            if r1 + r2 == 0 and a0 >= 0:
+                # two zero-length runs advance nothing: only legal
+                # as the imaginary start-of-line step — anywhere
+                # else a crafted stream would loop forever
+                raise ValueError("G4 horizontal mode stalls")
+            if color:
+                row[start : start + r1] = 1
+            else:
+                row[start + r1 : start + r1 + r2] = 1
+            a0 = start + r1 + r2
+    return row
+
+
 def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     """T.6 (Group 4 MMR) decode into an (height, width) uint8 0/1
     array (1 = black). Raises ValueError on invalid codes, overruns,
@@ -327,118 +435,87 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     ref = np.zeros(width, dtype=np.uint8)  # imaginary all-white row
     out = []
     for _ in range(height):
-        ref_tr = _transitions(ref)
-        row = np.zeros(width, dtype=np.uint8)
-        a0 = -1
-        color = 0
-        while a0 < width:
-            b1, b2 = _b1_b2(ref_tr, a0, color)
-            if b1 < 0:
-                b1 = width
-            if b2 < 0:
-                b2 = width
-            # decode one mode code
-            if r.read():
-                mode = ("V", 0)
-            elif r.read():  # 01x
-                mode = ("V", 1) if r.read() else ("V", -1)
-            elif r.read():  # 001
-                mode = ("H", 0)
-            elif r.read():  # 0001
-                mode = ("P", 0)
-            else:  # 0000 1/0...
-                if r.read():
-                    mode = ("V", 2) if r.read() else ("V", -2)
-                elif r.read():
-                    mode = ("V", 3) if r.read() else ("V", -3)
-                else:
-                    raise NotImplementedError(
-                        "T.6 extension/uncompressed mode"
-                    )
-            if mode[0] == "P":
-                if b2 <= max(a0, 0) and b2 < width:
-                    raise ValueError("G4 pass mode does not advance")
-                if color:
-                    row[max(a0, 0) : b2] = 1
-                a0 = b2
-            elif mode[0] == "V":
-                a1 = b1 + mode[1]
-                # a1 must ADVANCE (a zero-length first run is legal
-                # only at line start, for rows that begin black) —
-                # otherwise a crafted stream could loop forever
-                if a1 < 0 or a1 > width or (a0 >= 0 and a1 <= a0):
-                    raise ValueError("G4 vertical mode out of range")
-                if color:
-                    row[max(a0, 0) : a1] = 1
-                a0 = a1
-                color ^= 1
-            else:  # horizontal: two MH runs from a0
-                start = max(a0, 0)
-                r1 = _read_run(
-                    r, _WHITE_TREE if color == 0 else _BLACK_TREE
-                )
-                r2 = _read_run(
-                    r, _BLACK_TREE if color == 0 else _WHITE_TREE
-                )
-                if start + r1 + r2 > width:
-                    raise ValueError("G4 horizontal runs overrun row")
-                if r1 + r2 == 0 and a0 >= 0:
-                    # two zero-length runs advance nothing: only legal
-                    # as the imaginary start-of-line step — anywhere
-                    # else a crafted stream would loop forever
-                    raise ValueError("G4 horizontal mode stalls")
-                if color:
-                    row[start : start + r1] = 1
-                else:
-                    row[start + r1 : start + r1 + r2] = 1
-                a0 = start + r1 + r2
+        row = _decode_2d_row(r, ref, width)
         out.append(row)
         ref = row
     return np.stack(out)
 
 
+def _encode_2d_row(w: _BitWriter, row: np.ndarray, ref: np.ndarray) -> None:
+    """Emit one two-dimensionally coded row against ``ref`` — shared
+    by encode_g4 and encode_g3_2d's tagged-0 rows."""
+    import bisect
+
+    width = len(row)
+    cod_tr = _transitions(row)
+    ref_tr = _transitions(ref)
+    a0 = -1
+    color = 0
+    while a0 < width:
+        j = bisect.bisect_right(cod_tr, a0)
+        # a1: next change in the coding line after a0
+        a1 = cod_tr[j] if j < len(cod_tr) else width
+        a2 = cod_tr[j + 1] if j + 1 < len(cod_tr) else width
+        b1, b2 = _b1_b2(ref_tr, a0, color)
+        if b1 < 0:
+            b1 = width
+        if b2 < 0:
+            b2 = width
+        if b2 < a1:
+            w.write(_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            w.write(_MODE_V[a1 - b1])
+            a0 = a1
+            color ^= 1
+        else:
+            w.write(_MODE_H)
+            start = max(a0, 0)
+            _emit_run(w, a1 - start, _WHITE if color == 0 else _BLACK)
+            _emit_run(w, a2 - a1, _BLACK if color == 0 else _WHITE)
+            a0 = a2
+
+
+def _encode_1d_row(w: _BitWriter, row: np.ndarray) -> None:
+    color = 0
+    for run in _row_to_runs(row):
+        _emit_run(w, run, _WHITE if color == 0 else _BLACK)
+        color ^= 1
+
+
 def encode_g4(arr: np.ndarray) -> bytes:
     """T.6 encode of an (h, w) 0/1 array (1 = black); ends with EOFB."""
     arr = np.asarray(arr, dtype=np.uint8)
-    h, width = arr.shape
+    _h, width = arr.shape
     w = _BitWriter()
     ref = np.zeros(width, dtype=np.uint8)
     for row in arr:
-        cod_tr = _transitions(row)
-        ref_tr = _transitions(ref)
-        a0 = -1
-        color = 0
-        while a0 < width:
-            import bisect
-
-            j = bisect.bisect_right(cod_tr, a0)
-            # a1: next change in the coding line after a0
-            a1 = cod_tr[j] if j < len(cod_tr) else width
-            a2 = cod_tr[j + 1] if j + 1 < len(cod_tr) else width
-            b1, b2 = _b1_b2(ref_tr, a0, color)
-            if b1 < 0:
-                b1 = width
-            if b2 < 0:
-                b2 = width
-            if b2 < a1:
-                w.write(_MODE_P)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                w.write(_MODE_V[a1 - b1])
-                a0 = a1
-                color ^= 1
-            else:
-                w.write(_MODE_H)
-                start = max(a0, 0)
-                _emit_run(
-                    w, a1 - start, _WHITE if color == 0 else _BLACK
-                )
-                _emit_run(
-                    w, a2 - a1, _BLACK if color == 0 else _WHITE
-                )
-                a0 = a2
+        _encode_2d_row(w, row, ref)
         ref = row
     w.write(_EOL + _EOL)  # EOFB
+    return w.bytes()
+
+
+def encode_g3_2d(arr: np.ndarray, k: int = 2) -> bytes:
+    """T.4 two-dimensional (MR) encode of an (h, w) 0/1 array: every
+    row EOL-prefixed with its tag bit; every ``k``-th row is coded 1D
+    (the fax-machine error-recovery cadence — K=2 at standard
+    resolution, K=4 at fine), the rows between 2D against their
+    predecessor."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if k < 1:
+        raise ValueError("K factor must be >= 1")
+    w = _BitWriter()
+    ref = None
+    for i, row in enumerate(arr):
+        w.write(_EOL)
+        if i % k == 0 or ref is None:
+            w.write("1")
+            _encode_1d_row(w, row)
+        else:
+            w.write("0")
+            _encode_2d_row(w, row, ref)
+        ref = row
     return w.bytes()
 
 
@@ -447,4 +524,6 @@ __all__ = [
     "encode_g4",
     "decode_g3_1d",
     "encode_g3_1d",
+    "decode_g3_2d",
+    "encode_g3_2d",
 ]

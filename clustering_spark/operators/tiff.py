@@ -226,13 +226,21 @@ def _read_tags(b: bytes) -> dict[int, list[int]]:
 def decode_tiff(b: bytes):
     """Decode a TIFF. Returns ``(width, height, channels, samples)``
     row-major top-down uint8 — the decode_baseline/decode_gif/
-    decode_bmp contract. Raises ValueError on malformed streams and
-    NotImplementedError for forms outside the supported envelope
-    (compressions none/LZW/PackBits; 1-bit bilevel or 8-bit
-    gray/RGB; chunky planar; strips, not tiles)."""
+    decode_bmp contract (16-bit samples keep the HIGH byte under the
+    file's byte order, the PNG decoder's reduction rule). Raises
+    ValueError on malformed streams and NotImplementedError for forms
+    outside the supported envelope.
+
+    Round-13 envelope expansion (three former honest gates closed):
+    TILED layouts (TileWidth/TileLength/TileOffsets/TileByteCounts,
+    edge tiles padded per spec), PLANAR configuration 2 (one plane
+    per channel, chunks ordered plane-major), and 16-BIT gray/RGB.
+    All compose (a tiled planar 16-bit file decodes) and each works
+    with none/LZW/PackBits compression; CCITT stays strip+chunky
+    (fax data is never tiled in practice). Still honestly gated:
+    predictor 2 on 16-bit samples, JPEG-in-TIFF (routes via PIL)."""
     tags = _read_tags(b)
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported (strips are)")
+    bo = "<" if b[:2] == b"II" else ">"
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF IFD lacks ImageWidth/ImageLength")
     w, h = tags[256][0], tags[257][0]
@@ -242,12 +250,13 @@ def decode_tiff(b: bytes):
     bits = tags.get(258, [1] * spp)  # spec default: 1 bit per sample
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
+    tiled = 322 in tags or 323 in tags
     if w <= 0 or h <= 0:
         raise ValueError("bad TIFF dimensions")
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError("TIFF exceeds decode pixel budget")
-    if planar != 1:
-        raise NotImplementedError("planar TIFF (PlanarConfig=2)")
+    if planar not in (1, 2):
+        raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
     if comp not in (1, 2, 3, 4, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a real codec "
@@ -257,86 +266,163 @@ def decode_tiff(b: bytes):
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     bilevel = spp == 1 and bits == [1]
-    if not bilevel and (any(v != 8 for v in bits) or spp not in (1, 3)):
+    if bilevel:
+        sample_bytes = 0  # bit-packed
+    elif spp in (1, 3) and all(v == 8 for v in bits):
+        sample_bytes = 1
+    elif spp in (1, 3) and all(v == 16 for v in bits):
+        sample_bytes = 2
+    else:
         raise NotImplementedError(
-            f"TIFF bits={bits} spp={spp} (1-bit bilevel, 8-bit gray, "
-            "8-bit RGB are supported)"
+            f"TIFF bits={bits} spp={spp} (1-bit bilevel, 8/16-bit "
+            "gray, 8/16-bit RGB are supported)"
         )
+    if predictor == 2 and sample_bytes != 1:
+        raise NotImplementedError(
+            "TIFF predictor 2 with non-8-bit samples"
+        )
+    t4opts = tags.get(292, [0])[0]
     if comp in (2, 3, 4):
         if not bilevel:
             raise ValueError("CCITT compression requires 1-bit data")
-        t4opts = tags.get(292, [0])[0]
+        if tiled:
+            raise NotImplementedError("CCITT-compressed tiled TIFF")
         t6opts = tags.get(293, [0])[0]
-        if comp == 3 and t4opts & 1:
-            raise NotImplementedError("G3 2D (T4Options bit 0)")
         if (comp == 3 and t4opts & 2) or (comp == 4 and t6opts & 2):
             raise NotImplementedError("CCITT uncompressed-mode option")
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photo}")
-    if 273 not in tags or 279 not in tags:
-        raise ValueError("TIFF IFD lacks strip offsets/byte counts")
-    offsets, counts = tags[273], tags[279]
-    if len(offsets) != len(counts):
-        raise ValueError("strip offset/count length mismatch")
-    rows_per_strip = tags.get(278, [h])[0] or h
 
-    row_bytes = (w * (1 if bilevel else 8 * spp) + 7) // 8
-    need_total = row_bytes * h
-    chunks = []
-    got = 0
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        raw = b[off : off + cnt]
-        if len(raw) < cnt:
-            raise ValueError("TIFF strip past end of file")
-        strip_rows = min(rows_per_strip, h - i * rows_per_strip)
-        if strip_rows <= 0:
-            raise ValueError("more strips than image rows")
-        expect = row_bytes * strip_rows
+    planes = spp if (planar == 2 and spp > 1) else 1
+    samp = spp if planes == 1 else 1  # samples per pixel per chunk
+
+    def chunk_samples(raw: bytes, n_rows: int, n_cols: int) -> np.ndarray:
+        """(n_rows, n_cols*samp) uint8 samples from one compressed
+        chunk: inflation, 16-bit high-byte reduction, and the
+        per-chunk horizontal predictor (differencing restarts at
+        every strip/tile row per spec)."""
+        if bilevel:
+            if comp in (2, 3, 4):
+                from clustering_spark.operators.ccitt import (
+                    decode_g3_1d,
+                    decode_g3_2d,
+                    decode_g4,
+                )
+
+                # CCITT emits 1 = black, exactly TIFF's photometric-0
+                # (WhiteIsZero) sample convention
+                if comp == 4:
+                    return decode_g4(raw, n_cols, n_rows)
+                if comp == 3 and t4opts & 1:
+                    # MR (round 13): EOL+tag rows, 2D vs previous
+                    return decode_g3_2d(raw, n_cols, n_rows)
+                return decode_g3_1d(
+                    raw, n_cols, n_rows,
+                    byte_align=(comp == 2), eol=(comp == 3),
+                )
+            row_bytes = (n_cols + 7) // 8
+            expect = row_bytes * n_rows
+            if comp == 1:
+                data = raw
+            elif comp == 5:
+                data = _lzw_decode(raw, expect)
+            else:
+                data = _packbits_decode(raw, expect)
+            if len(data) < expect:
+                raise ValueError("TIFF chunk shorter than its rows")
+            packed = np.frombuffer(
+                bytes(data[:expect]), np.uint8
+            ).reshape(n_rows, row_bytes)
+            return np.unpackbits(packed, axis=1)[:, :n_cols]
+        expect = n_rows * n_cols * samp * sample_bytes
         if comp == 1:
             data = raw
         elif comp == 5:
             data = _lzw_decode(raw, expect)
-        elif comp in (2, 3, 4):
-            from clustering_spark.operators.ccitt import (
-                decode_g3_1d,
-                decode_g4,
-            )
-
-            # CCITT emits 1 = black, exactly TIFF's photometric-0
-            # (WhiteIsZero) sample convention — pack the bit rows so
-            # they flow through the same bilevel path as comp=1
-            if comp == 4:
-                bit_rows = decode_g4(raw, w, strip_rows)
-            else:
-                bit_rows = decode_g3_1d(
-                    raw, w, strip_rows,
-                    byte_align=(comp == 2),
-                    eol=(comp == 3),
-                )
-            data = np.packbits(bit_rows, axis=1).tobytes()
         else:
             data = _packbits_decode(raw, expect)
         if len(data) < expect:
-            raise ValueError("TIFF strip shorter than its rows")
-        chunks.append(data[:expect])
-        got += expect
-    if got < need_total:
-        raise ValueError("TIFF strips do not cover the image")
-    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)[:need_total]
+            raise ValueError("TIFF chunk shorter than its rows")
+        a = np.frombuffer(bytes(data[:expect]), np.uint8)
+        if sample_bytes == 2:
+            a = a.reshape(n_rows, n_cols * samp, 2)
+            a = a[:, :, 0] if bo == ">" else a[:, :, 1]  # high byte
+        else:
+            a = a.reshape(n_rows, n_cols * samp)
+        if predictor == 2:
+            a = np.cumsum(
+                a.reshape(n_rows, n_cols, samp), axis=1, dtype=np.uint8
+            ).reshape(n_rows, n_cols * samp)
+        return np.ascontiguousarray(a)
+
+    out = np.zeros((planes, h, w * samp), dtype=np.uint8)
+    if tiled:
+        if 324 not in tags or 325 not in tags:
+            raise ValueError("tiled TIFF lacks TileOffsets/ByteCounts")
+        tw = tags.get(322, [w])[0]
+        tl = tags.get(323, [h])[0]
+        if tw <= 0 or tl <= 0 or tw * tl > MAX_DECODE_PIXELS:
+            raise ValueError("bad TIFF tile geometry")
+        offs, cnts = tags[324], tags[325]
+        if len(offs) != len(cnts):
+            raise ValueError("tile offset/count length mismatch")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offs) < across * down * planes:
+            raise ValueError("TIFF tiles do not cover the image")
+        ti = 0
+        for p in range(planes):
+            for ty in range(down):
+                for tx in range(across):
+                    off, cnt = offs[ti], cnts[ti]
+                    ti += 1
+                    raw = b[off : off + cnt]
+                    if len(raw) < cnt:
+                        raise ValueError("TIFF tile past end of file")
+                    # tiles are FULL tw x tl per spec; edge tiles
+                    # carry padding that is clipped here
+                    a = chunk_samples(raw, tl, tw)
+                    y0, x0 = ty * tl, tx * tw
+                    ys, xs = min(tl, h - y0), min(tw, w - x0)
+                    a3 = a.reshape(tl, tw, samp)
+                    out[p, y0 : y0 + ys, x0 * samp : (x0 + xs) * samp] = (
+                        a3[:ys, :xs].reshape(ys, xs * samp)
+                    )
+    else:
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF IFD lacks strip offsets/byte counts")
+        offsets, counts = tags[273], tags[279]
+        if len(offsets) != len(counts):
+            raise ValueError("strip offset/count length mismatch")
+        rows_per_strip = tags.get(278, [h])[0] or h
+        spl = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) < spl * planes:
+            raise ValueError("TIFF strips do not cover the image")
+        si = 0
+        for p in range(planes):
+            for s in range(spl):
+                y0 = s * rows_per_strip
+                strip_rows = min(rows_per_strip, h - y0)
+                off, cnt = offsets[si], counts[si]
+                si += 1
+                raw = b[off : off + cnt]
+                if len(raw) < cnt:
+                    raise ValueError("TIFF strip past end of file")
+                out[p, y0 : y0 + strip_rows] = chunk_samples(
+                    raw, strip_rows, w
+                )
 
     if bilevel:
-        rows = flat.reshape(h, row_bytes)
-        bits_arr = np.unpackbits(rows, axis=1)[:, :w]
+        ba = out[0]
         if photo == 0:  # WhiteIsZero: 0 = white
-            gray = np.where(bits_arr == 0, 255, 0).astype(np.uint8)
+            gray = np.where(ba == 0, 255, 0).astype(np.uint8)
         else:
-            gray = (bits_arr * 255).astype(np.uint8)
+            gray = (ba * 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()
-
-    arr = flat.reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing: cumulative sum along x, mod 256
-        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+    if planes > 1:
+        arr = np.stack([out[p] for p in range(planes)], axis=2)
+    else:
+        arr = out[0].reshape(h, w, spp)
     if spp == 1:
         if photo == 0:
             arr = 255 - arr
@@ -354,12 +440,23 @@ def encode_tiff(
     photometric: int | None = None,
     bilevel: bool = False,
     big_endian: bool = False,
+    sample_depth: int = 8,
+    planar: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Deterministic TIFF fixture: (H, W) gray / (H, W, 3) RGB uint8
     (or 0/1 values with ``bilevel=True``), compression in
-    none/lzw/packbits, optional horizontal predictor, any strip
-    height. ``photometric`` overrides the default (0 exercises
-    WhiteIsZero inversion)."""
+    none/lzw/packbits (+ the CCITT family for bilevel), optional
+    horizontal predictor, any strip height. ``photometric`` overrides
+    the default (0 exercises WhiteIsZero inversion).
+
+    Round-13 layout knobs (fixtures for the expanded decode
+    envelope): ``sample_depth=16`` writes each uint8 value v as
+    v*257 under the file byte order (the high byte round-trips
+    exactly, mirroring the PNG fixture rule); ``planar=True`` writes
+    PlanarConfiguration 2 (plane-major chunks); ``tile=(tw, tl)``
+    writes a tiled layout (edge tiles zero-padded per spec) instead
+    of strips."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         h, w = arr.shape
@@ -372,62 +469,109 @@ def encode_tiff(
     else:
         raise ValueError("expected (H,W) or (H,W,3) uint8 array")
     comp_code = {
-        "none": 1, "ccittrle": 2, "g3": 3, "g4": 4, "lzw": 5,
-        "packbits": 32773,
+        "none": 1, "ccittrle": 2, "g3": 3, "g3-2d": 3, "g4": 4,
+        "lzw": 5, "packbits": 32773,
     }[compression]
+    g3_2d = compression == "g3-2d"
     if comp_code in (2, 3, 4) and not bilevel:
         raise ValueError("CCITT fixtures take bilevel=True input")
+    if bilevel and (planar or tile or sample_depth != 8):
+        raise ValueError(
+            "bilevel fixtures are chunky 1-bit strips"
+        )
+    if sample_depth not in (8, 16):
+        raise ValueError("sample_depth must be 8 or 16")
+    if predictor and sample_depth != 8:
+        raise ValueError("predictor fixtures are 8-bit")
     photo = photometric if photometric is not None else (
         2 if spp == 3 else 1
     )
     rps = rows_per_strip or h
-
-    if bilevel:
-        row_bytes = (w + 7) // 8
-        data_rows = np.packbits(
-            (arr > 0).astype(np.uint8), axis=1
-        ).reshape(h, row_bytes)
-        bits_vals = [1]
-    else:
-        pix = arr.reshape(h, w, spp)
-        if predictor:
-            d = pix.astype(np.int16)
-            d[:, 1:, :] -= pix[:, :-1, :].astype(np.int16)
-            pix = (d % 256).astype(np.uint8)
-        row_bytes = w * spp
-        data_rows = pix.reshape(h, row_bytes)
-        bits_vals = [8] * spp
-
-    strips = []
-    for y0 in range(0, h, rps):
-        if comp_code in (2, 3, 4):
-            from clustering_spark.operators.ccitt import (
-                encode_g3_1d,
-                encode_g4,
-            )
-
-            bit_rows = (arr[y0 : y0 + rps] > 0).astype(np.uint8)
-            if comp_code == 4:
-                strips.append(encode_g4(bit_rows))
-            else:
-                strips.append(
-                    encode_g3_1d(
-                        bit_rows,
-                        byte_align=(comp_code == 2),
-                        eol=(comp_code == 3),
-                    )
-                )
-            continue
-        raw = data_rows[y0 : y0 + rps].tobytes()
-        if comp_code == 5:
-            strips.append(_lzw_encode(raw))
-        elif comp_code == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            strips.append(raw)
-
     bo = ">" if big_endian else "<"
-    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    use_planar = bool(planar) and spp > 1
+    planes = spp if use_planar else 1
+    samp = spp if not use_planar else 1
+
+    def block_bytes(block: np.ndarray) -> bytes:
+        """Serialize a (rows, cols, samp) uint8 sample block at the
+        fixture depth (16-bit: v -> v*257, file byte order)."""
+        if predictor:
+            d = block.astype(np.int16)
+            d[:, 1:, :] = d[:, 1:, :] - block[:, :-1, :].astype(np.int16)
+            block = (d % 256).astype(np.uint8)
+        if sample_depth == 16:
+            wide = block.astype(np.uint16) * 257
+            inter = np.empty(block.shape + (2,), np.uint8)
+            hi = (wide >> 8).astype(np.uint8)
+            lo = (wide & 0xFF).astype(np.uint8)
+            if big_endian:
+                inter[..., 0], inter[..., 1] = hi, lo
+            else:
+                inter[..., 0], inter[..., 1] = lo, hi
+            return inter.tobytes()
+        return np.ascontiguousarray(block).tobytes()
+
+    def compress(raw: bytes) -> bytes:
+        if comp_code == 5:
+            return _lzw_encode(raw)
+        if comp_code == 32773:
+            return _packbits_encode(raw)
+        return raw
+
+    pix = arr.reshape(h, w, spp)
+    chunks: list[bytes] = []
+    if tile is not None:
+        tw, tl = tile
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        for p in range(planes):
+            plane = pix[:, :, p : p + 1] if use_planar else pix
+            padded = np.zeros(
+                (down * tl, across * tw, samp), dtype=np.uint8
+            )
+            padded[:h, :w] = plane
+            for ty in range(down):
+                for tx in range(across):
+                    blk = padded[
+                        ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+                    ]
+                    chunks.append(compress(block_bytes(blk)))
+    elif bilevel:
+        for y0 in range(0, h, rps):
+            if comp_code in (2, 3, 4):
+                from clustering_spark.operators.ccitt import (
+                    encode_g3_1d,
+                    encode_g3_2d,
+                    encode_g4,
+                )
+
+                bit_rows = (arr[y0 : y0 + rps] > 0).astype(np.uint8)
+                if comp_code == 4:
+                    chunks.append(encode_g4(bit_rows))
+                elif g3_2d:
+                    chunks.append(encode_g3_2d(bit_rows, k=2))
+                else:
+                    chunks.append(
+                        encode_g3_1d(
+                            bit_rows,
+                            byte_align=(comp_code == 2),
+                            eol=(comp_code == 3),
+                        )
+                    )
+            else:
+                packed = np.packbits(
+                    (arr[y0 : y0 + rps] > 0).astype(np.uint8), axis=1
+                )
+                chunks.append(compress(packed.tobytes()))
+    else:
+        for p in range(planes):
+            plane = pix[:, :, p : p + 1] if use_planar else pix
+            for y0 in range(0, h, rps):
+                chunks.append(
+                    compress(block_bytes(plane[y0 : y0 + rps]))
+                )
+
+    bits_vals = [1] if bilevel else [sample_depth] * spp
     entries = [
         (256, 4, [w]),
         (257, 4, [h]),
@@ -435,12 +579,19 @@ def encode_tiff(
         (259, 3, [comp_code]),
         (262, 3, [photo]),
         (277, 3, [spp]),
-        (278, 4, [rps]),
     ]
+    if tile is not None:
+        entries += [(322, 4, [tile[0]]), (323, 4, [tile[1]])]
+    else:
+        entries.append((278, 4, [rps]))
+    if use_planar:
+        entries.append((284, 3, [2]))
     if predictor and not bilevel:
         entries.append((317, 3, [2]))
-    # layout: header(8) + IFD + out-of-line values + strips
-    n_tag = len(entries) + 2  # + StripOffsets + StripByteCounts
+    if g3_2d:
+        entries.append((292, 4, [1]))  # T4Options: 2D coding
+    # layout: header(8) + IFD + out-of-line values + data chunks
+    n_tag = len(entries) + 2  # + chunk offsets + chunk byte counts
     ifd_bytes = 2 + 12 * n_tag + 4
     extra_off = 8 + ifd_bytes
     extra = bytearray()
@@ -455,27 +606,33 @@ def encode_tiff(
         extra += raw
         return struct.pack(bo + "I", off)
 
-    # two passes: sizes of out-of-line values shift strip offsets, so
-    # reserve value space first, then place strips after it
+    # two passes: sizes of out-of-line values shift chunk offsets, so
+    # reserve value space first, then place chunks after it
     tmp_extra_len = 0
     for _tag, typ, vals in entries:
         size = {3: 2, 4: 4}[typ] * len(vals)
         if size > 4:
             tmp_extra_len += size
-    n_strips = len(strips)
-    for size_each in (4, 4):  # StripOffsets, StripByteCounts as LONG
-        if n_strips * size_each > 4:
-            tmp_extra_len += n_strips * size_each
-    strips_base = extra_off + tmp_extra_len
-    strip_offsets = []
-    acc = strips_base
-    for s in strips:
-        strip_offsets.append(acc)
+    n_chunks = len(chunks)
+    for size_each in (4, 4):  # offsets, byte counts as LONG
+        if n_chunks * size_each > 4:
+            tmp_extra_len += n_chunks * size_each
+    chunks_base = extra_off + tmp_extra_len
+    chunk_offsets = []
+    acc = chunks_base
+    for s in chunks:
+        chunk_offsets.append(acc)
         acc += len(s)
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     all_entries = sorted(
         entries
-        + [(273, 4, strip_offsets), (279, 4, [len(s) for s in strips])]
+        + [
+            (off_tag, 4, chunk_offsets),
+            (cnt_tag, 4, [len(s) for s in chunks]),
+        ]
     )
+    strips = chunks
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
     out = bytearray(magic + struct.pack(bo + "I", 8))
     out += struct.pack(bo + "H", n_tag)
     for tag, typ, vals in all_entries:

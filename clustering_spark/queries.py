@@ -1831,19 +1831,24 @@ def q_neardup_components(spark, sf_dir):
 # every scale (measured 4/3/4 at sf0.001/0.01/0.1, min-node
 # eccentricity 1 everywhere), and any component of size <= 5 has
 # diameter <= 4, so 4 hops always carries the min label.
+# MATERIALIZED is load-bearing, not an optimization nicety: each
+# doubling level references its predecessor twice, so without it
+# DuckDB re-inlines the expensive pairs subtree up to 8x — at sf0.1
+# that spilled >80 GB of temp and died on disk, while the
+# materialized form carries only the (tiny) edge tables.
 SQL_NEARDUP_COMPONENTS = f"""
-WITH pairs AS ({SQL_NGRAM_JACCARD}),
-e1 AS (
+WITH pairs AS MATERIALIZED ({SQL_NGRAM_JACCARD}),
+e1 AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
 ),
-e2 AS (
+e2 AS MATERIALIZED (
   SELECT u, v FROM e1
   UNION
   SELECT a.u, b.v FROM e1 a JOIN e1 b ON a.v = b.u AND a.u <> b.v
 ),
-e4 AS (
+e4 AS MATERIALIZED (
   SELECT u, v FROM e2
   UNION
   SELECT a.u, b.v FROM e2 a JOIN e2 b ON a.v = b.u AND a.u <> b.v
@@ -3034,28 +3039,28 @@ def _semantic_dedup_keep_sql() -> str:
     size <= 5), so 8 hops carries every min label with >2x margin."""
     return f"""
 WITH {_pinned_cells_cte()},
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM assigned a JOIN assigned b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 ),
-e1 AS (
+e1 AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
 ),
-e2 AS (
+e2 AS MATERIALIZED (
   SELECT u, v FROM e1
   UNION
   SELECT a.u, b.v FROM e1 a JOIN e1 b ON a.v = b.u AND a.u <> b.v
 ),
-e4 AS (
+e4 AS MATERIALIZED (
   SELECT u, v FROM e2
   UNION
   SELECT a.u, b.v FROM e2 a JOIN e2 b ON a.v = b.u AND a.u <> b.v
 ),
-e8 AS (
+e8 AS MATERIALIZED (
   SELECT u, v FROM e4
   UNION
   SELECT a.u, b.v FROM e4 a JOIN e4 b ON a.v = b.u AND a.u <> b.v

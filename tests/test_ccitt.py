@@ -163,3 +163,76 @@ def test_g4_tiff_feeds_dhash(spark):
     assert out["mean_intensity"] == pytest.approx(float(gray.mean()))
     dh = mm.image_dhash(df, "img", "id").collect()[0]
     assert dh["dhash"] == mm._dhash64(gray.astype(np.float64))
+
+
+class TestG3TwoDimensional:
+    """Round 13: T.4 two-dimensional (MR) — the closure of the
+    'G3 2D (T4Options bit 0)' honest gate. EOL+tag rows; tagged-0
+    rows share the T.6 mode machinery byte-for-byte."""
+
+    @pytest.mark.parametrize("width", [8, 64, 173, 1728])
+    @pytest.mark.parametrize("k", [1, 2, 4])
+    def test_random_roundtrip(self, width, k):
+        from clustering_spark.operators.ccitt import (
+            decode_g3_2d,
+            encode_g3_2d,
+        )
+
+        rng = np.random.default_rng(width * 7 + k)
+        # run-structured rows (fax-like), not iid noise
+        arr = (
+            rng.integers(0, 2, (12, (width + 7) // 8))
+            .repeat(8, axis=1)[:, :width]
+            .astype(np.uint8)
+        )
+        out = decode_g3_2d(encode_g3_2d(arr, k=k), width, 12)
+        assert (out == arr).all()
+
+    def test_k1_is_all_1d_rows(self):
+        # K=1: every row tagged 1D — must equal the MH coding of the
+        # same rows modulo framing
+        from clustering_spark.operators.ccitt import (
+            decode_g3_2d,
+            encode_g3_2d,
+        )
+
+        arr = np.zeros((3, 16), dtype=np.uint8)
+        arr[1, 4:12] = 1
+        blob = encode_g3_2d(arr, k=1)
+        assert (decode_g3_2d(blob, 16, 3) == arr).all()
+
+    def test_all_white_and_all_black_pages(self):
+        from clustering_spark.operators.ccitt import (
+            decode_g3_2d,
+            encode_g3_2d,
+        )
+
+        for fill in (0, 1):
+            arr = np.full((5, 40), fill, dtype=np.uint8)
+            assert (
+                decode_g3_2d(encode_g3_2d(arr), 40, 5) == arr
+            ).all()
+
+    def test_tiff_integration_t4options_bit(self):
+        from clustering_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        rng = np.random.default_rng(9)
+        arr = (
+            rng.integers(0, 2, (10, 8)).repeat(8, axis=1).astype(np.uint8)
+        )
+        blob = encode_tiff(arr, compression="g3-2d", bilevel=True,
+                           photometric=0)
+        w, h, ch, samples = decode_tiff(blob)
+        assert (w, h, ch) == (64, 10, 1)
+        got = np.frombuffer(samples, np.uint8).reshape(10, 64)
+        # photometric 0 (WhiteIsZero): bit 1 (black) -> 0
+        assert (got == np.where(arr == 1, 0, 255)).all()
+
+    def test_missing_eol_raises(self):
+        from clustering_spark.operators.ccitt import decode_g3_2d
+
+        with pytest.raises(ValueError, match="EOL"):
+            decode_g3_2d(b"\xff\xff\xff", 16, 1)
