@@ -8,9 +8,14 @@ use — baseline/extended sequential (SOF0/SOF1) and, since round 12,
 PROGRESSIVE (SOF2, Annex G.2: spectral selection + successive
 approximation, DC/AC first and refinement scans, EOB runs, restart
 intervals) — 8-bit, grayscale or YCbCr, any sampling factors
-(4:4:4 / 4:2:2 / 4:2:0), restart markers, 16-bit quant tables.
-Lossless / arithmetic / hierarchical processes raise honest
-``NotImplementedError``. A progressive ENCODER (``encode_progressive``,
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, 16-bit quant tables —
+plus, since round 13, LOSSLESS (SOF3, Annex H / process 14: all
+seven predictors, 2-16-bit precision with high-byte reduction,
+point transform, interleaved components; ``encode_lossless`` pins
+bit-exact round-trips, which is the definition of the process).
+Arithmetic / hierarchical processes and lossless restart intervals
+raise honest ``NotImplementedError``.
+A progressive ENCODER (``encode_progressive``,
 script-driven scan schedule) exists so the progressive decoder is
 pinned by exact pixel parity against the sequential pipeline — both
 encoders share one coefficient-preparation path, so a progressive
@@ -294,6 +299,8 @@ def _decode_impl(b: bytes):
     frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
     dri = 0  # restart interval in MCUs (0 = none declared)
     progressive = False
+    lossless = False
+    prec_bits = 8
     prog_store = None  # cid -> (blocks_y, blocks_x, 64) int32 coefficients
     pos = 2
     n = len(b)
@@ -354,11 +361,17 @@ def _decode_impl(b: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(
                     bits, vals
                 )
-        elif marker in (0xC0, 0xC1, 0xC2):  # Huffman sequential/progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # Huffman sequential/progressive/lossless (SOF3 since r13)
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
+            if lossless:
+                if not (2 <= prec <= 16):
+                    raise ValueError(f"illegal lossless precision {prec}")
+            elif prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            prec_bits = prec
             comps = []
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
@@ -371,6 +384,10 @@ def _decode_impl(b: bytes):
                         f"component {cid}"
                     )
                 comps.append((cid, hi, vi, tq))
+            if lossless and any(
+                c[1] != 1 or c[2] != 1 for c in comps
+            ):
+                raise NotImplementedError("subsampled lossless JPEG")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             for cid, hi, vi, _tq in comps:
@@ -398,12 +415,12 @@ def _decode_impl(b: bytes):
             if w == 0:
                 raise ValueError("zero-dimension frame")
             frame = (w, h, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended-sequential and progressive "
-                f"Huffman JPEG are supported (got SOF marker "
-                f"0xFF{marker:02X} — lossless/arithmetic/hierarchical)"
+                "only baseline/extended-sequential, progressive, and "
+                f"lossless Huffman JPEG are supported (got SOF marker "
+                f"0xFF{marker:02X} — arithmetic/hierarchical)"
             )
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
@@ -417,6 +434,25 @@ def _decode_impl(b: bytes):
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
             scan_tabs = {cs: (td, ta) for cs, td, ta in scan_comps}
             w, h, comps = frame
+            if lossless:
+                if len(payload) < 4 + 2 * ns:
+                    raise ValueError("truncated lossless SOS header")
+                pred_sel = payload[1 + 2 * ns]  # Ss = predictor 1..7
+                ahal = payload[3 + 2 * ns]
+                pt = ahal & 0x0F  # Al = point transform
+                if not (1 <= pred_sel <= 7):
+                    raise ValueError(
+                        f"invalid lossless predictor {pred_sel}"
+                    )
+                if pt >= prec_bits:
+                    raise ValueError("point transform exceeds precision")
+                for cs, td, _ta in scan_comps:
+                    if td not in huff_dc:
+                        raise ValueError(f"missing Huffman table DC{td}")
+                return _decode_lossless_scan(
+                    b, pos, frame, scan_comps, pred_sel, pt,
+                    huff_dc, prec_bits, dri,
+                )
             if progressive:
                 if len(payload) < 4 + 2 * ns:
                     raise ValueError("truncated progressive SOS header")
@@ -780,6 +816,164 @@ def _planes_to_image(frame, planes):
 
 
 # --------------------------------------------------------------- encode
+
+
+def _ll_predict(plane, y: int, x: int, sel: int, default: int) -> int:
+    """T.81 H.1.2.1 sample prediction: default at the very first
+    sample, Ra along the first line, Rb down the first column, the
+    selected predictor (1-7) elsewhere. All arithmetic modulo 2^16
+    happens in the caller."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    bb = int(plane[y - 1, x])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return bb
+    c = int(plane[y - 1, x - 1])
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + bb - c
+    if sel == 5:
+        return a + ((bb - c) >> 1)
+    if sel == 6:
+        return bb + ((a - c) >> 1)
+    return (a + bb) >> 1  # sel == 7
+
+
+def _decode_lossless_scan(
+    b, pos, frame, scan_comps, pred_sel, pt, huff_dc, prec, dri
+):
+    """Lossless (SOF3, T.81 Annex H) scan decode: per sample, a DC
+    Huffman category (0-16; 16 means difference 32768 with no extra
+    bits) + EXTEND-coded difference against the H.1.2.1 prediction,
+    components interleaved one sample per MCU. Output samples
+    renormalize by the point transform (<< Pt) and reduce to the
+    8-bit contract by dropping prec-8 low bits — the same high-byte
+    rule as the PNG/TIFF 16-bit paths.
+
+    Restart intervals stay a NAMED gate: T.81 H.2.1.1 only says
+    predictions "reset", and real codecs disagree on whether the
+    post-restart samples re-enter the first-line special cases — a
+    guessed semantic would decode plausibly and wrongly, which is
+    worse than refusing."""
+    w, h, comps = frame
+    nc = len(scan_comps)
+    if nc != len(comps):
+        raise ValueError("lossless SOS must carry every component")
+    if dri:
+        raise NotImplementedError(
+            "restart intervals in lossless JPEG"
+        )
+    segs, _end = _split_scan(b, pos)
+    tabs = [huff_dc[td] for _cs, td, _ta in scan_comps]
+    default = 1 << (prec - pt - 1)
+    planes = np.zeros((nc, h, w), dtype=np.int32)
+    br = _BitReader(segs[0])
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                t = _decode_symbol(br, tabs[ci])
+                if t == 16:
+                    diff = 32768
+                elif t == 0:
+                    diff = 0
+                else:
+                    diff = _extend(br.read(t), t)
+                pred = _ll_predict(planes[ci], y, x, pred_sel, default)
+                planes[ci][y, x] = (pred + diff) & 0xFFFF
+    vals = (planes << pt).astype(np.int64)
+    if prec > 8:
+        vals >>= prec - 8
+    out = np.clip(vals, 0, 255).astype(np.uint8)
+    # lossless components are stored directly (no YCbCr transform is
+    # defined for process 14 in JFIF practice): gray or RGB as-is
+    img = np.transpose(out, (1, 2, 0))
+    return w, h, nc, np.ascontiguousarray(img).tobytes()
+
+
+# lossless fixture Huffman table: canonical lengths 2,2,2,3..16 for
+# categories 0..16 (Kraft sum 1 - 2^-16 — never an all-ones code)
+_LL_BITS = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1])
+_LL_VALS = bytes(range(17))
+
+
+def encode_lossless(
+    arr: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int = 8,
+) -> bytes:
+    """Encode an (H, W) gray or (H, W, 3) RGB uint8 array as a
+    LOSSLESS JPEG (SOF3, process 14). For ``precision`` > 8 each
+    uint8 value v is stored as v << (precision-8), so the decoder's
+    high-byte reduction recovers v exactly (the PNG/TIFF fixture
+    rule). ``point_transform`` drops that many low bits before
+    coding, exactly as H.1 defines. Round-trips bit-exactly at Pt=0
+    — that is the point of process 14."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError("expected (H,W) or (H,W,3) uint8 array")
+    if not (1 <= predictor <= 7):
+        raise ValueError("predictor must be 1..7")
+    if not (8 <= precision <= 16):
+        raise ValueError("fixture precision must be 8..16")
+    if point_transform >= precision:
+        raise ValueError("point transform exceeds precision")
+    h, w, nc = arr.shape
+    samples = arr.astype(np.int64) << (precision - 8)
+    coded = (samples >> point_transform).astype(np.int64)
+    default = 1 << (precision - point_transform - 1)
+    enc = _build_encode_table(_LL_BITS, _LL_VALS)
+    bw = _BitWriter()
+    planes = np.transpose(coded, (2, 0, 1))
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                pred = _ll_predict(
+                    planes[ci], y, x, predictor, default
+                )
+                diff = (int(planes[ci][y, x]) - pred) & 0xFFFF
+                # map the mod-2^16 difference back to the signed
+                # representative in [-32767, 32768]
+                sdiff = diff if diff <= 32768 else diff - 65536
+                if sdiff == 32768:
+                    c, ln = enc[16]
+                    bw.write(c, ln)
+                    continue
+                t, code = _magnitude(sdiff)
+                c, ln = enc[t]
+                bw.write(c, ln)
+                if t:
+                    bw.write(code, t)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    # SOF3
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    # one DHT (DC class 0, id 0) shared by every component
+    dht = bytes([0x00]) + _LL_BITS + _LL_VALS
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    # SOS: Ss = predictor, Se = 0, AhAl = point transform
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 class _BitWriter:

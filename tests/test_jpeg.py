@@ -190,8 +190,14 @@ def test_malformed_and_truncated_gates():
     # (tests/test_jpeg_progressive.py)
     with pytest.raises(ValueError, match="Se=0"):
         decode_baseline(b.replace(b"\xff\xc0", b"\xff\xc2", 1))
-    with pytest.raises(NotImplementedError, match="lossless"):
+    # round 13: SOF3 is now a real decode path, so a baseline stream
+    # flipped to SOF3 is rejected as MALFORMED lossless (its SOS Ss=0
+    # is not a legal predictor), not gated; arithmetic coding remains
+    # the named gate
+    with pytest.raises(ValueError, match="predictor"):
         decode_baseline(b.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_baseline(b.replace(b"\xff\xc0", b"\xff\xc9", 1))
     with pytest.raises(ValueError):
         decode_baseline(b"\x00\x01not a jpeg")
     with pytest.raises(ValueError, match="no SOS"):
@@ -295,3 +301,81 @@ def test_full_byte_padding_before_rst_advances_via_dri():
     padded = b[:first_rst] + b"\xff\x00" + b[first_rst:]
     got = np.frombuffer(decode_baseline(padded)[3], np.uint8)
     assert np.array_equal(got, base)
+
+
+class TestLossless:
+    """Round 13: lossless JPEG (SOF3, T.81 Annex H / process 14) —
+    the former 'lossless' honest gate. Bit-exact round-trips are the
+    definition of the process, so equality (not PSNR) is the pin."""
+
+    @pytest.mark.parametrize("pred", list(range(1, 8)))
+    def test_every_predictor_roundtrips_exactly(self, pred):
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        rng = np.random.default_rng(40 + pred)
+        g = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+        w, h, ch, s = decode_baseline(encode_lossless(g, predictor=pred))
+        assert (w, h, ch) == (7, 11, 1)
+        assert (np.frombuffer(s, np.uint8).reshape(11, 7) == g).all()
+
+    def test_rgb_interleaved_roundtrip(self):
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        rng = np.random.default_rng(50)
+        c = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+        w, h, ch, s = decode_baseline(encode_lossless(c, predictor=4))
+        assert (w, h, ch) == (9, 6, 3)
+        assert (np.frombuffer(s, np.uint8).reshape(6, 9, 3) == c).all()
+
+    @pytest.mark.parametrize("prec", [12, 16])
+    def test_high_precision_reduces_to_high_byte(self, prec):
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        rng = np.random.default_rng(60)
+        g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        w, h, ch, s = decode_baseline(
+            encode_lossless(g, precision=prec, predictor=7)
+        )
+        assert (np.frombuffer(s, np.uint8).reshape(8, 8) == g).all()
+
+    def test_point_transform_drops_low_bits(self):
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        g = np.arange(64, dtype=np.uint8).reshape(8, 8) * 4 + 3
+        w, h, ch, s = decode_baseline(
+            encode_lossless(g, point_transform=2)
+        )
+        got = np.frombuffer(s, np.uint8).reshape(8, 8)
+        assert (got == (g >> 2) << 2).all()
+
+    def test_restart_interval_stays_named_gate(self):
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        blob = bytearray(encode_lossless(np.zeros((4, 4), np.uint8)))
+        # splice a DRI segment right after SOI
+        import struct as st
+
+        dri = b"\xff\xdd" + st.pack(">H", 4) + st.pack(">H", 2)
+        blob[2:2] = dri
+        with pytest.raises(NotImplementedError, match="restart"):
+            decode_baseline(bytes(blob))
+
+    def test_subsampled_lossless_stays_gate(self):
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        blob = bytearray(encode_lossless(np.zeros((4, 4, 3), np.uint8)))
+        i = blob.find(b"\xff\xc3")
+        # component 0 sampling byte: SOF3 payload = len(2) prec(1)
+        # h(2) w(2) nc(1) then (cid, hv, tq) triples
+        blob[i + 2 + 2 + 6 + 1] = 0x22
+        with pytest.raises(NotImplementedError, match="subsampled"):
+            decode_baseline(bytes(blob))
+
+    def test_truncated_stream_raises(self):
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        rng = np.random.default_rng(70)
+        g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        blob = encode_lossless(g)
+        with pytest.raises(ValueError):
+            decode_baseline(blob[: len(blob) - 30])
