@@ -198,8 +198,8 @@ def _read_tags(b: bytes) -> dict[int, list[int]]:
     if ifd_off + 2 > len(b):
         raise ValueError("TIFF IFD offset past end of file")
     (n_entries,) = struct.unpack(bo + "H", b[ifd_off : ifd_off + 2])
-    sizes = {1: 1, 3: 2, 4: 4}
-    fmts = {1: "B", 3: "H", 4: "I"}
+    sizes = {1: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (JPEGTables)
+    fmts = {1: "B", 3: "H", 4: "I", 7: "B"}
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
         at = ifd_off + 2 + 12 * i
@@ -257,12 +257,13 @@ def decode_tiff(b: bytes):
         raise ValueError("TIFF exceeds decode pixel budget")
     if planar not in (1, 2):
         raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
-    if comp not in (1, 2, 3, 4, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a real codec "
-            "(none/CCITT G3+G4/LZW/PackBits decode here; "
-            "JPEG-in-TIFF routes via PIL)"
+            "(none/CCITT G3+G4/LZW/PackBits/JPEG decode here)"
         )
+    if comp == 7 and planar == 2:
+        raise NotImplementedError("planar JPEG-in-TIFF")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     bilevel = spp == 1 and bits == [1]
@@ -281,6 +282,10 @@ def decode_tiff(b: bytes):
         raise NotImplementedError(
             "TIFF predictor 2 with non-8-bit samples"
         )
+    if comp == 7 and sample_bytes != 1:
+        raise NotImplementedError(
+            "JPEG-in-TIFF decodes 8-bit samples only"
+        )
     t4opts = tags.get(292, [0])[0]
     if comp in (2, 3, 4):
         if not bilevel:
@@ -290,8 +295,14 @@ def decode_tiff(b: bytes):
         t6opts = tags.get(293, [0])[0]
         if (comp == 3 and t4opts & 2) or (comp == 4 and t6opts & 2):
             raise NotImplementedError("CCITT uncompressed-mode option")
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2) and not (photo == 6 and comp == 7):
+        # photometric 6 (YCbCr) is legal exactly for new-style
+        # JPEG-in-TIFF, where the embedded JPEG owns the color
+        # transform and the decoder already emits RGB
         raise NotImplementedError(f"TIFF photometric {photo}")
+    jpeg_tables = bytes(
+        bytearray(tags[347])
+    ) if 347 in tags else None  # tag 347: abbreviated-stream tables
 
     planes = spp if (planar == 2 and spp > 1) else 1
     samp = spp if planes == 1 else 1  # samples per pixel per chunk
@@ -334,6 +345,24 @@ def decode_tiff(b: bytes):
                 bytes(data[:expect]), np.uint8
             ).reshape(n_rows, row_bytes)
             return np.unpackbits(packed, axis=1)[:, :n_cols]
+        if comp == 7:
+            # new-style JPEG-in-TIFF: each chunk is a complete JPEG
+            # stream, or an abbreviated one whose DQT/DHT ride the
+            # JPEGTables tag — splice those after the chunk's SOI
+            from clustering_spark.operators.jpeg import decode_baseline
+
+            stream = raw
+            if jpeg_tables is not None and len(jpeg_tables) > 4:
+                stream = raw[:2] + jpeg_tables[2:-2] + raw[2:]
+            jw, jh, jch, jsamples = decode_baseline(stream)
+            if (jw, jh) != (n_cols, n_rows) or jch != samp:
+                raise ValueError(
+                    f"JPEG chunk is {jw}x{jh}x{jch}, expected "
+                    f"{n_cols}x{n_rows}x{samp}"
+                )
+            return np.frombuffer(jsamples, np.uint8).reshape(
+                n_rows, n_cols * samp
+            )
         expect = n_rows * n_cols * samp * sample_bytes
         if comp == 1:
             data = raw
@@ -427,9 +456,36 @@ def decode_tiff(b: bytes):
         if photo == 0:
             arr = 255 - arr
         return w, h, 1, np.ascontiguousarray(arr[:, :, 0]).tobytes()
-    if photo != 2:
+    if photo != 2 and not (photo == 6 and comp == 7):
         raise ValueError("3-sample TIFF with non-RGB photometric")
     return w, h, 3, np.ascontiguousarray(arr).tobytes()
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """(tables_blob, abbreviated_stream): the DQT/DHT segments of a
+    complete JPEG stream move into an SOI..EOI tables stream (the
+    TIFF tag 347 layout, TechNote2); everything else — including the
+    SOS and entropy data verbatim — stays in the chunk stream."""
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    n = len(stream)
+    while pos + 4 <= n:
+        if stream[pos] != 0xFF:
+            raise ValueError("marker expected while splitting JPEG")
+        marker = stream[pos + 1]
+        if marker == 0xDA:
+            rest += stream[pos:]  # SOS + entropy + EOI verbatim
+            break
+        (seglen,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
 
 
 def encode_tiff(
@@ -443,6 +499,7 @@ def encode_tiff(
     sample_depth: int = 8,
     planar: bool = False,
     tile: tuple[int, int] | None = None,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Deterministic TIFF fixture: (H, W) gray / (H, W, 3) RGB uint8
     (or 0/1 values with ``bilevel=True``), compression in
@@ -470,11 +527,13 @@ def encode_tiff(
         raise ValueError("expected (H,W) or (H,W,3) uint8 array")
     comp_code = {
         "none": 1, "ccittrle": 2, "g3": 3, "g3-2d": 3, "g4": 4,
-        "lzw": 5, "packbits": 32773,
+        "lzw": 5, "jpeg": 7, "packbits": 32773,
     }[compression]
     g3_2d = compression == "g3-2d"
     if comp_code in (2, 3, 4) and not bilevel:
         raise ValueError("CCITT fixtures take bilevel=True input")
+    if comp_code == 7 and (bilevel or planar or sample_depth != 8):
+        raise ValueError("JPEG fixtures are chunky 8-bit")
     if bilevel and (planar or tile or sample_depth != 8):
         raise ValueError(
             "bilevel fixtures are chunky 1-bit strips"
@@ -518,6 +577,14 @@ def encode_tiff(
             return _packbits_encode(raw)
         return raw
 
+    def make_chunk(blk: np.ndarray) -> bytes:
+        if comp_code == 7:
+            from clustering_spark.operators.jpeg import encode_baseline
+
+            px = blk[:, :, 0] if spp == 1 else blk
+            return encode_baseline(np.ascontiguousarray(px))
+        return compress(block_bytes(blk))
+
     pix = arr.reshape(h, w, spp)
     chunks: list[bytes] = []
     if tile is not None:
@@ -535,7 +602,7 @@ def encode_tiff(
                     blk = padded[
                         ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
                     ]
-                    chunks.append(compress(block_bytes(blk)))
+                    chunks.append(make_chunk(blk))
     elif bilevel:
         for y0 in range(0, h, rps):
             if comp_code in (2, 3, 4):
@@ -567,9 +634,14 @@ def encode_tiff(
         for p in range(planes):
             plane = pix[:, :, p : p + 1] if use_planar else pix
             for y0 in range(0, h, rps):
-                chunks.append(
-                    compress(block_bytes(plane[y0 : y0 + rps]))
-                )
+                chunks.append(make_chunk(plane[y0 : y0 + rps]))
+
+    tables_blob = None
+    if comp_code == 7 and jpeg_tables:
+        # abbreviated-stream layout: DQT/DHT move to tag 347, every
+        # chunk keeps only SOI + frame/scan segments (TIFF TechNote2)
+        tables_blob, _ = _split_jpeg_tables(chunks[0])
+        chunks = [_split_jpeg_tables(c)[1] for c in chunks]
 
     bits_vals = [1] if bilevel else [sample_depth] * spp
     entries = [
@@ -590,6 +662,8 @@ def encode_tiff(
         entries.append((317, 3, [2]))
     if g3_2d:
         entries.append((292, 4, [1]))  # T4Options: 2D coding
+    if tables_blob is not None:
+        entries.append((347, 7, list(tables_blob)))
     # layout: header(8) + IFD + out-of-line values + data chunks
     n_tag = len(entries) + 2  # + chunk offsets + chunk byte counts
     ifd_bytes = 2 + 12 * n_tag + 4
@@ -598,7 +672,7 @@ def encode_tiff(
 
     def value_field(typ: int, vals: list[int]) -> bytes:
         nonlocal extra
-        fmt = {3: "H", 4: "I"}[typ]
+        fmt = {3: "H", 4: "I", 7: "B"}[typ]
         raw = struct.pack(bo + f"{len(vals)}{fmt}", *vals)
         if len(raw) <= 4:
             return raw.ljust(4, b"\x00")
@@ -610,7 +684,7 @@ def encode_tiff(
     # reserve value space first, then place chunks after it
     tmp_extra_len = 0
     for _tag, typ, vals in entries:
-        size = {3: 2, 4: 4}[typ] * len(vals)
+        size = {3: 2, 4: 4, 7: 1}[typ] * len(vals)
         if size > 4:
             tmp_extra_len += size
     n_chunks = len(chunks)

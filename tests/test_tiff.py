@@ -114,15 +114,16 @@ class TestLzw:
 
 
 class TestGates:
-    def test_jpeg_in_tiff_is_honest_gate(self):
-        # CCITT G3/G4 decode natively now (operators/ccitt, see
-        # test_ccitt.py) — JPEG-in-TIFF (7) remains the honest gate
+    def test_oldstyle_jpeg_is_honest_gate(self):
+        # new-style JPEG-in-TIFF (7) decodes natively since round 13
+        # (TestJpegInTiff) — OLD-style JPEG (6, the withdrawn
+        # TIFF-6.0 scheme) remains the honest gate
         g = np.zeros((4, 4), dtype=np.uint8)
         blob = bytearray(encode_tiff(g))
         idx = blob.find(b"\x03\x01\x03\x00")  # tag 259, SHORT
         assert idx > 0
-        blob[idx + 8] = 7
-        with pytest.raises(NotImplementedError, match="compression 7"):
+        blob[idx + 8] = 6
+        with pytest.raises(NotImplementedError, match="compression 6"):
             decode_tiff(bytes(blob))
 
     def test_exotic_depth_is_honest_gate(self):
@@ -289,4 +290,71 @@ class TestExpandedEnvelope:
         i = blob.find(st.pack("<HH", 324, 4))
         blob[i + 4 : i + 8] = st.pack("<I", 1)
         with pytest.raises(ValueError, match="cover"):
+            decode_tiff(bytes(blob))
+
+
+class TestJpegInTiff:
+    """Round 13: new-style JPEG-in-TIFF (compression 7) — composed
+    from the in-repo T.81 codec, both complete-stream chunks and the
+    abbreviated JPEGTables (tag 347) layout. JPEG is lossy, so the
+    pin is closeness on smooth content plus exact geometry."""
+
+    def _smooth(self, h, w, ch=None):
+        y = np.linspace(0, 200, h)[:, None]
+        x = np.linspace(0, 55, w)[None, :]
+        g = (y + x).astype(np.uint8)
+        if ch is None:
+            return g
+        return np.stack([g, g // 2, 255 - g], axis=2)
+
+    @pytest.mark.parametrize("tables", [False, True])
+    def test_gray_strips(self, tables):
+        g = self._smooth(24, 31)
+        blob = encode_tiff(g, compression="jpeg", rows_per_strip=10,
+                           jpeg_tables=tables)
+        w, h, ch, s = decode_tiff(blob)
+        assert (w, h, ch) == (31, 24, 1)
+        got = np.frombuffer(s, np.uint8).reshape(24, 31)
+        assert np.abs(got.astype(float) - g.astype(float)).mean() <= 6
+
+    @pytest.mark.parametrize("tables", [False, True])
+    def test_rgb_tiled(self, tables):
+        c = self._smooth(21, 19, ch=3)
+        blob = encode_tiff(c, compression="jpeg", tile=(16, 16),
+                           jpeg_tables=tables)
+        w, h, ch, s = decode_tiff(blob)
+        assert (w, h, ch) == (19, 21, 3)
+        got = np.frombuffer(s, np.uint8).reshape(21, 19, 3)
+        assert np.abs(got.astype(float) - c.astype(float)).mean() <= 8
+
+    def test_abbreviated_without_tables_tag_raises(self):
+        g = self._smooth(16, 16)
+        blob = bytearray(
+            encode_tiff(g, compression="jpeg", jpeg_tables=True)
+        )
+        # corrupt the JPEGTables tag id so the chunk has no tables
+        import struct as st
+
+        i = blob.find(st.pack("<HH", 347, 7))
+        assert i > 0
+        blob[i : i + 2] = st.pack("<H", 40000)  # unknown private tag
+        with pytest.raises(ValueError):
+            decode_tiff(bytes(blob))
+
+    def test_wrong_chunk_geometry_raises(self):
+        from clustering_spark.operators.jpeg import encode_baseline
+
+        # hand-assemble: declare 8x8 but embed a 16x16 JPEG chunk
+        g16 = self._smooth(16, 16)
+        blob = bytearray(encode_tiff(self._smooth(8, 8),
+                                     compression="jpeg"))
+        # replace the chunk wholesale is fiddly; instead patch declared
+        # width/height down and expect the geometry check to fire
+        import struct as st
+
+        i256 = blob.find(st.pack("<HH", 256, 4))
+        blob[i256 + 8 : i256 + 12] = st.pack("<I", 4)
+        i257 = blob.find(st.pack("<HH", 257, 4))
+        blob[i257 + 8 : i257 + 12] = st.pack("<I", 4)
+        with pytest.raises(ValueError, match="expected"):
             decode_tiff(bytes(blob))
