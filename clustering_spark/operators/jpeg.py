@@ -866,7 +866,11 @@ def _decode_lossless_scan(
     w, h, comps = frame
     nc = len(scan_comps)
     if nc != len(comps):
-        raise ValueError("lossless SOS must carry every component")
+        # spec-legal (H.2: one scan per component) but unsupported —
+        # a named gate, not a malformed-stream error
+        raise NotImplementedError(
+            "non-interleaved multi-scan lossless JPEG"
+        )
     if dri:
         raise NotImplementedError(
             "restart intervals in lossless JPEG"

@@ -1,13 +1,17 @@
-"""Stdlib+numpy TIFF codec (public TIFF 6.0 baseline layout): decode
-for the compressions scanned-document corpora actually use —
-uncompressed (1), LZW (5, MSB-first variable-width codes with the
-spec's EARLY code-width change and horizontal-differencing predictor
-2) and PackBits (32773) — over bilevel (1-bit, both photometric
-polarities), 8-bit grayscale and 8-bit RGB, chunky planar layout,
-any strip structure. CCITT fax / JPEG-in-TIFF / tiled / planar /
-16-bit variants raise a precise NotImplementedError (the PIL route
-handles them when present). An encoder emits the same forms so
-round-trips pin the decoder with no binary assets.
+"""Stdlib+numpy TIFF codec (public TIFF 6.0 layout): decode for the
+compressions scanned-document corpora actually use — uncompressed
+(1), CCITT G3 1D/2D and G4 fax (2/3/4, via operators/ccitt), LZW (5,
+MSB-first variable-width codes with the spec's EARLY code-width
+change and horizontal-differencing predictor 2), new-style
+JPEG-in-TIFF (7, incl. the JPEGTables abbreviated layout), Deflate
+(8/32946, bounded inflate), and PackBits (32773) — over bilevel
+(1-bit, both photometric polarities), 8- and 16-bit grayscale/RGB
+(16-bit reduces to the high byte under the file byte order), chunky
+AND planar (PlanarConfiguration 2) layouts, strips AND tiles.
+Old-style JPEG (6), exotic bit depths, and predictor-2-on-16-bit
+raise a precise NotImplementedError (the PIL route handles them when
+present). An encoder emits the same forms so round-trips pin the
+decoder with no binary assets.
 
 TIFF joins FAKE/PNG/JPEG/GIF/BMP as the fifth codec-free image
 family: the header pass (multimodal._tiff_meta) routes it already;
@@ -24,6 +28,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from clustering_spark.operators.inflate import bounded_inflate
 
 # same decompression-bomb budget as the JPEG/GIF/BMP codecs
 MAX_DECODE_PIXELS = 64 * 1024 * 1024
@@ -257,10 +263,10 @@ def decode_tiff(b: bytes):
         raise ValueError("TIFF exceeds decode pixel budget")
     if planar not in (1, 2):
         raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
-    if comp not in (1, 2, 3, 4, 5, 7, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a real codec "
-            "(none/CCITT G3+G4/LZW/PackBits/JPEG decode here)"
+            "(none/CCITT G3+G4/LZW/Deflate/PackBits/JPEG decode here)"
         )
     if comp == 7 and planar == 2:
         raise NotImplementedError("planar JPEG-in-TIFF")
@@ -337,6 +343,8 @@ def decode_tiff(b: bytes):
                 data = raw
             elif comp == 5:
                 data = _lzw_decode(raw, expect)
+            elif comp in (8, 32946):  # Adobe/zlib Deflate (r13)
+                data = bounded_inflate(raw, expect, "TIFF Deflate")
             else:
                 data = _packbits_decode(raw, expect)
             if len(data) < expect:
@@ -368,6 +376,8 @@ def decode_tiff(b: bytes):
             data = raw
         elif comp == 5:
             data = _lzw_decode(raw, expect)
+        elif comp in (8, 32946):  # Adobe/zlib Deflate (r13)
+            data = bounded_inflate(raw, expect, "TIFF Deflate")
         else:
             data = _packbits_decode(raw, expect)
         if len(data) < expect:
@@ -527,7 +537,7 @@ def encode_tiff(
         raise ValueError("expected (H,W) or (H,W,3) uint8 array")
     comp_code = {
         "none": 1, "ccittrle": 2, "g3": 3, "g3-2d": 3, "g4": 4,
-        "lzw": 5, "jpeg": 7, "packbits": 32773,
+        "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 32773,
     }[compression]
     g3_2d = compression == "g3-2d"
     if comp_code in (2, 3, 4) and not bilevel:
@@ -573,6 +583,10 @@ def encode_tiff(
     def compress(raw: bytes) -> bytes:
         if comp_code == 5:
             return _lzw_encode(raw)
+        if comp_code == 8:
+            import zlib
+
+            return zlib.compress(raw)
         if comp_code == 32773:
             return _packbits_encode(raw)
         return raw

@@ -358,3 +358,46 @@ class TestJpegInTiff:
         blob[i257 + 8 : i257 + 12] = st.pack("<I", 4)
         with pytest.raises(ValueError, match="expected"):
             decode_tiff(bytes(blob))
+
+
+class TestDeflate:
+    """Round 13: TIFF Deflate (8 / its Adobe twin 32946) — rides the
+    shared bounded_inflate, so bombs are budget-bounded for free."""
+
+    @pytest.mark.parametrize("depth", [8, 16])
+    def test_roundtrip_strips_and_tiles(self, depth):
+        rng = np.random.default_rng(77)
+        g = rng.integers(0, 256, (14, 9), dtype=np.uint8)
+        for kw in ({"rows_per_strip": 5}, {"tile": (8, 8)}):
+            blob = encode_tiff(g, compression="deflate",
+                               sample_depth=depth, **kw)
+            w, h, ch, s = decode_tiff(blob)
+            assert (np.frombuffer(s, np.uint8).reshape(14, 9) == g).all()
+
+    def test_adobe_code_32946_decodes_too(self):
+        g = np.arange(36, dtype=np.uint8).reshape(6, 6)
+        blob = bytearray(encode_tiff(g, compression="deflate"))
+        import struct as st
+
+        i = blob.find(st.pack("<HH", 259, 3))
+        blob[i + 8 : i + 10] = st.pack("<H", 32946)
+        w, h, ch, s = decode_tiff(bytes(blob))
+        assert (np.frombuffer(s, np.uint8).reshape(6, 6) == g).all()
+
+    def test_deflate_bomb_bounded(self):
+        import struct as st
+        import zlib as z
+
+        g = np.zeros((4, 4), dtype=np.uint8)
+        blob = bytearray(encode_tiff(g, compression="deflate"))
+        # swap the strip for a bomb and fix the byte count
+        bomb = z.compress(b"\x00" * (32 * 1024 * 1024), 9)
+        i279 = blob.find(st.pack("<HH", 279, 4))
+        (old_cnt,) = st.unpack("<I", blob[i279 + 8 : i279 + 12])
+        i273 = blob.find(st.pack("<HH", 273, 4))
+        (off,) = st.unpack("<I", blob[i273 + 8 : i273 + 12])
+        out = bytes(blob[:off]) + bomb
+        out = bytearray(out)
+        out[i279 + 8 : i279 + 12] = st.pack("<I", len(bomb))
+        with pytest.raises(ValueError, match="budget"):
+            decode_tiff(bytes(out))
