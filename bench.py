@@ -84,6 +84,11 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 GATE_QUERIES = [
     "optimal_k", "result_docs", "cluster_fit", "media_metadata",
     "warc_crawl",
+    # round 13: the planted-k tuner gate runs 3 algorithms x 7 k x 3
+    # seeds per segment — the same per-Arrow-task sweep optimal_k
+    # runs, now hash-gated; track it so a sweep-kernel regression is
+    # attributed here, not smeared into gate wall-clock
+    "tune_k_planted",
 ]
 GATE_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_GATE_RUNS", "3")))
 

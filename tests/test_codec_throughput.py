@@ -29,6 +29,9 @@ FLOORS = {
     "jpeg_baseline": 0.10,
     "jpeg_progressive": 0.05,
     "ccitt_g4": 0.4,
+    "ccitt_g3_2d": 0.3,
+    "jpeg_lossless": 0.02,
+    "tiff_deflate": 3.0,
     "pdf_text_extract": 0.3,
 }
 

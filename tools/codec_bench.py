@@ -105,6 +105,32 @@ def bench_all() -> dict[str, dict]:
         lambda: decode_g4(g4, 1728, 256), page.nbytes
     )
 
+    # CCITT G3-2D (round 13): same band through the MR tagged rows
+    from clustering_spark.operators.ccitt import (
+        decode_g3_2d,
+        encode_g3_2d,
+    )
+
+    g32 = encode_g3_2d(page, k=2)
+    out["ccitt_g3_2d"] = _timed(
+        lambda: decode_g3_2d(g32, 1728, 256), page.nbytes
+    )
+
+    # lossless JPEG (round 13): per-sample Huffman+predictor loop
+    from clustering_spark.operators.jpeg import encode_lossless
+
+    ll_src = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    ll = encode_lossless(ll_src, predictor=4)
+    out["jpeg_lossless"] = _timed(
+        lambda: decode_baseline(ll), ll_src.nbytes
+    )
+
+    # TIFF Deflate (round 13): bounded_inflate path (zlib-speed)
+    df_blob = encode_tiff(gray, compression="deflate")
+    out["tiff_deflate"] = _timed(
+        lambda: decode_tiff(df_blob), gray.nbytes
+    )
+
     # PDF text: 40-page flate document through the xref + content walk
     pages = [
         f"Page {i}: " + " ".join(f"word{j}" for j in range(200))
