@@ -1,0 +1,149 @@
+"""Image-text pair construction from crawl HTML — the stage that
+turns a web crawl into multimodal (CLIP/LAION-style) training data:
+every ``<img>`` tag's ``src`` resolves against its page URL and joins
+to the crawled image blob, with the ``alt`` text (plus optional
+``title``) as the caption candidate.
+
+Spark-first shape: tag extraction is a native
+``regexp_extract_all`` + ``explode`` projection (scan-speed JVM
+expressions — the HTML column is read once and only (page_url,
+resolved_url, alt) rows leave the scan), and pairing is a plain
+equi-join on the resolved URL — broadcastable when the image side is
+the smaller relation, AQE-planned otherwise. No Python in the path.
+
+URL resolution covers the four layouts crawl HTML actually carries
+(absolute, protocol-relative, root-relative, path-relative) with the
+page URL as base; ``data:`` URIs and empty srcs are dropped. This is
+deliberately RFC-3986-lite: no ``..`` normalization (a segment-wise
+normalizer needs per-row recursion; near-dup dedup downstream
+collapses the aliases this creates), stated here.
+
+The reference system (ykursadkaya/Clustering) has no multimodal
+surface; this module belongs to the LLM-pipeline extension
+(SURVEY.md "beyond the reference" set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one <img ...> tag, case-insensitive; [^>]* keeps the scan linear
+_IMG_TAG = r"(?i)<img\b[^>]*>"
+# src/alt/title attribute values, quoted either way; src additionally
+# in the unquoted form old/generated HTML carries (value runs to the
+# next whitespace or tag close)
+_SRC = r"""(?i)\bsrc\s*=\s*["']([^"']+)["']"""
+_SRC_UNQ = r"""(?i)\bsrc\s*=\s*([^\s>"']+)"""
+_ALT = r"""(?i)\balt\s*=\s*["']([^"']*)["']"""
+_TITLE = r"""(?i)\btitle\s*=\s*["']([^"']*)["']"""
+
+
+def _resolve_url(base: Column, src: Column) -> Column:
+    """Resolve ``src`` against page URL ``base`` — the four layouts
+    of crawl HTML: absolute, scheme-relative (//host/..),
+    root-relative (/path), path-relative."""
+    scheme = F.regexp_extract(base, r"^(https?):", 1)
+    origin = F.regexp_extract(base, r"^(https?://[^/]+)", 1)
+    # base directory: page URL through the last '/' PAST the origin;
+    # a bare http://host has no path slash, so fall back to origin/
+    base_dir = F.regexp_extract(base, r"^(https?://[^/]+(?:/[^?#]*)?/)", 1)
+    base_dir = F.when(base_dir == "", F.concat(origin, F.lit("/"))).otherwise(
+        base_dir
+    )
+    return (
+        F.when(src.rlike(r"^https?://"), src)
+        .when(src.startswith("//"), F.concat(scheme, F.lit(":"), src))
+        .when(src.startswith("/"), F.concat(origin, src))
+        .otherwise(F.concat(base_dir, src))
+    )
+
+
+def extract_image_refs(
+    df: DataFrame, html_col: str, url_col: str
+) -> DataFrame:
+    """One row per ``<img>`` tag across every page: (page_url,
+    img_src, resolved_url, alt_text). ``alt_text`` coalesces alt then
+    title and is NULL when neither exists (an honest no-caption row,
+    not an empty string); data: URIs and srcless tags are dropped.
+    Pure native expressions — the plan is a single projected scan
+    with a generate, no shuffle, no Python."""
+    tags = df.select(
+        F.col(url_col).alias("page_url"),
+        # lit-pattern form, NOT an F.expr SQL string: SQL literals eat
+        # the \b escape before the regex engine sees it
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(_IMG_TAG), F.lit(0)
+            )
+        ).alias("__tag"),
+    )
+    src_q = F.regexp_extract(F.col("__tag"), _SRC, 1)
+    src_u = F.regexp_extract(F.col("__tag"), _SRC_UNQ, 1)
+    # quoted form wins; &amp; un-escapes because the join key is the
+    # FETCHED URL (WARC-Target-URI carries the decoded ampersand)
+    src = F.replace(
+        F.when(src_q != "", src_q).otherwise(src_u),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    alt = F.regexp_extract(F.col("__tag"), _ALT, 1)
+    title = F.regexp_extract(F.col("__tag"), _TITLE, 1)
+    has_alt = F.col("__tag").rlike(_ALT)
+    has_title = F.col("__tag").rlike(_TITLE)
+    return (
+        tags.select(
+            "page_url",
+            src.alias("img_src"),
+            F.when(has_alt, alt)
+            .when(has_title, title)
+            .otherwise(F.lit(None).cast("string"))
+            .alias("alt_text"),
+        )
+        .filter(
+            (F.col("img_src") != "")
+            & ~F.col("img_src").startswith("data:")
+        )
+        .withColumn(
+            "resolved_url",
+            _resolve_url(F.col("page_url"), F.col("img_src")),
+        )
+    )
+
+
+def image_text_pairs(
+    pages: DataFrame,
+    media: DataFrame,
+    html_col: str = "text",
+    page_url_col: str = "url",
+    media_url_col: str = "url",
+    media_bin_col: str = "body",
+    require_caption: bool = True,
+) -> DataFrame:
+    """The pairing join: ``pages`` (page_url + raw HTML) x ``media``
+    (fetched blobs keyed by URL) -> one row per matched reference:
+    (page_url, resolved_url, alt_text, blob). ``require_caption``
+    drops NULL/whitespace captions — a CLIP-style corpus wants text;
+    set False for image-harvest inventories.
+
+    Scale note: only (page_url, resolved_url, alt) rides the join
+    from the HTML side; the blob column comes from the media side's
+    scan and is never duplicated per page (a URL referenced by many
+    pages joins to many caption rows — near-dup/exact dedup
+    downstream collapses them, same doctrine as text)."""
+    refs = extract_image_refs(pages, html_col, page_url_col)
+    if require_caption:
+        refs = refs.filter(
+            F.col("alt_text").isNotNull()
+            & (F.trim(F.col("alt_text")) != "")
+        )
+    m = media.select(
+        F.col(media_url_col).alias("resolved_url"),
+        F.col(media_bin_col).alias("blob"),
+    )
+    return refs.join(m, on="resolved_url").select(
+        "page_url", "resolved_url", "alt_text", "blob"
+    )
+
+
+__all__ = ["extract_image_refs", "image_text_pairs"]

@@ -1,0 +1,186 @@
+"""Image-text pair construction (operators/pairing.py): tag
+extraction, URL resolution layouts, caption fallback, the pairing
+join, and the crawl capstone composition with media near-dup
+survivors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clustering_spark.operators.pairing import (
+    extract_image_refs,
+    image_text_pairs,
+)
+
+
+class TestExtractRefs:
+    def test_attribute_orders_and_quotes(self, spark):
+        html = (
+            '<p>x</p><img src="a.png" alt="first cat">'
+            "<IMG ALT='second dog' SRC='/imgs/b.jpg'>"
+            '<img class="x" src="//cdn.example/c.gif" title="third">'
+            '<img src="https://other.example/d.png">'
+            '<img src="data:image/png;base64,AAAA" alt="inline">'
+            "<img alt='no src at all'>"
+        )
+        df = spark.createDataFrame(
+            [("http://site.example/dir/page.html", html)], "url string, text string"
+        )
+        out = (
+            extract_image_refs(df, "text", "url")
+            .toPandas()
+            .set_index("img_src")
+        )
+        assert len(out) == 4  # data: and srcless dropped
+        assert out.loc["a.png", "resolved_url"] == (
+            "http://site.example/dir/a.png"
+        )
+        assert out.loc["a.png", "alt_text"] == "first cat"
+        assert out.loc["/imgs/b.jpg", "resolved_url"] == (
+            "http://site.example/imgs/b.jpg"
+        )
+        assert out.loc["/imgs/b.jpg", "alt_text"] == "second dog"
+        # protocol-relative inherits the page scheme; title is the
+        # caption fallback
+        assert out.loc["//cdn.example/c.gif", "resolved_url"] == (
+            "http://cdn.example/c.gif"
+        )
+        assert out.loc["//cdn.example/c.gif", "alt_text"] == "third"
+        assert out.loc["https://other.example/d.png", "resolved_url"] == (
+            "https://other.example/d.png"
+        )
+        # no alt, no title -> NULL caption, never empty string
+        assert out.loc["https://other.example/d.png", "alt_text"] is None
+
+    def test_bare_host_page_resolves_relative(self, spark):
+        df = spark.createDataFrame(
+            [("https://host.example", '<img src="x.png" alt="a">')],
+            "url string, text string",
+        )
+        row = extract_image_refs(df, "text", "url").collect()[0]
+        assert row.resolved_url == "https://host.example/x.png"
+
+    def test_query_string_not_part_of_base_dir(self, spark):
+        df = spark.createDataFrame(
+            [(
+                "http://h.example/a/b.html?q=/evil/",
+                '<img src="r.png" alt="a">',
+            )],
+            "url string, text string",
+        )
+        row = extract_image_refs(df, "text", "url").collect()[0]
+        assert row.resolved_url == "http://h.example/a/r.png"
+
+    def test_plan_is_single_scan_no_shuffle(self, spark):
+        from clustering_spark.plans import count_shuffles
+
+        df = spark.createDataFrame(
+            [("http://x/", "<img src='a' alt='b'>")],
+            "url string, text string",
+        )
+        assert count_shuffles(extract_image_refs(df, "text", "url")) == 0
+
+
+class TestPairing:
+    def test_join_matches_blobs_and_caption_gate(self, spark):
+        pages = spark.createDataFrame(
+            [
+                (
+                    "http://s.example/p1",
+                    '<img src="/i/cat.png" alt="a cat photo">'
+                    '<img src="/i/missing.png" alt="gone">'
+                    '<img src="/i/dog.png">',
+                ),
+            ],
+            "url string, text string",
+        )
+        media = spark.createDataFrame(
+            [
+                ("http://s.example/i/cat.png", b"CATBYTES"),
+                ("http://s.example/i/dog.png", b"DOGBYTES"),
+            ],
+            "url string, body binary",
+        )
+        pairs = image_text_pairs(pages, media).toPandas()
+        # dog has no caption (require_caption=True), missing has no blob
+        assert len(pairs) == 1
+        assert pairs.alt_text[0] == "a cat photo"
+        assert bytes(pairs.blob[0]) == b"CATBYTES"
+
+        inv = image_text_pairs(pages, media, require_caption=False)
+        assert inv.count() == 2  # dog joins with NULL caption
+
+
+def test_crawl_to_image_text_pairs_capstone(spark, tmp_path):
+    """End-to-end: ONE WARC carries HTML pages and the images they
+    reference; the chain yields deduplicated (caption, blob) training
+    pairs — extract refs from the HTML leg, join blobs by resolved
+    URL, collapse perceptual dups via media_survivors."""
+    from clustering_spark.operators.png import encode_png
+    from clustering_spark.sources.warc_source import (
+        make_http_response,
+        make_warc,
+        read_warc,
+        warc_responses,
+    )
+    from clustering_spark.trainprep import media_survivors
+
+    rng = np.random.default_rng(23)
+    pixels = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    img_a = encode_png(pixels, filter_type=0)
+    img_a2 = encode_png(pixels, filter_type=2)  # same pixels, new bytes
+    page = (
+        "<html><body>"
+        '<img src="/i/a.png" alt="mountain lake at dawn">'
+        '<img src="/i/a2.png" alt="the same lake again">'
+        "</body></html>"
+    ).encode()
+    records = [
+        ("response", "http://s.example/page", make_http_response(page)),
+        ("response", "http://s.example/i/a.png",
+         make_http_response(img_a, content_type="image/png")),
+        ("response", "http://s.example/i/a2.png",
+         make_http_response(img_a2, content_type="image/png")),
+    ]
+    (tmp_path / "pairs-0.warc").write_bytes(make_warc(records))
+    resp = warc_responses(read_warc(spark, str(tmp_path)))
+
+    pages = resp.filter(
+        F.col("http_content_type").startswith("text/html")
+    ).select("url", "text")
+    media = resp.filter(
+        F.col("http_content_type").startswith("image/")
+    ).select("url", "record_idx", "body")
+
+    # perceptual dedup FIRST: a2 collapses into a (same dHash), so
+    # only one blob survives into pairing
+    kept = media_survivors(media, "body", "record_idx")
+    pairs = image_text_pairs(pages, kept).toPandas()
+    assert len(pairs) == 1
+    assert pairs.resolved_url[0] == "http://s.example/i/a.png"
+    assert pairs.alt_text[0] == "mountain lake at dawn"
+    assert bytes(pairs.blob[0]) == img_a
+
+
+def test_unquoted_src_and_entity_unescape(spark):
+    """Old/generated HTML: unquoted src attributes and &amp;-escaped
+    query strings — both must land on the FETCHED URL form."""
+    html = (
+        "<img src=imgs/u.png alt='plain'>"
+        '<img src="/q.png?a=1&amp;b=2" alt="ent">'
+    )
+    df = spark.createDataFrame(
+        [("http://h.example/d/p.html", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas().set_index(
+        "alt_text"
+    )
+    assert out.loc["plain", "resolved_url"] == (
+        "http://h.example/d/imgs/u.png"
+    )
+    assert out.loc["ent", "resolved_url"] == (
+        "http://h.example/q.png?a=1&b=2"
+    )
