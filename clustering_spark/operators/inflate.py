@@ -12,14 +12,17 @@ import zlib
 
 
 def bounded_inflate(
-    data: bytes, budget: int, what: str = "deflate"
+    data: bytes, budget: int, what: str = "deflate", wbits: int = 15
 ) -> bytes:
     """Inflate ``data``, never allocating more than ``budget`` output
     bytes (+1 for overflow detection). Raises ValueError when the
     stream is malformed, truncated, or would produce more than
     ``budget`` bytes. Trailing bytes after a complete stream are
-    ignored, matching ``zlib.decompress``."""
-    d = zlib.decompressobj()
+    ignored, matching ``zlib.decompress``. ``wbits`` follows zlib's
+    convention: 15 = zlib wrapper (the default), 31 = gzip wrapper,
+    -15 = raw deflate (the three framings HTTP Content-Encoding
+    actually ships)."""
+    d = zlib.decompressobj(wbits)
     out = bytearray()
     buf = data
     try:

@@ -41,6 +41,10 @@ WARC_SCHEMA = (
 
 _CRLF2 = b"\r\n\r\n"
 
+# budget for undoing HTTP Content-Encoding on one response body —
+# allocation-bounded via bounded_inflate, same posture as the codecs
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
 
 def _parse_warc_bytes(raw: bytes):
     """Yield (warc_type, url, date, record_id, content_type, payload)
@@ -171,6 +175,33 @@ def warc_responses(records: DataFrame) -> DataFrame:
         "http_status", "http_content_type", "body", "text",
     ]
 
+    from clustering_spark.operators.inflate import bounded_inflate
+
+    def _decode_body(body: bytes, cenc: bytes) -> bytes:
+        """Undo HTTP Content-Encoding (the wire reality of crawls
+        that store raw responses): gzip and both deflate framings
+        (zlib-wrapped and the raw streams some servers ship),
+        budget-bounded so a hostile 1000:1 body cannot hold the task.
+        Any failure keeps the RAW body — degrade, never batch-fail."""
+        try:
+            if cenc in (b"gzip", b"x-gzip"):
+                return bounded_inflate(
+                    body, MAX_BODY_BYTES, "gzip body", wbits=31
+                )
+            if cenc == b"deflate":
+                try:
+                    return bounded_inflate(
+                        body, MAX_BODY_BYTES, "deflate body", wbits=15
+                    )
+                except ValueError:
+                    return bounded_inflate(
+                        body, MAX_BODY_BYTES, "raw-deflate body",
+                        wbits=-15,
+                    )
+        except ValueError:
+            pass
+        return body
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
@@ -185,11 +216,19 @@ def warc_responses(records: DataFrame) -> DataFrame:
                         parts = head[0].split()
                         if len(parts) >= 2 and parts[1].isdigit():
                             status = int(parts[1])
+                        cenc = b""
                         for line in head[1:]:
                             k, sep, v = line.partition(b":")
-                            if sep and k.strip().lower() == b"content-type":
+                            if not sep:
+                                continue
+                            key = k.strip().lower()
+                            if key == b"content-type":
                                 ctype = v.strip().decode("utf-8", "replace")
+                            elif key == b"content-encoding":
+                                cenc = v.strip().lower()
                         body = payload[split + 4 :]
+                        if cenc:
+                            body = _decode_body(body, cenc)
                 out.append(
                     {
                         "file": row.file,

@@ -315,3 +315,87 @@ def test_midstream_deflate_corruption_degrades_not_fails(spark, tmp_path):
     rows = read_warc(spark, str(tmp_path)).collect()
     assert len(rows) >= 1
     assert any(r["warc_type"] == "corrupt" for r in rows)
+
+
+class TestContentEncoding:
+    """Round 13: crawls that store RAW responses carry
+    Content-Encoding bodies — warc_responses must undo gzip and both
+    deflate framings (budget-bounded), and keep the raw body when
+    the encoding lies."""
+
+    def _resp(self, body, cenc, ctype="text/html; charset=utf-8"):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Encoding: {cenc}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+    def test_gzip_deflate_and_raw_deflate_bodies(self, spark, tmp_path):
+        import gzip as _gzip
+        import zlib as _z
+
+        html = b"<html><body><p>compressed prose here</p></body></html>"
+        records = [
+            ("response", "http://e.example/gz",
+             self._resp(_gzip.compress(html), "gzip")),
+            ("response", "http://e.example/zlib",
+             self._resp(_z.compress(html), "deflate")),
+            ("response", "http://e.example/raw",
+             self._resp(_z.compressobj(wbits=-15).compress(html)
+                        + _z.compressobj(wbits=-15).flush(), "deflate")),
+            ("response", "http://e.example/lying",
+             self._resp(b"not actually gzip", "gzip")),
+            ("response", "http://e.example/plain",
+             self._resp(html, "identity")),
+        ]
+        # raw-deflate needs one compressor object
+        c = _z.compressobj(wbits=-15)
+        raw_deflate = c.compress(html) + c.flush()
+        records[2] = (
+            "response", "http://e.example/raw",
+            self._resp(raw_deflate, "deflate"),
+        )
+        (tmp_path / "ce-0.warc").write_bytes(make_warc(records))
+        out = warc_responses(read_warc(spark, str(tmp_path))).toPandas()
+        byurl = out.set_index("url")
+        for u in ("gz", "zlib", "raw", "plain"):
+            assert bytes(byurl.loc[f"http://e.example/{u}", "body"]) == html, u
+        # a lying header degrades to the raw bytes, never a batch error
+        assert bytes(byurl.loc["http://e.example/lying", "body"]) == (
+            b"not actually gzip"
+        )
+
+    def test_encoded_body_flows_into_crawl_documents(self, spark, tmp_path):
+        import gzip as _gzip
+
+        from clustering_spark.sources.warc_source import crawl_documents
+
+        html = (b"<html><body><p>the gzip page extracts like any "
+                b"other</p></body></html>")
+        (tmp_path / "ce-1.warc").write_bytes(
+            make_warc([
+                ("response", "http://e.example/page",
+                 self._resp(_gzip.compress(html), "gzip")),
+            ])
+        )
+        out = crawl_documents(
+            warc_responses(read_warc(spark, str(tmp_path)))
+        ).collect()
+        assert len(out) == 1
+        assert out[0].doc_kind == "text"
+        assert "gzip page extracts" in out[0].text_plain
+
+    def test_bomb_body_degrades_to_raw(self, spark, tmp_path):
+        import zlib as _z
+
+        bomb = _z.compress(b"\x00" * (80 * 1024 * 1024), 9)
+        (tmp_path / "ce-2.warc").write_bytes(
+            make_warc([
+                ("response", "http://e.example/bomb",
+                 self._resp(bomb, "deflate",
+                            ctype="application/octet-stream")),
+            ])
+        )
+        out = warc_responses(read_warc(spark, str(tmp_path))).collect()
+        # budget exceeded -> raw bytes kept; the task survives
+        assert bytes(out[0].body) == bomb
