@@ -902,6 +902,57 @@ def _decode_lossless_scan(
     return w, h, nc, np.ascontiguousarray(img).tobytes()
 
 
+def exif_orientation(b: bytes) -> int:
+    """EXIF Orientation (tag 274) from the first APP1 segment, 1
+    (upright) when absent or unparseable. The APP1 payload after
+    'Exif\\0\\0' is a complete TIFF byte string, so the TIFF tag
+    reader parses it — two public specs composing, no new parser.
+    Orientation is what makes perceptual dedup of camera uploads
+    work: the same photo shot in portrait stores rotated, and an
+    orientation-blind dHash sees a different image."""
+    if b[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n and b[pos] == 0xFF:
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if marker == 0xDA:  # entropy data: EXIF never sits past SOS
+            break
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if seglen < 2:
+            break
+        if marker == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            from clustering_spark.operators.tiff import _read_tags
+
+            try:
+                tags = _read_tags(b[pos + 10 : pos + 2 + seglen])
+            except ValueError:
+                return 1
+            o = tags.get(274, [1])[0]
+            return o if 1 <= o <= 8 else 1
+        pos += 2 + seglen
+    return 1
+
+
+def exif_app1_segment(orientation: int) -> bytes:
+    """Minimal spec-shaped APP1/EXIF segment carrying just the
+    Orientation tag — fixture for splicing after SOI."""
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)  # IFD at offset 8
+        + struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHIHH", 274, 3, 1, orientation, 0)
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
 # lossless fixture Huffman table: canonical lengths 2,2,2,3..16 for
 # categories 0..16 (Kraft sum 1 - 2^-16 — never an all-ones code)
 _LL_BITS = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1])

@@ -673,6 +673,29 @@ def make_png(
 # ----------------------------------------------------- perceptual hash
 
 
+def _apply_exif_orientation(gray, o: int):
+    """Map stored pixels to the upright view per EXIF Orientation
+    1-8 (PIL exif_transpose table: 2 flip-H, 3 rot180, 4 flip-V,
+    5 transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW)."""
+    import numpy as np
+
+    if o == 2:
+        return gray[:, ::-1]
+    if o == 3:
+        return gray[::-1, ::-1]
+    if o == 4:
+        return gray[::-1, :]
+    if o == 5:
+        return gray.T
+    if o == 6:
+        return np.rot90(gray, k=3)
+    if o == 7:
+        return gray.T[::-1, ::-1]
+    if o == 8:
+        return np.rot90(gray, k=1)
+    return gray
+
+
 def _decode_gray(b: bytes):
     """(H, W) float64 grayscale array for the codec-free formats (FAKE
     container, baseline 8-bit PNG, JPEG, GIF, BMP, TIFF); raises
@@ -694,10 +717,15 @@ def _decode_gray(b: bytes):
         or b[:4] in _TIFF_MAGICS
         or _bmp_sniff(b)
     ):
+        exif_o = 1
         if b[:2] == JPEG_MAGIC:
-            from clustering_spark.operators.jpeg import decode_baseline
+            from clustering_spark.operators.jpeg import (
+                decode_baseline,
+                exif_orientation,
+            )
 
             w, h, ch, samples = decode_baseline(b)
+            exif_o = exif_orientation(b)
         elif b[:6] in (b"GIF87a", b"GIF89a"):
             from clustering_spark.operators.gif import decode_gif
 
@@ -717,12 +745,19 @@ def _decode_gray(b: bytes):
             arr = arr[:, :, : ch - 1]
         # ITU-R BT.601 luma for color; identity for gray
         if arr.shape[2] == 3:
-            return (
+            gray = (
                 0.299 * arr[:, :, 0]
                 + 0.587 * arr[:, :, 1]
                 + 0.114 * arr[:, :, 2]
             )
-        return arr[:, :, 0].astype(np.float64)
+        else:
+            gray = arr[:, :, 0].astype(np.float64)
+        # EXIF orientation normalization (round 13): the same photo
+        # shot in portrait STORES rotated — hashing the stored pixels
+        # misses the duplicate. Only the perceptual path normalizes;
+        # decode_image_meta keeps stored dims (the honest container
+        # view). PIL exif_transpose conventions; np.rot90 is CCW.
+        return _apply_exif_orientation(gray, exif_o)
     raise NotImplementedError(
         "dhash supports the FAKE container, baseline 8-bit PNG, "
         "baseline/progressive JPEG, GIF, BMP, and TIFF "

@@ -379,3 +379,58 @@ class TestLossless:
         blob = encode_lossless(g)
         with pytest.raises(ValueError):
             decode_baseline(blob[: len(blob) - 30])
+
+
+class TestExifOrientation:
+    """Round 13: EXIF Orientation (tag 274) — parsed by composing the
+    APP1 walk with the TIFF tag reader, and normalized in the
+    perceptual-hash path so camera-rotated duplicates collide."""
+
+    def test_reader_and_fixture(self):
+        from clustering_spark.operators.jpeg import (
+            encode_baseline,
+            exif_app1_segment,
+            exif_orientation,
+        )
+
+        base = encode_baseline(np.zeros((8, 8), np.uint8))
+        assert exif_orientation(base) == 1  # absent -> upright
+        for o in range(1, 9):
+            tagged = base[:2] + exif_app1_segment(o) + base[2:]
+            assert exif_orientation(tagged) == o
+        # out-of-range value degrades to upright
+        weird = base[:2] + exif_app1_segment(9) + base[2:]
+        assert exif_orientation(weird) == 1
+        assert exif_orientation(b"\x00\x00nope") == 1
+
+    @pytest.mark.parametrize("o,transform", [
+        (3, lambda a: a[::-1, ::-1]),   # stored rot180
+        (6, lambda a: np.rot90(a, 1)),  # stored 90 CCW, tag says CW
+        (8, lambda a: np.rot90(a, 3)),  # stored 90 CW, tag says CCW
+    ])
+    def test_rotated_duplicate_collides_in_dhash(self, o, transform):
+        from clustering_spark.operators.jpeg import (
+            encode_baseline,
+            exif_app1_segment,
+        )
+        from clustering_spark.operators.multimodal import (
+            _decode_gray,
+            _dhash64,
+        )
+
+        y = np.linspace(0, 220, 24)[:, None]
+        x = np.linspace(0, 90, 36)[None, :]
+        upright = (y + x).astype(np.uint8)
+        plain = encode_baseline(upright)
+        stored = encode_baseline(
+            np.ascontiguousarray(transform(upright))
+        )
+        tagged = stored[:2] + exif_app1_segment(o) + stored[2:]
+        h1 = _dhash64(_decode_gray(plain))
+        h2 = _dhash64(_decode_gray(tagged))
+        ham = bin(h1 ^ h2).count("1")
+        assert ham <= 2, (o, ham)
+        # and WITHOUT the tag the rotated copy does NOT collide —
+        # the normalization is doing the work
+        h3 = _dhash64(_decode_gray(stored))
+        assert bin(h1 ^ h3).count("1") > 8
