@@ -177,6 +177,63 @@ def warc_responses(records: DataFrame) -> DataFrame:
 
     from clustering_spark.operators.inflate import bounded_inflate
 
+    def _dechunk(body: bytes) -> bytes:
+        """Undo Transfer-Encoding: chunked (hex-size lines between
+        chunks — present verbatim in crawls that store the raw wire
+        bytes). Any structural error keeps the RAW body."""
+        out = bytearray()
+        pos = 0
+        n = len(body)
+        try:
+            while pos < n:
+                eol = body.find(b"\r\n", pos)
+                if eol < 0:
+                    return body
+                size_tok = body[pos:eol].split(b";", 1)[0].strip()
+                size = int(size_tok, 16)
+                if size == 0:
+                    break  # trailer section ignored
+                start = eol + 2
+                if start + size > n:
+                    return body
+                out += body[start : start + size]
+                pos = start + size + 2  # skip the chunk's CRLF
+        except ValueError:
+            return body
+        return bytes(out)
+
+    import codecs
+    import re as _re
+
+    ct_charset = _re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I)
+    meta_charset = _re.compile(
+        rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I
+    )
+
+    def _decode_text(body: bytes, ctype: str | None) -> str:
+        """Charset-aware text view: the Content-Type parameter wins,
+        then a <meta charset> sniff over the first 2 KB, then UTF-8 —
+        all with 'replace', so no page can fail the batch. Non-UTF-8
+        pages (latin-1, windows-1251, gbk, shift_jis...) previously
+        decoded as mojibake that poisoned every downstream text
+        stage."""
+        enc = None
+        if ctype:
+            m = ct_charset.search(ctype)
+            if m:
+                enc = m.group(1)
+        if enc is None:
+            m = meta_charset.search(body[:2048])
+            if m:
+                enc = m.group(1).decode("ascii", "replace")
+        if enc:
+            try:
+                codecs.lookup(enc)
+                return body.decode(enc, "replace")
+            except LookupError:
+                pass  # unknown label: fall through to UTF-8
+        return body.decode("utf-8", "replace")
+
     def _decode_body(body: bytes, cenc: bytes) -> bytes:
         """Undo HTTP Content-Encoding (the wire reality of crawls
         that store raw responses): gzip and both deflate framings
@@ -217,6 +274,7 @@ def warc_responses(records: DataFrame) -> DataFrame:
                         if len(parts) >= 2 and parts[1].isdigit():
                             status = int(parts[1])
                         cenc = b""
+                        chunked = False
                         for line in head[1:]:
                             k, sep, v = line.partition(b":")
                             if not sep:
@@ -226,7 +284,12 @@ def warc_responses(records: DataFrame) -> DataFrame:
                                 ctype = v.strip().decode("utf-8", "replace")
                             elif key == b"content-encoding":
                                 cenc = v.strip().lower()
+                            elif key == b"transfer-encoding":
+                                chunked = b"chunked" in v.lower()
                         body = payload[split + 4 :]
+                        # wire order: de-chunk first, then decompress
+                        if chunked:
+                            body = _dechunk(body)
                         if cenc:
                             body = _decode_body(body, cenc)
                 out.append(
@@ -238,7 +301,7 @@ def warc_responses(records: DataFrame) -> DataFrame:
                         "http_status": status,
                         "http_content_type": ctype,
                         "body": body,
-                        "text": body.decode("utf-8", "replace"),
+                        "text": _decode_text(body, ctype),
                     }
                 )
             yield pd.DataFrame(out, columns=cols)

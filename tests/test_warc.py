@@ -399,3 +399,62 @@ class TestContentEncoding:
         out = warc_responses(read_warc(spark, str(tmp_path))).collect()
         # budget exceeded -> raw bytes kept; the task survives
         assert bytes(out[0].body) == bomb
+
+
+class TestWireRealities:
+    """Round 13 continuation: chunked transfer encoding and non-UTF-8
+    charsets — the other two wire layouts raw-stored crawls carry."""
+
+    def test_chunked_body_dechunks(self, spark, tmp_path):
+        html = b"<html><body><p>chunked prose</p></body></html>"
+        chunked = (
+            b"1a\r\n" + html[:26] + b"\r\n"
+            + format(len(html) - 26, "x").encode() + b"\r\n"
+            + html[26:] + b"\r\n0\r\n\r\n"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+        )
+        (tmp_path / "ch-0.warc").write_bytes(
+            make_warc([("response", "http://c.example/x", payload)])
+        )
+        row = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
+        assert bytes(row.body) == html
+        assert "chunked prose" in row.text
+
+    def test_malformed_chunked_keeps_raw(self, spark, tmp_path):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\nZZZ not chunk sizes"
+        )
+        (tmp_path / "ch-1.warc").write_bytes(
+            make_warc([("response", "http://c.example/bad", payload)])
+        )
+        row = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
+        assert bytes(row.body) == b"ZZZ not chunk sizes"
+
+    def test_charset_header_and_meta_sniff(self, spark, tmp_path):
+        latin = "café touché".encode("latin-1")
+        body_hdr = b"<html><body>" + latin + b"</body></html>"
+        body_meta = (
+            b'<html><head><meta charset="windows-1251"></head><body>'
+            + "привет мир".encode("windows-1251") + b"</body></html>"
+        )
+        records = [
+            ("response", "http://c.example/latin",
+             (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+              b"charset=ISO-8859-1\r\n\r\n" + body_hdr)),
+            ("response", "http://c.example/meta",
+             (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              + body_meta)),
+            ("response", "http://c.example/bogus",
+             (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+              b"charset=no-such-charset\r\n\r\n<p>plain ascii</p>")),
+        ]
+        (tmp_path / "cs-0.warc").write_bytes(make_warc(records))
+        out = warc_responses(read_warc(spark, str(tmp_path))).toPandas()
+        t = out.set_index("url").text
+        assert "café touché" in t["http://c.example/latin"]
+        assert "привет мир" in t["http://c.example/meta"]
+        assert "plain ascii" in t["http://c.example/bogus"]  # fallback
