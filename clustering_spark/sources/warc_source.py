@@ -191,12 +191,20 @@ def warc_responses(records: DataFrame) -> DataFrame:
                     return body
                 size_tok = body[pos:eol].split(b";", 1)[0].strip()
                 size = int(size_tok, 16)
+                if size < 0:
+                    # int(b'-5', 16) parses: a negative size would
+                    # slice with a negative stop (appending nearly
+                    # the whole body) AND move pos backwards — the
+                    # crafted-chunk loop/OOM class, rejected outright
+                    return body
                 if size == 0:
                     break  # trailer section ignored
                 start = eol + 2
                 if start + size > n:
                     return body
                 out += body[start : start + size]
+                if len(out) > MAX_BODY_BYTES:
+                    return body  # same budget posture as _decode_body
                 pos = start + size + 2  # skip the chunk's CRLF
         except ValueError:
             return body

@@ -458,3 +458,18 @@ class TestWireRealities:
         assert "café touché" in t["http://c.example/latin"]
         assert "привет мир" in t["http://c.example/meta"]
         assert "plain ascii" in t["http://c.example/bogus"]  # fallback
+
+    def test_negative_chunk_size_keeps_raw(self, spark, tmp_path):
+        """int(b'-5', 16) parses: a crafted negative chunk size must
+        degrade to the raw body, never slice-with-negative-stop or
+        walk pos backwards (the loop/OOM class)."""
+        body = b"-5\r\nABCDEFGH\r\n0\r\n\r\n"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body
+        )
+        (tmp_path / "ch-2.warc").write_bytes(
+            make_warc([("response", "http://c.example/neg", payload)])
+        )
+        row = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
+        assert bytes(row.body) == body
