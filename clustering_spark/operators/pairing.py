@@ -35,6 +35,10 @@ _IMG_TAG = r"(?i)<img\b[^>]*>"
 # next whitespace or tag close)
 _SRC = r"""(?i)\bsrc\s*=\s*["']([^"']+)["']"""
 _SRC_UNQ = r"""(?i)\bsrc\s*=\s*([^\s>"']+)"""
+# lazy-loading idioms: the real URL rides data-src, and srcset-only
+# tags carry candidates as "url descriptor, url descriptor, ..."
+_DATA_SRC = r"""(?i)\bdata-src\s*=\s*["']([^"']+)["']"""
+_SRCSET_FIRST = r"""(?i)\bsrcset\s*=\s*["']\s*([^\s,"']+)"""
 _ALT = r"""(?i)\balt\s*=\s*["']([^"']*)["']"""
 _TITLE = r"""(?i)\btitle\s*=\s*["']([^"']*)["']"""
 
@@ -80,10 +84,20 @@ def extract_image_refs(
     )
     src_q = F.regexp_extract(F.col("__tag"), _SRC, 1)
     src_u = F.regexp_extract(F.col("__tag"), _SRC_UNQ, 1)
-    # quoted form wins; &amp; un-escapes because the join key is the
-    # FETCHED URL (WARC-Target-URI carries the decoded ampersand)
+    data_src = F.regexp_extract(F.col("__tag"), _DATA_SRC, 1)
+    srcset1 = F.regexp_extract(F.col("__tag"), _SRCSET_FIRST, 1)
+    # precedence: quoted src, unquoted src, the lazy-load data-src,
+    # then the first srcset candidate (lazy-loading pages often ship
+    # a 1x1 placeholder in src and the real image elsewhere — prefer
+    # data-src over a placeholder src would be guesswork; taking src
+    # first is the deterministic, documented choice). &amp; un-escapes
+    # because the join key is the FETCHED URL (WARC-Target-URI
+    # carries the decoded ampersand).
     src = F.replace(
-        F.when(src_q != "", src_q).otherwise(src_u),
+        F.when(src_q != "", src_q)
+        .when(src_u != "", src_u)
+        .when(data_src != "", data_src)
+        .otherwise(srcset1),
         F.lit("&amp;"),
         F.lit("&"),
     )

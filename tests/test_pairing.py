@@ -184,3 +184,30 @@ def test_unquoted_src_and_entity_unescape(spark):
     assert out.loc["ent", "resolved_url"] == (
         "http://h.example/q.png?a=1&b=2"
     )
+
+
+def test_lazyload_data_src_and_srcset_fallbacks(spark):
+    """Modern lazy-loading markup: the real URL rides data-src or
+    srcset while src is absent (or absent entirely)."""
+    html = (
+        '<img data-src="/lazy/a.png" alt="lazy one">'
+        '<img srcset="/set/b-480.png 480w, /set/b-800.png 800w"'
+        ' alt="from srcset">'
+        '<img src="/plain/c.png" data-src="/lazy/ignored.png"'
+        ' alt="src wins">'
+    )
+    df = spark.createDataFrame(
+        [("http://h.example/p", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas().set_index(
+        "alt_text"
+    )
+    assert out.loc["lazy one", "resolved_url"] == (
+        "http://h.example/lazy/a.png"
+    )
+    assert out.loc["from srcset", "resolved_url"] == (
+        "http://h.example/set/b-480.png"
+    )
+    assert out.loc["src wins", "resolved_url"] == (
+        "http://h.example/plain/c.png"
+    )
