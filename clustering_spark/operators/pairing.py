@@ -125,6 +125,65 @@ def extract_image_refs(
     )
 
 
+_FIGURE = r"(?is)<figure\b[^>]*>.*?</figure>"
+_FIGCAPTION = r"(?is)<figcaption\b[^>]*>(.*?)</figcaption>"
+
+
+def extract_figure_captions(
+    df: DataFrame, html_col: str, url_col: str
+) -> DataFrame:
+    """(page_url, resolved_url, figcaption) for every ``<figure>``
+    that wraps an ``<img>`` and a ``<figcaption>`` — the
+    author-written caption, a far stronger text signal than alt
+    attributes. Figure blocks extract with a non-greedy dotall
+    regexp (bounded per block), the img src resolves with the same
+    rules as extract_image_refs, and the caption body passes through
+    strip_html so nested markup becomes plain text. Still a single
+    projected scan + generate, no Python."""
+    from clustering_spark.operators.textnorm import strip_html
+
+    figs = df.select(
+        F.col(url_col).alias("page_url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(_FIGURE), F.lit(0)
+            )
+        ).alias("__fig"),
+    )
+    src_q = F.regexp_extract(F.col("__fig"), _SRC, 1)
+    src_u = F.regexp_extract(F.col("__fig"), _SRC_UNQ, 1)
+    data_src = F.regexp_extract(F.col("__fig"), _DATA_SRC, 1)
+    srcset1 = F.regexp_extract(F.col("__fig"), _SRCSET_FIRST, 1)
+    src = F.replace(
+        F.when(src_q != "", src_q)
+        .when(src_u != "", src_u)
+        .when(data_src != "", data_src)
+        .otherwise(srcset1),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    cap_raw = F.regexp_extract(F.col("__fig"), _FIGCAPTION, 1)
+    return (
+        figs.select(
+            "page_url",
+            src.alias("__src"),
+            strip_html(cap_raw).alias("figcaption"),
+        )
+        .filter(
+            (F.col("__src") != "")
+            & ~F.col("__src").startswith("data:")
+            & (F.trim(F.col("figcaption")) != "")
+        )
+        .select(
+            "page_url",
+            _resolve_url(F.col("page_url"), F.col("__src")).alias(
+                "resolved_url"
+            ),
+            "figcaption",
+        )
+    )
+
+
 def image_text_pairs(
     pages: DataFrame,
     media: DataFrame,
@@ -133,6 +192,7 @@ def image_text_pairs(
     media_url_col: str = "url",
     media_bin_col: str = "body",
     require_caption: bool = True,
+    use_figcaptions: bool = True,
 ) -> DataFrame:
     """The pairing join: ``pages`` (page_url + raw HTML) x ``media``
     (fetched blobs keyed by URL) -> one row per matched reference:
@@ -146,6 +206,22 @@ def image_text_pairs(
     pages joins to many caption rows — near-dup/exact dedup
     downstream collapses them, same doctrine as text)."""
     refs = extract_image_refs(pages, html_col, page_url_col)
+    if use_figcaptions:
+        # author-written figcaptions upgrade alt text where present;
+        # min() makes a multiply-captioned URL deterministic
+        caps = (
+            extract_figure_captions(pages, html_col, page_url_col)
+            .groupBy("page_url", "resolved_url")
+            .agg(F.min("figcaption").alias("__figcap"))
+        )
+        refs = (
+            refs.join(caps, on=["page_url", "resolved_url"], how="left")
+            .withColumn(
+                "alt_text",
+                F.coalesce(F.col("__figcap"), F.col("alt_text")),
+            )
+            .drop("__figcap")
+        )
     if require_caption:
         refs = refs.filter(
             F.col("alt_text").isNotNull()
@@ -160,4 +236,8 @@ def image_text_pairs(
     )
 
 
-__all__ = ["extract_image_refs", "image_text_pairs"]
+__all__ = [
+    "extract_image_refs",
+    "extract_figure_captions",
+    "image_text_pairs",
+]

@@ -211,3 +211,42 @@ def test_lazyload_data_src_and_srcset_fallbacks(spark):
     assert out.loc["src wins", "resolved_url"] == (
         "http://h.example/plain/c.png"
     )
+
+
+def test_figcaption_upgrades_alt(spark):
+    """Author-written figcaptions beat alt text; pages without
+    figures keep the alt path untouched."""
+    from clustering_spark.operators.pairing import (
+        extract_figure_captions,
+    )
+
+    html = (
+        "<figure><img src='/i/fig.png' alt='thumb'>"
+        "<figcaption>A <b>tall</b> ship leaving harbor at dusk"
+        "</figcaption></figure>"
+        '<img src="/i/plain.png" alt="just alt">'
+    )
+    pages = spark.createDataFrame(
+        [("http://f.example/p", html)], "url string, text string"
+    )
+    caps = extract_figure_captions(pages, "text", "url").toPandas()
+    assert len(caps) == 1
+    assert caps.figcaption[0] == "A tall ship leaving harbor at dusk"
+    assert caps.resolved_url[0] == "http://f.example/i/fig.png"
+
+    media = spark.createDataFrame(
+        [
+            ("http://f.example/i/fig.png", b"FIG"),
+            ("http://f.example/i/plain.png", b"PLAIN"),
+        ],
+        "url string, body binary",
+    )
+    pairs = image_text_pairs(pages, media).toPandas().set_index(
+        "resolved_url"
+    )
+    assert pairs.loc["http://f.example/i/fig.png", "alt_text"] == (
+        "A tall ship leaving harbor at dusk"
+    )
+    assert pairs.loc["http://f.example/i/plain.png", "alt_text"] == (
+        "just alt"
+    )
