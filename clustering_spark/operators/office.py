@@ -41,6 +41,8 @@ import struct
 import zipfile
 from xml.etree import ElementTree
 
+from clustering_spark.operators.errors import EncryptedContainerError
+
 MAX_MEMBER_BYTES = 64 * 1024 * 1024
 MAX_TEXT_BYTES = 64 * 1024 * 1024
 
@@ -69,7 +71,9 @@ def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
     try:
         info = zf.getinfo(name)
         if info.flag_bits & 0x1:
-            raise ValueError(f"encrypted ZIP member {name}")
+            raise EncryptedContainerError(
+                f"encrypted ZIP member {name}"
+            )
         if info.file_size > MAX_MEMBER_BYTES:
             raise ValueError(f"ZIP member {name} exceeds read budget")
         # open/read re-parse the LOCAL header and inflate — both can
@@ -189,12 +193,29 @@ def extract_xlsx_text(b: bytes) -> str:
             runs = [t.text for t in si.iter(ns + "t") if t.text]
             if runs:
                 lines.append("".join(runs))
-    sheets = sorted(
+    # sheet part names are ARBITRARY per the spec (resolved via
+    # workbook rels) — sheetN.xml is only the common convention.
+    # Walk conventionally-named parts first in numeric order (stable
+    # output for the usual case), then every other xl/worksheets/
+    # *.xml member lexicographically, so a generator that names its
+    # parts differently still yields its inline strings (round-13
+    # advisor finding — the exact bug class the inline-string fix
+    # addressed).
+    conv = sorted(
         (int(m.group(1)), n)
         for n in names
         if (m := _SHEET_RE.match(n))
     )
-    for _num, name in sheets:
+    conv_names = [n for _num, n in conv]
+    extra = sorted(
+        n
+        for n in names
+        if n.startswith("xl/worksheets/")
+        and n.endswith(".xml")
+        and n.count("/") == 2
+        and n not in set(conv_names)
+    )
+    for name in conv_names + extra:
         root = _parse_xml(_read_member(zf, name))
         for is_el in root.iter(ns + "is"):
             runs = [t.text for t in is_el.iter(ns + "t") if t.text]
@@ -318,13 +339,12 @@ def office_text(df, bin_col: str, id_col: str):
                                 extract_office_text(b)
                             )
                             row["status"] = "ok"
-                        except ValueError as e:
+                        except EncryptedContainerError:
                             row["kind"] = "zip"
-                            row["status"] = (
-                                "encrypted"
-                                if "encrypted" in str(e)
-                                else "corrupt"
-                            )
+                            row["status"] = "encrypted"
+                        except ValueError:
+                            row["kind"] = "zip"
+                            row["status"] = "corrupt"
                     elif b[: len(RTF_MAGIC)] == RTF_MAGIC:
                         row["kind"] = "rtf"
                         try:

@@ -32,15 +32,19 @@ from pyspark.sql import functions as F
 _IMG_TAG = r"(?i)<img\b[^>]*>"
 # src/alt/title attribute values, quoted either way; src additionally
 # in the unquoted form old/generated HTML carries (value runs to the
-# next whitespace or tag close)
-_SRC = r"""(?i)\bsrc\s*=\s*["']([^"']+)["']"""
-_SRC_UNQ = r"""(?i)\bsrc\s*=\s*([^\s>"']+)"""
+# next whitespace or tag close). Attribute names anchor with
+# (?<![-\w]) — NOT \b — because \b matches after a hyphen, so a bare
+# \bsrc= would also hit the `src=` inside `data-src=` and make the
+# documented precedence (src first, data-src only as fallback) depend
+# on attribute ORDER (round-13 advisor finding, medium).
+_SRC = r"""(?i)(?<![-\w])src\s*=\s*["']([^"']+)["']"""
+_SRC_UNQ = r"""(?i)(?<![-\w])src\s*=\s*([^\s>"']+)"""
 # lazy-loading idioms: the real URL rides data-src, and srcset-only
 # tags carry candidates as "url descriptor, url descriptor, ..."
-_DATA_SRC = r"""(?i)\bdata-src\s*=\s*["']([^"']+)["']"""
-_SRCSET_FIRST = r"""(?i)\bsrcset\s*=\s*["']\s*([^\s,"']+)"""
-_ALT = r"""(?i)\balt\s*=\s*["']([^"']*)["']"""
-_TITLE = r"""(?i)\btitle\s*=\s*["']([^"']*)["']"""
+_DATA_SRC = r"""(?i)(?<![-\w])data-src\s*=\s*["']([^"']+)["']"""
+_SRCSET_FIRST = r"""(?i)(?<![-\w])srcset\s*=\s*["']\s*([^\s,"']+)"""
+_ALT = r"""(?i)(?<![-\w])alt\s*=\s*["']([^"']*)["']"""
+_TITLE = r"""(?i)(?<![-\w])title\s*=\s*["']([^"']*)["']"""
 
 
 def _resolve_url(base: Column, src: Column) -> Column:

@@ -26,6 +26,7 @@ import re
 import struct
 import zlib
 
+from clustering_spark.operators.errors import EncryptedContainerError
 from clustering_spark.operators.inflate import bounded_inflate
 
 # parse budgets: crafted PDFs must not hold a task hostage
@@ -789,7 +790,9 @@ def extract_pdf_text(
     if doc is None:
         doc = PdfDocument(b)
     if doc.is_encrypted():
-        raise ValueError("encrypted PDF: content streams are ciphertext")
+        raise EncryptedContainerError(
+            "encrypted PDF: content streams are ciphertext"
+        )
     good = bad = 0
     parts: list[str] = []
     total = 0

@@ -155,8 +155,13 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     # the exact inflated size is known from the geometry — h filtered
     # rows of (stride + 1 filter byte), summed per pass under Adam7 —
     # so inflation is bounded BEFORE allocation (a 1x1 IHDR riding a
-    # 200 MB-inflating IDAT is a bomb, not an image) and a stream
-    # carrying more data than the image geometry admits is rejected
+    # 200 MB-inflating IDAT is a bomb, not an image). The budget
+    # carries a SMALL slack above the geometric count — libpng
+    # tolerates modest trailing surplus with a warning, and sloppy
+    # real-world encoders do emit a few extra bytes — but a stream
+    # inflating past geometry+slack is a bomb, not slack, and still
+    # raises; only the first `expected` bytes ever reach the
+    # unfilter, so surplus can't change the image
     if interlace == 0:
         expected = h * ((w * ch * depth + 7) // 8 + 1)
     else:
@@ -166,7 +171,10 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
             if (pw := (w - x0 + dx - 1) // dx) > 0
             and (ph := (h - y0 + dy - 1) // dy) > 0
         )
-    raw = bounded_inflate(bytes(idat), expected, "PNG IDAT")
+    slack = 64 + (expected >> 8)
+    raw = bounded_inflate(
+        bytes(idat), expected + slack, "PNG IDAT"
+    )[:expected]
 
     img = np.zeros((h, w, ch), dtype=np.uint8)
     rpos = 0

@@ -3021,6 +3021,27 @@ def q_semantic_dedup_keep(spark, sf_dir):
     )
 
 
+# The within-cell pair predicate, shared between the oracle below and
+# the hop-budget guard (tests/test_closure_hop_guard.py) so the guard
+# can never drift from the oracle's edge definition. Requires the
+# `assigned` CTE from _pinned_cells_cte() in scope.
+SQL_SEMANTIC_PAIRS = """
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+# Hop budgets of the doubled closures (e1->e2->e4 is 4 hops,
+# ->e8 is 8): SOUND only while every component's min node reaches
+# all members within the budget on the gate corpora. The guard test
+# asserts exactly that per corpus, so a regenerated/larger corpus
+# fails with a clear message instead of an opaque hash mismatch
+# (round-13 advisor finding).
+NGRAM_CLOSURE_HOPS = 4
+SEMANTIC_CLOSURE_HOPS = 8
+
+
 def _semantic_dedup_keep_sql() -> str:
     """Oracle generated from the pinned codebook: cells (shared CTE
     with ivf_topk) -> within-cell pairs at cosine >= 0.4 -> symmetric
@@ -3039,12 +3060,7 @@ def _semantic_dedup_keep_sql() -> str:
     size <= 5), so 8 hops carries every min label with >2x margin."""
     return f"""
 WITH {_pinned_cells_cte()},
-pairs AS MATERIALIZED (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM assigned a JOIN assigned b
-    ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
-),
+pairs AS MATERIALIZED ({SQL_SEMANTIC_PAIRS}),
 e1 AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION

@@ -347,6 +347,9 @@ def crawl_documents(responses: DataFrame) -> DataFrame:
     from clustering_spark.operators.textnorm import strip_html
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from clustering_spark.operators.errors import (
+            EncryptedContainerError,
+        )
         from clustering_spark.operators.office import (
             RTF_MAGIC,
             ZIP_MAGIC,
@@ -371,19 +374,19 @@ def crawl_documents(responses: DataFrame) -> DataFrame:
                         extracted = extract_rtf_text(body)
                     else:
                         html_text = r.text
-                except (ValueError, NotImplementedError) as e:
+                except EncryptedContainerError:
                     # encrypted containers are undecryptable BY
                     # DESIGN, not broken — keep them separable from
                     # corrupt rows, matching the pdf_text/office_text
-                    # status contract (same message heuristic as
-                    # office_text: every encrypted raise in the
-                    # family names it)
-                    kind = (
-                        "encrypted"
-                        if "encrypted" in str(e)
-                        else "corrupt"
-                    )
-                    extracted = None
+                    # status contract. Classified by TYPE (every
+                    # encrypted raise in the family uses
+                    # EncryptedContainerError), not by message
+                    # substring — a rewording can't silently revert
+                    # rows to 'corrupt' and an unrelated error
+                    # mentioning the word can't be misfiled.
+                    kind, extracted = "encrypted", None
+                except (ValueError, NotImplementedError):
+                    kind, extracted = "corrupt", None
                 rows.append(
                     {
                         "file": r.file,

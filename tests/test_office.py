@@ -357,3 +357,53 @@ def test_xlsx_inline_strings_extracted():
     assert "shared beta" in out and "inline alpha" in out
     # the numeric cell (42) is data, never fabricated into prose
     assert "42" not in out
+
+
+def test_xlsx_nonconventional_sheet_names_extracted():
+    """Round-13 advisor: OOXML sheet part names are ARBITRARY
+    (resolved via workbook rels) — sheetN.xml is only a convention.
+    A workbook whose parts are named otherwise must still yield its
+    inline strings; conventionally-named parts keep numeric order
+    first."""
+    from clustering_spark.operators.office import (
+        _zip_bytes,
+        extract_xlsx_text,
+    )
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def sheet(txt):
+        return (
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+            '<sheetData><row r="1">'
+            f'<c r="A1" t="inlineStr"><is><t>{txt}</t></is></c>'
+            "</row></sheetData></worksheet>"
+        ).encode()
+
+    odd = _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "xl/workbook.xml": b"<wb/>",
+            "xl/worksheets/Datenblatt_A.xml": sheet("odd gamma"),
+        }
+    )
+    assert extract_xlsx_text(odd) == "odd gamma"
+
+    mixed = _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "xl/workbook.xml": b"<wb/>",
+            "xl/worksheets/sheet2.xml": sheet("conv two"),
+            "xl/worksheets/sheet10.xml": sheet("conv ten"),
+            "xl/worksheets/Datenblatt_A.xml": sheet("odd gamma"),
+            # subdirectory members (e.g. _rels) are NOT sheets
+            "xl/worksheets/_rels/sheet2.xml.rels": b"<r/>",
+        }
+    )
+    # conventional sheets in NUMERIC order (2 before 10), then the
+    # non-conventional part
+    assert extract_xlsx_text(mixed).split("\n") == [
+        "conv two",
+        "conv ten",
+        "odd gamma",
+    ]

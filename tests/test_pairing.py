@@ -213,6 +213,45 @@ def test_lazyload_data_src_and_srcset_fallbacks(spark):
     )
 
 
+def test_data_src_before_src_does_not_shadow(spark):
+    """Round-13 advisor (medium): \\b matches after a hyphen, so an
+    unanchored src pattern also hit the `src=` inside `data-src=`,
+    making precedence depend on ATTRIBUTE ORDER. With data-src
+    FIRST in the tag, src must still win; data-alt/data-title must
+    not pollute captions either."""
+    html = (
+        '<img data-src="/lazy/real.jpg" src="/placeholder.gif"'
+        ' data-alt="machine caption" alt="human caption">'
+        '<img data-title="not a title" data-src="/lazy/only.png">'
+        '<img data-srcset="/d/x.png 1x" srcset="/s/y.png 1x"'
+        ' alt="srcset order">'
+    )
+    df = spark.createDataFrame(
+        [("http://o.example/p", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    by_url = out.set_index("resolved_url")
+    # src wins regardless of data-src coming first in the tag
+    assert "http://o.example/placeholder.gif" in by_url.index
+    assert "http://o.example/lazy/real.jpg" not in by_url.index
+    assert (
+        by_url.loc["http://o.example/placeholder.gif", "alt_text"]
+        == "human caption"
+    )
+    # srcless tag still falls back to data-src; data-title is NOT a
+    # caption, so the row is an honest NULL-caption row
+    assert "http://o.example/lazy/only.png" in by_url.index
+    assert by_url.loc[
+        "http://o.example/lazy/only.png", "alt_text"
+    ] is None
+    # real srcset beats data-srcset regardless of order
+    assert (
+        by_url.loc["http://o.example/s/y.png", "alt_text"]
+        == "srcset order"
+    )
+    assert "http://o.example/d/x.png" not in by_url.index
+
+
 def test_figcaption_upgrades_alt(spark):
     """Author-written figcaptions beat alt text; pages without
     figures keep the alt path untouched."""

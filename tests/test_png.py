@@ -213,9 +213,12 @@ class TestBombGuard:
         with pytest.raises(ValueError, match="budget"):
             decode_png(blob)
 
-    def test_idat_with_modest_excess_rejected(self):
-        # a stream carrying even a few bytes more than the geometry
-        # admits is a spec violation, not slack to ignore silently
+    def test_idat_with_modest_excess_tolerated(self):
+        # round-14 ADVICE: libpng tolerates modest trailing surplus
+        # with a warning, and sloppy real-world encoders do emit a
+        # few extra bytes — such PNGs must DECODE (to the geometric
+        # pixels; surplus never reaches the unfilter), not be
+        # reclassified corrupt
         import struct
         import zlib as _z
 
@@ -233,6 +236,33 @@ class TestBombGuard:
             PNG_MAGIC
             + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", _z.compress(b"\x00" * 7))
+            + chunk(b"IEND", b"")
+        )
+        w, h, ch, samples = decode_png(blob)
+        assert (w, h, ch) == (2, 2, 1)
+        assert samples == b"\x00" * 4
+
+    def test_idat_surplus_beyond_slack_still_rejected(self):
+        # ...but surplus far past the geometry is a bomb, not sloppy
+        # encoding: the slack is 64 + expected/256, so a multi-KB
+        # surplus on a 2x2 image still raises with the allocation
+        # bounded before it materializes
+        import struct
+        import zlib as _z
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(
+                    ">I", _z.crc32(ctype + data) & 0xFFFFFFFF
+                )
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        blob = (
+            PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(b"\x00" * 8192))
             + chunk(b"IEND", b"")
         )
         with pytest.raises(ValueError, match="budget"):
