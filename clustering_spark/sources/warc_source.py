@@ -190,13 +190,16 @@ def warc_responses(records: DataFrame) -> DataFrame:
                 if eol < 0:
                     return body
                 size_tok = body[pos:eol].split(b";", 1)[0].strip()
-                size = int(size_tok, 16)
-                if size < 0:
-                    # int(b'-5', 16) parses: a negative size would
-                    # slice with a negative stop (appending nearly
-                    # the whole body) AND move pos backwards — the
-                    # crafted-chunk loop/OOM class, rejected outright
+                # strict hex only: Python's int() also accepts '+5',
+                # '-5' and '1_0' (digit separators) — none are legal
+                # chunk sizes, and '-5' would slice with a negative
+                # stop (appending nearly the whole body) AND move pos
+                # backwards, the crafted-chunk loop/OOM class
+                if not size_tok or not all(
+                    c in b"0123456789abcdefABCDEF" for c in size_tok
+                ):
                     return body
+                size = int(size_tok, 16)
                 if size == 0:
                     break  # trailer section ignored
                 start = eol + 2

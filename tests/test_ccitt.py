@@ -236,3 +236,117 @@ class TestG3TwoDimensional:
 
         with pytest.raises(ValueError, match="EOL"):
             decode_g3_2d(b"\xff\xff\xff", 16, 1)
+
+
+class TestG32DHostileStreams:
+    """Round-14 review batch 1: the G3-2D tagged-row coder against
+    truncated and crafted streams. Every failure mode must be a
+    ValueError/NotImplementedError (the degrade contract) and every
+    loop must be bounded by the stream length — no hang, no
+    unbounded allocation."""
+
+    def _encode(self, img, k=2):
+        from clustering_spark.operators.ccitt import encode_g3_2d
+
+        return encode_g3_2d(img, k=k)
+
+    def test_truncated_everywhere(self):
+        from clustering_spark.operators.ccitt import (
+            decode_g3_2d,
+            encode_g3_2d,
+        )
+
+        img = (np.arange(120).reshape(10, 12) % 4 < 2).astype(
+            np.uint8
+        )
+        blob = encode_g3_2d(img, k=2)
+        for cut in range(1, len(blob)):
+            # a cut into the final byte-alignment padding can still
+            # carry the full image — then it must decode EXACTLY;
+            # every other cut must raise, never hang
+            try:
+                out = decode_g3_2d(blob[:cut], 12, 10)
+                assert out.tolist() == img.tolist()
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_bitflip_fuzz_degrades(self):
+        import random
+
+        from clustering_spark.operators.ccitt import (
+            decode_g3_2d,
+            encode_g3_2d,
+        )
+
+        rng = random.Random(0x32D)
+        img = (np.arange(96).reshape(8, 12) % 3 == 0).astype(np.uint8)
+        blob = bytearray(encode_g3_2d(img, k=4))
+        for _ in range(400):
+            b = bytearray(blob)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                out = decode_g3_2d(bytes(b), 12, 8)
+                assert out.shape == (8, 12)  # decoded or raised
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_tag_bit_then_garbage_raises(self):
+        # EOL + 2D tag (0) + all-ones mode stream: V0 repeatedly
+        # decodes a1=b1 which must strictly advance past a0 or raise
+        from clustering_spark.operators.ccitt import decode_g3_2d
+
+        blob = bytes([0x00, 0x17]) + b"\xff" * 4  # EOL(12b)+0+1111...
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_g3_2d(blob, 8, 2)
+
+    def test_endless_makeup_codes_bounded(self):
+        # a 1D-tagged row of chained 2560-makeup codes never
+        # terminates a run: the decode must end in ValueError when
+        # the stream exhausts, not hang or allocate per-code
+        from clustering_spark.operators.ccitt import (
+            _EXT_MAKEUP,
+            decode_g3_2d,
+        )
+
+        bits = "000000000001" + "1" + _EXT_MAKEUP[2560] * 200
+        pad = (-len(bits)) % 8
+        blob = int(bits + "0" * pad, 2).to_bytes(
+            (len(bits) + pad) // 8, "big"
+        )
+        with pytest.raises(ValueError):
+            decode_g3_2d(blob, 16, 1)
+
+    def test_first_row_2d_against_imaginary_white(self):
+        # compliant encoders tag the first row 1D, but a first row
+        # tagged 2D is decodable against the imaginary all-white
+        # reference — tolerate it (matches T.4's definition)
+        from clustering_spark.operators.ccitt import (
+            _BitWriter,
+            _encode_2d_row,
+            decode_g3_2d,
+        )
+
+        row = np.array([0, 0, 1, 1, 0, 0, 0, 1], dtype=np.uint8)
+        w = _BitWriter()
+        w.write("000000000001" + "0")  # EOL + 2D tag
+        _encode_2d_row(w, row, np.zeros(8, dtype=np.uint8))
+        out = decode_g3_2d(w.bytes(), 8, 1)
+        assert out.tolist() == [row.tolist()]
+
+    def test_fill_bits_before_eol_tolerated(self):
+        # T.4 allows zero fill before each EOL; the decoder must
+        # scan through them
+        from clustering_spark.operators.ccitt import (
+            _BitWriter,
+            _encode_1d_row,
+            decode_g3_2d,
+        )
+
+        row = np.array([1, 1, 0, 0, 1, 0, 0, 0], dtype=np.uint8)
+        w = _BitWriter()
+        w.write("0" * 23)  # fill
+        w.write("000000000001" + "1")  # EOL + 1D tag
+        _encode_1d_row(w, row)
+        out = decode_g3_2d(w.bytes(), 8, 1)
+        assert out.tolist() == [row.tolist()]

@@ -473,3 +473,47 @@ class TestWireRealities:
         )
         row = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
         assert bytes(row.body) == body
+
+    def test_nonstrict_hex_chunk_tokens_keep_raw(self, spark, tmp_path):
+        """Round-14 review batch 1: Python's int() also accepts '+5'
+        and '1_0' (digit separators) — neither is a legal HTTP chunk
+        size, and tolerating them would let a crafted token silently
+        re-slice the body. Both must degrade to the raw bytes."""
+        cases = [
+            b"+5\r\nABCDE\r\n0\r\n\r\n",
+            b"1_0\r\n0123456789abcdef\r\n0\r\n\r\n",
+        ]
+        for i, body in enumerate(cases):
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n" + body
+            )
+            (tmp_path / f"ch-tok{i}.warc").write_bytes(
+                make_warc(
+                    [("response", f"http://c.example/t{i}", payload)]
+                )
+            )
+        rows = {
+            r.url: bytes(r.body)
+            for r in warc_responses(
+                read_warc(spark, str(tmp_path))
+            ).collect()
+        }
+        for i, body in enumerate(cases):
+            assert rows[f"http://c.example/t{i}"] == body
+
+    def test_uppercase_hex_and_extension_still_dechunk(
+        self, spark, tmp_path
+    ):
+        # the strict-token hardening must NOT reject legal forms:
+        # uppercase hex digits and ;ext chunk extensions
+        body = b"A;name=val\r\n0123456789\r\n0\r\n\r\n"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body
+        )
+        (tmp_path / "ch-up.warc").write_bytes(
+            make_warc([("response", "http://c.example/up", payload)])
+        )
+        row = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
+        assert bytes(row.body) == b"0123456789"
