@@ -884,6 +884,13 @@ def _decode_lossless_scan(
         for x in range(w):
             for ci in range(nc):
                 t = _decode_symbol(br, tabs[ci])
+                if t > 16:
+                    # SSSS beyond 16 is not a lossless category; a
+                    # crafted DHT carrying one would otherwise pull
+                    # t extra bits and decode deterministic garbage
+                    raise ValueError(
+                        f"illegal lossless DC category {t}"
+                    )
                 if t == 16:
                     diff = 32768
                 elif t == 0:

@@ -49,8 +49,11 @@ _TITLE = r"""(?i)(?<![-\w])title\s*=\s*["']([^"']*)["']"""
 
 def _resolve_url(base: Column, src: Column) -> Column:
     """Resolve ``src`` against page URL ``base`` — the four layouts
-    of crawl HTML: absolute, scheme-relative (//host/..),
-    root-relative (/path), path-relative."""
+    of crawl HTML: absolute (case-insensitive scheme, as HTML
+    carries it), scheme-relative (//host/..), root-relative (/path),
+    path-relative. No case normalization of absolute URLs (the lite
+    posture): a page shouting HTTP://HOST passes through verbatim
+    and simply won't join a lowercase-normalized fetch URL."""
     scheme = F.regexp_extract(base, r"^(https?):", 1)
     origin = F.regexp_extract(base, r"^(https?://[^/]+)", 1)
     # base directory: page URL through the last '/' PAST the origin;
@@ -60,10 +63,24 @@ def _resolve_url(base: Column, src: Column) -> Column:
         base_dir
     )
     return (
-        F.when(src.rlike(r"^https?://"), src)
+        F.when(src.rlike(r"(?i)^https?://"), src)
         .when(src.startswith("//"), F.concat(scheme, F.lit(":"), src))
         .when(src.startswith("/"), F.concat(origin, src))
         .otherwise(F.concat(base_dir, src))
+    )
+
+
+# a src that opens with a URI scheme (RFC 3986: ALPHA then
+# alnum/+/-/.) is NOT a relative reference — anything non-http(s)
+# (data:, javascript:, mailto:, ftp:, blob:, cid:...) can never join
+# a crawled blob and must be dropped, not glued onto base_dir
+_NON_HTTP_SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+_HTTP_ABS = r"(?i)^https?://"
+
+
+def _keep_src(src: Column) -> Column:
+    return (src != "") & (
+        ~src.rlike(_NON_HTTP_SCHEME) | src.rlike(_HTTP_ABS)
     )
 
 
@@ -97,13 +114,17 @@ def extract_image_refs(
     # first is the deterministic, documented choice). &amp; un-escapes
     # because the join key is the FETCHED URL (WARC-Target-URI
     # carries the decoded ampersand).
-    src = F.replace(
-        F.when(src_q != "", src_q)
-        .when(src_u != "", src_u)
-        .when(data_src != "", data_src)
-        .otherwise(srcset1),
-        F.lit("&amp;"),
-        F.lit("&"),
+    # trim: browsers strip surrounding whitespace from URL attribute
+    # values, and a stray space would poison the join key
+    src = F.trim(
+        F.replace(
+            F.when(src_q != "", src_q)
+            .when(src_u != "", src_u)
+            .when(data_src != "", data_src)
+            .otherwise(srcset1),
+            F.lit("&amp;"),
+            F.lit("&"),
+        )
     )
     alt = F.regexp_extract(F.col("__tag"), _ALT, 1)
     title = F.regexp_extract(F.col("__tag"), _TITLE, 1)
@@ -118,10 +139,7 @@ def extract_image_refs(
             .otherwise(F.lit(None).cast("string"))
             .alias("alt_text"),
         )
-        .filter(
-            (F.col("img_src") != "")
-            & ~F.col("img_src").startswith("data:")
-        )
+        .filter(_keep_src(F.col("img_src")))
         .withColumn(
             "resolved_url",
             _resolve_url(F.col("page_url"), F.col("img_src")),
@@ -158,13 +176,15 @@ def extract_figure_captions(
     src_u = F.regexp_extract(F.col("__fig"), _SRC_UNQ, 1)
     data_src = F.regexp_extract(F.col("__fig"), _DATA_SRC, 1)
     srcset1 = F.regexp_extract(F.col("__fig"), _SRCSET_FIRST, 1)
-    src = F.replace(
-        F.when(src_q != "", src_q)
-        .when(src_u != "", src_u)
-        .when(data_src != "", data_src)
-        .otherwise(srcset1),
-        F.lit("&amp;"),
-        F.lit("&"),
+    src = F.trim(
+        F.replace(
+            F.when(src_q != "", src_q)
+            .when(src_u != "", src_u)
+            .when(data_src != "", data_src)
+            .otherwise(srcset1),
+            F.lit("&amp;"),
+            F.lit("&"),
+        )
     )
     cap_raw = F.regexp_extract(F.col("__fig"), _FIGCAPTION, 1)
     return (
@@ -174,8 +194,7 @@ def extract_figure_captions(
             strip_html(cap_raw).alias("figcaption"),
         )
         .filter(
-            (F.col("__src") != "")
-            & ~F.col("__src").startswith("data:")
+            _keep_src(F.col("__src"))
             & (F.trim(F.col("figcaption")) != "")
         )
         .select(

@@ -380,6 +380,69 @@ class TestLossless:
         with pytest.raises(ValueError):
             decode_baseline(blob[: len(blob) - 30])
 
+    @pytest.mark.parametrize("pred", list(range(1, 8)))
+    def test_every_predictor_with_point_transform(self, pred):
+        # round-14 review batch 2: Pt changes the default prediction
+        # (1 << (prec-Pt-1)) AND the output renormalization — every
+        # predictor must compose with it, including 7's (Ra+Rb)>>1
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        rng = np.random.default_rng(80 + pred)
+        g = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+        w, h, ch, s = decode_baseline(
+            encode_lossless(g, predictor=pred, point_transform=1)
+        )
+        got = np.frombuffer(s, np.uint8).reshape(9, 13)
+        assert (got == (g >> 1) << 1).all()
+
+    def test_point_transform_with_high_precision(self):
+        # Pt applies BEFORE the high-byte reduction: 16-bit samples
+        # with Pt=3 must still reduce to the exact top byte
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        rng = np.random.default_rng(90)
+        g = rng.integers(0, 256, (6, 6), dtype=np.uint8)
+        w, h, ch, s = decode_baseline(
+            encode_lossless(
+                g, precision=16, predictor=7, point_transform=3
+            )
+        )
+        got = np.frombuffer(s, np.uint8).reshape(6, 6)
+        # samples were (v<<8) >> 3 at encode; decode <<3 then >>8
+        assert (got == ((g.astype(np.int32) << 8 >> 3) << 3 >> 8)
+                ).all()
+
+    def test_point_transform_at_precision_rejected(self):
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        blob = bytearray(
+            encode_lossless(np.zeros((4, 4), np.uint8))
+        )
+        # SOS: ff da len(2) ns(1) (cs,td/ta)*ns ss se ahal — patch
+        # Al (low nibble of the last byte) to 8 (== precision)
+        i = blob.find(b"\xff\xda")
+        (slen,) = __import__("struct").unpack(
+            ">H", blob[i + 2 : i + 4]
+        )
+        blob[i + 2 + slen - 1] = 0x08
+        with pytest.raises(ValueError, match="point transform"):
+            decode_baseline(bytes(blob))
+
+    def test_dht_category_above_16_rejected(self):
+        # a crafted DHT can map a code to SSSS > 16 — the decoder
+        # must raise, not pull t extra bits and emit garbage
+        from clustering_spark.operators.jpeg import encode_lossless
+
+        blob = bytearray(encode_lossless(np.zeros((4, 4), np.uint8)))
+        i = blob.find(b"\xff\xc4")
+        assert i > 0
+        # DHT payload: len(2) tc/th(1) bits(16) vals... — patch the
+        # first value symbol to 0xC8 (200)
+        j = i + 2 + 2 + 1 + 16
+        blob[j] = 0xC8
+        with pytest.raises(ValueError):
+            decode_baseline(bytes(blob))
+
 
 class TestExifOrientation:
     """Round 13: EXIF Orientation (tag 274) — parsed by composing the

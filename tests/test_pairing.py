@@ -252,6 +252,52 @@ def test_data_src_before_src_does_not_shadow(spark):
     assert "http://o.example/d/x.png" not in by_url.index
 
 
+def test_adversarial_srcs_dropped_or_passed_verbatim(spark):
+    """Round-14 review batch 2: non-http(s) scheme srcs (javascript:,
+    mailto:, ftp:, blob:, data:) can never join a crawled blob and
+    must be DROPPED, not glued onto base_dir; uppercase-scheme
+    absolutes pass through verbatim instead of being mangled into
+    path-relative junk; surrounding whitespace is trimmed off the
+    join key."""
+    html = (
+        '<img src="javascript:alert(1)" alt="xss">'
+        '<img src="mailto:a@b.c" alt="mail">'
+        '<img src="ftp://host/f.png" alt="ftp">'
+        '<img src="blob:http://h/x" alt="blob">'
+        '<img src="data:image/png;base64,AAAA" alt="data">'
+        '<img src="HTTP://UPPER.example/IMG.png" alt="upper">'
+        '<img src="  /padded/ok.png  " alt="padded">'
+        '<img src="a:b/weird.png" alt="colonseg">'
+        '<img src="./dot/rel.png" alt="dotrel">'
+    )
+    df = spark.createDataFrame(
+        [("http://h.example/dir/page", html)],
+        "url string, text string",
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    by_alt = out.set_index("alt_text")
+    # every non-http scheme dropped (colon-first-segment too: RFC
+    # 3986 says a relative ref cannot open with scheme-shaped text)
+    for gone in ("xss", "mail", "ftp", "blob", "data", "colonseg"):
+        assert gone not in by_alt.index
+    # uppercase absolute passes verbatim
+    assert (
+        by_alt.loc["upper", "resolved_url"]
+        == "HTTP://UPPER.example/IMG.png"
+    )
+    # whitespace trimmed before resolution
+    assert (
+        by_alt.loc["padded", "resolved_url"]
+        == "http://h.example/padded/ok.png"
+    )
+    # ./ dot-segment rides through un-normalized (documented lite
+    # posture) but stays a working relative resolution
+    assert (
+        by_alt.loc["dotrel", "resolved_url"]
+        == "http://h.example/dir/./dot/rel.png"
+    )
+
+
 def test_figcaption_upgrades_alt(spark):
     """Author-written figcaptions beat alt text; pages without
     figures keep the alt path untouched."""

@@ -278,6 +278,49 @@ class TestExpandedEnvelope:
         with pytest.raises(ValueError, match="8-bit"):
             encode_tiff(a, sample_depth=16, predictor=True)
 
+    def test_huge_rows_per_strip_is_single_strip(self):
+        # real-world writers ship RowsPerStrip=0xFFFFFFFF meaning
+        # "one strip" — ceil(h/huge)=1 must decode, not overflow
+        import struct as st
+
+        a = (np.arange(88).reshape(8, 11) * 3 % 251).astype(np.uint8)
+        blob = bytearray(encode_tiff(a))
+        i = blob.find(st.pack("<HH", 278, 4))
+        if i < 0:  # encoder may omit the tag; splice is then moot
+            pytest.skip("encoder wrote no RowsPerStrip tag")
+        blob[i + 8 : i + 12] = st.pack("<I", 0xFFFFFFFF)
+        w, h, ch, s = decode_tiff(bytes(blob))
+        assert (np.frombuffer(s, np.uint8).reshape(8, 11) == a).all()
+
+    def test_zero_rows_per_strip_falls_back_to_height(self):
+        import struct as st
+
+        a = (np.arange(88).reshape(8, 11) * 7 % 253).astype(np.uint8)
+        blob = bytearray(encode_tiff(a))
+        i = blob.find(st.pack("<HH", 278, 4))
+        if i < 0:
+            pytest.skip("encoder wrote no RowsPerStrip tag")
+        blob[i + 8 : i + 12] = st.pack("<I", 0)
+        w, h, ch, s = decode_tiff(bytes(blob))
+        assert (np.frombuffer(s, np.uint8).reshape(8, 11) == a).all()
+
+    def test_tile_dims_without_offsets_raises(self):
+        # a file carrying TileWidth/TileLength but no TileOffsets/
+        # ByteCounts selects the tiled path and must fail loudly,
+        # not fall back to reading strips that describe other bytes
+        import struct as st
+
+        a = np.zeros((8, 8), dtype=np.uint8)
+        blob = bytearray(encode_tiff(a))  # stripped layout
+        # splice TileWidth into an existing tag slot we can spare:
+        # overwrite the RowsPerStrip tag id with TileWidth (322)
+        i = blob.find(st.pack("<HH", 278, 4))
+        if i < 0:
+            pytest.skip("encoder wrote no RowsPerStrip tag")
+        blob[i : i + 2] = st.pack("<H", 322)
+        with pytest.raises(ValueError, match="[Tt]ile"):
+            decode_tiff(bytes(blob))
+
     def test_too_few_tiles_raises(self):
         a = np.zeros((20, 20), dtype=np.uint8)
         blob = bytearray(encode_tiff(a, tile=(16, 16)))
