@@ -45,6 +45,36 @@ _DATA_SRC = r"""(?i)(?<![-\w])data-src\s*=\s*["']([^"']+)["']"""
 _SRCSET_FIRST = r"""(?i)(?<![-\w])srcset\s*=\s*["']\s*([^\s,"']+)"""
 _ALT = r"""(?i)(?<![-\w])alt\s*=\s*["']([^"']*)["']"""
 _TITLE = r"""(?i)(?<![-\w])title\s*=\s*["']([^"']*)["']"""
+# round 14: the remaining caption/ref idioms real pages use.
+# aria-label outranks alt in the accessible-name computation (WAI-
+# ARIA), so it leads the caption precedence.
+_ARIA_LABEL = r"""(?i)(?<![-\w])aria-label\s*=\s*["']([^"']*)["']"""
+# <picture> is the modern responsive idiom: the real candidates ride
+# <source srcset>, the inner <img> is the fallback (and is ALSO
+# caught by the global _IMG_TAG scan). Browsers pick the first
+# matching <source>; its first srcset candidate is the
+# deterministic analog.
+_PICTURE = r"(?is)<picture\b[^>]*>.*?</picture>"
+_SOURCE_SRCSET_FIRST = (
+    r"""(?is)<source\b[^>]*?(?<![-\w])srcset\s*=\s*["']\s*([^\s,"']+)"""
+)
+# social-card metadata: og:image (+ :url/:secure_url variants) and
+# twitter:image(:src) carry the page's canonical image; captions
+# come from the page-level og:/twitter:description metas. Attribute
+# order varies in the wild (content before property and vice versa),
+# so the tag is matched whole and content extracted from it.
+_META_IMG_TAG = (
+    r"""(?i)<meta\b[^>]*?(?:property|name)\s*=\s*["']"""
+    r"""(?:og:image(?::(?:secure_)?url)?|twitter:image(?::src)?)["']"""
+    r"""[^>]*>"""
+)
+_CONTENT = r"""(?i)(?<![-\w])content\s*=\s*["']([^"']+)["']"""
+_OG_DESC_TAG = (
+    r"""(?i)<meta\b[^>]*?property\s*=\s*["']og:description["'][^>]*>"""
+)
+_TW_DESC_TAG = (
+    r"""(?i)<meta\b[^>]*?name\s*=\s*["']twitter:description["'][^>]*>"""
+)
 
 
 def _resolve_url(base: Column, src: Column) -> Column:
@@ -87,38 +117,77 @@ def _keep_src(src: Column) -> Column:
 def extract_image_refs(
     df: DataFrame, html_col: str, url_col: str
 ) -> DataFrame:
-    """One row per ``<img>`` tag across every page: (page_url,
-    img_src, resolved_url, alt_text). ``alt_text`` coalesces alt then
-    title and is NULL when neither exists (an honest no-caption row,
-    not an empty string); data: URIs and srcless tags are dropped.
-    Pure native expressions — the plan is a single projected scan
-    with a generate, no shuffle, no Python."""
-    tags = df.select(
+    """One row per image REFERENCE across every page: (page_url,
+    img_src, resolved_url, alt_text) — ``<img>`` tags, the first
+    ``<source srcset>`` candidate of each ``<picture>`` block (the
+    fallback ``<img>`` inside is also caught by the global img
+    scan), and og:image / twitter:image social-card metas captioned
+    by the page-level og:/twitter:description.
+
+    ``alt_text`` coalesces aria-label (the WAI-ARIA accessible name
+    outranks alt), then alt, then title, and is NULL when none
+    exists (an honest no-caption row, not an empty string); data:
+    and other non-http(s)-scheme URIs and srcless tags are dropped.
+
+    Pure native expressions, and the three tag families ride ONE
+    scan + ONE generate: their match arrays concat before a single
+    explode, then per-row whens branch on the tag shape — at 100 TB
+    of HTML the alternative (union of three extractions) re-reads
+    the corpus three times."""
+    tag = F.col("__tag")
+    is_pic = tag.rlike(r"(?i)^<picture")
+    is_meta = tag.rlike(r"(?i)^<meta")
+    pages = df.select(
         F.col(url_col).alias("page_url"),
+        # page-level caption for social-card rows: og:description,
+        # else twitter:description, extracted from the whole page
+        # BEFORE the explode so every meta row can see it
+        F.regexp_extract(
+            F.regexp_extract(F.col(html_col), _OG_DESC_TAG, 0),
+            _CONTENT,
+            1,
+        ).alias("__og_desc"),
+        F.regexp_extract(
+            F.regexp_extract(F.col(html_col), _TW_DESC_TAG, 0),
+            _CONTENT,
+            1,
+        ).alias("__tw_desc"),
         # lit-pattern form, NOT an F.expr SQL string: SQL literals eat
         # the \b escape before the regex engine sees it
         F.explode(
-            F.regexp_extract_all(
-                F.col(html_col), F.lit(_IMG_TAG), F.lit(0)
+            F.concat(
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(_IMG_TAG), F.lit(0)
+                ),
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(_PICTURE), F.lit(0)
+                ),
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(_META_IMG_TAG), F.lit(0)
+                ),
             )
         ).alias("__tag"),
     )
-    src_q = F.regexp_extract(F.col("__tag"), _SRC, 1)
-    src_u = F.regexp_extract(F.col("__tag"), _SRC_UNQ, 1)
-    data_src = F.regexp_extract(F.col("__tag"), _DATA_SRC, 1)
-    srcset1 = F.regexp_extract(F.col("__tag"), _SRCSET_FIRST, 1)
-    # precedence: quoted src, unquoted src, the lazy-load data-src,
-    # then the first srcset candidate (lazy-loading pages often ship
-    # a 1x1 placeholder in src and the real image elsewhere — prefer
-    # data-src over a placeholder src would be guesswork; taking src
-    # first is the deterministic, documented choice). &amp; un-escapes
-    # because the join key is the FETCHED URL (WARC-Target-URI
-    # carries the decoded ampersand).
-    # trim: browsers strip surrounding whitespace from URL attribute
-    # values, and a stray space would poison the join key
+    src_q = F.regexp_extract(tag, _SRC, 1)
+    src_u = F.regexp_extract(tag, _SRC_UNQ, 1)
+    data_src = F.regexp_extract(tag, _DATA_SRC, 1)
+    srcset1 = F.regexp_extract(tag, _SRCSET_FIRST, 1)
+    source1 = F.regexp_extract(tag, _SOURCE_SRCSET_FIRST, 1)
+    content = F.regexp_extract(tag, _CONTENT, 1)
+    # <img> precedence: quoted src, unquoted src, the lazy-load
+    # data-src, then the first srcset candidate (lazy-loading pages
+    # often ship a 1x1 placeholder in src and the real image
+    # elsewhere — preferring data-src over a placeholder src would
+    # be guesswork; taking src first is the deterministic,
+    # documented choice). &amp; un-escapes because the join key is
+    # the FETCHED URL (WARC-Target-URI carries the decoded
+    # ampersand). trim: browsers strip surrounding whitespace from
+    # URL attribute values, and a stray space would poison the key.
     src = F.trim(
         F.replace(
-            F.when(src_q != "", src_q)
+            F.when(is_meta, content)
+            .when(is_pic, source1)
+            .when(src_q != "", src_q)
             .when(src_u != "", src_u)
             .when(data_src != "", data_src)
             .otherwise(srcset1),
@@ -126,18 +195,26 @@ def extract_image_refs(
             F.lit("&"),
         )
     )
-    alt = F.regexp_extract(F.col("__tag"), _ALT, 1)
-    title = F.regexp_extract(F.col("__tag"), _TITLE, 1)
-    has_alt = F.col("__tag").rlike(_ALT)
-    has_title = F.col("__tag").rlike(_TITLE)
+    aria = F.regexp_extract(tag, _ARIA_LABEL, 1)
+    alt = F.regexp_extract(tag, _ALT, 1)
+    title = F.regexp_extract(tag, _TITLE, 1)
+    caption = (
+        F.when(
+            is_meta,
+            F.when(F.col("__og_desc") != "", F.col("__og_desc"))
+            .when(F.col("__tw_desc") != "", F.col("__tw_desc"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .when(tag.rlike(_ARIA_LABEL), aria)
+        .when(tag.rlike(_ALT), alt)
+        .when(tag.rlike(_TITLE), title)
+        .otherwise(F.lit(None).cast("string"))
+    )
     return (
-        tags.select(
+        pages.select(
             "page_url",
             src.alias("img_src"),
-            F.when(has_alt, alt)
-            .when(has_title, title)
-            .otherwise(F.lit(None).cast("string"))
-            .alias("alt_text"),
+            caption.alias("alt_text"),
         )
         .filter(_keep_src(F.col("img_src")))
         .withColumn(

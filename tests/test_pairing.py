@@ -132,10 +132,16 @@ def test_crawl_to_image_text_pairs_capstone(spark, tmp_path):
     pixels = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     img_a = encode_png(pixels, filter_type=0)
     img_a2 = encode_png(pixels, filter_type=2)  # same pixels, new bytes
+    pixels_p = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    img_pic = encode_png(pixels_p, filter_type=0)
     page = (
         "<html><body>"
         '<img src="/i/a.png" alt="mountain lake at dawn">'
         '<img src="/i/a2.png" alt="the same lake again">'
+        # round 14: a <picture>-only image — the candidate rides
+        # <source srcset>, no fallback <img> src at all
+        '<picture><source srcset="/i/pic.png 1x" type="image/png">'
+        '<img alt="alpine ridge in fog"></picture>'
         "</body></html>"
     ).encode()
     records = [
@@ -144,6 +150,8 @@ def test_crawl_to_image_text_pairs_capstone(spark, tmp_path):
          make_http_response(img_a, content_type="image/png")),
         ("response", "http://s.example/i/a2.png",
          make_http_response(img_a2, content_type="image/png")),
+        ("response", "http://s.example/i/pic.png",
+         make_http_response(img_pic, content_type="image/png")),
     ]
     (tmp_path / "pairs-0.warc").write_bytes(make_warc(records))
     resp = warc_responses(read_warc(spark, str(tmp_path)))
@@ -158,11 +166,27 @@ def test_crawl_to_image_text_pairs_capstone(spark, tmp_path):
     # perceptual dedup FIRST: a2 collapses into a (same dHash), so
     # only one blob survives into pairing
     kept = media_survivors(media, "body", "record_idx")
-    pairs = image_text_pairs(pages, kept).toPandas()
-    assert len(pairs) == 1
-    assert pairs.resolved_url[0] == "http://s.example/i/a.png"
-    assert pairs.alt_text[0] == "mountain lake at dawn"
-    assert bytes(pairs.blob[0]) == img_a
+    pairs = (
+        image_text_pairs(pages, kept)
+        .toPandas()
+        .set_index("resolved_url")
+    )
+    assert len(pairs) == 2
+    assert (
+        pairs.loc["http://s.example/i/a.png", "alt_text"]
+        == "mountain lake at dawn"
+    )
+    assert bytes(pairs.loc["http://s.example/i/a.png", "blob"]) == img_a
+    # the <picture>-only image pairs via its <source srcset>
+    # candidate, captioned by the fallback img's alt
+    assert (
+        pairs.loc["http://s.example/i/pic.png", "alt_text"]
+        == "alpine ridge in fog"
+    )
+    assert (
+        bytes(pairs.loc["http://s.example/i/pic.png", "blob"])
+        == img_pic
+    )
 
 
 def test_unquoted_src_and_entity_unescape(spark):
@@ -250,6 +274,87 @@ def test_data_src_before_src_does_not_shadow(spark):
         == "srcset order"
     )
     assert "http://o.example/d/x.png" not in by_url.index
+
+
+def test_picture_source_srcset_extracted(spark):
+    """Round 14: <picture><source srcset> is the modern responsive
+    idiom — the candidate rides the FIRST source's first srcset
+    entry, captioned by the block's img alt; the fallback <img>
+    inside still yields its own row via the global img scan."""
+    html = (
+        '<picture><source srcset="/p/big.webp 2x, /p/small.webp 1x"'
+        ' type="image/webp">'
+        '<source srcset="/p/big.jpg 2x" type="image/jpeg">'
+        '<img src="/p/fallback.jpg" alt="harbor at night"></picture>'
+    )
+    df = spark.createDataFrame(
+        [("http://p.example/x", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.resolved_url, out.alt_text))
+    assert got == {
+        "http://p.example/p/big.webp": "harbor at night",
+        "http://p.example/p/fallback.jpg": "harbor at night",
+    }
+
+
+def test_og_and_twitter_meta_pairs(spark):
+    """og:image / twitter:image social-card metas pair with the
+    page-level og:/twitter:description — attribute order varies in
+    the wild (content-first and property-first both occur)."""
+    html = (
+        "<head>"
+        '<meta property="og:image"'
+        ' content="https://cdn.example/og.jpg">'
+        '<meta content="/tw.png" name="twitter:image">'
+        '<meta property="og:description" content="A quiet cove">'
+        "</head><body>no imgs</body>"
+    )
+    df = spark.createDataFrame(
+        [("http://m.example/a/page", html)],
+        "url string, text string",
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.resolved_url, out.alt_text))
+    assert got == {
+        "https://cdn.example/og.jpg": "A quiet cove",
+        "http://m.example/tw.png": "A quiet cove",
+    }
+
+    # twitter:description is the fallback when og:description absent;
+    # no description at all -> honest NULL caption
+    html2 = (
+        '<meta name="twitter:image" content="/only.png">'
+        '<meta name="twitter:description" content="tw cap">'
+    )
+    df2 = spark.createDataFrame(
+        [("http://m.example/b", html2)], "url string, text string"
+    )
+    out2 = extract_image_refs(df2, "text", "url").toPandas()
+    assert out2.alt_text[0] == "tw cap"
+    html3 = '<meta property="og:image" content="/bare.png">'
+    df3 = spark.createDataFrame(
+        [("http://m.example/c", html3)], "url string, text string"
+    )
+    out3 = extract_image_refs(df3, "text", "url").toPandas()
+    assert out3.alt_text[0] is None
+
+
+def test_aria_label_outranks_alt(spark):
+    """WAI-ARIA accessible-name order: aria-label > alt > title."""
+    html = (
+        '<img src="/a.png" alt="alt text" aria-label="aria text">'
+        '<img src="/b.png" title="title text">'
+    )
+    df = spark.createDataFrame(
+        [("http://a.example/", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.resolved_url, out.alt_text))
+    assert got == {
+        "http://a.example/a.png": "aria text",
+        "http://a.example/b.png": "title text",
+    }
 
 
 def test_adversarial_srcs_dropped_or_passed_verbatim(spark):
