@@ -41,14 +41,74 @@ PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+|[ ]+
 END = "</w>"  # end-of-word marker: makes token sequences uniquely parseable
 
 
-def _word_symbols(word: str) -> tuple[str, ...]:
-    return tuple(word[:-1]) + (word[-1] + END,) if word else ()
+def _word_symbols(word: str, end: str = END) -> tuple[str, ...]:
+    return tuple(word[:-1]) + (word[-1] + end,) if word else ()
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte↔printable-unicode table (public algorithm,
+    openai/gpt-2 encoder.py): the 188 printable latin bytes map to
+    themselves, the rest to codepoints 256+ in order — a bijection,
+    so BYTE-level BPE can ride the same string-symbol machinery as
+    the char-level mode with zero escaping."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_BYTE_CHAR = _bytes_to_unicode()
+_CHAR_BYTE = {c: b for b, c in _BYTE_CHAR.items()}
+
+# Byte-mode end-of-word marker: the first codepoint PAST the byte
+# table (table spans the 188 self-mapped bytes + codepoints 256..323),
+# so it can never collide with data — unlike "</w>", whose four chars
+# are all in the byte alphabet, making a data-vs-marker suffix
+# genuinely ambiguous after merges.
+END_BYTE = chr(324)
+
+
+def _strip_end(joined: str, end: str) -> str:
+    """Remove end-of-word markers from a concatenated token string.
+    END only ever rides as a SUFFIX of word-final symbols (merges
+    concatenate within a word, and the word-final symbol has no right
+    neighbor), so plain str.replace is exact for byte mode (END_BYTE
+    is outside the data alphabet) and correct for char mode except
+    the one residual in-band ambiguity: data that itself spells the
+    marker (documented char-mode caveat; byte mode is the production
+    path precisely because it has none)."""
+    return joined.replace(end, "")
+
+
+def _to_byte_form(word: str) -> str:
+    """UTF-8 encode then map every byte to its table char — the
+    byte-level symbol string BPE operates on. Injective (UTF-8 is,
+    and the table is a bijection), so histograms never collide."""
+    return "".join(_BYTE_CHAR[b] for b in word.encode("utf-8"))
+
+
+def _from_byte_form(s: str) -> str:
+    """Inverse of _to_byte_form. 'replace' keeps a token sequence
+    cut mid-codepoint decodable (U+FFFD), matching every production
+    byte-level tokenizer's decode posture; full sequences from
+    encode round-trip exactly."""
+    return bytes(_CHAR_BYTE[c] for c in s).decode("utf-8", "replace")
 
 
 def learn_merges(
     word_counts: dict[str, int],
     n_merges: int,
     _stats: dict | None = None,
+    end: str = END,
 ) -> list[tuple[str, str]]:
     """Classic BPE merge loop over a word-frequency histogram (pure
     Python, driver-side — the histogram IS the sufficient statistic).
@@ -69,7 +129,7 @@ def learn_merges(
     words: list[list[str]] = []
     counts: list[int] = []
     for w, c in word_counts.items():
-        sym = list(_word_symbols(w))
+        sym = list(_word_symbols(w, end))
         if sym:
             words.append(sym)
             counts.append(int(c))
@@ -136,13 +196,23 @@ def train_bpe(
     text_col: str,
     n_merges: int = 1000,
     max_words: int = 1_000_000,
+    byte_level: bool = False,
 ) -> dict:
     """Train a BPE model over a corpus: ONE distributed
     pretokenize+count shuffle, then the driver-side merge loop on the
     top-``max_words`` histogram (the standard frequency cap — rare-word
     tails contribute ~nothing to pair counts but dominate histogram
     size). Returns ``{"merges": [...], "pretoken_re": ...}`` — plain
-    data, broadcastable, picklable, JSON-able."""
+    data, broadcastable, picklable, JSON-able.
+
+    ``byte_level=True`` (round 14) is the GPT-2-style production
+    mode: pretokens are UTF-8-encoded and merges learned over BYTE
+    sequences (via the byte↔unicode table), with the full 256-byte
+    alphabet (plus word-final variants) in the base vocabulary — so
+    NO input can ever tokenize to ``<unk>``. The distributed word
+    count is unchanged (the byte mapping is applied to the
+    driver-side histogram, ≤ ``max_words`` rows); char-level stays
+    the default for parity with existing pins."""
     # F.lit pattern, not an F.expr SQL string: the pattern contains a
     # single quote (the contraction branch) that would break quoting
     counts = (
@@ -160,6 +230,22 @@ def train_bpe(
         .collect()
     )
     hist = {r["w"]: r["count"] for r in counts}
+    if byte_level:
+        # injective mapping, so counts never collide; the alphabet
+        # is the COMPLETE byte space (every byte char and its
+        # word-final form), independent of what the histogram
+        # happened to contain — the zero-unk guarantee
+        hist = {_to_byte_form(w): c for w, c in hist.items()}
+        alphabet = sorted(_BYTE_CHAR.values()) + sorted(
+            c + END_BYTE for c in _BYTE_CHAR.values()
+        )
+        return {
+            "merges": learn_merges(hist, n_merges, end=END_BYTE),
+            "alphabet": alphabet,
+            "pretoken_re": PRETOKEN_RE,
+            "end": END_BYTE,
+            "mode": "byte",
+        }
     # the initial symbol alphabet (chars + char</w> forms) rides the
     # model so build_vocab can assign COMPLETE, deterministic ids —
     # merges alone only name the learned units, not the base symbols
@@ -171,11 +257,14 @@ def train_bpe(
         "alphabet": sorted(alphabet),
         "pretoken_re": PRETOKEN_RE,
         "end": END,
+        "mode": "char",
     }
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    sym = list(_word_symbols(word))
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int], end: str = END
+) -> list[str]:
+    sym = list(_word_symbols(word, end))
     while len(sym) > 1:
         best_rank, best_i = None, None
         for i in range(len(sym) - 1):
@@ -203,6 +292,15 @@ def bpe_tokenize(
 
     ranks = {pair: i for i, pair in enumerate(map(tuple, model["merges"]))}
     pat = re.compile(model.get("pretoken_re", PRETOKEN_RE))
+    # byte mode: words pass through the byte↔unicode table before the
+    # merge walk and symbols end with END_BYTE; absent keys = char
+    # (models trained before round 14)
+    end = model.get("end", END)
+    to_form = (
+        _to_byte_form
+        if model.get("mode", "char") == "byte"
+        else (lambda w: w)
+    )
     schema = ", ".join(
         f"`{c}` {t}" for c, t in df.dtypes
     ) + f", `{out_col}` array<string>"
@@ -224,7 +322,7 @@ def bpe_tokenize(
                 if enc is None:
                     if len(memo) >= memo_cap:
                         memo.clear()
-                    enc = _encode_word(w, ranks)
+                    enc = _encode_word(to_form(w), ranks, end)
                     memo[w] = enc
                 out.extend(enc)
             return out
@@ -247,9 +345,11 @@ def build_vocab(
 ) -> dict[str, int]:
     """Deterministic token→id table from a trained model: the
     ``specials`` get the first ids in order (``<unk>`` MUST be among
-    them — a character outside the training alphabet maps there; this
-    is a CHAR-level BPE, not byte-level, so unseen codepoints are
-    possible at apply time), the sorted initial alphabet follows, then
+    them — in CHAR-level models a codepoint outside the training
+    alphabet maps there at apply time; BYTE-level models carry the
+    complete 256-byte alphabet so ``<unk>`` is unreachable, but the
+    reserved id keeps the id-space layout identical across modes),
+    the sorted initial alphabet follows, then
     one id per merge in learned order (the classic BPE vocabulary
     shape). Reserve ``PAD``/``EOS`` here when emitting packed id rows:
     an eos/pad id chosen from the REAL vocabulary range silently
@@ -318,25 +418,36 @@ def bpe_encode_ids(
 def bpe_decode_ids(
     ids: list[int],
     model: dict,
-    end: str = END,
+    end: str | None = None,
     specials: tuple[str, ...] = (UNK,),
 ) -> str:
     """Inverse of bpe_encode_ids for in-vocabulary sequences (driver-
     side helper for tests/inspection). Every special — ``<unk>``,
     ``<pad>``, ``<eos>``, … — decodes to the empty string: none of
-    them carries recoverable source text."""
+    them carries recoverable source text. Byte-level models map the
+    joined symbol string back through the byte table before UTF-8
+    decoding; ``end`` defaults to the model's own marker."""
     vocab = build_vocab(model, specials)
     drop = {vocab[sp] for sp in specials}
     inv = {i: t for t, i in vocab.items()}
-    return "".join(
-        "" if i in drop else inv.get(i, "") for i in ids
-    ).replace(end, "")
+    joined = _strip_end(
+        "".join("" if i in drop else inv.get(i, "") for i in ids),
+        model.get("end", END) if end is None else end,
+    )
+    if model.get("mode", "char") == "byte":
+        return _from_byte_form(joined)
+    return joined
 
 
-def bpe_decode_tokens(tokens: list[str], end: str = END) -> str:
+def bpe_decode_tokens(
+    tokens: list[str], end: str = END, mode: str = "char"
+) -> str:
     """Inverse of the per-row tokenization: concatenate and strip the
-    end-of-word markers. Used by the roundtrip property tests."""
-    return "".join(tokens).replace(end, "")
+    end-of-word markers (then undo the byte table for byte-level
+    models). Used by the roundtrip property tests; byte-mode callers
+    pass ``end=END_BYTE`` (or the model's ``end``)."""
+    joined = _strip_end("".join(tokens), end)
+    return _from_byte_form(joined) if mode == "byte" else joined
 
 
 def bpe_token_count(
@@ -355,6 +466,7 @@ def bpe_token_count(
 __all__ = [
     "PRETOKEN_RE",
     "END",
+    "END_BYTE",
     "UNK",
     "PAD",
     "EOS",
