@@ -384,57 +384,7 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                         f"{rid!r} — filter NULL blobs (or route through "
                         "image_header_meta, which degrades per row)"
                     )
-                b = bytes(blob)
-                if b[:4] == MAGIC:
-                    w, h = _parse_header(b)
-                    if len(b) < HEADER_LEN + w * h:
-                        # a truncated container must fail loudly like
-                        # _decode_gray's reshape does — a mean over the
-                        # partial payload would be silently wrong
-                        raise ValueError(
-                            f"FAKE container for id {rid!r} claims "
-                            f"{w}x{h} but carries only "
-                            f"{len(b) - HEADER_LEN} payload bytes"
-                        )
-                    payload = b[HEADER_LEN : HEADER_LEN + w * h]
-                    mean = (sum(payload) / len(payload)) if payload else 0.0
-                elif b[: len(PNG_MAGIC)] == PNG_MAGIC:
-                    # round 12: the stdlib decoder covers the FULL
-                    # PNG spec surface (operators/png — every depth,
-                    # palette, Adam7), so no PIL fallback is needed;
-                    # malformed PNGs fail loudly (this is the strict
-                    # stage)
-                    w, h, mean = _png_meta(b)
-                elif b[:6] in (b"GIF87a", b"GIF89a"):
-                    # stdlib GIF decode (first frame), PIL not needed
-                    w, h, mean = _gif_meta(b)
-                elif _bmp_sniff(b):
-                    w, h, mean = _bmp_meta_decode(b)
-                elif b[:4] in _TIFF_MAGICS:
-                    # stdlib decoder for none/LZW/PackBits; the CCITT/
-                    # JPEG-in-TIFF/tiled forms fall back to PIL when
-                    # the environment has it
-                    try:
-                        w, h, mean = _tiff_pixel_meta(b)
-                    except NotImplementedError:
-                        if not _HAVE_PIL:
-                            raise
-                        w, h, mean = _pil_meta(b)
-                elif _HAVE_PIL:
-                    w, h, mean = _pil_meta(b)
-                elif b[:2] == JPEG_MAGIC:
-                    # REAL pixel decode on the stdlib+numpy codec
-                    # (operators/jpeg, baseline + progressive) —
-                    # lossless/arithmetic variants still raise
-                    # NotImplementedError with the precise reason
-                    w, h, mean = _jpeg_meta(b)
-                else:
-                    raise NotImplementedError(
-                        "no decoder for this image format in this "
-                        "environment; supported without codecs: the "
-                        "synthetic FAKE container, baseline 8-bit PNG, "
-                        "baseline sequential JPEG, and GIF"
-                    )
+                w, h, mean = _decode_meta_one(rid, bytes(blob))
                 out.append(
                     {
                         "id": rid,
@@ -448,6 +398,61 @@ def decode_image_meta(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         batches, IMAGE_META_SCHEMA
+    )
+
+
+def _decode_meta_one(rid, b: bytes) -> tuple[int, int, float]:
+    """The per-blob dispatch of decode_image_meta, module-level so
+    tests can pin the PRECEDENCE (which decoder a given magic routes
+    to, with and without PIL) driver-side against a stubbed _pil_meta
+    — inside mapInPandas the chain runs in a worker subprocess where
+    a monkeypatched module is invisible. Reads _HAVE_PIL at call
+    time for the same reason."""
+    if b[:4] == MAGIC:
+        w, h = _parse_header(b)
+        if len(b) < HEADER_LEN + w * h:
+            # a truncated container must fail loudly like
+            # _decode_gray's reshape does — a mean over the partial
+            # payload would be silently wrong
+            raise ValueError(
+                f"FAKE container for id {rid!r} claims {w}x{h} but "
+                f"carries only {len(b) - HEADER_LEN} payload bytes"
+            )
+        payload = b[HEADER_LEN : HEADER_LEN + w * h]
+        return w, h, (sum(payload) / len(payload)) if payload else 0.0
+    if b[: len(PNG_MAGIC)] == PNG_MAGIC:
+        # round 12: the stdlib decoder covers the FULL PNG spec
+        # surface (operators/png — every depth, palette, Adam7), so
+        # no PIL fallback is needed; malformed PNGs fail loudly
+        # (this is the strict stage)
+        return _png_meta(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        # stdlib GIF decode (first frame), PIL not needed
+        return _gif_meta(b)
+    if _bmp_sniff(b):
+        return _bmp_meta_decode(b)
+    if b[:4] in _TIFF_MAGICS:
+        # stdlib decoder for none/LZW/Deflate/PackBits/tiled/planar;
+        # the remaining gated forms (old-style JPEG, exotic depths,
+        # predictor-2-on-16-bit) fall back to PIL when present
+        try:
+            return _tiff_pixel_meta(b)
+        except NotImplementedError:
+            if not _HAVE_PIL:
+                raise
+            return _pil_meta(b)
+    if _HAVE_PIL:
+        return _pil_meta(b)
+    if b[:2] == JPEG_MAGIC:
+        # REAL pixel decode on the stdlib+numpy codec
+        # (operators/jpeg, baseline + progressive) — lossless/
+        # arithmetic variants still raise NotImplementedError with
+        # the precise reason
+        return _jpeg_meta(b)
+    raise NotImplementedError(
+        "no decoder for this image format in this environment; "
+        "supported without codecs: the synthetic FAKE container, "
+        "baseline 8-bit PNG, baseline sequential JPEG, and GIF"
     )
 
 
