@@ -222,12 +222,21 @@ def warc_responses(records: DataFrame) -> DataFrame:
     )
 
     def _decode_text(body: bytes, ctype: str | None) -> str:
-        """Charset-aware text view: the Content-Type parameter wins,
-        then a <meta charset> sniff over the first 2 KB, then UTF-8 —
-        all with 'replace', so no page can fail the batch. Non-UTF-8
-        pages (latin-1, windows-1251, gbk, shift_jis...) previously
+        """Charset-aware text view: a byte-order mark wins (WHATWG
+        encoding sniffing — the BOM outranks even Content-Type, and
+        a UTF-16 page would otherwise decode as NUL-riddled
+        mojibake), then the Content-Type parameter, then a <meta
+        charset> sniff over the first 2 KB, then UTF-8 — all with
+        'replace', so no page can fail the batch. Non-UTF-8 pages
+        (latin-1, windows-1251, gbk, shift_jis...) previously
         decoded as mojibake that poisoned every downstream text
         stage."""
+        if body[:3] == b"\xef\xbb\xbf":
+            return body[3:].decode("utf-8", "replace")
+        if body[:2] == b"\xff\xfe":
+            return body[2:].decode("utf-16-le", "replace")
+        if body[:2] == b"\xfe\xff":
+            return body[2:].decode("utf-16-be", "replace")
         enc = None
         if ctype:
             m = ct_charset.search(ctype)

@@ -459,6 +459,42 @@ class TestWireRealities:
         assert "привет мир" in t["http://c.example/meta"]
         assert "plain ascii" in t["http://c.example/bogus"]  # fallback
 
+    def test_bom_outranks_content_type(self, spark, tmp_path):
+        """WHATWG encoding sniffing: a byte-order mark wins over the
+        Content-Type charset. UTF-16 pages previously decoded as
+        NUL-riddled mojibake (the utf-8 fallback sees \\x00 between
+        every ASCII char); a UTF-8 BOM page with a WRONG declared
+        charset must follow the BOM."""
+        u16 = "<html><body>utf sixteen páge</body></html>".encode(
+            "utf-16"  # emits the LE BOM
+        )
+        u16be = ("\ufeff" + "<html><body>big endian</body></html>").encode(
+            "utf-16-be"
+        )  # explicit BOM codepoint -> leading \xfe\xff
+        u8bom = (
+            b"\xef\xbb\xbf<html><body>"
+            + "naïve text".encode("utf-8")
+            + b"</body></html>"
+        )
+        records = [
+            ("response", "http://b.example/le",
+             (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              + u16)),
+            ("response", "http://b.example/be",
+             (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              + u16be)),
+            ("response", "http://b.example/u8",
+             (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+              b"charset=windows-1251\r\n\r\n" + u8bom)),
+        ]
+        (tmp_path / "bom-0.warc").write_bytes(make_warc(records))
+        out = warc_responses(read_warc(spark, str(tmp_path))).toPandas()
+        t = out.set_index("url").text
+        assert "utf sixteen páge" in t["http://b.example/le"]
+        assert "\x00" not in t["http://b.example/le"]
+        assert "big endian" in t["http://b.example/be"]
+        assert "naïve text" in t["http://b.example/u8"]
+
     def test_negative_chunk_size_keeps_raw(self, spark, tmp_path):
         """int(b'-5', 16) parses: a crafted negative chunk size must
         degrade to the raw body, never slice-with-negative-stop or
