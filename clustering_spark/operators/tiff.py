@@ -263,11 +263,41 @@ def decode_tiff(b: bytes):
         raise ValueError("TIFF exceeds decode pixel budget")
     if planar not in (1, 2):
         raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
-    if comp not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
+    if comp not in (1, 2, 3, 4, 5, 6, 7, 8, 32946, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} needs a real codec "
             "(none/CCITT G3+G4/LZW/Deflate/PackBits/JPEG decode here)"
         )
+    if comp == 6:
+        # old-style JPEG-in-TIFF (round 14): the spec's compression 6
+        # is famously underspecified, but the layout real files
+        # overwhelmingly ship — EXIF thumbnails included — is tag 513
+        # (JPEGInterchangeFormat) pointing at ONE complete JFIF
+        # stream, with 514 carrying its length. Decode that case on
+        # the in-repo T.81 codec; the per-strip JPEGProc/table-tag
+        # variant (no 513) stays an honest named gate, because its
+        # table-assembly semantics genuinely diverge across writers.
+        if 513 not in tags:
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF (compression 6) without a "
+                "JPEGInterchangeFormat stream — per-strip JPEGProc "
+                "table assembly is writer-divergent; route via PIL"
+            )
+        off = tags[513][0]
+        ln = tags.get(514, [len(b) - off])[0]
+        if off < 0 or ln <= 0 or off + ln > len(b):
+            raise ValueError(
+                "JPEGInterchangeFormat stream outside the file"
+            )
+        from clustering_spark.operators.jpeg import decode_baseline
+
+        jw, jh, jch, jsamples = decode_baseline(b[off : off + ln])
+        if (jw, jh) != (w, h):
+            raise ValueError(
+                f"old-style JPEG stream is {jw}x{jh}, IFD claims "
+                f"{w}x{h}"
+            )
+        return w, h, jch, jsamples
     if comp == 7 and planar == 2:
         raise NotImplementedError("planar JPEG-in-TIFF")
     if predictor not in (1, 2):

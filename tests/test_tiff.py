@@ -28,6 +28,30 @@ def _rt(arr, **kw):
     return got.reshape(h, w, ch)
 
 
+def _oldstyle_jpeg_tiff(jpeg_bytes: bytes, w: int, h: int) -> bytes:
+    """Minimal OLD-style JPEG-in-TIFF (compression 6) fixture: tag
+    513 (JPEGInterchangeFormat) pointing at one complete JFIF stream
+    with 514 carrying its length — the EXIF-thumbnail layout."""
+    import struct as st
+
+    entries = [
+        (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, 6),
+        (262, 3, 6), (277, 3, 1),
+        (513, 4, None), (514, 4, len(jpeg_bytes)),
+    ]
+    n = len(entries)
+    data_off = 8 + 2 + 12 * n + 4
+    out = bytearray(b"II*\x00" + st.pack("<I", 8))
+    out += st.pack("<H", n)
+    for tag, typ, val in entries:
+        v = data_off if tag == 513 else val
+        out += st.pack("<HHI", tag, typ, 1)
+        out += st.pack("<I", v) if typ == 4 else st.pack("<HH", v, 0)
+    out += st.pack("<I", 0)  # no next IFD
+    out += jpeg_bytes
+    return bytes(out)
+
+
 class TestRoundTrip:
     @pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
     @pytest.mark.parametrize("pred", [False, True])
@@ -114,16 +138,55 @@ class TestLzw:
 
 
 class TestGates:
-    def test_oldstyle_jpeg_is_honest_gate(self):
-        # new-style JPEG-in-TIFF (7) decodes natively since round 13
-        # (TestJpegInTiff) — OLD-style JPEG (6, the withdrawn
-        # TIFF-6.0 scheme) remains the honest gate
+    def test_oldstyle_jpeg_without_stream_is_honest_gate(self):
+        # round 14: old-style JPEG (6) with a JPEGInterchangeFormat
+        # stream decodes natively (TestOldStyleJpegInTiff); the
+        # per-strip JPEGProc table-assembly variant (no tag 513)
+        # stays the honest gate — its semantics genuinely diverge
+        # across writers
         g = np.zeros((4, 4), dtype=np.uint8)
         blob = bytearray(encode_tiff(g))
         idx = blob.find(b"\x03\x01\x03\x00")  # tag 259, SHORT
         assert idx > 0
         blob[idx + 8] = 6
         with pytest.raises(NotImplementedError, match="compression 6"):
+            decode_tiff(bytes(blob))
+
+    def test_oldstyle_jpeg_interchange_stream_decodes(self):
+        """Round 14: the layout real compression-6 files ship — tag
+        513 (JPEGInterchangeFormat) pointing at ONE complete JFIF
+        stream (EXIF thumbnails use exactly this) — decodes on the
+        in-repo T.81 codec."""
+        from clustering_spark.operators.jpeg import encode_baseline
+
+        g = np.full((8, 8), 128, np.uint8)
+        g[2:6, 2:6] = 136  # smooth content: JPEG-close, not exact
+        blob = _oldstyle_jpeg_tiff(encode_baseline(g), 8, 8)
+        w, h, ch, s = decode_tiff(blob)
+        assert (w, h, ch) == (8, 8, 1)
+        got = np.frombuffer(s, np.uint8).reshape(8, 8)
+        assert abs(float(got.mean()) - float(g.mean())) < 3.0
+
+    def test_oldstyle_jpeg_dim_mismatch_raises(self):
+        from clustering_spark.operators.jpeg import encode_baseline
+
+        blob = _oldstyle_jpeg_tiff(
+            encode_baseline(np.zeros((4, 4), np.uint8)), 8, 8
+        )
+        with pytest.raises(ValueError, match="IFD claims"):
+            decode_tiff(blob)
+
+    def test_oldstyle_jpeg_stream_outside_file_raises(self):
+        from clustering_spark.operators.jpeg import encode_baseline
+
+        jpg = encode_baseline(np.zeros((4, 4), np.uint8))
+        blob = bytearray(_oldstyle_jpeg_tiff(jpg, 4, 4))
+        # inflate the declared length past EOF
+        import struct as st
+
+        i = blob.find(st.pack("<HH", 514, 4))
+        blob[i + 8 : i + 12] = st.pack("<I", len(blob) * 4)
+        with pytest.raises(ValueError, match="outside the file"):
             decode_tiff(bytes(blob))
 
     def test_exotic_depth_is_honest_gate(self):
