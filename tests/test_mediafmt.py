@@ -463,3 +463,71 @@ class TestOggChainedAndMultiplexed:
         # selected stream = first chain; the differently-shaped chain
         # cannot contribute samples to an 8 kHz mono total
         assert (fmt, ch, rate, n, dur) == ("ogg-vorbis", 1, 8000, 8000, 1.0)
+
+
+class TestLoopTerminationPins:
+    """Round-14 review batch 4: the container walks' progress
+    guarantees, pinned against the crafted inputs that would exploit
+    them — zero-payload pages, zero-size containers, lying tag
+    sizes. Every case must terminate promptly in a value or a
+    ValueError, never hang."""
+
+    def test_ogg_zero_segment_pages_advance(self):
+        from clustering_spark.operators.mediafmt import _ogg_pages
+
+        # 200 pages with nsegs=0 (27-byte headers, no payload):
+        # each still advances the cursor by its header size
+        # OggS + version + htype + granule(8) + serial(4) + seq(4)
+        # + crc(4) + nsegs(1) = 27 bytes
+        page = (
+            b"OggS" + b"\x00\x00" + struct.pack("<q", -1)
+            + struct.pack("<I", 7) + b"\x00" * 8 + b"\x00"
+        )
+        assert len(page) == 27
+        pages = list(_ogg_pages(page * 200))
+        assert len(pages) == 200
+        assert all(ps == pe for _h, _g, _s, ps, pe in pages)
+
+    def test_ebml_zero_size_containers_terminate(self):
+        from clustering_spark.operators.mediafmt import (
+            _eel,
+            _mkv_meta,
+        )
+
+        # EBML header then a Segment stuffed with zero-size cluster
+        # containers: each push/pop must make progress
+        seg_body = (b"\x1fC\xb6u" + b"\x80") * 300  # Cluster, size 0
+        blob = (
+            _eel(b"\x1aE\xdf\xa3", b"")
+            + _eel(b"\x18S\x80g", seg_body)
+        )
+        fmt, n_tracks, w, h, dur = _mkv_meta(blob)
+        assert fmt == "matroska" and n_tracks == 0
+
+    def test_mp3_lying_id3_size_raises_not_scans_forever(self):
+        from clustering_spark.operators.mediafmt import (
+            _mp3_first_frame,
+        )
+
+        # syncsafe size claims ~256 MB on a 50-byte blob: the scan
+        # window starts past EOF and must raise immediately
+        blob = b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + b"\x00" * 40
+        with pytest.raises(ValueError, match="sync"):
+            _mp3_first_frame(blob)
+
+    def test_mp3_all_sync_bytes_bounded_scan(self):
+        import time
+
+        from clustering_spark.operators.mediafmt import (
+            _mp3_first_frame,
+        )
+
+        # 0xFF runs look like syncs but never confirm: the scan is
+        # bounded by the window, not the blob
+        blob = b"\xff" * 100_000
+        t0 = time.time()
+        try:
+            _mp3_first_frame(blob)
+        except ValueError:
+            pass
+        assert time.time() - t0 < 5.0
