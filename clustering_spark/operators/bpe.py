@@ -100,8 +100,24 @@ def _from_byte_form(s: str) -> str:
     """Inverse of _to_byte_form. 'replace' keeps a token sequence
     cut mid-codepoint decodable (U+FFFD), matching every production
     byte-level tokenizer's decode posture; full sequences from
-    encode round-trip exactly."""
-    return bytes(_CHAR_BYTE[c] for c in s).decode("utf-8", "replace")
+    encode round-trip exactly. Chars OUTSIDE the byte table (e.g. a
+    stray end-of-word marker from a mismatched ``end`` argument)
+    become U+FFFD instead of raising — decode never throws on
+    malformed symbol streams, same posture as the UTF-8 layer."""
+    out: list[str] = []
+    buf = bytearray()
+    for c in s:
+        b = _CHAR_BYTE.get(c)
+        if b is None:
+            if buf:
+                out.append(buf.decode("utf-8", "replace"))
+                buf.clear()
+            out.append("�")
+        else:
+            buf.append(b)
+    if buf:
+        out.append(buf.decode("utf-8", "replace"))
+    return "".join(out)
 
 
 def learn_merges(
@@ -440,12 +456,17 @@ def bpe_decode_ids(
 
 
 def bpe_decode_tokens(
-    tokens: list[str], end: str = END, mode: str = "char"
+    tokens: list[str], end: str | None = None, mode: str = "char"
 ) -> str:
     """Inverse of the per-row tokenization: concatenate and strip the
     end-of-word markers (then undo the byte table for byte-level
-    models). Used by the roundtrip property tests; byte-mode callers
-    pass ``end=END_BYTE`` (or the model's ``end``)."""
+    models). ``end`` defaults FROM ``mode`` — END_BYTE for byte
+    mode, "</w>" for char mode — so the correct pairing is not left
+    to the caller (round-14 advisor: mode="byte" with the char
+    default left chr(324) in the joined string). An explicit ``end``
+    still overrides (e.g. a model trained with a custom marker)."""
+    if end is None:
+        end = END_BYTE if mode == "byte" else END
     joined = _strip_end("".join(tokens), end)
     return _from_byte_form(joined) if mode == "byte" else joined
 

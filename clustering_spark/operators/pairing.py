@@ -42,38 +42,123 @@ _SRC_UNQ = r"""(?i)(?<![-\w])src\s*=\s*([^\s>"']+)"""
 # lazy-loading idioms: the real URL rides data-src, and srcset-only
 # tags carry candidates as "url descriptor, url descriptor, ..."
 _DATA_SRC = r"""(?i)(?<![-\w])data-src\s*=\s*["']([^"']+)["']"""
-_SRCSET_FIRST = r"""(?i)(?<![-\w])srcset\s*=\s*["']\s*([^\s,"']+)"""
-_ALT = r"""(?i)(?<![-\w])alt\s*=\s*["']([^"']*)["']"""
-_TITLE = r"""(?i)(?<![-\w])title\s*=\s*["']([^"']*)["']"""
-# round 14: the remaining caption/ref idioms real pages use.
-# aria-label outranks alt in the accessible-name computation (WAI-
-# ARIA), so it leads the caption precedence.
-_ARIA_LABEL = r"""(?i)(?<![-\w])aria-label\s*=\s*["']([^"']*)["']"""
+# caption attributes are quote-AWARE (round 15): a ["']...["']
+# class would truncate a double-quoted value at its first apostrophe
+# (alt="World's best" -> "World"), and apostrophes are common in
+# natural-language captions. Each attribute gets a double-quoted and
+# a single-quoted pattern; extraction tries the double-quoted form
+# first (the quote char right after = decides which one can match,
+# so the order only breaks ties on malformed duplicate attributes).
+def _attr_dq(name: str) -> str:
+    return rf"""(?i)(?<![-\w]){name}\s*=\s*"([^"]*)\""""
+
+
+def _attr_sq(name: str) -> str:
+    return rf"""(?i)(?<![-\w]){name}\s*=\s*'([^']*)'"""
+
+
+def _attr_val(tag: Column, name: str) -> Column:
+    """Quote-aware attribute value: the double-quoted match wins when
+    present (even if empty — rlike, not the extract, gates it), else
+    the single-quoted extraction ('' when absent, matching the old
+    single-pattern contract)."""
+    dq = _attr_dq(name)
+    return F.when(
+        tag.rlike(dq), F.regexp_extract(tag, dq, 1)
+    ).otherwise(F.regexp_extract(tag, _attr_sq(name), 1))
+
+
+def _has_attr(tag: Column, name: str) -> Column:
+    return tag.rlike(_attr_dq(name)) | tag.rlike(_attr_sq(name))
+
+
+def _srcset_best(srcset: Column) -> Column:
+    """Highest-resolution candidate of a srcset value (round 15):
+    largest width descriptor (``<int>w``, HTML spec) wins; with no
+    width descriptors anywhere, largest density (``<float>x``); with
+    neither, the first candidate — a CLIP-style corpus wants the
+    biggest image, not whichever the author listed first. Ties and
+    descriptorless candidates keep the EARLIEST (deterministic;
+    matches browser "first wins on equal" behavior). All native
+    array HOFs over ONE split — no Python, no extra scan. Caveat:
+    candidates split on ',', so a data: URI's base64 tail can
+    surface as a junk candidate; data: itself is scheme-dropped and
+    the tail fragment can never join a crawled blob, so no pair is
+    produced either way. Returns '' when the attribute is absent."""
+    # NOT F.transform(..., F.trim): transform inspects the callable's
+    # arity and trim's optional 2nd param makes it pass the array
+    # INDEX as the trim-character set
+    cands = F.filter(
+        F.transform(F.split(srcset, ","), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    scored = F.transform(
+        cands,
+        lambda s: F.struct(
+            F.regexp_extract(s, r"^(\S+)", 1).alias("url"),
+            # tier 2 = width descriptor, 1 = density, 0 = bare URL;
+            # width always outranks density (the spec forbids mixing,
+            # real pages do it anyway — width is the honest size)
+            F.when(s.rlike(r"^\S+\s+\d+w$"), F.lit(2.0))
+            .when(s.rlike(r"^\S+\s+\d+(?:\.\d+)?x$"), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("tier"),
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        s, r"^\S+\s+(\d+(?:\.\d+)?)[wx]$", 1
+                    ),
+                    F.lit(""),
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("score"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit("").alias("url"),
+            F.lit(-1.0).alias("tier"),
+            F.lit(-1.0).alias("score"),
+        ),
+        lambda acc, c: F.when(
+            (c["tier"] > acc["tier"])
+            | ((c["tier"] == acc["tier"]) & (c["score"] > acc["score"])),
+            c,
+        ).otherwise(acc),
+    )["url"]
 # <picture> is the modern responsive idiom: the real candidates ride
 # <source srcset>, the inner <img> is the fallback (and is ALSO
 # caught by the global _IMG_TAG scan). Browsers pick the first
-# matching <source>; its first srcset candidate is the
-# deterministic analog.
+# matching <source>; the highest-resolution candidate of that
+# source's srcset is the training-data analog (_srcset_best).
 _PICTURE = r"(?is)<picture\b[^>]*>.*?</picture>"
-_SOURCE_SRCSET_FIRST = (
-    r"""(?is)<source\b[^>]*?(?<![-\w])srcset\s*=\s*["']\s*([^\s,"']+)"""
+# first <source> tag that actually CARRIES a srcset (browsers skip
+# srcset-less sources); candidate choice within it is _srcset_best
+_SOURCE_WITH_SRCSET = (
+    r"""(?is)<source\b[^>]*?(?<![-\w])srcset\s*=\s*["'][^>]*>"""
 )
 # social-card metadata: og:image (+ :url/:secure_url variants) and
 # twitter:image(:src) carry the page's canonical image; captions
 # come from the page-level og:/twitter:description metas. Attribute
 # order varies in the wild (content before property and vice versa),
-# so the tag is matched whole and content extracted from it.
+# so the tag is matched whole and content extracted from it. The
+# property/name attribute names anchor with (?<![-\w]) like every
+# other attribute here — without it, data-property="og:image" (a
+# framework template's stash, not a social card) would be
+# misclassified (round-14 advisor finding).
 _META_IMG_TAG = (
-    r"""(?i)<meta\b[^>]*?(?:property|name)\s*=\s*["']"""
+    r"""(?i)<meta\b[^>]*?(?<![-\w])(?:property|name)\s*=\s*["']"""
     r"""(?:og:image(?::(?:secure_)?url)?|twitter:image(?::src)?)["']"""
     r"""[^>]*>"""
 )
-_CONTENT = r"""(?i)(?<![-\w])content\s*=\s*["']([^"']+)["']"""
 _OG_DESC_TAG = (
-    r"""(?i)<meta\b[^>]*?property\s*=\s*["']og:description["'][^>]*>"""
+    r"""(?i)<meta\b[^>]*?(?<![-\w])property\s*=\s*["']"""
+    r"""og:description["'][^>]*>"""
 )
 _TW_DESC_TAG = (
-    r"""(?i)<meta\b[^>]*?name\s*=\s*["']twitter:description["'][^>]*>"""
+    r"""(?i)<meta\b[^>]*?(?<![-\w])name\s*=\s*["']"""
+    r"""twitter:description["'][^>]*>"""
 )
 
 
@@ -118,11 +203,14 @@ def extract_image_refs(
     df: DataFrame, html_col: str, url_col: str
 ) -> DataFrame:
     """One row per image REFERENCE across every page: (page_url,
-    img_src, resolved_url, alt_text) — ``<img>`` tags, the first
-    ``<source srcset>`` candidate of each ``<picture>`` block (the
-    fallback ``<img>`` inside is also caught by the global img
-    scan), and og:image / twitter:image social-card metas captioned
-    by the page-level og:/twitter:description.
+    img_src, resolved_url, alt_text) — ``<img>`` tags, the
+    highest-resolution ``<source srcset>`` candidate of each
+    ``<picture>`` block (the fallback ``<img>`` inside is also
+    caught by the global img scan), and og:image / twitter:image
+    social-card metas captioned by the page-level
+    og:/twitter:description. srcset candidates pick by largest
+    width descriptor, else largest density, else first
+    (_srcset_best).
 
     ``alt_text`` coalesces aria-label (the WAI-ARIA accessible name
     outranks alt), then alt, then title, and is NULL when none
@@ -142,15 +230,13 @@ def extract_image_refs(
         # page-level caption for social-card rows: og:description,
         # else twitter:description, extracted from the whole page
         # BEFORE the explode so every meta row can see it
-        F.regexp_extract(
+        _attr_val(
             F.regexp_extract(F.col(html_col), _OG_DESC_TAG, 0),
-            _CONTENT,
-            1,
+            "content",
         ).alias("__og_desc"),
-        F.regexp_extract(
+        _attr_val(
             F.regexp_extract(F.col(html_col), _TW_DESC_TAG, 0),
-            _CONTENT,
-            1,
+            "content",
         ).alias("__tw_desc"),
         # lit-pattern form, NOT an F.expr SQL string: SQL literals eat
         # the \b escape before the regex engine sees it
@@ -171,9 +257,13 @@ def extract_image_refs(
     src_q = F.regexp_extract(tag, _SRC, 1)
     src_u = F.regexp_extract(tag, _SRC_UNQ, 1)
     data_src = F.regexp_extract(tag, _DATA_SRC, 1)
-    srcset1 = F.regexp_extract(tag, _SRCSET_FIRST, 1)
-    source1 = F.regexp_extract(tag, _SOURCE_SRCSET_FIRST, 1)
-    content = F.regexp_extract(tag, _CONTENT, 1)
+    srcset1 = _srcset_best(_attr_val(tag, "srcset"))
+    source1 = _srcset_best(
+        _attr_val(
+            F.regexp_extract(tag, _SOURCE_WITH_SRCSET, 0), "srcset"
+        )
+    )
+    content = _attr_val(tag, "content")
     # <img> precedence: quoted src, unquoted src, the lazy-load
     # data-src, then the first srcset candidate (lazy-loading pages
     # often ship a 1x1 placeholder in src and the real image
@@ -195,9 +285,6 @@ def extract_image_refs(
             F.lit("&"),
         )
     )
-    aria = F.regexp_extract(tag, _ARIA_LABEL, 1)
-    alt = F.regexp_extract(tag, _ALT, 1)
-    title = F.regexp_extract(tag, _TITLE, 1)
     caption = (
         F.when(
             is_meta,
@@ -205,9 +292,9 @@ def extract_image_refs(
             .when(F.col("__tw_desc") != "", F.col("__tw_desc"))
             .otherwise(F.lit(None).cast("string")),
         )
-        .when(tag.rlike(_ARIA_LABEL), aria)
-        .when(tag.rlike(_ALT), alt)
-        .when(tag.rlike(_TITLE), title)
+        .when(_has_attr(tag, "aria-label"), _attr_val(tag, "aria-label"))
+        .when(_has_attr(tag, "alt"), _attr_val(tag, "alt"))
+        .when(_has_attr(tag, "title"), _attr_val(tag, "title"))
         .otherwise(F.lit(None).cast("string"))
     )
     return (
@@ -252,7 +339,7 @@ def extract_figure_captions(
     src_q = F.regexp_extract(F.col("__fig"), _SRC, 1)
     src_u = F.regexp_extract(F.col("__fig"), _SRC_UNQ, 1)
     data_src = F.regexp_extract(F.col("__fig"), _DATA_SRC, 1)
-    srcset1 = F.regexp_extract(F.col("__fig"), _SRCSET_FIRST, 1)
+    srcset1 = _srcset_best(_attr_val(F.col("__fig"), "srcset"))
     src = F.trim(
         F.replace(
             F.when(src_q != "", src_q)

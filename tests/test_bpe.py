@@ -441,3 +441,38 @@ class TestByteLevel:
         # explicit default both mean char level
         assert model.get("mode", "char") == "char"
         assert model["end"] == END
+
+
+class TestDecodeDefaults:
+    """Round 15 (advisor): bpe_decode_tokens pairs end with mode by
+    default, and _from_byte_form never raises on out-of-table chars."""
+
+    def test_decode_tokens_byte_mode_default_end(self):
+        from clustering_spark.operators.bpe import (
+            END_BYTE,
+            _to_byte_form,
+        )
+
+        # byte-form tokens for "hi" + end marker, no explicit end:
+        # mode="byte" alone must strip END_BYTE (the old default
+        # stripped "</w>" and left chr(324) in the stream)
+        toks = [_to_byte_form("hi") + END_BYTE]
+        assert bpe_decode_tokens(toks, mode="byte") == "hi"
+        # char mode default unchanged
+        assert bpe_decode_tokens(["hi</w>"]) == "hi"
+        # explicit end still overrides
+        assert bpe_decode_tokens(["hi#"], end="#") == "hi"
+
+    def test_from_byte_form_out_of_table_is_replacement(self):
+        from clustering_spark.operators.bpe import (
+            END_BYTE,
+            _from_byte_form,
+            _to_byte_form,
+        )
+
+        # a stray marker (or any non-table char) becomes U+FFFD,
+        # never KeyError — same posture as the UTF-8 'replace' layer
+        s = _to_byte_form("ab") + END_BYTE + _to_byte_form("cd")
+        assert _from_byte_form(s) == "ab�cd"
+        # pure in-table round-trip unchanged, incl. multibyte UTF-8
+        assert _from_byte_form(_to_byte_form("héllo✓")) == "héllo✓"

@@ -229,8 +229,10 @@ def test_lazyload_data_src_and_srcset_fallbacks(spark):
     assert out.loc["lazy one", "resolved_url"] == (
         "http://h.example/lazy/a.png"
     )
+    # round 15: srcset picks the LARGEST width descriptor, not the
+    # first candidate — a training corpus wants the big image
     assert out.loc["from srcset", "resolved_url"] == (
-        "http://h.example/set/b-480.png"
+        "http://h.example/set/b-800.png"
     )
     assert out.loc["src wins", "resolved_url"] == (
         "http://h.example/plain/c.png"
@@ -440,3 +442,93 @@ def test_figcaption_upgrades_alt(spark):
     assert pairs.loc["http://f.example/i/plain.png", "alt_text"] == (
         "just alt"
     )
+
+
+def test_quote_aware_caption_values(spark):
+    """Round 15 (advisor): attribute values match quote-AWARE — a
+    double-quoted value keeps its apostrophes (the old ["']...["']
+    class truncated alt="World's best" at the apostrophe), and a
+    single-quoted value keeps embedded double quotes."""
+    html = (
+        '<img src="/q/a.png" alt="World\'s best harbor">'
+        "<img src='/q/b.png' alt='He said \"ahoy\" twice'>"
+        '<img src="/q/c.png" aria-label="the ship\'s wheel">'
+        '<meta property="og:image" content="/q/og.png">'
+        '<meta property="og:description"'
+        ' content="Chef\'s special: po\'boys">'
+    )
+    df = spark.createDataFrame(
+        [("http://q.example/p", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.resolved_url, out.alt_text))
+    assert got == {
+        "http://q.example/q/a.png": "World's best harbor",
+        "http://q.example/q/b.png": 'He said "ahoy" twice',
+        "http://q.example/q/c.png": "the ship's wheel",
+        "http://q.example/q/og.png": "Chef's special: po'boys",
+    }
+
+
+def test_meta_attr_names_anchored(spark):
+    """Round 15 (advisor): data-property="og:image" /
+    data-name="twitter:image" are framework stashes, not social
+    cards — the (?<![-\\w]) anchor keeps them out; and a
+    data-property="og:description" must not become the page caption."""
+    html = (
+        '<meta data-property="og:image" content="/not-a-card.png">'
+        '<meta data-name="twitter:image" content="/also-not.png">'
+        '<meta data-property="og:description" content="stash text">'
+        '<meta property="og:image" content="/real-card.png">'
+    )
+    df = spark.createDataFrame(
+        [("http://n.example/p", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.resolved_url, out.alt_text))
+    # only the real og:image survives, and with NO caption (the
+    # data-property description is not a page description)
+    assert got == {"http://n.example/real-card.png": None}
+
+
+def test_srcset_best_resolution_selection(spark):
+    """Round 15: srcset picks largest width descriptor, else largest
+    density, else the first candidate; ties keep the earliest.
+    Width always outranks density when pages mix them."""
+    html = (
+        # widths, listed small-first: largest w wins
+        '<img srcset="/w/a-320.png 320w, /w/a-1280.png 1280w,'
+        ' /w/a-640.png 640w" alt="widths">'
+        # densities incl. float: 2.5x beats 2x and 1x
+        '<img srcset="/d/b-1.png 1x, /d/b-25.png 2.5x,'
+        ' /d/b-2.png 2x" alt="densities">'
+        # mixed (spec-invalid, real-world): width outranks density
+        '<img srcset="/m/c-3x.png 3x, /m/c-100.png 100w"'
+        ' alt="mixed">'
+        # no descriptors: first candidate (old behavior preserved)
+        '<img srcset="/f/first.png, /f/second.png" alt="bare">'
+        # tie on width: earliest wins (deterministic)
+        '<img srcset="/t/e1.png 400w, /t/e2.png 400w" alt="tie">'
+        # picture: best candidate WITHIN the first srcset source
+        '<picture><source media="(min-width:600px)">'
+        '<source srcset="/p/s-200.webp 200w, /p/s-900.webp 900w">'
+        '<img src="/p/fb.jpg" alt="pic"></picture>'
+    )
+    df = spark.createDataFrame(
+        [("http://s.example/p", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.alt_text, out.resolved_url))
+    assert got["widths"] == "http://s.example/w/a-1280.png"
+    assert got["densities"] == "http://s.example/d/b-25.png"
+    assert got["mixed"] == "http://s.example/m/c-100.png"
+    assert got["bare"] == "http://s.example/f/first.png"
+    assert got["tie"] == "http://s.example/t/e1.png"
+    # picture rows: best source candidate + the fallback img
+    pic_urls = set(
+        out[out.alt_text == "pic"].resolved_url
+    )
+    assert pic_urls == {
+        "http://s.example/p/s-900.webp",
+        "http://s.example/p/fb.jpg",
+    }
