@@ -1170,3 +1170,63 @@ WHERE e.vec_id = coalesce(c.comp, e.vec_id)
 """
 
 
+
+def _bpe_ids_sql() -> str:
+    """Oracle for the BPE id layer + packing chain (round 15): does
+    NOT re-run BPE — it replays ids from the pinned (pre-token form
+    -> vocab ids) GOLDEN (pinned.BPE_WORD_IDS, captured once at model
+    freeze), maps every corpus word through it (word-initial form at
+    p=1, leading-space form after — the GPT-2 pretokenizer keeps the
+    space on the token), truncates to the first 8 ids per doc, and
+    derives the packing layout from ARITHMETIC: with every doc
+    budgeted at exactly 9 tokens (8 ids + EOS) and max_tokens=36 in
+    one bucket, FFD degenerates to doc-rank // 4, member ordinal to
+    doc-rank % 4, and each member owns positions ord*9..ord*9+8 with
+    EOS last; positions 36..39 are PAD with owner -1. The corpus word
+    set is CLOSED (31 words, every SF) — a regenerated corpus with
+    new words drops rows at the join and fails the gate loudly, same
+    posture as the closure hop guard."""
+    from clustering_spark.pinned import BPE_WORD_IDS
+
+    vals = ",\n    ".join(
+        f"({f!r}, {i + 1}, {tid})"
+        for f, ids in BPE_WORD_IDS.items()
+        for i, tid in enumerate(ids)
+    ).replace('"', "'")
+    return f"""
+WITH lk(form, tpos, id) AS (VALUES
+    {vals}),
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS wd,
+               generate_subscripts(w, 1) AS p FROM ws),
+forms AS (SELECT doc_id, p,
+                 CASE WHEN p = 1 THEN wd ELSE ' ' || wd END AS form
+          FROM tok),
+flat AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p, tpos) AS r,
+         id
+  FROM forms JOIN lk USING (form)),
+dr AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS dn
+       FROM ws),
+tokrows AS (
+  SELECT dr.dn // 4 AS pack_id, (dr.dn % 4)::INT AS doc_ord,
+         ((dr.dn % 4) * 9 + f.r - 1)::INT AS pos, f.id AS token_id
+  FROM flat f JOIN dr ON f.doc_id = dr.doc_id WHERE f.r <= 8),
+eosrows AS (
+  SELECT dn // 4 AS pack_id, (dn % 4)::INT AS doc_ord,
+         ((dn % 4) * 9 + 8)::INT AS pos, 2 AS token_id FROM dr),
+padrows AS (
+  SELECT p.pack_id, -1 AS doc_ord, (36 + g.k)::INT AS pos,
+         1 AS token_id
+  FROM (SELECT DISTINCT dn // 4 AS pack_id FROM dr) p
+  CROSS JOIN (SELECT unnest(range(4)) AS k) g)
+SELECT pack_id, 4::BIGINT AS n_docs, 36 AS n_real_tokens,
+       FALSE AS overflow, pos, token_id, doc_ord
+FROM (SELECT * FROM tokrows
+      UNION ALL SELECT * FROM eosrows
+      UNION ALL SELECT * FROM padrows)
+"""
+
+
+SQL_BPE_IDS = _bpe_ids_sql()

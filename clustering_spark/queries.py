@@ -42,6 +42,7 @@ from clustering_spark.oracles import (  # noqa: F401 -- re-exported:
     SEMANTIC_CLOSURE_HOPS,
     SQL_APPROX_DISTINCT,
     SQL_ASOF_LAST_PURCHASE,
+    SQL_BPE_IDS,
     SQL_CENTER_RADIUS,
     SQL_CLICKS_AFTER_SIGNUP,
     SQL_CLUSTER_ASSIGN,
@@ -2084,6 +2085,63 @@ def q_semantic_dedup_keep(spark, sf_dir):
 # neardup_dedup_keep folded into neardup_components (kept column);
 # cluster_* → cluster_fit; optimal_k_* → optimal_k; result_doc_* →
 # result_docs.
+def q_bpe_ids(spark, sf_dir):
+    """The trainer-input chain on the HASH GATE (round 15): pinned
+    byte-level BPE model (pinned.BPE_MERGES, trained once on this
+    corpus) -> bpe_encode_ids (pretokenize, merge walk, vocab ids)
+    -> per-doc truncation to the first 8 ids -> pack_sequences ->
+    materialize_id_rows (EOS/PAD layout + doc_map), exploded to one
+    scalar row per sequence position so the driver's value hash
+    covers every id, owner, and pad byte.
+
+    The construction makes the packing layout ARITHMETIC so the
+    DuckDB oracle can replay it without an FFD implementation: every
+    doc is budgeted at exactly 9 tokens (8 ids + EOS; the corpus
+    guarantees >= 10 words/doc so truncation always reaches 8),
+    max_tokens=36 in ONE bucket => FFD fills bins in (equal-size ->
+    doc_id asc) order, i.e. pack = doc-rank // 4 and member ordinal
+    = doc-rank % 4; seq_len=40 leaves 4 PAD positions per pack so
+    the padding path is on the hash too. The oracle replays ids from
+    the frozen (pre-token form -> ids) golden — see
+    oracles._bpe_ids_sql. num_buckets=1 is gate-only (oracle
+    replayability); production keeps the default 64-way bucket
+    sharding."""
+    from clustering_spark.operators.bpe import EOS, PAD, UNK, bpe_encode_ids
+    from clustering_spark.operators.packing import (
+        materialize_id_rows,
+        pack_sequences,
+    )
+    from clustering_spark.pinned import bpe_model
+
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode_ids(
+        docs, "text", bpe_model(), out_col="bpe_ids",
+        specials=(UNK, PAD, EOS),
+    )
+    t = enc.select(
+        "doc_id", F.slice("bpe_ids", 1, 8).alias("ids8")
+    ).withColumn("n_tok", (F.size("ids8") + F.lit(1)).cast("long"))
+    asg = pack_sequences(t, "doc_id", "n_tok", max_tokens=36, num_buckets=1)
+    rows = materialize_id_rows(
+        t, asg, "doc_id", "ids8", seq_len=40, eos_id=2, pad_id=1
+    )
+    return rows.select(
+        "pack_id",
+        "n_docs",
+        "n_real_tokens",
+        "overflow",
+        F.posexplode(F.arrays_zip("input_ids", "doc_map")),
+    ).select(
+        "pack_id",
+        "n_docs",
+        "n_real_tokens",
+        "overflow",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col.input_ids").alias("token_id"),
+        F.col("col.doc_map").alias("doc_ord"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-gated (hash-checked against DuckDB) -------------------
     # round 12: cosine_topk folded into knn_join and row_cap into
@@ -2150,7 +2208,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_distinct_event_types": q_stream_distinct_event_types,
     "stream_dedup_replay": q_stream_dedup_replay,
-    "strip_html": q_strip_html,
+    # round 15: strip_html retired to OFF_GATE_QUERIES (its extraction
+    # is already hash-checked inside warc_crawl's HTML modality; same
+    # precedent as revenue_by_nation -> salted_join_revenue). Slot
+    # goes to bpe_ids — the BPE encode + packing trainer-input chain
+    # on the hash gate via the pinned byte-level vocab.
+    "bpe_ids": q_bpe_ids,
     "semantic_dedup_keep": q_semantic_dedup_keep,
     # round 13: approx_distinct_users converted from rows-only to the
     # hash gate — the HLL estimate stays un-replayable, but its
@@ -2208,7 +2271,7 @@ ORACLES: dict[str, str] = {
     "stream_stateful_user_stats": SQL_STATEFUL_USER_STATS,
     "stream_distinct_event_types": SQL_STREAM_DISTINCT_TYPES,
     "stream_dedup_replay": SQL_STREAM_DEDUP_REPLAY,
-    "strip_html": SQL_STRIP_HTML,
+    "bpe_ids": SQL_BPE_IDS,
     "semantic_dedup_keep": _semantic_dedup_keep_sql(),
     "approx_distinct_users": SQL_APPROX_DISTINCT,
     # no oracle (not ANSI-SQL-expressible) — rows-only checks:
@@ -2229,8 +2292,10 @@ ORACLES: dict[str, str] = {
 # means "off the external gate", never "unchecked".
 OFF_GATE_QUERIES: dict[str, object] = {
     "revenue_by_nation": q_revenue_by_nation,
+    "strip_html": q_strip_html,
 }
 
 OFF_GATE_ORACLES: dict[str, str] = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "strip_html": SQL_STRIP_HTML,
 }

@@ -428,8 +428,11 @@ def test_strip_html_is_pure_projection(spark):
     ONLY exchange is load_spread's deliberate round-robin spread of
     the compute-heavy projection — no hash/range repartition, no
     aggregation wire. A future 'improvement' that drops a UDF or a
-    keyed shuffle in here fails loudly."""
-    df = QUERIES["strip_html"](spark, SF_DIR)
+    keyed shuffle in here fails loudly. (Round 15: retired to
+    OFF_GATE_QUERIES; the pin follows it there.)"""
+    from clustering_spark.queries import OFF_GATE_QUERIES
+
+    df = OFF_GATE_QUERIES["strip_html"](spark, SF_DIR)
     p = formatted_plan(df)
     assert count_shuffles(df) <= 1
     assert "RoundRobinPartitioning" in p or count_shuffles(df) == 0
@@ -572,3 +575,19 @@ def test_office_text_single_scan_no_exchange(spark):
     out = office_text(df, "blob", "id")
     assert count_shuffles(out) == 0
     assert plan_tree(out).count("MapInPandas") == 1
+
+
+def test_bpe_ids_plan_shape(spark):
+    """bpe_ids (round 15): the trainer-input chain must keep its
+    100 TB shape — the slim (id, n_tokens) assignment BROADCASTS back
+    onto the id arrays (never a shuffled join), no cartesian product,
+    and at most 4 exchanges total: the deliberate round-robin spread,
+    the bucket shuffle into the FFD packer, and the inherent
+    pack-member co-location groupBy (+AQE bookkeeping)."""
+    from clustering_spark.queries import QUERIES
+
+    df = QUERIES["bpe_ids"](spark, SF_DIR)
+    assert count_shuffles(df) <= 4
+    tree = plan_tree(df)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoop" not in tree

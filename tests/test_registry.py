@@ -156,3 +156,52 @@ def test_planted_twohot_separation_bound():
     off = C - np.eye(4096)
     assert off.max() < 0.895
     assert np.allclose(np.diag(C), 1.0)
+
+
+class TestBpeIdsGate:
+    """Round 15: the BPE id layer + packing chain on the hash gate
+    via the pinned byte-level vocab (pinned.BPE_MERGES/BPE_WORD_IDS)."""
+
+    def test_pinned_golden_consistent_with_pinned_model(self):
+        """The frozen (form -> ids) golden must be exactly what the
+        live encoder produces from the frozen merges — if an encoder
+        change alters any id sequence, this catches it without Spark."""
+        from clustering_spark.operators.bpe import (
+            EOS,
+            PAD,
+            UNK,
+            _encode_word,
+            _to_byte_form,
+            build_vocab,
+        )
+        from clustering_spark.pinned import BPE_WORD_IDS, bpe_model
+
+        model = bpe_model()
+        ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+        vocab = build_vocab(model, specials=(UNK, PAD, EOS))
+        assert vocab[UNK] == 0 and vocab[PAD] == 1 and vocab[EOS] == 2
+        for form, ids in BPE_WORD_IDS.items():
+            toks = _encode_word(_to_byte_form(form), ranks, model["end"])
+            assert [vocab[t] for t in toks] == ids, form
+
+    def test_word_initial_and_medial_forms_pinned(self):
+        from clustering_spark.pinned import BPE_WORD_IDS
+
+        bare = {f for f in BPE_WORD_IDS if not f.startswith(" ")}
+        spaced = {f[1:] for f in BPE_WORD_IDS if f.startswith(" ")}
+        assert bare == spaced and len(bare) == 31
+
+    def test_gate_query_layout(self, spark):
+        """Every pack carries exactly 40 positions: 4 members x
+        (8 ids + EOS) + 4 PADs owned by -1, overflow never set."""
+        out = QUERIES["bpe_ids"](spark, SF_DIR).toPandas()
+        assert len(out) % 40 == 0
+        assert not out.overflow.any()
+        assert (out.n_docs == 4).all() and (out.n_real_tokens == 36).all()
+        one = out[out.pack_id == out.pack_id.iloc[0]].sort_values("pos")
+        assert list(one.pos) == list(range(40))
+        # EOS (id 2) closes each member, PAD (id 1) fills the tail
+        assert list(one.token_id.iloc[[8, 17, 26, 35]]) == [2, 2, 2, 2]
+        assert (one.token_id.iloc[36:] == 1).all()
+        assert (one.doc_ord.iloc[36:] == -1).all()
+        assert list(one.doc_ord.iloc[:36]) == [i // 9 for i in range(36)]
