@@ -216,9 +216,19 @@ def warc_responses(records: DataFrame) -> DataFrame:
     import codecs
     import re as _re
 
-    ct_charset = _re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I)
+    # ``charset`` must be ANCHORED as its own token (round-15 review:
+    # the same attribute-anchoring bug class as pairing's data-src) —
+    # preceded by ';', whitespace, or a quote. Unanchored, a
+    # data-charset attribute or a URL query parameter inside an
+    # earlier meta tag (<meta content="http://x/?charset=gbk">) would
+    # hijack the page's declared encoding.
+    ct_charset = _re.compile(
+        r"(?<=[;\s\"'])charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I
+    )
     meta_charset = _re.compile(
-        rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I
+        rb"<meta[^>]{0,256}?(?<=[;\s\"'])charset\s*=\s*[\"']?"
+        rb"([A-Za-z0-9_.:-]+)",
+        _re.I,
     )
 
     def _decode_text(body: bytes, ctype: str | None) -> str:

@@ -476,3 +476,65 @@ class TestDecodeDefaults:
         assert _from_byte_form(s) == "ab�cd"
         # pure in-table round-trip unchanged, incl. multibyte UTF-8
         assert _from_byte_form(_to_byte_form("héllo✓")) == "héllo✓"
+
+
+class TestMarkerBoundaryReview:
+    """Round-15 review batch 1: the END_BYTE marker boundary. chr(324)
+    sits just past the byte table (which spans mapped codepoints up
+    to 323), so REAL characters adjacent to the marker must ride the
+    table, not the marker path."""
+
+    def test_table_edge_codepoints_roundtrip(self, spark):
+        from clustering_spark.operators.bpe import (
+            END_BYTE,
+            _from_byte_form,
+            _to_byte_form,
+            bpe_decode_tokens,
+            bpe_tokenize,
+            train_bpe,
+        )
+
+        # chr(323) is the LAST mapped table char; chr(324) == END_BYTE
+        # ('n-acute', a real Polish letter); chr(325) is past both.
+        # All three appear in input TEXT here — in byte mode they
+        # UTF-8-encode to table chars, so none can ever collide with
+        # the marker.
+        texts = ["słoń i koŃ", "ŃńŅ edge"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        model = train_bpe(df, "text", n_merges=8, byte_level=True)
+        toks = bpe_tokenize(df, "text", model).toPandas()
+        for t, row in zip(texts, toks.bpe_tokens):
+            assert bpe_decode_tokens(list(row), mode="byte") == t
+            # and no raw marker char leaked into any token's INTERIOR
+            # (it may only close a word-final symbol)
+            for tok in row:
+                assert END_BYTE not in tok[:-1]
+        # the byte form of the marker character itself is marker-free
+        assert END_BYTE not in _to_byte_form("ń")
+        assert _from_byte_form(_to_byte_form("ń")) == "ń"
+
+    def test_alphabet_ids_corpus_independent(self, spark):
+        """Byte-mode id stability under frequency capping: the base
+        alphabet is the COMPLETE byte table regardless of what the
+        (capped) histogram contained, so specials + alphabet ids are
+        identical across models trained on disjoint corpora — only
+        merge ids differ."""
+        from clustering_spark.operators.bpe import (
+            EOS,
+            PAD,
+            UNK,
+            build_vocab,
+            train_bpe,
+        )
+
+        a = spark.createDataFrame([("aaa bbb ccc",)] * 3, "text string")
+        b = spark.createDataFrame([("xyz wvu qrs",)] * 3, "text string")
+        ma = train_bpe(a, "text", n_merges=4, byte_level=True, max_words=2)
+        mb = train_bpe(b, "text", n_merges=4, byte_level=True, max_words=2)
+        va = build_vocab(ma, specials=(UNK, PAD, EOS))
+        vb = build_vocab(mb, specials=(UNK, PAD, EOS))
+        base = 3 + len(ma["alphabet"])
+        assert ma["alphabet"] == mb["alphabet"]
+        assert {t: i for t, i in va.items() if i < base} == {
+            t: i for t, i in vb.items() if i < base
+        }

@@ -497,3 +497,55 @@ class TestExifOrientation:
         # the normalization is doing the work
         h3 = _dhash64(_decode_gray(stored))
         assert bin(h1 ^ h3).count("1") > 8
+
+
+class TestLutDifferential:
+    """Round-15 review batch 2: the 8-bit first-level LUT must be
+    SEMANTICALLY INVISIBLE — for any table and any bit stream, the
+    LUT-accelerated decode and the exact bit-walk produce identical
+    symbol sequences and identical end-of-stream errors."""
+
+    def test_lut_vs_bitwalk_random_streams(self):
+        import random
+
+        from clustering_spark.operators.jpeg import (
+            _BitReader,
+            _build_decode_table,
+            _decode_symbol,
+        )
+
+        rng = random.Random(15)
+        # canonical tables of varied shape, incl. codes > 8 bits and
+        # a degenerate 1-symbol table
+        shapes = [
+            ([0, 2, 3, 1] + [0] * 12, list(range(6))),
+            ([1] + [0] * 15, [7]),
+            ([0, 1, 1, 2, 3, 5, 8, 13, 21] + [0] * 7, list(range(54))),
+            ([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 2, 0, 0, 0],
+             [1, 2, 3, 4]),
+        ]
+        for bits, vals in shapes:
+            table = _build_decode_table(bytes(bits), bytes(vals))
+            walk_only = {k: v for k, v in table.items() if k != "lut8"}
+            for trial in range(40):
+                data = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 24))
+                )
+                a = _BitReader(data)
+                b = _BitReader(data)
+                out_a, out_b = [], []
+                err_a = err_b = None
+                try:
+                    for _ in range(64):
+                        out_a.append(_decode_symbol(a, table))
+                except ValueError as e:
+                    err_a = str(e)
+                try:
+                    for _ in range(64):
+                        out_b.append(_decode_symbol(b, walk_only))
+                except ValueError as e:
+                    err_b = str(e)
+                assert out_a == out_b, (bits, data.hex())
+                assert err_a == err_b, (bits, data.hex(), err_a, err_b)
+                # and both readers agree on the consumed position
+                assert (a.pos, a.n) == (b.pos, b.n)

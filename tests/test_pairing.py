@@ -532,3 +532,31 @@ def test_srcset_best_resolution_selection(spark):
         "http://s.example/p/s-900.webp",
         "http://s.example/p/fb.jpg",
     }
+
+
+def test_meta_variants_and_conflicts(spark):
+    """Round-15 review batch 1: og:image:width/height are DIMENSION
+    metas, not image refs; multiple og:image tags each yield a row;
+    with conflicting descriptions the FIRST og:description wins
+    (deterministic-browser analog)."""
+    html = (
+        '<meta property="og:image" content="/m/one.png">'
+        '<meta property="og:image:width" content="1200">'
+        '<meta property="og:image:height" content="630">'
+        '<meta property="og:image" content="/m/two.png">'
+        '<meta property="og:image:secure_url"'
+        ' content="https://s.example/m/sec.png">'
+        '<meta property="og:description" content="first desc">'
+        '<meta property="og:description" content="second desc">'
+    )
+    df = spark.createDataFrame(
+        [("http://c.example/p", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.resolved_url, out.alt_text))
+    # width/height values (1200 / 630) must NOT appear as refs
+    assert got == {
+        "http://c.example/m/one.png": "first desc",
+        "http://c.example/m/two.png": "first desc",
+        "https://s.example/m/sec.png": "first desc",
+    }

@@ -507,3 +507,69 @@ class TestDeflate:
         out[i279 + 8 : i279 + 12] = st.pack("<I", len(bomb))
         with pytest.raises(ValueError, match="budget"):
             decode_tiff(bytes(out))
+
+
+class TestOldstyleJpegHostileOffsets:
+    """Round-15 review batch 2: JPEGInterchangeFormat offsets that
+    point outside the file (or carry hostile lengths) must be a clean
+    ValueError — never an IndexError/OverflowError, never a decode of
+    unrelated bytes."""
+
+    def _fixture(self, off_override=None, len_override=None,
+                 drop_514=False):
+        import struct as st
+
+        from clustering_spark.operators.jpeg import encode_baseline
+
+        g = np.full((8, 8), 128, dtype=np.uint8)
+        jb = encode_baseline(g)
+        entries = [
+            (256, 4, 8), (257, 4, 8), (258, 3, 8), (259, 3, 6),
+            (262, 3, 6), (277, 3, 1), (513, 4, None),
+        ]
+        if not drop_514:
+            entries.append((514, 4, len(jb) if len_override is None
+                            else len_override))
+        n = len(entries)
+        data_off = 8 + 2 + 12 * n + 4
+        out = bytearray(b"II*\x00" + st.pack("<I", 8))
+        out += st.pack("<H", n)
+        for tag, typ, val in entries:
+            if tag == 513:
+                v = data_off if off_override is None else off_override
+            else:
+                v = val
+            out += st.pack("<HHI", tag, typ, 1)
+            out += st.pack("<I", v) if typ == 4 else st.pack("<HH", v, 0)
+        out += st.pack("<I", 0)
+        out += jb
+        return bytes(out)
+
+    def test_offset_past_eof(self):
+        blob = self._fixture(off_override=1 << 20)
+        with pytest.raises(ValueError, match="outside the file"):
+            decode_tiff(blob)
+
+    def test_offset_past_eof_without_length_tag(self):
+        # 514 absent: length defaults to len(b) - off, which goes
+        # NEGATIVE for an out-of-file offset — must still be clean
+        blob = self._fixture(off_override=1 << 20, drop_514=True)
+        with pytest.raises(ValueError, match="outside the file"):
+            decode_tiff(blob)
+
+    def test_length_overruns_eof(self):
+        blob = self._fixture(len_override=1 << 24)
+        with pytest.raises(ValueError, match="outside the file"):
+            decode_tiff(blob)
+
+    def test_zero_length(self):
+        blob = self._fixture(len_override=0)
+        with pytest.raises(ValueError, match="outside the file"):
+            decode_tiff(blob)
+
+    def test_offset_overlapping_ifd_still_fails_cleanly(self):
+        # an offset INSIDE the file but pointing at IFD bytes (not a
+        # JFIF stream) must fail as a JPEG parse error, never decode
+        blob = self._fixture(off_override=8)
+        with pytest.raises(ValueError):
+            decode_tiff(blob)

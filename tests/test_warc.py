@@ -553,3 +553,67 @@ class TestWireRealities:
         )
         row = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
         assert bytes(row.body) == b"0123456789"
+
+
+class TestCharsetAnchoringReview:
+    """Round-15 review batch 2: the charset sniff must be anchored —
+    a data-charset attribute or a URL query parameter inside an
+    earlier meta tag must not hijack the page encoding."""
+
+    def _roundtrip(self, spark, tmp_path, payload, name):
+        from clustering_spark.sources.warc_source import (
+            make_warc,
+            read_warc,
+            warc_responses,
+        )
+
+        (tmp_path / f"{name}.warc").write_bytes(
+            make_warc([("response", f"http://cs.example/{name}", payload)])
+        )
+        return warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
+
+    def test_url_query_charset_does_not_hijack(self, spark, tmp_path):
+        # the page IS utf-8; an og:url meta carries ?charset=koi8-r.
+        # Unanchored sniffing decoded the whole page as koi8-r.
+        text = "naïve café"
+        body = (
+            b'<html><head><meta property="og:url"'
+            b' content="http://x.example/a?charset=koi8-r"></head>'
+            b"<body>" + text.encode("utf-8") + b"</body></html>"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        row = self._roundtrip(spark, tmp_path, payload, "q")
+        assert text in row.text
+
+    def test_data_charset_attribute_ignored(self, spark, tmp_path):
+        text = "règle sûre"
+        body = (
+            b'<html><head><meta data-charset="koi8-r"></head><body>'
+            + text.encode("utf-8") + b"</body></html>"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        row = self._roundtrip(spark, tmp_path, payload, "d")
+        assert text in row.text
+
+    def test_anchored_forms_still_sniff(self, spark, tmp_path):
+        # the three legitimate shapes keep working: bare attribute,
+        # no-space http-equiv param, single-quoted
+        text = "café touché"
+        for i, head in enumerate([
+            b'<meta charset="latin-1">',
+            b'<meta http-equiv="Content-Type"'
+            b' content="text/html;charset=latin-1">',
+            b"<meta charset='latin-1'>",
+        ]):
+            body = (b"<html><head>" + head + b"</head><body>"
+                    + text.encode("latin-1") + b"</body></html>")
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body
+            )
+            row = self._roundtrip(spark, tmp_path, payload, f"ok{i}")
+            assert text in row.text, head
