@@ -103,15 +103,25 @@ def _srcset_best(srcset: Column) -> Column:
             .when(s.rlike(r"^\S+\s+\d+(?:\.\d+)?x$"), F.lit(1.0))
             .otherwise(F.lit(0.0))
             .alias("tier"),
-            F.coalesce(
-                F.nullif(
-                    F.regexp_extract(
-                        s, r"^\S+\s+(\d+(?:\.\d+)?)[wx]$", 1
-                    ),
-                    F.lit(""),
+            # score branches MIRROR the tier branches (round-15
+            # self-review): a spec-invalid descriptor like "480.0w"
+            # is tier 0 and must carry score 0 too, or it would beat
+            # an earlier descriptorless candidate that "first wins"
+            # owes the pick to
+            F.when(
+                s.rlike(r"^\S+\s+\d+w$"),
+                F.regexp_extract(s, r"^\S+\s+(\d+)w$", 1).cast(
+                    "double"
+                ),
+            )
+            .when(
+                s.rlike(r"^\S+\s+\d+(?:\.\d+)?x$"),
+                F.regexp_extract(
+                    s, r"^\S+\s+(\d+(?:\.\d+)?)x$", 1
                 ).cast("double"),
-                F.lit(0.0),
-            ).alias("score"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
         ),
     )
     return F.aggregate(

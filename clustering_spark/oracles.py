@@ -1185,7 +1185,10 @@ def _bpe_ids_sql() -> str:
     EOS last; positions 36..39 are PAD with owner -1. The corpus word
     set is CLOSED (31 words, every SF) — a regenerated corpus with
     new words drops rows at the join and fails the gate loudly, same
-    posture as the closure hop guard."""
+    posture as the closure hop guard. Likewise the doc count is 4-
+    divisible at every SF (500/500/5000); a regeneration breaking
+    that leaves Spark's final partial pack (fewer members, more pads)
+    against this oracle's full-pack arithmetic — loud, not silent."""
     from clustering_spark.pinned import BPE_WORD_IDS
 
     vals = ",\n    ".join(

@@ -560,3 +560,22 @@ def test_meta_variants_and_conflicts(spark):
         "http://c.example/m/two.png": "first desc",
         "https://s.example/m/sec.png": "first desc",
     }
+
+
+def test_srcset_invalid_descriptor_does_not_outrank_first(spark):
+    """Round-15 self-review: a spec-invalid width like "480.0w" is
+    NOT a descriptor (tier 0, score 0) — the earlier bare candidate
+    keeps the first-wins pick."""
+    html = (
+        '<img srcset="/v/first.png, /v/bogus.png 480.0w"'
+        ' alt="invalid desc">'
+        '<img srcset="/v/a.png 480.0w, /v/b.png 2x" alt="mixed bad">'
+    )
+    df = spark.createDataFrame(
+        [("http://v.example/p", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.alt_text, out.resolved_url))
+    assert got["invalid desc"] == "http://v.example/v/first.png"
+    # a real density descriptor still beats the invalid-width one
+    assert got["mixed bad"] == "http://v.example/v/b.png"
