@@ -68,60 +68,150 @@ def _attr_val(tag: Column, name: str) -> Column:
     ).otherwise(F.regexp_extract(tag, _attr_sq(name), 1))
 
 
-def _has_attr(tag: Column, name: str) -> Column:
-    return tag.rlike(_attr_dq(name)) | tag.rlike(_attr_sq(name))
+def _attr_or_null(tag: Column, name: str) -> Column:
+    """Value when the attribute is PRESENT (even empty string), NULL
+    when absent — the caption-precedence primitive: coalesce over
+    these stops at a present-but-empty attribute instead of falling
+    through. One rlike per quote form + one extract on the matching
+    form (round-15 review: the earlier has-check + value pairing ran
+    the double-quote rlike twice per attribute)."""
+    dq, sq = _attr_dq(name), _attr_sq(name)
+    return (
+        F.when(tag.rlike(dq), F.regexp_extract(tag, dq, 1))
+        .when(tag.rlike(sq), F.regexp_extract(tag, sq, 1))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _descriptor_tier(desc: Column) -> Column:
+    """tier 2 = valid width descriptor (``<int>w``, HTML spec), 1 =
+    density (``<float>x``), 0 = anything else (bare candidate, ``h``
+    descriptor, spec-invalid forms like ``480.0w``). Width always
+    outranks density: the spec forbids mixing, real pages do it
+    anyway, and width is the honest size signal."""
+    return (
+        F.when(desc.rlike(r"^\d+w$"), F.lit(2.0))
+        .when(desc.rlike(r"^\d+(?:\.\d+)?x$"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def _descriptor_score(desc: Column) -> Column:
+    # score branches MIRROR the tier branches: an invalid descriptor
+    # is tier 0 and must carry score 0 too, or it would beat an
+    # earlier descriptorless candidate that first-wins owes the pick
+    return (
+        F.when(
+            desc.rlike(r"^\d+w$"),
+            F.regexp_extract(desc, r"^(\d+)w$", 1).cast("double"),
+        )
+        .when(
+            desc.rlike(r"^\d+(?:\.\d+)?x$"),
+            F.regexp_extract(desc, r"^(\d+(?:\.\d+)?)x$", 1).cast(
+                "double"
+            ),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
+_CAND_T = "array<struct<u:string,d:string>>"
+
+
+def _srcset_candidates(srcset: Column) -> Column:
+    """Parse a srcset value into (url, first-descriptor) candidate
+    structs with the WHATWG image-candidate state machine over
+    whitespace tokens — NOT a naive split on ',' (round-15 review:
+    CDN transform URLs like Cloudinary's ``.../c_fill,w_800/x.jpg``
+    carry commas INSIDE the URL, and a comma-split turned their tail
+    into a bogus descriptor-bearing candidate that outranked valid
+    ones). Per the spec: a candidate's URL is a maximal
+    non-whitespace run (embedded commas allowed); a TRAILING comma
+    on the URL ends a descriptorless candidate; in the descriptor
+    region the first comma ends the candidate and what follows it in
+    the same token is the next URL. Only the FIRST descriptor is
+    kept (w and x never legally co-occur). One ``aggregate`` over
+    one ``split`` — native expressions, no Python, no extra scan;
+    kept deliberately two-phase (parse, then score) so the scoring
+    regexes run once per CANDIDATE, not once per state branch."""
+    toks = F.filter(
+        F.split(srcset, r"[ \t\n\x0b\f\r]+"),
+        lambda t: t != "",
+    )
+
+    def close(cs, u, d):
+        return F.when(
+            u != "",
+            F.array_append(cs, F.struct(u.alias("u"), d.alias("d"))),
+        ).otherwise(cs)
+
+    def mk(cs, cu, cd):
+        return F.struct(cs.alias("cs"), cu.alias("cu"), cd.alias("cd"))
+
+    def merge(acc, t):
+        # ---- URL state (no candidate open) --------------------------
+        t_url = F.regexp_replace(t, "^,+", "")  # spec: skip commas
+        u_done = t_url.rlike(",$")              # trailing comma ends a
+        u_bare = F.regexp_replace(t_url, ",+$", "")  # bare candidate
+        url_state = (
+            F.when(t_url == "", acc)            # pure separator token
+            .when(
+                u_done,
+                mk(close(acc["cs"], u_bare, F.lit("")),
+                   F.lit(""), F.lit("")),
+            )
+            .otherwise(mk(acc["cs"], t_url, F.lit("")))
+        )
+        # ---- descriptor state (candidate URL open) ------------------
+        dpart = F.substring_index(t, ",", 1)    # before first comma
+        rest = F.regexp_extract(t, "^[^,]*,(.*)", 1)
+        fin_desc = F.when(acc["cd"] != "", acc["cd"]).otherwise(dpart)
+        cs1 = close(acc["cs"], acc["cu"], fin_desc)
+        # after the closing comma the SAME token re-enters URL state
+        # (embedded commas in that url stay; its own trailing comma
+        # would close it as a bare candidate)
+        r_url = F.regexp_replace(rest, "^,+", "")
+        r_done = r_url.rlike(",$")
+        r_bare = F.regexp_replace(r_url, ",+$", "")
+        desc_state = (
+            F.when(
+                t.contains(","),
+                F.when(r_url == "", mk(cs1, F.lit(""), F.lit("")))
+                .when(
+                    r_done,
+                    mk(close(cs1, r_bare, F.lit("")),
+                       F.lit(""), F.lit("")),
+                )
+                .otherwise(mk(cs1, r_url, F.lit(""))),
+            ).otherwise(
+                # plain descriptor token: keep only the FIRST
+                mk(acc["cs"], acc["cu"],
+                   F.when(acc["cd"] == "", t).otherwise(acc["cd"])),
+            )
+        )
+        return F.when(acc["cu"] == "", url_state).otherwise(desc_state)
+
+    return F.aggregate(
+        toks,
+        mk(F.array().cast(_CAND_T), F.lit(""), F.lit("")),
+        merge,
+        lambda acc: close(acc["cs"], acc["cu"], acc["cd"]),
+    )
 
 
 def _srcset_best(srcset: Column) -> Column:
-    """Highest-resolution candidate of a srcset value (round 15):
-    largest width descriptor (``<int>w``, HTML spec) wins; with no
-    width descriptors anywhere, largest density (``<float>x``); with
-    neither, the first candidate — a CLIP-style corpus wants the
-    biggest image, not whichever the author listed first. Ties and
-    descriptorless candidates keep the EARLIEST (deterministic;
-    matches browser "first wins on equal" behavior). All native
-    array HOFs over ONE split — no Python, no extra scan. Caveat:
-    candidates split on ',', so a data: URI's base64 tail can
-    surface as a junk candidate; data: itself is scheme-dropped and
-    the tail fragment can never join a crawled blob, so no pair is
-    produced either way. Returns '' when the attribute is absent."""
-    # NOT F.transform(..., F.trim): transform inspects the callable's
-    # arity and trim's optional 2nd param makes it pass the array
-    # INDEX as the trim-character set
-    cands = F.filter(
-        F.transform(F.split(srcset, ","), lambda s: F.trim(s)),
-        lambda s: s != "",
-    )
+    """Highest-resolution candidate of a srcset value: largest width
+    descriptor wins, else largest density, else the first candidate;
+    strictly-greater comparison keeps the EARLIEST on ties
+    (deterministic, matches browser first-wins-on-equal). Candidates
+    come from the spec-shaped parse (_srcset_candidates). Returns ''
+    when the attribute is absent."""
     scored = F.transform(
-        cands,
-        lambda s: F.struct(
-            F.regexp_extract(s, r"^(\S+)", 1).alias("url"),
-            # tier 2 = width descriptor, 1 = density, 0 = bare URL;
-            # width always outranks density (the spec forbids mixing,
-            # real pages do it anyway — width is the honest size)
-            F.when(s.rlike(r"^\S+\s+\d+w$"), F.lit(2.0))
-            .when(s.rlike(r"^\S+\s+\d+(?:\.\d+)?x$"), F.lit(1.0))
-            .otherwise(F.lit(0.0))
-            .alias("tier"),
-            # score branches MIRROR the tier branches (round-15
-            # self-review): a spec-invalid descriptor like "480.0w"
-            # is tier 0 and must carry score 0 too, or it would beat
-            # an earlier descriptorless candidate that "first wins"
-            # owes the pick to
-            F.when(
-                s.rlike(r"^\S+\s+\d+w$"),
-                F.regexp_extract(s, r"^\S+\s+(\d+)w$", 1).cast(
-                    "double"
-                ),
-            )
-            .when(
-                s.rlike(r"^\S+\s+\d+(?:\.\d+)?x$"),
-                F.regexp_extract(
-                    s, r"^\S+\s+(\d+(?:\.\d+)?)x$", 1
-                ).cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("score"),
+        _srcset_candidates(srcset),
+        lambda c: F.struct(
+            c["u"].alias("url"),
+            _descriptor_tier(c["d"]).alias("tier"),
+            _descriptor_score(c["d"]).alias("score"),
         ),
     )
     return F.aggregate(
@@ -137,6 +227,8 @@ def _srcset_best(srcset: Column) -> Column:
             c,
         ).otherwise(acc),
     )["url"]
+
+
 # <picture> is the modern responsive idiom: the real candidates ride
 # <source srcset>, the inner <img> is the fallback (and is ALSO
 # caught by the global _IMG_TAG scan). Browsers pick the first
@@ -302,10 +394,13 @@ def extract_image_refs(
             .when(F.col("__tw_desc") != "", F.col("__tw_desc"))
             .otherwise(F.lit(None).cast("string")),
         )
-        .when(_has_attr(tag, "aria-label"), _attr_val(tag, "aria-label"))
-        .when(_has_attr(tag, "alt"), _attr_val(tag, "alt"))
-        .when(_has_attr(tag, "title"), _attr_val(tag, "title"))
-        .otherwise(F.lit(None).cast("string"))
+        .otherwise(
+            F.coalesce(
+                _attr_or_null(tag, "aria-label"),
+                _attr_or_null(tag, "alt"),
+                _attr_or_null(tag, "title"),
+            )
+        )
     )
     return (
         pages.select(

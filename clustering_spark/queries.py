@@ -2113,17 +2113,26 @@ def q_bpe_ids(spark, sf_dir):
     )
     from clustering_spark.pinned import bpe_model
 
+    from clustering_spark.operators.bpe import build_vocab
+
+    model = bpe_model()
+    specials = (UNK, PAD, EOS)
+    # derive the reserved ids from the SAME vocab the encoder uses
+    # (round-15 review: hardcoded 2/1 duplicated derivable state) —
+    # the oracle still pins them as literals, so a layout change
+    # breaks the gate rather than silently shifting both sides
+    vocab = build_vocab(model, specials)
     docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     enc = bpe_encode_ids(
-        docs, "text", bpe_model(), out_col="bpe_ids",
-        specials=(UNK, PAD, EOS),
+        docs, "text", model, out_col="bpe_ids", specials=specials
     )
     t = enc.select(
         "doc_id", F.slice("bpe_ids", 1, 8).alias("ids8")
     ).withColumn("n_tok", (F.size("ids8") + F.lit(1)).cast("long"))
     asg = pack_sequences(t, "doc_id", "n_tok", max_tokens=36, num_buckets=1)
     rows = materialize_id_rows(
-        t, asg, "doc_id", "ids8", seq_len=40, eos_id=2, pad_id=1
+        t, asg, "doc_id", "ids8", seq_len=40,
+        eos_id=vocab[EOS], pad_id=vocab[PAD],
     )
     return rows.select(
         "pack_id",

@@ -222,11 +222,16 @@ def warc_responses(records: DataFrame) -> DataFrame:
     # data-charset attribute or a URL query parameter inside an
     # earlier meta tag (<meta content="http://x/?charset=gbk">) would
     # hijack the page's declared encoding.
+    # '/' is in the anchor class because HTML parsers treat it as
+    # whitespace before attribute names, so <meta/charset=...> is a
+    # browser-honored declaration (round-15 review follow-up); the
+    # ^ alternative covers a malformed header that IS just the
+    # parameter. data-charset stays excluded ('-' not in the class).
     ct_charset = _re.compile(
-        r"(?<=[;\s\"'])charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I
+        r"(?:^|[;\s\"'/])charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I
     )
     meta_charset = _re.compile(
-        rb"<meta[^>]{0,256}?(?<=[;\s\"'])charset\s*=\s*[\"']?"
+        rb"<meta[^>]{0,256}?(?:^|[;\s\"'/])charset\s*=\s*[\"']?"
         rb"([A-Za-z0-9_.:-]+)",
         _re.I,
     )

@@ -579,3 +579,29 @@ def test_srcset_invalid_descriptor_does_not_outrank_first(spark):
     assert got["invalid desc"] == "http://v.example/v/first.png"
     # a real density descriptor still beats the invalid-width one
     assert got["mixed bad"] == "http://v.example/v/b.png"
+
+
+def test_srcset_commas_inside_cdn_urls(spark):
+    """Round-15 review: CDN transform URLs carry commas INSIDE the
+    URL (Cloudinary /c_fill,w_800/); the WHATWG-shaped parse keeps
+    them whole — a naive comma-split turned the tail into a bogus
+    descriptor candidate that outranked valid ones."""
+    html = (
+        '<img srcset="/good.png,'
+        ' https://cdn.example/c_fill,w_800/x.jpg 800w"'
+        ' alt="cdn commas">'
+        '<img srcset="https://cdn.example/w_100,h_50/y.jpg 1x"'
+        ' alt="single cdn">'
+        # descriptor glued to the next URL by a comma still splits
+        '<img srcset="/g/a.png 1x,/g/b.png 2x" alt="glued">'
+    )
+    df = spark.createDataFrame(
+        [("http://k.example/p", html)], "url string, text string"
+    )
+    out = extract_image_refs(df, "text", "url").toPandas()
+    got = dict(zip(out.alt_text, out.resolved_url))
+    assert got["cdn commas"] == (
+        "https://cdn.example/c_fill,w_800/x.jpg"
+    )
+    assert got["single cdn"] == "https://cdn.example/w_100,h_50/y.jpg"
+    assert got["glued"] == "http://k.example/g/b.png"

@@ -590,4 +590,9 @@ def test_bpe_ids_plan_shape(spark):
     assert count_shuffles(df) <= 4
     tree = plan_tree(df)
     assert "CartesianProduct" not in tree
-    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoop" not in tree
+    # the assignment join-back must BE a broadcast join — a
+    # SortMergeJoin/ShuffledHashJoin here is the shuffled-join
+    # regression this pin exists for (round-15 review: the earlier
+    # disjunction was vacuously true without any broadcast)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree

@@ -617,3 +617,26 @@ class TestCharsetAnchoringReview:
             )
             row = self._roundtrip(spark, tmp_path, payload, f"ok{i}")
             assert text in row.text, head
+
+
+def test_slash_separated_meta_charset_sniffs(spark, tmp_path):
+    """Round-15 review follow-up: HTML parsers treat '/' as
+    whitespace before attribute names, so <meta/charset=...> is a
+    browser-honored declaration the anchor class must admit."""
+    from clustering_spark.sources.warc_source import (
+        make_warc,
+        read_warc,
+        warc_responses,
+    )
+
+    text = "café touché"
+    body = (b"<html><head><meta/charset=latin-1></head><body>"
+            + text.encode("latin-1") + b"</body></html>")
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    (tmp_path / "sl.warc").write_bytes(
+        make_warc([("response", "http://sl.example/x", payload)])
+    )
+    row = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
+    assert text in row.text
