@@ -412,23 +412,59 @@ def bpe_encode_ids(
     ``<unk>``. Pass the same ``specials`` you plan to pack with
     (e.g. ``(UNK, PAD, EOS)``) so the reserved ids are carved out of
     the id space. Roundtrips exactly through decode for in-alphabet
-    text (property-tested)."""
+    text (property-tested).
+
+    FUSED kernel (round 15): one mapInPandas does pretokenize ->
+    merge walk -> id lookup, and the per-word memo stores the ID
+    LIST directly — the earlier bpe_tokenize + id-map composition
+    crossed Arrow twice and materialized the string-token arrays in
+    between (measured 1.75x slower at sf0.1, output-identical). The
+    string-token view stays available via bpe_tokenize."""
+    import re
+
     vocab = build_vocab(model, specials)
-    toks = bpe_tokenize(df, text_col, model, out_col="__bpe_toks")
+    ranks = {pair: i for i, pair in enumerate(map(tuple, model["merges"]))}
+    pat = re.compile(model.get("pretoken_re", PRETOKEN_RE))
+    end = model.get("end", END)
+    to_form = (
+        _to_byte_form
+        if model.get("mode", "char") == "byte"
+        else (lambda w: w)
+    )
+    unk = vocab[UNK]
+    # same bounded-memo posture as bpe_tokenize (Zipfian hot set
+    # stays resident; adversarially diverse corpora can't grow it
+    # without limit inside a long-lived worker)
+    memo: dict[str, list[int]] = {}
+    memo_cap = 1_000_000
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        unk = vocab[UNK]
+        def enc(text):
+            if text is None:
+                return []
+            out: list[int] = []
+            for w in pat.findall(text):
+                ids = memo.get(w)
+                if ids is None:
+                    if len(memo) >= memo_cap:
+                        memo.clear()
+                    ids = [
+                        vocab.get(t, unk)
+                        for t in _encode_word(to_form(w), ranks, end)
+                    ]
+                    memo[w] = ids
+                out.extend(ids)
+            return out
+
         for pdf in it:
             pdf = pdf.copy()
-            pdf[out_col] = [
-                [vocab.get(t, unk) for t in row] for row in pdf["__bpe_toks"]
-            ]
-            yield pdf.drop(columns=["__bpe_toks"])
+            pdf[out_col] = [enc(t) for t in pdf[text_col]]
+            yield pdf
 
     schema = ", ".join(
         f"`{c}` {t}" for c, t in df.dtypes
     ) + f", `{out_col}` array<int>"
-    return toks.mapInPandas(batches, schema)
+    return df.mapInPandas(batches, schema)
 
 
 def bpe_decode_ids(
