@@ -515,9 +515,11 @@ def bpe_token_count(
 ) -> DataFrame:
     """Per-row learned-vocabulary token count — the budget signal
     sequence packing / mixture planning should use once a real
-    tokenizer exists (textops' regex count is the model-free stand-in)."""
-    toks = bpe_tokenize(df, text_col, model, out_col="__bpe")
-    return toks.withColumn(out_col, F.size("__bpe")).drop("__bpe")
+    tokenizer exists (textops' regex count is the model-free stand-in).
+    Rides the FUSED id kernel (round 15): len(ids) == len(tokens) by
+    construction, and one Arrow crossing beats tokenize-then-size."""
+    ids = bpe_encode_ids(df, text_col, model, out_col="__bpe_ct")
+    return ids.withColumn(out_col, F.size("__bpe_ct")).drop("__bpe_ct")
 
 
 __all__ = [
