@@ -538,3 +538,46 @@ class TestMarkerBoundaryReview:
         assert {t: i for t, i in va.items() if i < base} == {
             t: i for t, i in vb.items() if i < base
         }
+
+
+def test_fused_encode_matches_tokenize_composition(spark):
+    """Round 15: bpe_encode_ids was fused into one Arrow crossing —
+    differential pin that the fused kernel equals the
+    tokenize-then-vocab-map composition it replaced, over text
+    hitting the memo, the byte table, and the unk path (char mode)."""
+    from clustering_spark.operators.bpe import (
+        EOS,
+        PAD,
+        UNK,
+        bpe_encode_ids,
+        bpe_tokenize,
+        build_vocab,
+        train_bpe,
+    )
+
+    texts = [
+        "the quick brown fox", "the the the", "",
+        "płaski słoń 🐘 jumps", "mixed 123 cases!", None,
+        "naïve café crème", "ŃńŅ boundary", "a" * 500,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    for byte_level in (False, True):
+        model = train_bpe(
+            df.filter("text is not null"), "text",
+            n_merges=24, byte_level=byte_level,
+        )
+        vocab = build_vocab(model, specials=(UNK, PAD, EOS))
+        unk = vocab[UNK]
+        fused = (
+            bpe_encode_ids(df, "text", model, specials=(UNK, PAD, EOS))
+            .toPandas().set_index("i").bpe_ids
+        )
+        toks = (
+            bpe_tokenize(df, "text", model)
+            .toPandas().set_index("i").bpe_tokens
+        )
+        for i in range(len(texts)):
+            want = [vocab.get(t, unk) for t in toks[i]]
+            assert list(fused[i]) == want, (byte_level, texts[i])
