@@ -278,7 +278,15 @@ def stream_interval_join(
     over a static directory drains the COMPLETE pair set — pinned by
     the batch-equivalence test.
 
-    Column names must be disjoint (rename before calling)."""
+    Column names must be disjoint (rename before calling).
+
+    Negative (pre-1970) timestamps are safe with DIV's
+    truncate-toward-zero semantics even though it differs from floor
+    there (round-15 review): bucket(x) = trunc(x/U) is monotone with
+    breakpoints spaced exactly U apart, so any half-open window of
+    length U contains at most one breakpoint — the right row's bucket
+    is always bucket(left) or bucket(left)+1, the two the explode
+    emits."""
     l = (
         left.withWatermark(left_ts, watermark)
         .withColumn(
