@@ -485,6 +485,7 @@ def image_text_pairs(
     media_bin_col: str = "body",
     require_caption: bool = True,
     use_figcaptions: bool = True,
+    normalize_urls: bool = False,
 ) -> DataFrame:
     """The pairing join: ``pages`` (page_url + raw HTML) x ``media``
     (fetched blobs keyed by URL) -> one row per matched reference:
@@ -492,19 +493,39 @@ def image_text_pairs(
     drops NULL/whitespace captions — a CLIP-style corpus wants text;
     set False for image-harvest inventories.
 
+    ``normalize_urls=True`` (round 15) applies RFC 3986 syntax
+    normalization (operators/urlnorm.py: scheme/host case, default
+    ports, dot segments, fragments) to BOTH join sides, recovering
+    pairs whose authored reference aliases the crawler's fetch URL
+    (``HTTP://Host:80/a/../img.png`` vs ``http://host/img.png``) —
+    misses an equi-join on raw strings silently drops. Off by
+    default: the emitted resolved_url then differs from the raw
+    reference, which existing consumers may key on.
+
     Scale note: only (page_url, resolved_url, alt) rides the join
     from the HTML side; the blob column comes from the media side's
     scan and is never duplicated per page (a URL referenced by many
     pages joins to many caption rows — near-dup/exact dedup
     downstream collapses them, same doctrine as text)."""
+    from clustering_spark.operators.urlnorm import normalize_url
+
     refs = extract_image_refs(pages, html_col, page_url_col)
+    if normalize_urls:
+        refs = refs.withColumn(
+            "resolved_url", normalize_url(F.col("resolved_url"))
+        )
     if use_figcaptions:
         # author-written figcaptions upgrade alt text where present;
-        # min() makes a multiply-captioned URL deterministic
-        caps = (
-            extract_figure_captions(pages, html_col, page_url_col)
-            .groupBy("page_url", "resolved_url")
-            .agg(F.min("figcaption").alias("__figcap"))
+        # min() makes a multiply-captioned URL deterministic. The
+        # caption side normalizes with the refs side (or the upgrade
+        # join would miss aliased figure srcs).
+        figs = extract_figure_captions(pages, html_col, page_url_col)
+        if normalize_urls:
+            figs = figs.withColumn(
+                "resolved_url", normalize_url(F.col("resolved_url"))
+            )
+        caps = figs.groupBy("page_url", "resolved_url").agg(
+            F.min("figcaption").alias("__figcap")
         )
         refs = (
             refs.join(caps, on=["page_url", "resolved_url"], how="left")
@@ -519,8 +540,11 @@ def image_text_pairs(
             F.col("alt_text").isNotNull()
             & (F.trim(F.col("alt_text")) != "")
         )
+    media_key = F.col(media_url_col)
+    if normalize_urls:
+        media_key = normalize_url(media_key)
     m = media.select(
-        F.col(media_url_col).alias("resolved_url"),
+        media_key.alias("resolved_url"),
         F.col(media_bin_col).alias("blob"),
     )
     return refs.join(m, on="resolved_url").select(

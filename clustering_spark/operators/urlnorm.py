@@ -1,0 +1,141 @@
+"""URL normalization for crawl joins (beyond-reference scope): the
+syntax-based normalization of RFC 3986 §6.2.2 as pure native
+expressions, so URL ALIASES of the same resource — scheme/host case,
+default ports, ``/./`` and ``/../`` dot segments, empty-vs-``/``
+paths, fragments — collapse to one join key at scan speed.
+
+Why this matters at 100 TB: image-text pairing joins page-side
+resolved references against fetch-side WARC-Target-URIs. Crawlers
+record the *fetched* form; pages reference the *authored* form
+(``HTTP://Host/a/../b``, ``:80``, ``#frag``). Without normalization
+those rows miss the equi-join and the pair is silently lost —
+downstream near-dup dedup collapses duplicate CONTENT, but it cannot
+recover a pair that never joined. One regexp/HOF projection per side
+fixes the miss rate for free.
+
+Scope (documented, deliberate):
+* scheme + host lowercased (userinfo preserved verbatim — it is
+  case-sensitive);
+* default ports stripped (``:80`` http, ``:443`` https);
+* fragment removed (never sent to the server);
+* dot segments resolved per the RFC 3986 remove_dot_segments
+  algorithm (a native ``aggregate`` over the split path — the same
+  stack walk, one pass, no Python);
+* empty path with an authority becomes ``/``;
+* query strings pass through VERBATIM (param reordering changes
+  semantics for many servers), and percent-encoding is not touched
+  (decoding unreserved chars is safe per the RFC but crawl URLs
+  rarely differ there; keeping bytes verbatim keeps the operator an
+  injection-free projection).
+
+Non-http(s) and scheme-relative inputs pass through unchanged — the
+pairing layer drops non-http(s) schemes before joining anyway.
+Differential-tested against an independent Python implementation of
+the RFC pseudocode (tests/test_urlnorm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ABS = r"(?i)^https?://"
+
+
+def _resolve_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path,
+    as one native aggregate: split on '/', walk segments with a
+    stack ('.': skip, '..': pop, else push), re-join. The RFC keeps
+    a trailing slash when the final segment is '.' or '..' — tracked
+    up front and re-appended. Excess '..' above the root are
+    dropped (never escapes the authority)."""
+    segs = F.split(path, "/")
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            # pop, but never the leading '' that anchors the root
+            F.when(
+                F.size(acc) > 1,
+                F.slice(acc, 1, F.size(acc) - 1),
+            ).otherwise(acc),
+        )
+        .otherwise(F.array_append(acc, s)),
+    )
+    joined = F.array_join(stack, "/")
+    trailing = path.rlike(r"/\.{1,2}$")
+    out = F.when(
+        trailing & ~joined.endswith("/"), F.concat(joined, F.lit("/"))
+    ).otherwise(joined)
+    # a path reduced to nothing (or just the root anchor) is '/'
+    return F.when((out == "") | (out == "/"), F.lit("/")).otherwise(out)
+
+
+def normalize_url(url: Column) -> Column:
+    """Syntax-normalize an absolute http(s) URL (see module doc);
+    anything else — relative references, other schemes, NULL —
+    passes through unchanged."""
+    scheme = F.lower(F.regexp_extract(url, r"(?i)^(https?)://", 1))
+    # authority = [userinfo@]host[:port]; host is case-insensitive,
+    # userinfo is NOT
+    auth = F.regexp_extract(url, r"(?i)^https?://([^/?#]*)", 1)
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)  # '' when absent
+    hostport = F.regexp_replace(auth, r"^.*@", "")
+    hostport = F.lower(hostport)
+    hostport = F.when(
+        (scheme == "http") & hostport.rlike(r":80$"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.rlike(r":443$"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    # everything after the authority, fragment stripped
+    tail = F.regexp_extract(url, r"(?i)^https?://[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_extract(tail, r"^[^?]*(\?.*)$", 1)  # incl. '?'
+    path = F.when(path == "", F.lit("/")).otherwise(
+        _resolve_dot_segments(path)
+    )
+    normalized = F.concat(
+        scheme, F.lit("://"), userinfo, hostport, path, query
+    )
+    return F.when(url.rlike(_ABS), normalized).otherwise(url)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased registrable host of an absolute http(s) URL ('' for
+    anything else) — the key for domain-level policy joins
+    (blocklists, per-domain caps, robots buckets): a tiny broadcast
+    join against a policy table instead of per-row Python."""
+    auth = F.regexp_extract(url, r"(?i)^https?://([^/?#]*)", 1)
+    host = F.regexp_replace(auth, r"^.*@", "")
+    return F.lower(F.regexp_replace(host, r":\d+$", ""))
+
+
+def filter_by_host(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    keep: bool = False,
+) -> DataFrame:
+    """Drop (or with ``keep=True`` retain only) rows whose URL host
+    appears in ``blocklist`` — the UT1-blocklist shape of a crawl
+    pipeline. The policy table is small by construction (domains,
+    not URLs): broadcast left-anti / left-semi join, zero shuffle of
+    the corpus side."""
+    hosts = F.broadcast(
+        blocklist.select(F.lower(F.col(host_col)).alias("__bl_host")).distinct()
+    )
+    probe = df.withColumn("__host", url_host(F.col(url_col)))
+    joined = probe.join(
+        hosts,
+        probe["__host"] == hosts["__bl_host"],
+        "left_semi" if keep else "left_anti",
+    )
+    return joined.drop("__host")
+
+
+__all__ = ["normalize_url", "url_host", "filter_by_host"]
