@@ -162,6 +162,53 @@ HTTP_SCHEMA = (
 )
 
 
+def wet_conversions(records: DataFrame) -> DataFrame:
+    """Common Crawl WET refiner (round 15): one row per
+    ``conversion`` record of :func:`read_warc` -> (file, record_idx,
+    url, warc_date, text). WET payloads are the crawler's already-
+    extracted plain text, UTF-8 by the format spec and with NO HTTP
+    envelope — so the projection is a pure JVM cast wrapped in
+    ``make_valid_utf8`` (a bare binary->string cast KEEPS invalid
+    bytes, which then crash the Arrow conversion downstream — found
+    by this refiner's own test; the wrap turns them into U+FFFD,
+    the same degrade posture as warc_responses), zero Python, zero
+    extra scan. This is the front door for pipelines
+    that start from Common Crawl's WET segments instead of raw WARC:
+    feed the output straight into text_quality / dedup / BPE."""
+    from pyspark.sql import functions as F
+
+    return records.filter(F.col("warc_type") == "conversion").select(
+        "file",
+        "record_idx",
+        "url",
+        "warc_date",
+        F.make_valid_utf8(F.col("payload").cast("string")).alias(
+            "text"
+        ),
+    )
+
+
+def wat_metadata(records: DataFrame) -> DataFrame:
+    """Common Crawl WAT refiner (round 15): one row per ``metadata``
+    record -> (file, record_idx, url, warc_date, json). WAT payloads
+    are JSON envelopes (headers, link graphs, title) — kept as a
+    STRING column so callers prune with get_json_object /
+    from_json on exactly the fields they need (Catalyst pushes the
+    JSON path evaluation; parsing the whole envelope eagerly would
+    materialize the 10x-wider struct for every consumer)."""
+    from pyspark.sql import functions as F
+
+    return records.filter(F.col("warc_type") == "metadata").select(
+        "file",
+        "record_idx",
+        "url",
+        "warc_date",
+        F.make_valid_utf8(F.col("payload").cast("string")).alias(
+            "json"
+        ),
+    )
+
+
 def warc_responses(records: DataFrame) -> DataFrame:
     """Project the ``response`` records of :func:`read_warc` into HTTP
     parts: status, Content-Type, raw body bytes, and a best-effort
@@ -489,6 +536,8 @@ def make_http_response(
 
 
 __all__ = [
+    "wet_conversions",
+    "wat_metadata",
     "WARC_SCHEMA",
     "HTTP_SCHEMA",
     "CRAWL_DOC_SCHEMA",

@@ -640,3 +640,75 @@ def test_slash_separated_meta_charset_sniffs(spark, tmp_path):
     )
     row = warc_responses(read_warc(spark, str(tmp_path))).collect()[0]
     assert text in row.text
+
+
+class TestWetWat:
+    """Round 15: Common Crawl WET (conversion) / WAT (metadata)
+    refiners — the segments most LLM text pipelines actually start
+    from."""
+
+    def _fixture(self, spark, tmp_path):
+        from clustering_spark.sources.warc_source import (
+            make_warc,
+            read_warc,
+        )
+
+        records = [
+            ("warcinfo", "", b"software: test-crawler/1.0\r\n"),
+            ("conversion", "http://a.example/page",
+             "Extracted prose about harbors.\nSecond line.".encode()),
+            # invalid UTF-8 byte mid-text: must degrade to U+FFFD,
+            # never throw (ANSI mode is on in this engine)
+            ("conversion", "http://b.example/page",
+             b"bad \xff byte"),
+            ("metadata", "http://a.example/page",
+             b'{"Envelope":{"WARC-Header-Metadata":'
+             b'{"WARC-Type":"response"},"Payload-Metadata":'
+             b'{"HTTP-Response-Metadata":{"HTML-Metadata":'
+             b'{"Head":{"Title":"Harbors"}}}}}}'),
+            ("response", "http://c.example/x",
+             b"HTTP/1.1 200 OK\r\n\r\nnot a conversion"),
+        ]
+        (tmp_path / "seg.warc").write_bytes(make_warc(records))
+        return read_warc(spark, str(tmp_path))
+
+    def test_wet_conversions(self, spark, tmp_path):
+        from clustering_spark.sources.warc_source import wet_conversions
+
+        recs = self._fixture(spark, tmp_path)
+        wet = wet_conversions(recs).toPandas().set_index("url")
+        assert len(wet) == 2
+        assert wet.loc["http://a.example/page", "text"].startswith(
+            "Extracted prose"
+        )
+        assert "�" in wet.loc["http://b.example/page", "text"]
+
+    def test_wat_metadata_json_pruning(self, spark, tmp_path):
+        from clustering_spark.sources.warc_source import wat_metadata
+
+        recs = self._fixture(spark, tmp_path)
+        wat = wat_metadata(recs)
+        got = wat.select(
+            "url",
+            F.get_json_object(
+                "json",
+                "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+                ".HTML-Metadata.Head.Title",
+            ).alias("title"),
+        ).collect()
+        assert len(got) == 1
+        assert got[0].title == "Harbors"
+
+    def test_wet_feeds_text_pipeline(self, spark, tmp_path):
+        """Composition smoke: WET text flows into the text stack the
+        same as warc_responses text (dedup-ready schema)."""
+        from clustering_spark.operators.textops import token_count
+        from clustering_spark.sources.warc_source import wet_conversions
+
+        recs = self._fixture(spark, tmp_path)
+        out = (
+            wet_conversions(recs)
+            .select(token_count(F.col("text")).alias("n_tokens"))
+            .toPandas()
+        )
+        assert (out.n_tokens > 0).all()
