@@ -223,3 +223,43 @@ def test_prepped_stream_drops_gate_scratch_columns(spark, tmp_path):
     )
     prepped = docs_stream.prep_documents_stream(stream, "text", min_quality_score=0.0)
     assert set(prepped.columns) == {"doc_id", "text", "fingerprint"}
+
+
+def test_bpe_ids_compose_onto_stream(spark, staged, tmp_path):
+    """Round 15: the trainer-input id layer composes onto a document
+    STREAM — bpe_encode_ids is a stateless mapInPandas, so the same
+    pinned model that gates the batch entry tokenizes an availableNow
+    replay with batch-identical ids (the streaming form of the
+    learn-tiny/apply-wide contract: train offline, apply on the
+    ingest stream)."""
+    from clustering_spark.operators.bpe import (
+        EOS,
+        PAD,
+        UNK,
+        bpe_encode_ids,
+    )
+    from clustering_spark.pinned import bpe_model
+
+    src, schema, _ = staged
+    model = bpe_model()
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+    )
+    enc = bpe_encode_ids(stream, "text", model, specials=(UNK, PAD, EOS))
+    assert enc.isStreaming
+    name = f"bpe_stream_{os.getpid()}"
+    run_stream_to_memory(
+        enc.select("doc_id", "bpe_ids"),
+        name,
+        str(tmp_path / "ckpt_bpe"),
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: list(r.bpe_ids)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch = bpe_encode_ids(
+        spark.read.parquet(src), "text", model, specials=(UNK, PAD, EOS)
+    ).collect()
+    want = {r.doc_id: list(r.bpe_ids) for r in batch}
+    assert got == want and len(got) == 4
