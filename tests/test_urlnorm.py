@@ -206,3 +206,24 @@ def test_image_text_pairs_normalize_urls_option(spark):
     assert bytes(norm.loc["http://m.example/img/plain.png", "blob"]) == (
         b"PLAIN"
     )
+
+
+def test_ipv6_and_scope_edges(spark):
+    """Round-15 self-review edges: IPv6 literals keep their brackets
+    (hex case is insensitive per RFC, so lowercasing is safe),
+    default-port stripping works after the bracket, and
+    percent-encoded dot segments stay VERBATIM (percent-decoding is
+    documented out of scope — '/%2e%2e/' is not resolved)."""
+    cases = {
+        "http://[2001:DB8::1]:80/A/../x": "http://[2001:db8::1]/x",
+        "https://[::1]:443/": "https://[::1]/",
+        "http://[::1]:8080/y": "http://[::1]:8080/y",
+        "http://h/%2e%2e/a": "http://h/%2e%2e/a",
+        "http://h/a%2Fb/../c": "http://h/c",  # encoded slash is opaque
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in cases], "u string"
+    )
+    got = [r[0] for r in df.select(normalize_url(F.col("u"))).collect()]
+    for (u, want), g in zip(cases.items(), got):
+        assert g == want, (u, g, want)
