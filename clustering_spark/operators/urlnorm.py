@@ -114,28 +114,79 @@ def url_host(url: Column) -> Column:
     return F.lower(F.regexp_replace(host, r":\d+$", ""))
 
 
+def host_suffixes(host: Column) -> Column:
+    """The dot-suffix chain of a host — ``a.b.example`` ->
+    ``[a.b.example, b.example, example]`` — bounded by the label
+    count (hostnames cap at 127 labels; real ones have < 10), so
+    exploding it is a constant-factor fan-out, never a blow-up.
+    Empty hosts yield an empty array (nothing to match)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(host == "", F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+        )
+    )
+
+
 def filter_by_host(
     df: DataFrame,
     url_col: str,
     blocklist: DataFrame,
     host_col: str = "host",
     keep: bool = False,
+    match_subdomains: bool = False,
 ) -> DataFrame:
     """Drop (or with ``keep=True`` retain only) rows whose URL host
     appears in ``blocklist`` — the UT1-blocklist shape of a crawl
     pipeline. The policy table is small by construction (domains,
     not URLs): broadcast left-anti / left-semi join, zero shuffle of
-    the corpus side."""
+    the corpus side.
+
+    ``match_subdomains=True`` matches the way real blocklists are
+    meant to (an entry ``ads.example`` also blocks
+    ``x.ads.example``): the DISTINCT host set explodes into its
+    bounded dot-suffix chain (:func:`host_suffixes`) and the chain
+    EQUI-joins the broadcast list — never a per-row endswith theta
+    join (a nested-loop over the whole list), and never a surrogate
+    row id (monotonically_increasing_id is recomputation-fragile).
+    The verdict depends only on the host, so the blocked-host table
+    is tiny (crawls repeat hosts massively) and joins back broadcast;
+    the only added exchange is the distinct over hosts — (host)-only
+    rows, not the corpus."""
     hosts = F.broadcast(
         blocklist.select(F.lower(F.col(host_col)).alias("__bl_host")).distinct()
     )
     probe = df.withColumn("__host", url_host(F.col(url_col)))
+    if not match_subdomains:
+        joined = probe.join(
+            hosts,
+            probe["__host"] == hosts["__bl_host"],
+            "left_semi" if keep else "left_anti",
+        )
+        return joined.drop("__host")
+    exploded = (
+        probe.select("__host")
+        .distinct()
+        .select(
+            "__host",
+            F.explode(host_suffixes(F.col("__host"))).alias("__sfx"),
+        )
+    )
+    blocked_hosts = (
+        exploded.join(
+            hosts, exploded["__sfx"] == hosts["__bl_host"], "left_semi"
+        )
+        .select("__host")
+        .distinct()
+    )
     joined = probe.join(
-        hosts,
-        probe["__host"] == hosts["__bl_host"],
-        "left_semi" if keep else "left_anti",
+        F.broadcast(blocked_hosts),
+        on="__host",
+        how="left_semi" if keep else "left_anti",
     )
     return joined.drop("__host")
 
 
-__all__ = ["normalize_url", "url_host", "filter_by_host"]
+__all__ = ["normalize_url", "url_host", "host_suffixes", "filter_by_host"]

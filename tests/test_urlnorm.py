@@ -227,3 +227,39 @@ def test_ipv6_and_scope_edges(spark):
     got = [r[0] for r in df.select(normalize_url(F.col("u"))).collect()]
     for (u, want), g in zip(cases.items(), got):
         assert g == want, (u, g, want)
+
+
+def test_subdomain_blocklist_matching(spark):
+    """match_subdomains=True: an entry blocks itself AND every
+    subdomain, via the bounded suffix-chain equi-join (never a
+    per-row endswith over the list)."""
+    from clustering_spark.operators.urlnorm import host_suffixes
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://ads.example/x"),          # exact entry
+            (2, "http://tr.ads.example/y"),       # subdomain
+            (3, "http://notads.example/z"),       # suffix of label: NO
+            (4, "https://clean.example/w"),
+            (5, "http://deep.a.b.tracker.net/v"),  # deep subdomain
+        ],
+        "id long, url string",
+    )
+    block = spark.createDataFrame(
+        [("ads.example",), ("tracker.net",)], "host string"
+    )
+    kept = filter_by_host(df, "url", block, match_subdomains=True)
+    assert sorted(r.id for r in kept.collect()) == [3, 4]
+    only = filter_by_host(
+        df, "url", block, keep=True, match_subdomains=True
+    )
+    assert sorted(r.id for r in only.collect()) == [1, 2, 5]
+    # exact-match mode unchanged: subdomains pass
+    exact = filter_by_host(df, "url", block)
+    assert sorted(r.id for r in exact.collect()) == [2, 3, 4, 5]
+    # the suffix chain itself
+    chain = spark.createDataFrame(
+        [("a.b.example",), ("",)], "h string"
+    ).select(host_suffixes(F.col("h")).alias("s")).collect()
+    assert list(chain[0].s) == ["a.b.example", "b.example", "example"]
+    assert list(chain[1].s) == []
