@@ -293,6 +293,69 @@ def _encode_word(
     return sym
 
 
+def _word_kernel(
+    df: DataFrame,
+    text_col: str,
+    model: dict,
+    out_col: str,
+    out_type: str,
+    map_word,
+):
+    """Shared fused Arrow kernel for the per-word BPE apply family
+    (round-15 review: bpe_tokenize and bpe_encode_ids duplicated
+    this scaffold): ONE mapInPandas doing pretokenize -> merge walk
+    -> ``map_word``, with the bounded per-word memo storing
+    map_word's OUTPUT so memo hits skip the mapping too. NULL text
+    degrades to an empty array (the text-stack contract).
+
+    The memo is bounded, not unbounded: an adversarially diverse
+    corpus (random strings, unique ids) would otherwise grow it
+    without limit inside a long-lived Python worker. Zipfian text
+    keeps its hot words resident long before the cap; on overflow
+    the memo drops wholesale (cheap, and the hot set re-fills
+    within one batch)."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(map(tuple, model["merges"]))}
+    pat = re.compile(model.get("pretoken_re", PRETOKEN_RE))
+    # byte mode: words pass through the byte<->unicode table before
+    # the merge walk and symbols end with END_BYTE; absent keys =
+    # char (models trained before round 14)
+    end = model.get("end", END)
+    to_form = (
+        _to_byte_form
+        if model.get("mode", "char") == "byte"
+        else (lambda w: w)
+    )
+    memo: dict = {}
+    memo_cap = 1_000_000
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(text):
+            if text is None:
+                return []
+            out: list = []
+            for w in pat.findall(text):
+                v = memo.get(w)
+                if v is None:
+                    if len(memo) >= memo_cap:
+                        memo.clear()
+                    v = map_word(_encode_word(to_form(w), ranks, end))
+                    memo[w] = v
+                out.extend(v)
+            return out
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [enc(t) for t in pdf[text_col]]
+            yield pdf
+
+    schema = ", ".join(
+        f"`{c}` {t}" for c, t in df.dtypes
+    ) + f", `{out_col}` {out_type}"
+    return df.mapInPandas(batches, schema)
+
+
 def bpe_tokenize(
     df: DataFrame,
     text_col: str,
@@ -301,54 +364,12 @@ def bpe_tokenize(
 ) -> DataFrame:
     """Append ``out_col`` (array<string> of BPE tokens) to every row.
     Arrow-batched kernel over the broadcast merge ranks with a
-    process-lifetime word memo: real corpora re-use words constantly,
-    so amortized per-word cost is one dict hit. NULL text tokenizes to
+    bounded per-word memo: real corpora re-use words constantly, so
+    amortized per-word cost is one dict hit. NULL text tokenizes to
     an empty array (the NULL-degrade contract of the text stack)."""
-    import re
-
-    ranks = {pair: i for i, pair in enumerate(map(tuple, model["merges"]))}
-    pat = re.compile(model.get("pretoken_re", PRETOKEN_RE))
-    # byte mode: words pass through the byte↔unicode table before the
-    # merge walk and symbols end with END_BYTE; absent keys = char
-    # (models trained before round 14)
-    end = model.get("end", END)
-    to_form = (
-        _to_byte_form
-        if model.get("mode", "char") == "byte"
-        else (lambda w: w)
+    return _word_kernel(
+        df, text_col, model, out_col, "array<string>", lambda toks: toks
     )
-    schema = ", ".join(
-        f"`{c}` {t}" for c, t in df.dtypes
-    ) + f", `{out_col}` array<string>"
-    # bounded, not unbounded: an adversarially diverse corpus (random
-    # strings, unique ids) would otherwise grow the memo without limit
-    # inside a long-lived Python worker. Zipfian text keeps its hot
-    # words resident long before the cap; on overflow we drop the memo
-    # wholesale (cheap, and the hot set re-fills within one batch).
-    memo: dict[str, list[str]] = {}
-    memo_cap = 1_000_000
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def tok(text):
-            if text is None:
-                return []
-            out: list[str] = []
-            for w in pat.findall(text):
-                enc = memo.get(w)
-                if enc is None:
-                    if len(memo) >= memo_cap:
-                        memo.clear()
-                    enc = _encode_word(to_form(w), ranks, end)
-                    memo[w] = enc
-                out.extend(enc)
-            return out
-
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf[out_col] = [tok(t) for t in pdf[text_col]]
-            yield pdf
-
-    return df.mapInPandas(batches, schema)
 
 
 UNK = "<unk>"  # chars never seen in the training histogram
@@ -407,64 +428,25 @@ def bpe_encode_ids(
 ) -> DataFrame:
     """Append ``out_col`` (array<int> of vocabulary ids) — what a
     training pipeline actually feeds the model; the string-token form
-    (bpe_tokenize) is the debugging view. Same Arrow kernel + memo
-    shape; tokens outside the vocabulary (unseen chars) map to
+    (bpe_tokenize) is the debugging view. Same fused Arrow kernel
+    (one crossing — round 15; the earlier tokenize-then-map
+    composition crossed Arrow twice and measured 1.75x slower at
+    sf0.1), with the memo storing the ID LIST directly; tokens
+    outside the vocabulary (unseen chars, char mode only) map to
     ``<unk>``. Pass the same ``specials`` you plan to pack with
     (e.g. ``(UNK, PAD, EOS)``) so the reserved ids are carved out of
     the id space. Roundtrips exactly through decode for in-alphabet
-    text (property-tested).
-
-    FUSED kernel (round 15): one mapInPandas does pretokenize ->
-    merge walk -> id lookup, and the per-word memo stores the ID
-    LIST directly — the earlier bpe_tokenize + id-map composition
-    crossed Arrow twice and materialized the string-token arrays in
-    between (measured 1.75x slower at sf0.1, output-identical). The
-    string-token view stays available via bpe_tokenize."""
-    import re
-
+    text (property-tested)."""
     vocab = build_vocab(model, specials)
-    ranks = {pair: i for i, pair in enumerate(map(tuple, model["merges"]))}
-    pat = re.compile(model.get("pretoken_re", PRETOKEN_RE))
-    end = model.get("end", END)
-    to_form = (
-        _to_byte_form
-        if model.get("mode", "char") == "byte"
-        else (lambda w: w)
-    )
     unk = vocab[UNK]
-    # same bounded-memo posture as bpe_tokenize (Zipfian hot set
-    # stays resident; adversarially diverse corpora can't grow it
-    # without limit inside a long-lived worker)
-    memo: dict[str, list[int]] = {}
-    memo_cap = 1_000_000
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(text):
-            if text is None:
-                return []
-            out: list[int] = []
-            for w in pat.findall(text):
-                ids = memo.get(w)
-                if ids is None:
-                    if len(memo) >= memo_cap:
-                        memo.clear()
-                    ids = [
-                        vocab.get(t, unk)
-                        for t in _encode_word(to_form(w), ranks, end)
-                    ]
-                    memo[w] = ids
-                out.extend(ids)
-            return out
-
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf[out_col] = [enc(t) for t in pdf[text_col]]
-            yield pdf
-
-    schema = ", ".join(
-        f"`{c}` {t}" for c, t in df.dtypes
-    ) + f", `{out_col}` array<int>"
-    return df.mapInPandas(batches, schema)
+    return _word_kernel(
+        df,
+        text_col,
+        model,
+        out_col,
+        "array<int>",
+        lambda toks: [vocab.get(t, unk) for t in toks],
+    )
 
 
 def bpe_decode_ids(
@@ -516,10 +498,14 @@ def bpe_token_count(
     """Per-row learned-vocabulary token count — the budget signal
     sequence packing / mixture planning should use once a real
     tokenizer exists (textops' regex count is the model-free stand-in).
-    Rides the FUSED id kernel (round 15): len(ids) == len(tokens) by
-    construction, and one Arrow crossing beats tokenize-then-size."""
-    ids = bpe_encode_ids(df, text_col, model, out_col="__bpe_ct")
-    return ids.withColumn(out_col, F.size("__bpe_ct")).drop("__bpe_ct")
+    Counts via the TOKENIZE kernel, not the id kernel (round-15
+    second review): both are the same one-Arrow-crossing fused
+    kernel, but the id path needs ``build_vocab`` and therefore a
+    model with an ``alphabet`` — a count does not, and merge-only
+    model dicts (externally produced / pre-round-12) must keep
+    counting."""
+    toks = bpe_tokenize(df, text_col, model, out_col="__bpe")
+    return toks.withColumn(out_col, F.size("__bpe")).drop("__bpe")
 
 
 __all__ = [

@@ -64,13 +64,19 @@ def _resolve_dot_segments(path: Column) -> Column:
         )
         .otherwise(F.array_append(acc, s)),
     )
+    # a FINAL '.' or '..' leaves a pending slash in the RFC walk
+    # ("/a/b/.." -> "/a/", "/a//." -> "/a//"): append an empty
+    # segment, never a conditional "add slash unless one is there" —
+    # that conditional collapsed "/a//." to "/a/" where the RFC
+    # keeps both slashes (round-15 second review, found by
+    # enumerating divergences against the spec pseudocode)
+    trailing = path.rlike(r"/\.{1,2}\z")
+    stack = F.when(
+        trailing, F.array_append(stack, F.lit(""))
+    ).otherwise(stack)
     joined = F.array_join(stack, "/")
-    trailing = path.rlike(r"/\.{1,2}$")
-    out = F.when(
-        trailing & ~joined.endswith("/"), F.concat(joined, F.lit("/"))
-    ).otherwise(joined)
     # a path reduced to nothing (or just the root anchor) is '/'
-    return F.when((out == "") | (out == "/"), F.lit("/")).otherwise(out)
+    return F.when(joined == "", F.lit("/")).otherwise(joined)
 
 
 def normalize_url(url: Column) -> Column:
@@ -79,22 +85,36 @@ def normalize_url(url: Column) -> Column:
     passes through unchanged."""
     scheme = F.lower(F.regexp_extract(url, r"(?i)^(https?)://", 1))
     # authority = [userinfo@]host[:port]; host is case-insensitive,
-    # userinfo is NOT
+    # userinfo is NOT. Splitting uses substring arithmetic, not
+    # '.*'/'$'-anchored regexes: Java '.' excludes newlines (no
+    # DOTALL here) while the negated classes that FEED these values
+    # pass newlines through, so a stray newline in an attribute
+    # value would silently drop the query or mangle userinfo
+    # (round-15 second review).
     auth = F.regexp_extract(url, r"(?i)^https?://([^/?#]*)", 1)
-    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)  # '' when absent
-    hostport = F.regexp_replace(auth, r"^.*@", "")
-    hostport = F.lower(hostport)
+    # userinfo runs through the LAST '@' (the host cannot contain
+    # one); substring_index(-1) is the newline-safe split
+    hostport_raw = F.substring_index(auth, "@", -1)
+    userinfo = auth.substr(
+        F.lit(1), F.length(auth) - F.length(hostport_raw)
+    )  # '' when no '@' (zero-length slice), incl. the trailing '@'
+    hostport = F.lower(hostport_raw)
     hostport = F.when(
-        (scheme == "http") & hostport.rlike(r":80$"),
-        F.regexp_replace(hostport, r":80$", ""),
+        (scheme == "http") & hostport.rlike(r":80\z"),
+        F.regexp_replace(hostport, r":80\z", ""),
     ).when(
-        (scheme == "https") & hostport.rlike(r":443$"),
-        F.regexp_replace(hostport, r":443$", ""),
+        (scheme == "https") & hostport.rlike(r":443\z"),
+        F.regexp_replace(hostport, r":443\z", ""),
     ).otherwise(hostport)
     # everything after the authority, fragment stripped
     tail = F.regexp_extract(url, r"(?i)^https?://[^/?#]*([^#]*)", 1)
-    path = F.regexp_extract(tail, r"^([^?]*)", 1)
-    query = F.regexp_extract(tail, r"^[^?]*(\?.*)$", 1)  # incl. '?'
+    qpos = F.instr(tail, "?")
+    path = F.when(qpos > 0, tail.substr(F.lit(1), qpos - 1)).otherwise(
+        tail
+    )
+    query = F.when(
+        qpos > 0, tail.substr(qpos, F.length(tail))
+    ).otherwise(F.lit(""))  # incl. '?'
     path = F.when(path == "", F.lit("/")).otherwise(
         _resolve_dot_segments(path)
     )
@@ -110,8 +130,8 @@ def url_host(url: Column) -> Column:
     (blocklists, per-domain caps, robots buckets): a tiny broadcast
     join against a policy table instead of per-row Python."""
     auth = F.regexp_extract(url, r"(?i)^https?://([^/?#]*)", 1)
-    host = F.regexp_replace(auth, r"^.*@", "")
-    return F.lower(F.regexp_replace(host, r":\d+$", ""))
+    host = F.substring_index(auth, "@", -1)  # newline-safe userinfo cut
+    return F.lower(F.regexp_replace(host, r":\d+\z", ""))
 
 
 def host_suffixes(host: Column) -> Column:

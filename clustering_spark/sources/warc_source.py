@@ -175,8 +175,6 @@ def wet_conversions(records: DataFrame) -> DataFrame:
     extra scan. This is the front door for pipelines
     that start from Common Crawl's WET segments instead of raw WARC:
     feed the output straight into text_quality / dedup / BPE."""
-    from pyspark.sql import functions as F
-
     return records.filter(F.col("warc_type") == "conversion").select(
         "file",
         "record_idx",
@@ -196,8 +194,6 @@ def wat_metadata(records: DataFrame) -> DataFrame:
     from_json on exactly the fields they need (Catalyst pushes the
     JSON path evaluation; parsing the whole envelope eagerly would
     materialize the 10x-wider struct for every consumer)."""
-    from pyspark.sql import functions as F
-
     return records.filter(F.col("warc_type") == "metadata").select(
         "file",
         "record_idx",

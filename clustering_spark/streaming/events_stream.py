@@ -283,10 +283,11 @@ def stream_interval_join(
     Negative (pre-1970) timestamps are safe with DIV's
     truncate-toward-zero semantics even though it differs from floor
     there (round-15 review): bucket(x) = trunc(x/U) is monotone with
-    breakpoints spaced exactly U apart, so any half-open window of
-    length U contains at most one breakpoint — the right row's bucket
-    is always bucket(left) or bucket(left)+1, the two the explode
-    emits."""
+    breakpoints spaced AT LEAST U apart (exactly U everywhere except
+    the zero-straddling bucket, which spans (-U, U) — 2U between its
+    neighbors), so any half-open window of length U contains at most
+    one breakpoint — the right row's bucket is always bucket(left)
+    or bucket(left)+1, the two the explode emits."""
     l = (
         left.withWatermark(left_ts, watermark)
         .withColumn(

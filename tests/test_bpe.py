@@ -581,3 +581,17 @@ def test_fused_encode_matches_tokenize_composition(spark):
         for i in range(len(texts)):
             want = [vocab.get(t, unk) for t in toks[i]]
             assert list(fused[i]) == want, (byte_level, texts[i])
+
+
+def test_token_count_works_without_alphabet(spark):
+    """Round-15 second review: merge-only model dicts (externally
+    produced / pre-round-12) must keep counting — only the ID layer
+    needs build_vocab's alphabet."""
+    model = {"merges": [["a", "bń"]], "end": "ń", "mode": "char"}
+    # char-mode merge over plain symbols; no 'alphabet' key at all
+    model = {"merges": [["a", "b</w>"]]}
+    df = spark.createDataFrame([("ab ab c",)], "text string")
+    out = bpe_token_count(df, "text", model).collect()
+    # 'ab' merges to one token per occurrence; ' ab' (spaced form)
+    # does NOT merge (different symbols) -> counts stay well-defined
+    assert out[0].n_bpe_tokens > 0

@@ -6,7 +6,9 @@ an order of magnitude under the idle-box measurement, so a
 regression to the two-Arrow-crossing shape (or an accidental
 per-row Python fallback) fails loudly while box contention cannot.
 
-Idle-box calibration (32 threads, memo-warm): ~40 MB/s aggregate;
+Idle-box calibration (32 threads): ~40 MB/s aggregate — each run
+starts memo-COLD (the memo lives in the per-call closure) and warms
+within the first rows of its heavily word-repeating corpus;
 the fused kernel measured 1.75x over the old tokenize+map
 composition. Floor: 2 MB/s. Throughput is corpus-dependent (the
 word memo makes repeated words a dict hit) — the test corpus repeats
@@ -45,7 +47,8 @@ def test_bpe_encode_ids_throughput_floor(spark):
     enc = lambda: bpe_encode_ids(  # noqa: E731
         df, "text", model, specials=(UNK, PAD, EOS)
     )
-    enc().count()  # warm the workers + memo
+    enc().count()  # warm the JVM/Python workers (NOT the memo —
+    # each call builds a fresh closure; the memo warms within a run)
     t0 = time.monotonic()
     enc().select("bpe_ids").count()
     dt = time.monotonic() - t0

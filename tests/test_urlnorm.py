@@ -58,16 +58,22 @@ def _reference(url: str) -> str:
         return url
     scheme = m.group(1).lower()
     auth = m.group(2)
-    um = re.match(r"^(.*@)(.*)$", auth)
-    userinfo, hostport = (um.group(1), um.group(2)) if um else ("", auth)
+    if "@" in auth:
+        i = auth.rindex("@")
+        userinfo, hostport = auth[: i + 1], auth[i + 1 :]
+    else:
+        userinfo, hostport = "", auth
     hostport = hostport.lower()
     if scheme == "http" and hostport.endswith(":80"):
         hostport = hostport[:-3]
     if scheme == "https" and hostport.endswith(":443"):
         hostport = hostport[:-4]
     tail = m.group(3)
-    qm = re.match(r"^([^?]*)(\?.*)?$", tail)
-    path, query = qm.group(1), qm.group(2) or ""
+    if "?" in tail:
+        path, _, q = tail.partition("?")
+        query = "?" + q
+    else:
+        path, query = tail, ""
     path = _rfc_remove_dot_segments(path) if path else "/"
     if path == "":
         path = "/"
@@ -76,7 +82,7 @@ def _reference(url: str) -> str:
 
 def test_normalize_url_differential(spark):
     rng = random.Random(42)
-    segs = ["a", "b", "img", ".", "..", "x1", "css", "deep"]
+    segs = ["a", "b", "img", ".", "..", "x1", "css", "deep", ""]
     cases = []
     for _ in range(200):
         scheme = rng.choice(["http", "HTTP", "https", "HtTpS"])
@@ -106,6 +112,15 @@ def test_normalize_url_differential(spark):
         "//h/a/../b",                              # scheme-relative
         "/relative/../path",                       # relative: verbatim
         "",
+        # round-15 second review: empty-segment x dot-segment
+        # interactions ('//' boundaries) and newline payloads
+        "http://h//a/..",                          # RFC: http://h//
+        "http://h/a//.",                           # RFC: http://h/a//
+        "http://h//.",
+        "http://h//..",
+        "http://h/a//b/../..",
+        "http://h/p?a=1\nb=2",                     # newline in query
+        "http://u\nx@h/p",                         # newline userinfo
     ]
     # reference strips the fragment too
     def want(u):
