@@ -543,9 +543,20 @@ def image_text_pairs(
     media_key = F.col(media_url_col)
     if normalize_urls:
         media_key = normalize_url(media_key)
-    m = media.select(
-        media_key.alias("resolved_url"),
-        F.col(media_bin_col).alias("blob"),
+    # ONE blob per join key: distinct media rows that share a key —
+    # re-fetches of the same URL, or (under normalize_urls) aliases
+    # like 'http://h/a' and 'HTTP://h:80/a' both fetched — would
+    # each join every matching reference and duplicate pairs with
+    # identical blobs (round-16 advisor). min() is a deterministic
+    # pick and a partial-aggregatable single shuffle of the slim
+    # (key, blob) projection.
+    m = (
+        media.select(
+            media_key.alias("resolved_url"),
+            F.col(media_bin_col).alias("blob"),
+        )
+        .groupBy("resolved_url")
+        .agg(F.min("blob").alias("blob"))
     )
     return refs.join(m, on="resolved_url").select(
         "page_url", "resolved_url", "alt_text", "blob"

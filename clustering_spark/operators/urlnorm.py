@@ -99,6 +99,14 @@ def normalize_url(url: Column) -> Column:
         F.lit(1), F.length(auth) - F.length(hostport_raw)
     )  # '' when no '@' (zero-length slice), incl. the trailing '@'
     hostport = F.lower(hostport_raw)
+    # a single trailing '.' on the host (fully-qualified DNS form,
+    # 'example.com.') names the same origin host for fetching —
+    # without the strip, blocklist entries and normalized pairing
+    # joins miss the dot form and host_suffixes emits a leading ''
+    # label (round-16 advisor). Stripped BEFORE the default-port
+    # check so 'example.com.:80' collapses fully; bracketed IPv6
+    # literals end in ']' and never match.
+    hostport = F.regexp_replace(hostport, r"\.((?::\d+)?)\z", "$1")
     hostport = F.when(
         (scheme == "http") & hostport.rlike(r":80\z"),
         F.regexp_replace(hostport, r":80\z", ""),
@@ -131,7 +139,11 @@ def url_host(url: Column) -> Column:
     join against a policy table instead of per-row Python."""
     auth = F.regexp_extract(url, r"(?i)^https?://([^/?#]*)", 1)
     host = F.substring_index(auth, "@", -1)  # newline-safe userinfo cut
-    return F.lower(F.regexp_replace(host, r":\d+\z", ""))
+    host = F.regexp_replace(host, r":\d+\z", "")
+    # single trailing '.' (FQDN form) names the same origin host —
+    # strip it so policy joins and suffix chains see one key
+    # (round-16 advisor; see normalize_url)
+    return F.lower(F.regexp_replace(host, r"\.\z", ""))
 
 
 def host_suffixes(host: Column) -> Column:
@@ -175,8 +187,18 @@ def filter_by_host(
     is tiny (crawls repeat hosts massively) and joins back broadcast;
     the only added exchange is the distinct over hosts — (host)-only
     rows, not the corpus."""
+    # blocklist entries get the same canonicalization as url_host
+    # (lowercase + trim + single trailing-dot strip) so an
+    # 'Example.COM.' or ' ads.example ' line still matches; empty
+    # lines are dropped — an '' entry would otherwise match every
+    # non-http(s) row (url_host yields '' for those).
+    bl_host = F.regexp_replace(
+        F.lower(F.trim(F.col(host_col))), r"\.\z", ""
+    )
     hosts = F.broadcast(
-        blocklist.select(F.lower(F.col(host_col)).alias("__bl_host")).distinct()
+        blocklist.select(bl_host.alias("__bl_host"))
+        .filter(F.col("__bl_host") != "")
+        .distinct()
     )
     probe = df.withColumn("__host", url_host(F.col(url_col)))
     if not match_subdomains:

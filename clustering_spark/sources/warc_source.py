@@ -265,16 +265,19 @@ def warc_responses(records: DataFrame) -> DataFrame:
     # data-charset attribute or a URL query parameter inside an
     # earlier meta tag (<meta content="http://x/?charset=gbk">) would
     # hijack the page's declared encoding.
-    # '/' is in the anchor class because HTML parsers treat it as
-    # whitespace before attribute names, so <meta/charset=...> is a
-    # browser-honored declaration (round-15 review follow-up); the
-    # ^ alternative covers a malformed header that IS just the
-    # parameter. data-charset stays excluded ('-' not in the class).
+    # The <meta/charset=...> form (HTML parsers treat '/' as
+    # whitespace before attribute names) is admitted by a NARROW
+    # alternation tied to the tag name — putting '/' in the general
+    # anchor class re-opened the hijack for URL *paths*
+    # (content="http://x/charset=koi8-r") inside an earlier
+    # attribute (round-16 advisor). The ^ alternative in ct_charset
+    # covers a malformed header that IS just the parameter.
+    # data-charset stays excluded ('-' not in the class).
     ct_charset = _re.compile(
-        r"(?:^|[;\s\"'/])charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I
+        r"(?:^|[;\s\"'])charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I
     )
     meta_charset = _re.compile(
-        rb"<meta[^>]{0,256}?(?:^|[;\s\"'/])charset\s*=\s*[\"']?"
+        rb"<meta(?:\s*/\s*|[^>]{0,256}?[;\s\"'])charset\s*=\s*[\"']?"
         rb"([A-Za-z0-9_.:-]+)",
         _re.I,
     )

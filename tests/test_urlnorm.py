@@ -64,6 +64,9 @@ def _reference(url: str) -> str:
     else:
         userinfo, hostport = "", auth
     hostport = hostport.lower()
+    # single trailing-dot FQDN strip (round-16 advisor), before the
+    # default-port check — same order as the implementation
+    hostport = re.sub(r"\.((?::\d+)?)$", r"\1", hostport)
     if scheme == "http" and hostport.endswith(":80"):
         hostport = hostport[:-3]
     if scheme == "https" and hostport.endswith(":443"):
@@ -87,7 +90,8 @@ def test_normalize_url_differential(spark):
     for _ in range(200):
         scheme = rng.choice(["http", "HTTP", "https", "HtTpS"])
         host = rng.choice(
-            ["Host.Example", "cdn.example", "A.B.C", "h", "Site.ORG"]
+            ["Host.Example", "cdn.example", "A.B.C", "h", "Site.ORG",
+             "Host.Example."]
         )
         port = rng.choice(["", ":80", ":443", ":8080"])
         path = "/" + "/".join(
@@ -121,6 +125,13 @@ def test_normalize_url_differential(spark):
         "http://h/a//b/../..",
         "http://h/p?a=1\nb=2",                     # newline in query
         "http://u\nx@h/p",                         # newline userinfo
+        # round-16 advisor: trailing-dot FQDN forms collapse to the
+        # dotless host (single strip only)
+        "http://Example.COM./x",
+        "http://h.:80/a",
+        "https://h.example.:443/",
+        "http://h../x",                            # double dot: one strip
+        "http://h.:8080/a",                        # dot + non-default port
     ]
     # reference strips the fragment too
     def want(u):
@@ -167,6 +178,48 @@ def test_url_host_and_policy_join(spark):
     tree = plan_tree(filter_by_host(df, "url", block))
     assert "Broadcast" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_trailing_dot_host_policy_and_suffixes(spark):
+    """Round-16 advisor: the FQDN trailing-dot form
+    ('http://example.com./x') is the same origin host — url_host
+    strips it, blocklist entries canonicalize the same way (lower +
+    trim + dot strip), empty blocklist lines never match, and
+    host_suffixes no longer sees a leading '' label."""
+    from clustering_spark.operators.urlnorm import host_suffixes
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://ads.example./x"),       # FQDN dot form
+            (2, "http://Sub.Ads.Example.:80/y"),
+            (3, "https://clean.example/w"),
+            (4, "not-a-url"),                   # host '' — empty-line bait
+        ],
+        "id long, url string",
+    )
+    hosts = [r[0] for r in df.select(url_host(F.col("url"))).collect()]
+    assert hosts == ["ads.example", "sub.ads.example",
+                     "clean.example", ""]
+    # blocklist side canonicalizes too: dotted, cased, padded, and an
+    # empty line that must match NOTHING
+    block = spark.createDataFrame(
+        [("Ads.Example.",), ("  ",), ("",)], "host string"
+    )
+    kept = filter_by_host(df, "url", block)
+    assert sorted(r.id for r in kept.collect()) == [2, 3, 4]
+    sub = filter_by_host(df, "url", block, match_subdomains=True)
+    assert sorted(r.id for r in sub.collect()) == [3, 4]
+    # normalize_url collapses the dot form to one join key
+    pair = spark.createDataFrame(
+        [("http://example.com./x",), ("http://example.com/x",)],
+        "u string",
+    ).select(normalize_url(F.col("u")).alias("n")).distinct()
+    assert pair.count() == 1
+    # suffix chain has no '' label for the (now-stripped) dot form
+    chain = spark.createDataFrame(
+        [("http://a.b.example./p",)], "u string"
+    ).select(host_suffixes(url_host(F.col("u"))).alias("s")).collect()
+    assert list(chain[0].s) == ["a.b.example", "b.example", "example"]
 
 
 def test_normalized_join_recovers_aliased_pairs(spark):
@@ -221,6 +274,43 @@ def test_image_text_pairs_normalize_urls_option(spark):
     assert bytes(norm.loc["http://m.example/img/plain.png", "blob"]) == (
         b"PLAIN"
     )
+
+
+def test_media_side_deduped_on_normalized_key(spark):
+    """Round-16 advisor: distinct media rows that normalize to the
+    same key ('http://h/a' and 'HTTP://h:80/a' both fetched) must
+    yield ONE pair per reference, not one per media row — the media
+    side dedupes on the join key (deterministic min over the blob).
+    Same guarantee for raw-mode re-fetches of an identical URL."""
+    from clustering_spark.operators.pairing import image_text_pairs
+
+    pages = spark.createDataFrame(
+        [(
+            "http://m.example/page",
+            '<img src="http://m.example/img/a.png" alt="one ref">',
+        )],
+        "url string, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            ("http://m.example/img/a.png", b"AAA"),
+            ("HTTP://M.Example:80/img/a.png", b"BBB"),  # alias re-fetch
+        ],
+        "url string, body binary",
+    )
+    norm = image_text_pairs(pages, media, normalize_urls=True).collect()
+    assert len(norm) == 1
+    assert bytes(norm[0].blob) == b"AAA"  # min() pick, deterministic
+    # raw mode: exact-duplicate fetch rows also collapse
+    media_raw = spark.createDataFrame(
+        [
+            ("http://m.example/img/a.png", b"AAA"),
+            ("http://m.example/img/a.png", b"AAA"),
+        ],
+        "url string, body binary",
+    )
+    raw = image_text_pairs(pages, media_raw).collect()
+    assert len(raw) == 1 and bytes(raw[0].blob) == b"AAA"
 
 
 def test_ipv6_and_scope_edges(spark):

@@ -599,6 +599,35 @@ class TestCharsetAnchoringReview:
         row = self._roundtrip(spark, tmp_path, payload, "d")
         assert text in row.text
 
+    def test_url_path_charset_does_not_hijack(self, spark, tmp_path):
+        # round-16 advisor: with '/' in the GENERAL anchor class, a
+        # URL *path* segment (no '?') inside an earlier attribute
+        # value re-opened the hijack — the solidus form must be
+        # admitted only as <meta/charset=..., tied to the tag name.
+        text = "naïve café"
+        body = (
+            b'<html><head><meta property="og:url"'
+            b' content="http://x.example/charset=koi8-r"></head>'
+            b"<body>" + text.encode("utf-8") + b"</body></html>"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        row = self._roundtrip(spark, tmp_path, payload, "p")
+        assert text in row.text
+
+    def test_header_path_charset_does_not_hijack(self, spark, tmp_path):
+        # same class on the Content-Type HEADER side: a hostile
+        # parameter value containing /charset= must not anchor.
+        text = "naïve café"
+        body = b"<html><body>" + text.encode("utf-8") + b"</body></html>"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
+            b' profile="http://x/charset=koi8-r"\r\n\r\n' + body
+        )
+        row = self._roundtrip(spark, tmp_path, payload, "hp")
+        assert text in row.text
+
     def test_anchored_forms_still_sniff(self, spark, tmp_path):
         # the three legitimate shapes keep working: bare attribute,
         # no-space http-equiv param, single-quoted
