@@ -1058,6 +1058,12 @@ _WARC_N_RECORDS = 120   # gzip-member segment (the crawl wire layout)
 _WARC_N_PLAIN = 30      # plain uncompressed segment (both layouts gated)
 
 
+_WARC_N_WET_PER = 6     # WET conversion records appended per file (r16)
+
+
+_WARC_N_WAT_PER = 4     # WAT metadata records appended per file (r16)
+
+
 # the extracted text replays the SAME whitespace-pass skeleton as
 # SQL_STRIP_HTML (see that oracle's derivation comment) around the
 # arithmetic payload; record_idx counts ALL records in file order
@@ -1094,6 +1100,33 @@ SELECT CASE WHEN i < {_WARC_N_RECORDS} THEN i
            '\n{{3,}}', chr(10) || chr(10), 'g'),
          '^[ \n]+|[ \n]+$', '', 'g') END AS text_plain
 FROM resp
+UNION ALL
+-- WET conversion records (round 16): appended AFTER the main block of
+-- each file, so their within-file record_idx continues past it
+-- (crawl.warc.gz: 120..125, plain.warc: 30..35). Payload is the
+-- crawler's extracted plain text — replayed verbatim from the
+-- construction rule; every j % 5 = 2 payload carries one invalid
+-- UTF-8 byte that make_valid_utf8 must degrade to U+FFFD (chr(65533))
+SELECT CASE WHEN j < {_WARC_N_WET_PER} THEN {_WARC_N_RECORDS} + j
+            ELSE {_WARC_N_PLAIN} + j - {_WARC_N_WET_PER} END,
+       'http://wet' || (j % 5) || '.example/conv/' || j,
+       NULL, NULL,
+       'wet doc ' || j || ' gamma' || (j * 5) % 7
+         || CASE WHEN j % 5 = 2 THEN chr(65533) ELSE '' END
+FROM (SELECT unnest(range({2 * _WARC_N_WET_PER})) AS j)
+UNION ALL
+-- WAT metadata records: JSON kept as a STRING (the operator's pruning
+-- contract); record_idx continues past the WET block (126..129 / 36..39);
+-- every k % 4 = 3 title carries the invalid-byte degrade
+SELECT CASE WHEN k < {_WARC_N_WAT_PER}
+              THEN {_WARC_N_RECORDS + _WARC_N_WET_PER} + k
+            ELSE {_WARC_N_PLAIN + _WARC_N_WET_PER} + k
+                 - {_WARC_N_WAT_PER} END,
+       'http://wat' || (k % 5) || '.example/meta/' || k,
+       NULL, NULL,
+       '{{"k":' || k || ',"title":"wat doc ' || k
+         || CASE WHEN k % 4 = 3 THEN chr(65533) ELSE '' END || '"}}'
+FROM (SELECT unnest(range({2 * _WARC_N_WAT_PER})) AS k)
 UNION ALL
 SELECT -1, '__corrupt__', NULL, NULL,
        'ValueError: expected WARC version line at byte 0'

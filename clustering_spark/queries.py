@@ -97,6 +97,8 @@ from clustering_spark.oracles import (  # noqa: F401 -- re-exported:
     _WARC_CRAWL_DIR,
     _WARC_N_PLAIN,
     _WARC_N_RECORDS,
+    _WARC_N_WAT_PER,
+    _WARC_N_WET_PER,
     _ivf_topk_sql,
     _lang_values_sql,
     _media_metadata_sql,
@@ -1988,11 +1990,41 @@ def _write_crawl_warc() -> str:
             )
         return recs
 
+    def _wetwat(lo_wet: int, lo_wat: int) -> list:
+        """WET conversion + WAT metadata records appended AFTER the
+        main block of each file (round 16 — the refiners' routing and
+        make_valid_utf8 degrade onto the hash gate without moving any
+        existing record_idx). Every j%5==2 WET text and k%4==3 WAT
+        title carries one invalid UTF-8 byte the operator must
+        degrade to U+FFFD; the oracle replays chr(65533) from the
+        same rule."""
+        recs = []
+        for j in range(lo_wet, lo_wet + _WARC_N_WET_PER):
+            body = f"wet doc {j} gamma{(j * 5) % 7}".encode()
+            if j % 5 == 2:
+                body += b"\xff"
+            recs.append(
+                ("conversion", f"http://wet{j % 5}.example/conv/{j}",
+                 body)
+            )
+        for k in range(lo_wat, lo_wat + _WARC_N_WAT_PER):
+            body = f'{{"k":{k},"title":"wat doc {k}'.encode()
+            if k % 4 == 3:
+                body += b"\xff"
+            body += b'"}'
+            recs.append(
+                ("metadata", f"http://wat{k % 5}.example/meta/{k}",
+                 body)
+            )
+        return recs
+
     for fname, blob in (
-        ("crawl.warc.gz", make_warc(_records(0, _WARC_N_RECORDS),
-                                    gzip_members=True)),
+        ("crawl.warc.gz", make_warc(
+            _records(0, _WARC_N_RECORDS) + _wetwat(0, 0),
+            gzip_members=True)),
         ("plain.warc", make_warc(
-            _records(_WARC_N_RECORDS, _WARC_N_RECORDS + _WARC_N_PLAIN),
+            _records(_WARC_N_RECORDS, _WARC_N_RECORDS + _WARC_N_PLAIN)
+            + _wetwat(_WARC_N_WET_PER, _WARC_N_WAT_PER),
             gzip_members=False)),
     ):
         fd, tmp = tempfile.mkstemp(dir=_WARC_CRAWL_DIR)
@@ -2016,14 +2048,20 @@ def q_warc_crawl(spark, sf_dir):
     extract_office_text for the OOXML DOCX ones (round 12, later:
     the ZIP container + w:p/w:t walk as well) — plus the
     corrupt-file degrade surfaced as one '__corrupt__' row whose
-    text carries the exact deterministic error. A parse-position
-    regression, a misrouted record type, a dropped 404, a broken
-    xref resolver, a ZIP-member misread, or a degrade-contract break
-    all flip the hash."""
+    text carries the exact deterministic error — plus (round 16) the
+    Common Crawl WET/WAT refiners: each fixture file carries
+    appended ``conversion`` and ``metadata`` records (with planted
+    invalid-UTF-8 bytes), so wet_conversions/wat_metadata routing
+    and the make_valid_utf8 U+FFFD degrade are hash-checked too. A
+    parse-position regression, a misrouted record type, a dropped
+    404, a broken xref resolver, a ZIP-member misread, or a
+    degrade-contract break all flip the hash."""
     from clustering_spark.sources.warc_source import (
         crawl_documents,
         read_warc,
         warc_responses,
+        wat_metadata,
+        wet_conversions,
     )
 
     path = _write_crawl_warc()
@@ -2048,7 +2086,23 @@ def q_warc_crawl(spark, sf_dir):
         F.lit(None).cast("string").alias("http_content_type"),
         F.col("error").alias("text_plain"),
     )
-    return good.unionByName(corrupt)
+    # WET/WAT refiner rows (round 16): conversion text and metadata
+    # JSON ride the same gate — a misrouted warc_type, a dropped
+    # make_valid_utf8 degrade (the fixture plants invalid bytes), or
+    # a mangled payload cast all flip the hash. No HTTP envelope on
+    # these record types, so status/content-type are NULL.
+    def _ww(df, text_col):
+        return df.select(
+            F.col("record_idx").cast("long").alias("record_idx"),
+            "url",
+            F.lit(None).cast("long").alias("http_status"),
+            F.lit(None).cast("string").alias("http_content_type"),
+            F.col(text_col).alias("text_plain"),
+        )
+
+    wet = _ww(wet_conversions(recs), "text")
+    wat = _ww(wat_metadata(recs), "json")
+    return good.unionByName(wet).unionByName(wat).unionByName(corrupt)
 
 
 def q_semantic_dedup_keep(spark, sf_dir):
