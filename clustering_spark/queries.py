@@ -2139,6 +2139,30 @@ def q_semantic_dedup_keep(spark, sf_dir):
 # neardup_dedup_keep folded into neardup_components (kept column);
 # cluster_* → cluster_fit; optimal_k_* → optimal_k; result_doc_* →
 # result_docs.
+#
+# STEADY-STATE SLOT POLICY (round 16, per the r15 verdict ask — the
+# window is full and this is the intended end state):
+#  * A gate slot requires a DuckDB-replayable oracle (value-hash
+#    evidence). Rows-only entries are the tail of the dict, capped at
+#    the current three iterative-ML cases, each with a hash-gated
+#    planted-construction twin elsewhere in the window.
+#  * A NEW operator earns gate evidence by FOLDING into an existing
+#    composition entry (warc_crawl's modalities, media_metadata's blob
+#    families, bpe_ids' encode+pack chain) — not by claiming a slot.
+#    Only an operator whose semantics no gated entry can carry may
+#    displace one, and only by retiring an entry whose check is fully
+#    subsumed by another gated entry (precedents: revenue_by_nation ⊂
+#    salted_join_revenue's join+agg, strip_html ⊂ warc_crawl's HTML
+#    modality).
+#  * Retirement moves the entry to OFF_GATE_QUERIES/OFF_GATE_ORACLES
+#    (never deletion): bench.py and tools/verify_oracle.py merge both
+#    dicts, so off-gate still sweeps green every round; the off-gate
+#    set itself is pinned by tests/test_registry.py so membership
+#    changes are deliberate diffs, not drift.
+#  * pytest-only (no queries() entry) is for operators whose evidence
+#    is differential/property testing (codecs, urlnorm, srcset) AND
+#    whose output already rides a gated composition; a pytest-only
+#    operator with NO gated representation is a coverage gap to fix.
 def q_bpe_ids(spark, sf_dir):
     """The trainer-input chain on the HASH GATE (round 15): pinned
     byte-level BPE model (pinned.BPE_MERGES, trained once on this

@@ -61,6 +61,10 @@ def test_off_gate_queries_stay_oracle_checked():
 
     assert set(OFF_GATE_ORACLES) == set(OFF_GATE_QUERIES)
     assert not set(OFF_GATE_QUERIES) & set(QUERIES)
+    # the off-gate SET is pinned (round-16 slot policy, queries.py
+    # header): membership changes must be deliberate diffs reviewed
+    # against the retirement precedents, never drift
+    assert set(OFF_GATE_QUERIES) == {"revenue_by_nation", "strip_html"}
 
 
 def test_cosine_topk_matches_numpy(spark):
