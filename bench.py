@@ -335,6 +335,47 @@ def main() -> None:
             }
         )
     )
+    # SECOND, compact summary line (round-16 judge ask): the driver
+    # records only the last ~2 KB of stdout and its JSON parse has
+    # come back null for three rounds because the tail starts
+    # mid-object. This <1 KB object emitted LAST is always captured
+    # WHOLE, so the artifact carries one complete parseable JSON
+    # line with the cross-round signals (totals + clean-window
+    # verdict + gate warm medians) even when the full blob is cut.
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary_compact",
+                "value": (
+                    None if any(
+                        not k.startswith("gate:") for k in errors
+                    ) else round(sum(medians.values()), 3)
+                ),
+                "unit": "sec",
+                "sf": sf,
+                "warm_total": (
+                    None if any(
+                        not k.startswith("gate:") for k in errors
+                    ) else round(sum(warm_medians.values()), 3)
+                ),
+                "cold_total": (
+                    None if any(
+                        not k.startswith("gate:") for k in errors
+                    ) else round(sum(cold.values()), 3)
+                ),
+                "gate_total": gate.get("gate_total"),
+                "queries": {
+                    k: round(v, 2)
+                    for k, v in gate.get(
+                        "gate_queries_warm", {}
+                    ).items()
+                },
+                "n_errors": len(errors),
+                "n_queries": len(medians),
+                "window_clean": window_clean,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
