@@ -118,6 +118,13 @@ def test_srcset_best_matches_reference(spark):
         "a.png 1x,b.png 2x", "/good.png, u/c_fill,w_800/x.jpg 800w",
         "x.png 100w 2x, y.png", "x.png zz 800w, y.png 700w",
         "only,commas,inside.png", "trail.png,,,", "1x 2x 3x",
+        # round-16 review: descriptor-like tails and descriptor-like
+        # URLS. 'x.jpg,2x' is ONE url token (embedded comma, per
+        # spec) while 'x.jpg 2x,y.jpg' is (x.jpg,2x)+(y.jpg,'');
+        # '2x.jpg'/'800w.png' are URLs that merely LOOK like
+        # descriptors and must stay in URL position
+        "x.jpg,2x", "x.jpg 2x,y.jpg", "2x.jpg 1x, 800w.png 2x",
+        "a.png 2x,2x", "2x, 2x", "a.png 100w,200w",
     ]
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     got = [

@@ -741,3 +741,38 @@ class TestWetWat:
             .toPandas()
         )
         assert (out.n_tokens > 0).all()
+
+
+def test_truncated_wet_segment_salvages_prior_conversions(
+    spark, tmp_path
+):
+    """Round-16 review: a WET segment whose final conversion record
+    is TRUNCATED (Content-Length overruns the file — the real-world
+    partial-download shape) must salvage every earlier conversion
+    and surface one corrupt row, so wet_conversions loses nothing
+    it already parsed."""
+    from clustering_spark.sources.warc_source import (
+        make_warc,
+        read_warc,
+        wet_conversions,
+    )
+
+    good = make_warc([
+        ("warcinfo", "", b"software: wet-test\r\n"),
+        ("conversion", "http://a.example/1", b"first extracted text"),
+        ("conversion", "http://a.example/2", b"second extracted text"),
+    ])
+    truncated = make_warc([
+        ("conversion", "http://a.example/3", b"payload that will be cut")
+    ])
+    # cut mid-payload: header declares more bytes than remain
+    (tmp_path / "seg.warc").write_bytes(good + truncated[:-20])
+    recs = read_warc(spark, str(tmp_path))
+    wet = wet_conversions(recs).toPandas().sort_values("url")
+    assert list(wet.url) == ["http://a.example/1", "http://a.example/2"]
+    assert list(wet.text) == [
+        "first extracted text", "second extracted text",
+    ]
+    corrupt = recs.filter(F.col("warc_type") == "corrupt").collect()
+    assert len(corrupt) == 1
+    assert "overruns" in corrupt[0].error
