@@ -272,6 +272,12 @@ def main() -> None:
     # no 0.1 fallback: an unrecognized dir records sf null (unknown)
     # rather than claiming the default scale for foreign data
     sf = sf_of(SF_DIR)
+    # the loud-failure rule, computed ONCE for every headline total in
+    # BOTH output lines (round-16 review: six inline copies of this
+    # predicate could silently desynchronize the full and compact
+    # artifacts): a missing headline query must read as null, never as
+    # a smaller, faster-looking sum
+    headline_failed = any(not k.startswith("gate:") for k in errors)
     # KEY ORDER IS LOAD-BEARING (round-13 judge finding): the driver
     # records only the TAIL of bench stdout, so anything emitted near
     # the head of this one-line JSON can be truncated out of the
@@ -288,8 +294,7 @@ def main() -> None:
                 # smaller (faster-looking) sum: null the headline when
                 # any headline query errored
                 "value": (
-                    None
-                    if any(not k.startswith("gate:") for k in errors)
+                    None if headline_failed
                     else round(sum(medians.values()), 3)
                 ),
                 "unit": "sec",
@@ -298,8 +303,7 @@ def main() -> None:
                 "queries": medians,
                 "queries_cold": cold,
                 "cold_total": (
-                    None
-                    if any(not k.startswith("gate:") for k in errors)
+                    None if headline_failed
                     else round(sum(cold.values()), 3)
                 ),
                 "queries_spread": spread,
@@ -312,8 +316,7 @@ def main() -> None:
                 # artifact itself instead of PERFORMANCE.md notes
                 "queries_warm": warm_medians,
                 "warm_total": (
-                    None
-                    if any(not k.startswith("gate:") for k in errors)
+                    None if headline_failed
                     else round(sum(warm_medians.values()), 3)
                 ),
                 # fixed-work probe bracketing the query loop: readings
@@ -347,21 +350,18 @@ def main() -> None:
             {
                 "metric": "bench_summary_compact",
                 "value": (
-                    None if any(
-                        not k.startswith("gate:") for k in errors
-                    ) else round(sum(medians.values()), 3)
+                    None if headline_failed
+                    else round(sum(medians.values()), 3)
                 ),
                 "unit": "sec",
                 "sf": sf,
                 "warm_total": (
-                    None if any(
-                        not k.startswith("gate:") for k in errors
-                    ) else round(sum(warm_medians.values()), 3)
+                    None if headline_failed
+                    else round(sum(warm_medians.values()), 3)
                 ),
                 "cold_total": (
-                    None if any(
-                        not k.startswith("gate:") for k in errors
-                    ) else round(sum(cold.values()), 3)
+                    None if headline_failed
+                    else round(sum(cold.values()), 3)
                 ),
                 "gate_total": gate.get("gate_total"),
                 "queries": {

@@ -132,6 +132,15 @@ def normalize_url(url: Column) -> Column:
     return F.when(url.rlike(_ABS), normalized).otherwise(url)
 
 
+def _canon_host(host: Column) -> Column:
+    """THE host canonicalization — lowercase + single trailing-dot
+    (FQDN) strip — shared by url_host (probe side) and
+    filter_by_host (policy side) so the two sides of the equi-join
+    can never drift apart (round-16 review: an inline second copy is
+    the same bug class the trailing-dot fix closed)."""
+    return F.regexp_replace(F.lower(host), r"\.\z", "")
+
+
 def url_host(url: Column) -> Column:
     """Lowercased registrable host of an absolute http(s) URL ('' for
     anything else) — the key for domain-level policy joins
@@ -139,11 +148,7 @@ def url_host(url: Column) -> Column:
     join against a policy table instead of per-row Python."""
     auth = F.regexp_extract(url, r"(?i)^https?://([^/?#]*)", 1)
     host = F.substring_index(auth, "@", -1)  # newline-safe userinfo cut
-    host = F.regexp_replace(host, r":\d+\z", "")
-    # single trailing '.' (FQDN form) names the same origin host —
-    # strip it so policy joins and suffix chains see one key
-    # (round-16 advisor; see normalize_url)
-    return F.lower(F.regexp_replace(host, r"\.\z", ""))
+    return _canon_host(F.regexp_replace(host, r":\d+\z", ""))
 
 
 def host_suffixes(host: Column) -> Column:
@@ -187,14 +192,13 @@ def filter_by_host(
     is tiny (crawls repeat hosts massively) and joins back broadcast;
     the only added exchange is the distinct over hosts — (host)-only
     rows, not the corpus."""
-    # blocklist entries get the same canonicalization as url_host
-    # (lowercase + trim + single trailing-dot strip) so an
-    # 'Example.COM.' or ' ads.example ' line still matches; empty
-    # lines are dropped — an '' entry would otherwise match every
-    # non-http(s) row (url_host yields '' for those).
-    bl_host = F.regexp_replace(
-        F.lower(F.trim(F.col(host_col))), r"\.\z", ""
-    )
+    # blocklist entries get THE SAME canonicalization as url_host
+    # (shared _canon_host: lowercase + single trailing-dot strip;
+    # plus trim for hand-edited list files) so an 'Example.COM.' or
+    # ' ads.example ' line still matches; empty lines are dropped —
+    # an '' entry would otherwise match every non-http(s) row
+    # (url_host yields '' for those).
+    bl_host = _canon_host(F.trim(F.col(host_col)))
     hosts = F.broadcast(
         blocklist.select(bl_host.alias("__bl_host"))
         .filter(F.col("__bl_host") != "")

@@ -265,20 +265,27 @@ def warc_responses(records: DataFrame) -> DataFrame:
     # data-charset attribute or a URL query parameter inside an
     # earlier meta tag (<meta content="http://x/?charset=gbk">) would
     # hijack the page's declared encoding.
-    # The <meta/charset=...> form (HTML parsers treat '/' as
-    # whitespace before attribute names) is admitted by a NARROW
-    # alternation tied to the tag name — putting '/' in the general
-    # anchor class re-opened the hijack for URL *paths*
-    # (content="http://x/charset=koi8-r") inside an earlier
-    # attribute (round-16 advisor). The ^ alternative in ct_charset
-    # covers a malformed header that IS just the parameter.
-    # data-charset stays excluded ('-' not in the class).
+    # Solidus handling mirrors the HTML5 tokenizer: '/' acts as an
+    # attribute separator only right after the tag name
+    # (<meta/charset=, <meta//charset=) or right after a token
+    # boundary — whitespace, quote, or ';' — as in
+    # <meta http-equiv="Content-Type"/charset=cp1251 (the '/' after
+    # a QUOTED value re-enters before-attribute-name state, so
+    # browsers honor it; round-16 review). A '/' preceded by an
+    # ordinary character is NOT a separator: inside an unquoted
+    # value (foo=bar/charset=x the tokenizer keeps as one value) and
+    # inside a quoted URL (content="http://x/charset=koi8-r" — URLs
+    # carry no raw spaces/quotes, so requiring a boundary before the
+    # slash run is exactly what closes the round-15/16 hijack class).
+    # The ^ alternative in ct_charset covers a malformed header that
+    # IS just the parameter. data-charset stays excluded ('-' not in
+    # the class).
     ct_charset = _re.compile(
         r"(?:^|[;\s\"'])charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", _re.I
     )
     meta_charset = _re.compile(
-        rb"<meta(?:\s*/\s*|[^>]{0,256}?[;\s\"'])charset\s*=\s*[\"']?"
-        rb"([A-Za-z0-9_.:-]+)",
+        rb"<meta(?:\s*/+\s*|[^>]{0,256}?[;\s\"']/*)charset"
+        rb"\s*=\s*[\"']?([A-Za-z0-9_.:-]+)",
         _re.I,
     )
 

@@ -628,6 +628,46 @@ class TestCharsetAnchoringReview:
         row = self._roundtrip(spark, tmp_path, payload, "hp")
         assert text in row.text
 
+    def test_quoted_value_then_solidus_charset_sniffs(
+        self, spark, tmp_path
+    ):
+        # round-16 review follow-up: after a QUOTED attribute value
+        # the HTML5 tokenizer treats '/' as re-entering
+        # before-attribute-name state, so
+        # <meta http-equiv="..."/charset=latin-1> is browser-honored
+        # and must sniff; same for <meta//charset=...>.
+        text = "café touché"
+        for i, head in enumerate([
+            b'<meta http-equiv="Content-Type"/charset=latin-1>',
+            b"<meta//charset=latin-1>",
+            b"<meta name='x'//charset=latin-1>",
+        ]):
+            body = (b"<html><head>" + head + b"</head><body>"
+                    + text.encode("latin-1") + b"</body></html>")
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body
+            )
+            row = self._roundtrip(spark, tmp_path, payload, f"qs{i}")
+            assert text in row.text, head
+
+    def test_unquoted_value_solidus_does_not_hijack(
+        self, spark, tmp_path
+    ):
+        # the tokenizer keeps '/' INSIDE an unquoted attribute value
+        # (foo=bar/charset=x is ONE value named foo), so it must not
+        # anchor — same boundary rule that excludes the URL-path form.
+        text = "naïve café"
+        body = (
+            b'<html><head><meta data-url=http://x/charset=koi8-r>'
+            b"</head><body>" + text.encode("utf-8") + b"</body></html>"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        row = self._roundtrip(spark, tmp_path, payload, "uq")
+        assert text in row.text
+
     def test_anchored_forms_still_sniff(self, spark, tmp_path):
         # the three legitimate shapes keep working: bare attribute,
         # no-space http-equiv param, single-quoted
