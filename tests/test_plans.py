@@ -596,3 +596,32 @@ def test_bpe_ids_plan_shape(spark):
     # disjunction was vacuously true without any broadcast)
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+
+
+def test_image_text_pairs_media_dedupe_keeps_one_exchange(spark):
+    """Round-16 review: the media-side dedupe (ONE blob per join key,
+    added for alias re-fetches) must not add a second shuffle of the
+    blob column — the min() aggregate partitions by resolved_url and
+    the pairing join REUSES that partitioning, with a partial
+    (map-side) min combining duplicate fetches before any bytes move."""
+    from clustering_spark.operators.pairing import image_text_pairs
+    from clustering_spark.plans import formatted_plan, plan_tree
+
+    pages = spark.createDataFrame(
+        [("http://m/p", '<img src="http://m/a.png" alt="x">')],
+        "url string, text string",
+    )
+    media = spark.createDataFrame(
+        [("http://m/a.png", bytearray(b"A"))], "url string, body binary"
+    )
+    out = image_text_pairs(pages, media, normalize_urls=True)
+    # map-side combine on the blob min (details section carries the
+    # aggregate's function list in formatted mode)
+    assert "partial_min(blob" in formatted_plan(out)
+    tree = plan_tree(out)
+    # exchanges: refs (page_url,resolved_url) x2 for the figcaption
+    # upgrade, ONE re-key to resolved_url, ONE media-side aggregate
+    # shuffle that the join reuses — a 5th means the dedupe stopped
+    # sharing its partitioning with the join
+    assert count_shuffles(out) <= 4
+    assert "CartesianProduct" not in tree
