@@ -153,7 +153,10 @@ def assign_components(
 
 
 def dedup_by_component(
-    df: DataFrame, id_col: str, components: DataFrame
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    keep_label: str | None = None,
 ) -> DataFrame:
     """The dedup stage: keep ONE row per component — the minimum id
     PRESENT IN ``df``. The survivor is computed over the rows actually
@@ -176,7 +179,13 @@ def dedup_by_component(
     component-minimum id keep exactly one row (which duplicate wins is
     arbitrary — they share the id — but the count is deterministic; a
     min-id filter instead kept every tied row, leaking duplicates
-    through the dedup stage)."""
+    through the dedup stage).
+
+    ``keep_label`` (round-16 review) keeps the internal component
+    label on the survivors under that column name instead of dropping
+    it — callers that need survivors WITH their label (trainprep.
+    media_survivors) previously re-joined the components frame via a
+    second assign_components, a redundant full-width join."""
     from pyspark.sql import Window
 
     # internal label column: df may legitimately already carry a
@@ -184,8 +193,16 @@ def dedup_by_component(
     # through a gate) — dedup must still work on it unchanged
     labelled = assign_components(df, id_col, components, out_col="__cc_label")
     w = Window.partitionBy("__cc_label").orderBy(F.col(id_col).asc_nulls_last())
-    return (
+    kept = (
         labelled.withColumn("__rn", F.row_number().over(w))
         .filter(F.col(id_col).isNull() | (F.col("__rn") == 1))
-        .drop("__cc_label", "__rn")
+        .drop("__rn")
     )
+    if keep_label is None:
+        return kept.drop("__cc_label")
+    if keep_label in df.columns:
+        raise ValueError(
+            f"df already has a {keep_label!r} column — drop or rename"
+            " it before dedup_by_component(keep_label=...)"
+        )
+    return kept.withColumnRenamed("__cc_label", keep_label)

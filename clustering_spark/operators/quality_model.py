@@ -184,6 +184,16 @@ def score_quality_linear(
     ``params['features']`` list order, left to right — keep any SQL
     twin in the same order. A zero scaler std contributes 0 (MLlib
     ``StandardScalerModel`` semantics)."""
+    lens = {
+        k: len(params[k])
+        for k in ("features", "coefficients", "means", "stds")
+    }
+    if len(set(lens.values())) != 1:
+        # zip() would silently truncate to the shortest list, dropping
+        # trailing terms from the logit and mis-scoring every document
+        # with no error (round-16 review) — a drifted or hand-edited
+        # export must fail at call time instead
+        raise ValueError(f"model export lists disagree in length: {lens}")
     safe = df.select(
         *[df[c].alias(f"__orig_{i}") for i, c in enumerate(df.columns)]
     )

@@ -11,6 +11,17 @@ hex-threshold STRINGS — fixed-length lowercase hex compares
 lexicographically exactly like the number it encodes, md5 is identical
 everywhere (the DuckDB oracle replays it verbatim), and no UDF or RNG
 is involved: a filter the optimizer can push to the scan.
+
+COMPOSITION RULE (round-16 review): every operator here derives its
+verdict from the SAME md5(key || salt) bucket, so two stages chained
+over the same key MUST use distinct salts or their selections are
+fully correlated — hash_sample(df, k, 0.2) followed by
+hash_split(sampled, k, {...}) with both at the default salt labels
+EVERY surviving row 'train' (all survivors sit below the 0.2
+threshold, inside train's range). trainprep.prepare_corpus salts its
+split stage ('prep') for exactly this reason. The default salt stays
+'' because the gated oracles replay these exact hashes; pass
+per-stage salts when composing.
 """
 
 from __future__ import annotations
@@ -78,9 +89,22 @@ def stratified_hash_sample(
     ``default_fraction``. Membership stays a pure function of
     (key, stratum), so rebalanced corpora are reproducible and rows
     never flip strata when the corpus grows."""
+    # out-of-range fractions are a caller error, not a clamp (round-16
+    # review: silently clamping an intended upsample fraction 2.0 to
+    # 1.0 hides that epoch repetition is out of scope here)
+    for value, frac in fractions.items():
+        if not 0.0 <= float(frac) <= 1.0:
+            raise ValueError(
+                f"stratum {value!r} fraction out of [0, 1]: {frac}"
+                " (upsampling belongs at the data-loader layer)"
+            )
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction out of [0, 1]: {default_fraction}"
+        )
     bucket = _hex_bucket(key_col, salt)
     strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
-    thr = F.lit(_hex_threshold(min(max(default_fraction, 0.0), 1.0)))
+    thr = F.lit(_hex_threshold(default_fraction))
     for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
         # a None key targets the NULL stratum explicitly: `strata ==
         # lit(None)` is never true under SQL NULL semantics, so without
@@ -90,8 +114,7 @@ def stratified_hash_sample(
         # emit a None stratum for apply_mixture to apply)
         cond = strata.isNull() if value is None else strata == F.lit(value)
         thr = F.when(
-            cond,
-            F.lit(_hex_threshold(min(max(float(frac), 0.0), 1.0))),
+            cond, F.lit(_hex_threshold(float(frac)))
         ).otherwise(thr)
     return df.filter(bucket < thr)
 
@@ -114,18 +137,37 @@ def plan_mixture(
     absent from ``target_weights`` get fraction 0.0 (explicit budgets
     only — a silent keep-all would blow the total budget).
     """
-    actual = {
-        r.s: r.w
+    stats = {
+        r.s: (r.w, r.n, r.nw)
         for r in df.groupBy(F.col(strata_col).alias("s"))
-        .agg(F.sum(weight_col).alias("w"))
+        .agg(
+            F.sum(weight_col).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(weight_col).alias("nw"),  # non-NULL weights
+        )
         .collect()
     }
     out = {}
     for stratum, target in target_weights.items():
-        # sum() over all-NULL weights is NULL -> treat as 0 (keep
-        # whole) instead of a driver TypeError on the comparison
-        a = actual.get(stratum) or 0
-        out[stratum] = 1.0 if a <= target else float(target) / float(a)
+        w, n, nw = stats.get(stratum, (None, 0, 0))
+        # NULL weights UNDERCOUNT the stratum (sum skips them), which
+        # would over-keep it past its budget — the round-16 review
+        # found the old `or 0` turned an all-NULL stratum into
+        # fraction 1.0 (keep whole), bypassing the budget this
+        # function exists to enforce. Refuse loudly instead.
+        if nw < n:
+            raise ValueError(
+                f"stratum {stratum!r} has {n - nw} row(s) with a NULL"
+                f" {weight_col!r} — NULL weights would bypass the"
+                " budget; fill or drop them before plan_mixture"
+            )
+        a = float(w) if w is not None else 0.0
+        if target <= 0:
+            out[stratum] = 0.0  # explicit zero budget drops the stratum
+        elif a <= target:
+            out[stratum] = 1.0
+        else:
+            out[stratum] = float(target) / a
     return out
 
 
@@ -174,6 +216,13 @@ def cap_per_group(
     # the boundary is executor-order dependent. The shared sentinel at
     # least pins NULLs to one deterministic hash position.
     okey = _nullsafe_key(key)
+    if "__rn" in df.columns:
+        # silently clobbering (then dropping) a caller's column is the
+        # hazard epoch_shuffle raises on — same contract here
+        raise ValueError(
+            "input already has a '__rn' column — rename it before"
+            " cap_per_group"
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.xxhash64(okey, F.lit(salt)).asc(), key.asc_nulls_last()
     )
@@ -223,6 +272,21 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    # per-fraction range check (round-16 review): {'a': 1.1,
+    # 'b': -0.1} sums to 1 but silently labels every row 'a'
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(
+                f"split fraction {name!r} out of [0, 1]: {frac}"
+            )
+    # collision guard (the epoch_shuffle convention): silently
+    # reassigning an existing split column would strand downstream
+    # consumers on unrecoverable old labels
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists — drop or"
+            " rename it, or pass a different out_col"
+        )
     bucket = _hex_bucket(key_col, salt)
     names = list(fractions)
     expr = None

@@ -123,8 +123,13 @@ def prepare_corpus(
     cfg: PrepConfig | None = None,
     corpus: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Run the full prep chain. Returns the named intermediate frames
-    (all lazy — callers materialize what they need):
+    """Run the full prep chain. Returns the named intermediate frames.
+    The near-dup connected-components stage executes EAGERLY at call
+    time (iterative CC must run to a fixpoint to label survivors —
+    graph.connected_components checkpoints and counts per round); the
+    returned frames themselves are lazy past that point, so callers
+    pay the CC cost once at call time and then materialize only the
+    frames they need:
 
     - ``clean``      normalized/redacted docs + quality columns (gated)
     - ``unique``     exact + near-dup survivors, novelty-filtered,
@@ -161,6 +166,17 @@ def prepare_corpus(
     cfg = cfg or PrepConfig()
     id_c, text_c = cfg.id_col, cfg.text_col
 
+    # reserved output/scratch names (round-16 review): silently
+    # clobbering a caller's column — or an AMBIGUOUS_REFERENCE crash
+    # three joins later — is worse than refusing up front
+    reserved = {"component", "__rn", "__cc_comp", "__keep"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with prepare_corpus"
+            " internals — rename them first"
+        )
+
     # -1. HTML -> text extraction when the input is raw markup: must
     #     precede every line-level stage (scan-speed native regexp)
     if cfg.html:
@@ -179,11 +195,20 @@ def prepare_corpus(
             out_col=text_c,
         )
 
-    # 1. normalize (+ optional redaction), then gate on quality
-    normed = df.withColumn(text_c, textnorm.normalize_text(text_c))
+    # 1. gate on quality FIRST, over the pre-collapse text: the
+    #    line-level repetition signal (dup_line_ratio) needs the REAL
+    #    newlines that normalize_text collapses — gating after
+    #    normalization made dup_line_ratio identically 0, so the
+    #    repeated-boilerplate-line gate never fired (round-16 review;
+    #    token counts and ratio signals are whitespace-collapse-
+    #    invariant, so only the line signal cared about the order).
+    #    The signal columns on `clean` therefore describe the raw
+    #    text; the text column itself is normalized (+ redacted)
+    #    after the gate.
+    gated = quality_gate(df, cfg)
+    clean = gated.withColumn(text_c, textnorm.normalize_text(text_c))
     if cfg.redact:
-        normed = textnorm.redact_pii(normed, text_c, out_col=text_c)
-    clean = quality_gate(normed, cfg)
+        clean = textnorm.redact_pii(clean, text_c, out_col=text_c)
 
     # 2. exact in-batch dedup (min-id survivor)
     exact_keep = dedup.exact_dedup(clean, [text_c], id_c).select(
@@ -217,13 +242,18 @@ def prepare_corpus(
         jaccard_threshold=cfg.jaccard_threshold,
         seed=cfg.seed,
     )
-    comp = connected_components(pairs)  # (node, comp)
+    comp = (
+        connected_components(pairs)  # (node, comp)
+        .withColumnRenamed("node", id_c)
+        # internal label name, guarded at entry: a bare 'comp' here
+        # threw AMBIGUOUS_REFERENCE when the input carried its own
+        # 'comp' column (round-16 review)
+        .withColumnRenamed("comp", "__cc_comp")
+    )
     with_comp = (
-        deduped.join(
-            comp.withColumnRenamed("node", id_c), on=id_c, how="left"
-        )
-        .withColumn("component", F.coalesce("comp", F.col(id_c)))
-        .drop("comp")
+        deduped.join(comp, on=id_c, how="left")
+        .withColumn("component", F.coalesce("__cc_comp", F.col(id_c)))
+        .drop("__cc_comp")
     )
     # row_number, not an id == min(id) filter: under a violated
     # unique-id contract the equality filter keeps EVERY row tied at
@@ -399,10 +429,7 @@ def media_survivors(
     (id, 8-byte sig) pair exchanges and the (long, long) component
     rounds — no new full-width shuffle of the media frame."""
     from clustering_spark.operators import multimodal as mm
-    from clustering_spark.operators.graph import (
-        assign_components,
-        dedup_by_component,
-    )
+    from clustering_spark.operators.graph import dedup_by_component
 
     img = mm.image_neardup_pairs(
         df, bin_col, id_col, max_hamming=image_max_hamming
@@ -411,5 +438,8 @@ def media_survivors(
         df, bin_col, id_col, max_hamming=audio_max_hamming
     ).select("id_a", "id_b")
     comp = connected_components(img.unionByName(aud))
-    kept = dedup_by_component(df, id_col, comp)
-    return assign_components(kept, id_col, comp)
+    # ONE labelling join: keep_label returns the survivors with their
+    # component straight from the dedup pass (round-16 review: the
+    # old dedup-then-re-assign shape joined the components frame
+    # against the media frame twice)
+    return dedup_by_component(df, id_col, comp, keep_label="component")

@@ -1062,3 +1062,33 @@ def test_threshold_fraction_near_fraction_fallback():
         p, q = _threshold_fraction(t)
         assert Fraction(p, q) <= Fraction(t), t
         assert float(t) - p / q < 1e-6, t
+
+
+def test_dedup_by_component_keep_label_matches_assign(spark):
+    """Round-16 review: keep_label returns survivors WITH their
+    component in ONE labelling join — must equal the old
+    dedup-then-assign_components composition, and refuse a colliding
+    column name."""
+    import pytest
+
+    from clustering_spark.operators.graph import (
+        assign_components,
+        dedup_by_component,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, v string"
+    )
+    comp = spark.createDataFrame(
+        [(2, 1), (1, 1)], "node long, comp long"
+    )
+    got = dedup_by_component(df, "doc_id", comp, keep_label="component")
+    want = assign_components(
+        dedup_by_component(df, "doc_id", comp), "doc_id", comp
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.columns == ["doc_id", "v", "component"]
+    with pytest.raises(ValueError, match="'v'"):
+        dedup_by_component(df, "doc_id", comp, keep_label="v")

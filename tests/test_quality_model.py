@@ -177,3 +177,25 @@ def test_pinned_gate_model_logit_vs_prob_consistency(spark):
     ).toPandas()
     assert set(out.columns) == {"doc_id", "text", "quality_prob", "z"}
     assert ((out.z >= 0) == (out.quality_prob >= 0.5)).all()
+
+
+def test_exported_model_length_mismatch_raises(spark):
+    """Round-16 review: zip() over a drifted export silently dropped
+    trailing terms from the logit — mismatched list lengths must fail
+    at call time."""
+    import pytest
+
+    from clustering_spark.operators.quality_model import (
+        score_quality_linear,
+    )
+
+    params = {
+        "intercept": 0.1,
+        "features": ["n_tokens", "mean_token_len"],
+        "coefficients": [0.5],  # one short
+        "means": [10.0, 4.0],
+        "stds": [2.0, 1.0],
+    }
+    df = spark.createDataFrame([(1, "some text here")], "id long, text string")
+    with pytest.raises(ValueError, match="disagree in length"):
+        score_quality_linear(df, "text", params)

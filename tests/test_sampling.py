@@ -201,3 +201,71 @@ def test_stratified_sample_can_target_null_stratum(spark):
         df, "id", "lang", fractions={None: 1.0, "en": 1.0}, default_fraction=0.0
     )
     assert both.count() == 200
+
+
+def test_composed_stages_need_distinct_salts(spark):
+    """Round-16 review: every operator here reads the SAME
+    md5(key||salt) bucket, so a sample composed with a split at the
+    SAME salt is fully correlated — every survivor of
+    hash_sample(0.5) sits below train's 0.9 threshold, so val/test
+    come back EMPTY. Distinct salts decorrelate. This pins the
+    documented hazard (module docstring) in executable form."""
+    df = spark.range(400).withColumnRenamed("id", "k")
+    sampled = hash_sample(df, "k", 0.5)
+    same = hash_split(
+        sampled, "k", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    labels_same = {r.split for r in same.select("split").distinct().collect()}
+    assert labels_same == {"train"}  # the correlated trap, pinned
+    salted = hash_split(
+        sampled, "k", {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="stage2",
+    )
+    labels = {r.split for r in salted.select("split").distinct().collect()}
+    assert labels == {"train", "val", "test"}
+
+
+def test_plan_mixture_null_weights_refused_zero_target_drops(spark):
+    """Round-16 review: NULL weights silently bypassed the budget
+    (sum skips them; all-NULL read as 'keep whole'). They now raise;
+    an explicit zero budget yields fraction 0.0."""
+    from clustering_spark.operators.sampling import plan_mixture
+
+    ok = spark.createDataFrame(
+        [("web", 10.0), ("web", 10.0), ("code", 5.0)],
+        "src string, w double",
+    )
+    plan = plan_mixture(ok, "src", "w", {"web": 5.0, "code": 0.0})
+    assert plan["web"] == 0.25 and plan["code"] == 0.0
+    nulls = spark.createDataFrame(
+        [("web", None), ("web", 10.0)], "src string, w double"
+    )
+    with pytest.raises(ValueError, match="NULL 'w'"):
+        plan_mixture(nulls, "src", "w", {"web": 5.0})
+
+
+def test_split_rejects_out_of_range_fractions_and_collisions(spark):
+    """Round-16 review: {'a': 1.1, 'b': -0.1} sums to 1 but silently
+    labelled every row 'a'; an existing out_col was silently
+    reassigned. Both now raise."""
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="out of"):
+        hash_split(df, "k", {"a": 1.1, "b": -0.1})
+    labelled = hash_split(df, "k", {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match="already exists"):
+        hash_split(labelled, "k", {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match="out of"):
+        stratified_hash_sample(df, "k", "k", {0: 1.5})
+    with pytest.raises(ValueError, match="default_fraction"):
+        stratified_hash_sample(df, "k", "k", {}, default_fraction=-0.2)
+
+
+def test_cap_per_group_refuses_rn_collision(spark):
+    from clustering_spark.operators.sampling import cap_per_group
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("g").alias("grp"),
+        F.lit(1).alias("__rn"),
+    )
+    with pytest.raises(ValueError, match="__rn"):
+        cap_per_group(df, "grp", "k", 3)

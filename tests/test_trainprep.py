@@ -418,3 +418,50 @@ def test_emit_id_rows_requires_model(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="bpe_model"):
         trainprep.prepare_corpus(df, PrepConfig(emit_id_rows=True))
+
+
+def test_dup_line_gate_sees_real_newlines(spark):
+    """Round-16 review: quality_gate runs BEFORE normalize_text — the
+    old order collapsed newlines first, making dup_line_ratio
+    identically 0 so the repeated-line gate never fired. The fixture
+    is built so ONLY the line signal trips (2-gram and top-token
+    ratios stay under their thresholds), which is exactly the case
+    the old order silently admitted."""
+    from clustering_spark.operators.textnorm import repetition_signals
+
+    nav = "site navigation menu with several links"
+    uniq = [
+        "the harbor lights flickered over the cold water at dusk",
+        "a census of migratory birds began along the estuary flats",
+        "engineers recalibrated the bridge sensors before the storm",
+        "the archive digitization project entered its second phase",
+    ]
+    boiler = "\n".join([nav] * 8 + uniq)
+    df = spark.createDataFrame(
+        [(1, boiler), (2, GOOD_B)], "doc_id long, text string"
+    )
+    # self-validating construction: line signal trips, the others don't
+    sig = repetition_signals(df, "text").where(F.col("doc_id") == 1).collect()[0]
+    assert sig.dup_line_ratio > 0.5, sig
+    assert sig.rep_2gram_ratio <= 0.6, sig
+    cfg = PrepConfig(thresholds=QualityThresholds(min_quality_score=0.0))
+    out = trainprep.prepare_corpus(df, cfg)
+    kept = [r.doc_id for r in out["clean"].select("doc_id").collect()]
+    assert kept == [2]
+
+
+def test_input_comp_column_flows_through_and_component_raises(spark):
+    """Round-16 review: an input 'comp' column previously produced an
+    AMBIGUOUS_REFERENCE crash three joins into the chain; it must
+    flow through untouched. Reserved output names raise up front."""
+    df = spark.createDataFrame(
+        [(1, GOOD_A, "x"), (2, GOOD_B, "y")],
+        "doc_id long, text string, comp string",
+    )
+    cfg = PrepConfig(thresholds=None, redact=False)
+    out = trainprep.prepare_corpus(df, cfg)
+    rows = {r.doc_id: r.comp for r in out["unique"].select("doc_id", "comp").collect()}
+    assert rows == {1: "x", 2: "y"}
+    bad = df.withColumnRenamed("comp", "component")
+    with pytest.raises(ValueError, match="collide with prepare_corpus"):
+        trainprep.prepare_corpus(bad, cfg)
