@@ -68,10 +68,19 @@ def asof_join(
     # left rows, which equality-matching ASOF never does. NULL-key
     # LEFT rows still come back (payload NULL): their partition then
     # contains no right rows at all.
+    # backtick-escaped refs THROUGHOUT (round-16 review): bare strings
+    # — and df[c] indexing, which routes through the same parsing
+    # Dataset.col — treat a name like 'a.b' as a nested path, so a
+    # left/key/ts column literally named that either failed to resolve
+    # or silently picked a struct FIELD over the caller's column. The
+    # payload side already escaped; every reference now does.
+    def _q(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     nonnull_keys = F.lit(True)
     for k in key_cols:
-        nonnull_keys = nonnull_keys & F.col(k).isNotNull()
-    right = right.filter(F.col(ts_col).isNotNull() & nonnull_keys)
+        nonnull_keys = nonnull_keys & _q(k).isNotNull()
+    right = right.filter(_q(ts_col).isNotNull() & nonnull_keys)
 
     # real StructType from the right schema's fields — a simpleString
     # round-trip can degrade types (char/varchar) and needs manual
@@ -80,14 +89,14 @@ def asof_join(
         [StructField(c, right.schema[c].dataType) for c in payload_cols]
     )
     lt = left.select(
-        *left.columns,
+        *[_q(c) for c in left.columns],
         F.lit(1).alias("__tag"),
         F.lit(None).cast(payload_struct_t).alias("__payload"),
     )
     left_only = [c for c in left.columns if c not in key_cols and c != ts_col]
     rt = right.select(
-        *key_cols,
-        F.col(ts_col),
+        *[_q(k) for k in key_cols],
+        _q(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
         F.lit(0).alias("__tag"),
         # backtick-quoted refs: a bare string in F.struct would parse
@@ -99,20 +108,20 @@ def asof_join(
             ]
         ).alias("__payload"),
     )
-    unioned = lt.select(rt.columns).unionByName(rt)
+    unioned = lt.select(*[_q(c) for c in rt.columns]).unionByName(rt)
 
     w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(ts_col, "__tag")
+        Window.partitionBy(*[_q(k) for k in key_cols])
+        .orderBy(_q(ts_col), F.col("__tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *[c for c in unioned.columns if c != "__payload"],
+        *[_q(c) for c in unioned.columns if c != "__payload"],
         F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
     # index the struct column, never a dotted F.col path: a payload
     # name containing '.' would be parsed as deeper nesting
     return filled.filter(F.col("__tag") == 1).select(
-        *left.columns,
+        *[_q(c) for c in left.columns],
         *[F.col("__payload")[c].alias(c) for c in payload_cols],
     )

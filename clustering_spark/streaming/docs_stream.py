@@ -83,19 +83,20 @@ def novel_documents_stream(
     # silently disabled the novelty filter when a caller passed a full
     # document frame (columns[0] = doc_id — md5 strings never match
     # numeric ids, every duplicate re-admitted as 'novel')
-    if "fingerprint" in corpus_fingerprints.columns:
-        fp_col = "fingerprint"
-    elif len(corpus_fingerprints.columns) == 1:
-        fp_col = corpus_fingerprints.columns[0]
-    else:
+    # the column must be NAMED 'fingerprint' — no single-column
+    # fallback (round-16 review: corpus.select('doc_id') is a
+    # single-column frame too, and numeric-id strings never equal md5
+    # digests, so the left_anti filtered NOTHING and every corpus
+    # duplicate re-entered as 'novel'; the name requirement makes the
+    # caller state what the values are)
+    if "fingerprint" not in corpus_fingerprints.columns:
         raise ValueError(
-            "corpus_fingerprints needs a 'fingerprint' column (or a "
-            f"single column); got {corpus_fingerprints.columns} — pass "
-            "corpus_fingerprint_table(...)'s output"
+            "corpus_fingerprints needs a 'fingerprint' column; got "
+            f"{corpus_fingerprints.columns} — pass "
+            "corpus_fingerprint_table(...)'s output (or alias your "
+            "fingerprint column to 'fingerprint')"
         )
-    corp = corpus_fingerprints.select(
-        F.col(fp_col).alias("fingerprint")
-    ).distinct()
+    corp = corpus_fingerprints.select("fingerprint").distinct()
     return deduped.join(corp, on="fingerprint", how="left_anti")
 
 

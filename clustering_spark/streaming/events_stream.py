@@ -138,6 +138,19 @@ def stateful_user_stats(
             T.StructField("n", T.LongType()),
             T.StructField("total", T.DoubleType()),
             T.StructField("last_us", T.LongType()),
+            # TRUE UTC epoch of the last event, computed JVM-side by
+            # unix_micros: pandas delivers TimestampType as
+            # SESSION-LOCAL naive values, so last_us is epoch-shifted
+            # by the session tz offset — fine for the symmetric
+            # last_seen round-trip, WRONG against
+            # getCurrentWatermarkMs()/setTimeoutTimestamp, which
+            # speak true UTC epoch ms (round-16 review: a UTC-5
+            # session closed every active user one batch early and
+            # reset its totals; UTC+X kept users open X hours late).
+            # Both clocks are carried because local-naive and UTC
+            # differ by a DST-dependent offset no kernel-side
+            # arithmetic can recover.
+            T.StructField("last_utc_us", T.LongType()),
         ]
     )
 
@@ -161,7 +174,7 @@ def stateful_user_stats(
     def update(key, pdf_iter, state):
         user_id = key[0]
         if state.hasTimedOut:
-            n, total, last_us = state.get
+            n, total, last_us, _last_utc = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -173,7 +186,9 @@ def stateful_user_stats(
                 }
             )
             return
-        n, total, last_us = state.get if state.exists else (0, 0.0, _unset_us)
+        n, total, last_us, last_utc = (
+            state.get if state.exists else (0, 0.0, _unset_us, _unset_us)
+        )
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -186,11 +201,19 @@ def stateful_user_stats(
             # 1970 epoch sentinel
             if pd.notna(ts_max):
                 last_us = max(last_us, int(ts_max.value // 1_000))
-        state.update((n, total, last_us))
+            # the UTC clock for the timeout math (see state_schema
+            # comment); NULL-ts rows carry NULL here, skipped by max()
+            utc_max = pdf["__ts_utc_us"].max()
+            if pd.notna(utc_max):
+                last_utc = max(last_utc, int(utc_max))
+        state.update((n, total, last_us, last_utc))
         # timeout must stay ahead of the current watermark or Spark
         # rejects it; a user already past-due simply expires next batch
         state.setTimeoutTimestamp(
-            max(last_us // 1_000 + idle_timeout_ms, state.getCurrentWatermarkMs() + 1)
+            max(
+                last_utc // 1_000 + idle_timeout_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
         )
         yield pd.DataFrame(
             {
@@ -204,8 +227,14 @@ def stateful_user_stats(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if "__ts_utc_us" in events.columns:
+        raise ValueError(
+            "input already has a '__ts_utc_us' column — rename it"
+            " before stateful_user_stats"
+        )
     return (
         events.withWatermark(ts_col, watermark)
+        .withColumn("__ts_utc_us", F.unix_micros(F.col(ts_col)))
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -288,20 +317,27 @@ def stream_interval_join(
     neighbors), so any half-open window of length U contains at most
     one breakpoint — the right row's bucket is always bucket(left)
     or bucket(left)+1, the two the explode emits."""
+    # same contract as the batch twin time_range_join (round-16
+    # review: the stream variant silently diverged — upper_us=0 made
+    # every bucket NULL/DIVIDE_BY_ZERO and the join emitted nothing
+    # forever, and unquoted ts names broke on non-bare identifiers)
+    if upper_us <= 0:
+        raise ValueError(f"upper_us must be positive, got {upper_us}")
+    lts, rts = left_ts.replace("`", "``"), right_ts.replace("`", "``")
     l = (
         left.withWatermark(left_ts, watermark)
         .withColumn(
             "__bkt_l",
             F.explode(
                 F.array(
-                    F.expr(f"unix_micros({left_ts}) DIV {upper_us}"),
-                    F.expr(f"unix_micros({left_ts}) DIV {upper_us} + 1"),
+                    F.expr(f"unix_micros(`{lts}`) DIV {upper_us}"),
+                    F.expr(f"unix_micros(`{lts}`) DIV {upper_us} + 1"),
                 )
             ),
         )
     )
     r = right.withWatermark(right_ts, watermark).withColumn(
-        "__bkt_r", F.expr(f"unix_micros({right_ts}) DIV {upper_us}")
+        "__bkt_r", F.expr(f"unix_micros(`{rts}`) DIV {upper_us}")
     )
     cond = (
         (F.col("__bkt_l") == F.col("__bkt_r"))
@@ -339,6 +375,17 @@ def run_stream_upsert_parquet(
     idempotent (same batch re-applied = same table), which upgrades
     the sink to effectively-once."""
     from pyspark.sql import Window
+
+    # collision guard (round-16 review — the asof_join/time_range_join
+    # convention): a caller column named __is_new/__rn would be
+    # silently overwritten, folded into the latest-wins ordering, and
+    # then DROPPED from the persisted state table
+    clash = {"__is_new", "__rn"} & set(stream_df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the upsert"
+            " sink's internals — rename them first"
+        )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

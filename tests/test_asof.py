@@ -109,3 +109,26 @@ def test_internal_column_collision_rejected(spark):
     right = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, v double")
     with pytest.raises(ValueError, match="__tag"):
         asof_join(left, right, ["k"], "ts", ["v"])
+
+
+def test_asof_join_left_columns_with_dots(spark):
+    """Round-16 review: the payload side always escaped dotted names
+    but the LEFT side passed bare strings (select/Window), so a left
+    or key column literally named 'a.b' (flattened-JSON naming)
+    failed to resolve — or silently picked a struct FIELD over the
+    caller's column. All references now use df[c] indexing."""
+    from clustering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "x")], "`k.id` long, `t.s` long, note string"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 7.5)], "`k.id` long, `t.s` long, `p.val` double"
+    )
+    out = asof_join(
+        left, right, key_cols=["k.id"], ts_col="t.s",
+        payload_cols=["p.val"],
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["p.val"] == 7.5 and row["note"] == "x"

@@ -263,3 +263,22 @@ def test_bpe_ids_compose_onto_stream(spark, staged, tmp_path):
     ).collect()
     want = {r.doc_id: list(r.bpe_ids) for r in batch}
     assert got == want and len(got) == 4
+
+
+def test_novelty_rejects_unnamed_single_column_frame(spark, tmp_path):
+    """Round-16 review: the single-column fallback accepted
+    corpus.select('doc_id') — numeric-id strings never equal md5
+    digests, so the anti-join filtered nothing and every duplicate
+    re-entered as 'novel'. The column must now be NAMED fingerprint."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "docs_in3")
+    spark.createDataFrame(
+        [(1, "text one")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(src)
+    stream = docs_stream.read_documents_stream(
+        spark, src, "doc_id long, text string"
+    )
+    ids_only = spark.createDataFrame([(9,)], "doc_id long")
+    with _pytest.raises(ValueError, match="fingerprint"):
+        docs_stream.novel_documents_stream(stream, ids_only)

@@ -407,3 +407,127 @@ def test_stateful_user_stats_epoch_adjacent_ts_is_not_null(spark, tmp_path):
     assert len(u7) > 0
     assert u7.last_seen.notna().all()
     assert (u7.last_seen == dt.datetime(1970, 1, 1, 0, 0, 0, 1)).all()
+
+
+def test_stateful_user_stats_timeout_is_timezone_proof(spark, tmp_path):
+    """Round-16 review: pandas delivers TimestampType as SESSION-LOCAL
+    naive values, so deriving the timeout clock from them epoch-shifts
+    it by the tz offset against getCurrentWatermarkMs (true UTC). In a
+    UTC-5 session the old math closed every ACTIVE user one batch
+    early; the timeout now rides a JVM-computed unix_micros clock.
+    Same fixture as the finalization test, run under America/New_York:
+    user 1 (fresh data in batch 2) must stay open, user 2 (genuinely
+    idle) must still close."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clustering_spark.streaming import stateful_user_stats
+    from clustering_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    d = tmp_path / "data"
+    d.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    arrow_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+        ]
+    )
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+            str(d / name),
+        )
+
+    write_file(
+        "f1.parquet",
+        [
+            (1, 1, "a", t0, 1.0),
+            (2, 2, "a", t0, 2.0),
+            (3, 3, "a", t0 + pd.Timedelta("1 hour"), 3.0),
+        ],
+    )
+    _time.sleep(1.1)
+    write_file("f2.parquet", [(4, 1, "b", t0 + pd.Timedelta("2 hours"), 4.0)])
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(d))
+        )
+        stats = stateful_user_stats(
+            stream, watermark="10 minutes", idle_timeout_ms=600_000
+        )
+        run_stream_to_memory(
+            stats, "user_stats_tz", str(tmp_path / "ckpt_tz"),
+            output_mode="update",
+        )
+        got = spark.table("user_stats_tz").toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    closed = set(got[got.closed].user_id)
+    assert 2 in closed          # genuinely idle: still finalizes
+    assert 1 not in closed      # active: must NOT close early (the bug)
+    u1 = got[got.user_id == 1].sort_values("n_events").iloc[-1]
+    assert u1.n_events == 2     # totals never reset
+
+
+def test_stream_interval_join_rejects_degenerate_window(spark, tmp_path):
+    """Round-16 review: upper_us<=0 used to produce NULL buckets (or
+    DIVIDE_BY_ZERO under ANSI) and an eternally empty stream — the
+    batch twin raises at call time; the stream twin now matches."""
+    import pytest as _pytest
+
+    from clustering_spark.streaming.events_stream import (
+        EVENTS_SCHEMA,
+        stream_interval_join,
+    )
+
+    src = str(tmp_path / "ij")
+    spark.createDataFrame([], EVENTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(src)
+    s = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    r = s.withColumnRenamed("ts", "rts").withColumnRenamed(
+        "event_id", "rid"
+    ).select("rid", "rts")
+    with _pytest.raises(ValueError, match="positive"):
+        stream_interval_join(s, r, "ts", "rts", upper_us=0)
+
+
+def test_upsert_sink_rejects_reserved_columns(spark, tmp_path):
+    """Round-16 review: a caller column named __is_new/__rn was
+    silently clobbered, folded into the latest-wins ordering, and
+    dropped from the state table — now refused up front."""
+    import pytest as _pytest
+
+    from clustering_spark.streaming.events_stream import (
+        EVENTS_SCHEMA,
+        run_stream_upsert_parquet,
+    )
+
+    src = str(tmp_path / "up")
+    spark.createDataFrame([], EVENTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(src)
+    s = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    bad = s.withColumn("__rn", F.lit(1))
+    with _pytest.raises(ValueError, match="__rn"):
+        run_stream_upsert_parquet(
+            bad, ["user_id"], ["ts"], str(tmp_path / "state"),
+            str(tmp_path / "ck"),
+        )
