@@ -39,17 +39,24 @@ PII_ORDER = ["email", "ssn", "ipv4", "phone"]
 
 
 def normalize_text(text: Column | str, lowercase: bool = False) -> Column:
-    """Canonical whitespace form: control characters (C0 minus \\t \\n
-    \\r) stripped, all whitespace runs collapsed to single spaces,
-    trimmed. The standard pre-tokenization cleanup; with
-    ``lowercase=True`` its whitespace handling (collapse then trim) is
-    the normalization underneath textops.fingerprint — fingerprint
-    additionally KEEPS control characters, so the two agree exactly on
-    control-char-free text."""
+    """Canonical whitespace form: NON-whitespace control characters
+    stripped, all whitespace runs collapsed to single spaces, trimmed.
+    The standard pre-tokenization cleanup; with ``lowercase=True`` its
+    whitespace handling (collapse then trim) is the normalization
+    underneath textops.fingerprint — fingerprint additionally KEEPS
+    control characters, so the two agree exactly on
+    control-char-free text.
+
+    \\x0b (VT) and \\x0c (FF) are NOT in the strip class (round-16
+    review): Java ``\\s`` counts them as whitespace — i.e. token
+    separators everywhere else in this codebase — so deleting them
+    FUSED the adjacent words ('page one\\x0cStart' -> 'oneStart',
+    corrupting tokenization and dedup on PDF-extracted text); left
+    in place, the ``\\s+`` collapse turns them into single spaces."""
     t = F.col(text) if isinstance(text, str) else text
     if lowercase:
         t = F.lower(t)
-    no_ctrl = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    no_ctrl = F.regexp_replace(t, "[\\x00-\\x08\\x0e-\\x1f\\x7f]", "")
     return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
 
 
@@ -402,7 +409,16 @@ def canonicalize_url(url: Column | str) -> Column:
     # distinct rows under url_dedup_key)
     u = F.regexp_replace(orig, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    host = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]+)", 1))
+    # userinfo is dropped from the KEY (round-16 review: servers
+    # ignore URL credentials, so user@host and host name the same
+    # resource; the greedy run takes through the LAST '@', matching
+    # urlnorm.url_host) and a single trailing FQDN dot collapses,
+    # BEFORE the default-port check so 'example.com.:80' fully folds
+    # — the same canonicalization the blocklist path applies.
+    host = F.lower(
+        F.regexp_extract(u, r"^[^:/?#]+://(?:[^/?#]*@)?([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r"\.((?::\d+)?)$", "$1")
     # default-port strip is scheme-conditional: :80 is only the default
     # for http and :443 only for https — https://host:80/x is a
     # distinct resource and must keep its port in the key
@@ -533,7 +549,17 @@ def strip_html(text: Column | str) -> Column:
     # tag-interior pattern: quoted attribute values may legally contain
     # '>' (onclick="if(a>b)x()") — a bare [^>]* stopped at that inner
     # '>' and leaked 'b)x()">' fragments into the extracted text, so
-    # the interior skips "..."/'...' spans atomically
+    # the interior skips "..."/'...' spans atomically.
+    # UNTERMINATED quotes (round-16 review): an unclosed attribute
+    # quote pairs with the next quote ANYWHERE later (an apostrophe in
+    # prose counts) and the span up to the following '>' is consumed —
+    # this is deliberate BROWSER PARITY, not a defect: the HTML5
+    # tokenizer's attribute-value-quoted state likewise consumes prose
+    # until the next matching quote, then attribute-name-parses up to
+    # '>', so a browser renders none of that text either (pinned in
+    # tests/test_textnorm.py). When NO later quote exists the match
+    # fails and the text survives as-is — the divergence falls on the
+    # keep-the-text side.
     attrs = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])*"
     t = F.regexp_replace(
         t,

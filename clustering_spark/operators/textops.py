@@ -95,10 +95,10 @@ def quality_features(
     n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
     digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
-    if lang_col is None:
-        stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    else:
-        stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    # English is the fallback in BOTH modes (one definition — the
+    # lang_col CASE chain below only overrides known codes)
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    if lang_col is not None:
         for code in sorted(LANG_STOPWORDS):
             stops = F.when(
                 F.col(lang_col) == F.lit(code),

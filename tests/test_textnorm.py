@@ -757,3 +757,70 @@ def test_strip_html_gate_roundtrip_property(spark):
             assert got[i] == py_expected(t), (repr(t), repr(got[i]))
 
     check()
+
+
+class TestRound16TextReview:
+    def test_vt_ff_separate_words_not_fuse(self, spark):
+        """Round-16 review: \\x0b/\\x0c are Java \\s whitespace (token
+        separators everywhere else), so normalize_text must turn them
+        into spaces — deleting them fused 'page one\\x0cStart' into
+        'oneStart', corrupting tokenization and dedup downstream."""
+        from clustering_spark.operators.textnorm import normalize_text
+
+        df = spark.createDataFrame(
+            [("end of page one\x0cStart of page two\x0bmore",)],
+            "t string",
+        )
+        got = df.select(normalize_text("t").alias("n")).collect()[0].n
+        assert got == "end of page one Start of page two more"
+        # non-whitespace controls still strip outright (no space)
+        df2 = spark.createDataFrame([("a\x01b",)], "t string")
+        assert df2.select(
+            normalize_text("t").alias("n")
+        ).collect()[0].n == "ab"
+
+    def test_canonicalize_url_userinfo_and_fqdn_dot(self, spark):
+        """Round-16 review: servers ignore URL credentials and the
+        trailing-dot FQDN names the same host, so both collapse in
+        the dedup key — previously two crawls of the same page under
+        these forms survived URL-level dedup as distinct."""
+        from clustering_spark.operators.textnorm import canonicalize_url
+
+        cases = {
+            "https://user:pw@example.com/page": "https://example.com/page",
+            "https://example.com/page": "https://example.com/page",
+            "http://Example.COM./x": "http://example.com/x",
+            "http://h.:80/a": "http://h/a",
+            "http://a%40b@H.example/p": "http://h.example/p",
+            "not a url": "not a url",
+        }
+        df = spark.createDataFrame([(k,) for k in cases], "u string")
+        got = [
+            r.c for r in df.select(canonicalize_url("u").alias("c")).collect()
+        ]
+        for (u, want), g in zip(cases.items(), got):
+            assert g == want, (u, g, want)
+
+    def test_strip_html_unterminated_quote_matches_browser(self, spark):
+        """Round-16 review verdict: an unterminated attribute quote
+        eats prose up to the next quote + '>' — exactly what the
+        HTML5 tokenizer does (the prose is inside the attribute value
+        / attribute names; a browser renders none of it). Pinned as
+        deliberate browser parity. With NO later quote, the tag fails
+        to match and text survives (keep-the-text divergence)."""
+        from clustering_spark.operators.textnorm import extract_html_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "<div class='intro>Hello world, don't panic.<p>"
+                    "Next para</p>"),
+                (2, "<div class='never closed and no later quote at all"),
+            ],
+            "doc_id long, html string",
+        )
+        got = {
+            r.doc_id: r.text
+            for r in extract_html_text(df, "html", out_col="text").collect()
+        }
+        assert got[1] == "Next para"          # what a browser shows
+        assert "never closed" in got[2]       # unmatched: text kept
