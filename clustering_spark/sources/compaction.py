@@ -29,6 +29,12 @@ def estimate_bytes(df: DataFrame) -> int:
     for a writer (the write itself is a full pass anyway); parquet
     compression then shrinks the files, so treat the target as
     pre-compression and size it generously."""
+    # backtick-escaped refs (round-16 review): F.col parses dots as
+    # struct paths, so a legal column named 'col.dotted' crashed the
+    # sizing aggregate with UNRESOLVED_COLUMN
+    def _q(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     acc = F.lit(0).cast("long")
     for f in df.schema.fields:
         t = f.dataType.simpleString()
@@ -41,13 +47,25 @@ def estimate_bytes(df: DataFrame) -> int:
         elif t in ("bigint", "double", "timestamp", "timestamp_ntz"):
             acc = acc + 8
         elif t == "string":
-            acc = acc + F.coalesce(F.octet_length(F.col(f.name)), F.lit(0)) + 4
+            acc = acc + F.coalesce(F.octet_length(_q(f.name)), F.lit(0)) + 4
         elif t == "binary":
-            acc = acc + F.coalesce(F.octet_length(F.col(f.name)), F.lit(0)) + 4
+            acc = acc + F.coalesce(F.octet_length(_q(f.name)), F.lit(0)) + 4
         elif t.startswith("array"):
             # element width is type-dependent; 8B/element covers the
-            # numeric arrays this engine ships (embeddings, signatures)
-            acc = acc + F.coalesce(F.size(F.col(f.name)) * 8, F.lit(0)) + 4
+            # numeric arrays this engine ships (embeddings, signatures).
+            # size() is coalesced and floored INSIDE the product:
+            # under non-ANSI configs size(NULL) is -1, not NULL, so
+            # the old coalesce around the product never fired and
+            # every null array contributed NEGATIVE bytes — a mostly-
+            # null array column drove the whole estimate negative and
+            # the plan to ONE giant file (round-16 review, verified)
+            acc = (
+                acc
+                + F.greatest(
+                    F.coalesce(F.size(_q(f.name)), F.lit(0)), F.lit(0)
+                ) * 8
+                + 4
+            )
         else:  # structs/maps/decimals: flat 16B guess
             acc = acc + 16
     row = df.agg(F.sum(acc).alias("b")).collect()[0]
@@ -96,8 +114,11 @@ def write_compacted(
       the partition columns (one task per value cluster: ~1 file per
       directory; a single huge value lands in one file — range-sort on
       the partition column when values are heavily skewed). With a
-      sort_col, range partitioning keeps the clustering property as
-      long as sort_col correlates with the directory layout.
+      sort_col, the range keys are (partition_cols..., sort_col) so
+      the clustering property holds REGARDLESS of whether sort_col
+      correlates with the directory layout (round 16; previously an
+      uncorrelated sort_col silently re-created the tiny-file
+      explosion).
     """
     if n_files is not None:
         if n_files < 1:
@@ -105,10 +126,24 @@ def write_compacted(
         n = n_files
     else:
         n = plan_file_count(estimate_bytes(df), target_file_bytes)
+    def _q(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     if sort_col is not None:
-        out = df.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(sort_col)
+        # range keys are PREFIXED with the partition columns when both
+        # are given (round-16 review): ranging on sort_col alone with
+        # an uncorrelated directory layout spread every partition
+        # value across all n tasks — up to n x #values tiny files,
+        # the explosion this writer exists to prevent. Prefixing keeps
+        # each task inside few directory values while files stay
+        # range-clustered (and min/max-prunable) on sort_col within
+        # each directory.
+        keys = [_q(c) for c in (partition_cols or [])] + [_q(sort_col)]
+        out = df.repartitionByRange(n, *keys).sortWithinPartitions(
+            *[c.asc() for c in keys]
+        )
     elif partition_cols:
-        out = df.repartition(n, *[F.col(c) for c in partition_cols])
+        out = df.repartition(n, *[_q(c) for c in partition_cols])
     else:
         out = df.repartition(n)
     w = out.write.mode(mode)

@@ -83,7 +83,17 @@ def _norm_scan_uri(col: Column) -> Column:
     instead of nulling the join key."""
     protected = F.regexp_replace(col, r"\+", "%2B")
     decoded = F.coalesce(F.try_url_decode(protected), col)
-    return F.regexp_replace(decoded, r"^file:/+", "file:///")
+    return _norm_file_scheme(decoded)
+
+
+def _norm_file_scheme(col: Column) -> Column:
+    """Collapse the EMPTY-AUTHORITY file-URI slash forms (``file:/p``,
+    ``file:////p``) to canonical ``file:///p``. A non-empty authority
+    (``file://host/p``) is left alone (round-16 review: the old
+    ``file:/+`` rewrite folded the host into a leading path segment,
+    splitting scan/listing join keys for host-addressed datasets)."""
+    one = F.regexp_replace(col, r"^file:/(?!/)", "file:///")
+    return F.regexp_replace(one, r"^file:///+", "file:///")
 
 
 def _norm_list_uri(col: Column) -> Column:
@@ -92,7 +102,7 @@ def _norm_list_uri(col: Column) -> Column:
     CORRUPT names containing literal ``%XX`` (the Hive-escape shape
     above decoded to ``:``, splitting every such file into two
     half-rows) — so only the file-scheme slash form is normalized."""
-    return F.regexp_replace(col, r"^file:/+", "file:///")
+    return _norm_file_scheme(col)
 
 
 def build_manifest(spark: SparkSession, path: str) -> DataFrame:

@@ -284,3 +284,27 @@ def test_incremental_batch_csv_with_schema_and_options(spark, tmp_path):
     rows = sorted((r.id, r.name) for r in data.collect())
     assert rows == [(1, "alice"), (2, "bob")]
     assert new.count() == 1
+
+
+def test_file_uri_authority_preserved(spark):
+    """Round-16 review: the old 'file:/+' collapse folded a non-empty
+    authority (file://host/p) into a leading path segment, splitting
+    scan/listing join keys for host-addressed datasets. Only the
+    empty-authority slash forms normalize."""
+    from clustering_spark.sources.manifest import (
+        _norm_list_uri,
+        _norm_scan_uri,
+    )
+
+    cases = {
+        "file:/data/x.parquet": "file:///data/x.parquet",
+        "file:///data/x.parquet": "file:///data/x.parquet",
+        "file:////data/x.parquet": "file:///data/x.parquet",
+        "file://localhost/data/x.parquet": "file://localhost/data/x.parquet",
+        "s3a://bucket/data/x.parquet": "s3a://bucket/data/x.parquet",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    for fn in (_norm_scan_uri, _norm_list_uri):
+        got = [r.c for r in df.select(fn(F.col("u")).alias("c")).collect()]
+        for (u, want), g in zip(cases.items(), got):
+            assert g == want, (fn.__name__, u, g, want)
