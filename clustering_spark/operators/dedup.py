@@ -1464,7 +1464,13 @@ def embedding_neardup_pairs(
         "vb": pd.Series,
         "return": pd.Series,
     }
-    pair_cos = pandas_udf(_pair_cos, "double")
+    # asNondeterministic: the optimizer pushes the threshold filter
+    # below the cosine projection and DUPLICATES a deterministic UDF —
+    # plan showed two ArrowEvalPython[_pair_cos] nodes, every candidate
+    # pair paying the verify GEMM twice (guide §4.4's exact pattern).
+    # The function IS deterministic; the flag only forbids Catalyst
+    # from cloning/reordering it, yielding a single evaluation.
+    pair_cos = pandas_udf(_pair_cos, "double").asNondeterministic()
     raw = pair_cos("v_a", "v_b")
     return (
         cands.join(fa, on="id_a")

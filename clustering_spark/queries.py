@@ -950,10 +950,23 @@ def q_stream_window_events(spark, sf_dir):
     tag (SQL_WINDOW_EVENTS_MODES). Folding the three registry entries
     (round-8 advice item 2) frees driver-gate slots for strip_html and
     semantic_dedup_keep without weakening any check — all three modes
-    stay on the hash gate."""
-    mem = _stream_window_events_memory(spark, sf_dir)
-    pq = _stream_window_events_parquet(spark, sf_dir)
-    inc = _stream_window_events_incremental(spark, sf_dir)
+    stay on the hash gate.
+
+    The three drains are INDEPENDENT streaming queries (disjoint
+    checkpoints, sinks, and memory tables) over the same static
+    source, so they run CONCURRENTLY from a small thread pool (guide
+    §2.6: overlap independent jobs): each drain's micro-batch tail
+    leaves most cores idle, and the session's FAIR pool lets the next
+    drain's tasks back-fill them — wall-clock becomes ~max of the
+    three instead of their sum. Results are unchanged: concurrency is
+    between queries, never within one query's state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_mem = pool.submit(_stream_window_events_memory, spark, sf_dir)
+        f_pq = pool.submit(_stream_window_events_parquet, spark, sf_dir)
+        f_inc = pool.submit(_stream_window_events_incremental, spark, sf_dir)
+        mem, pq, inc = f_mem.result(), f_pq.result(), f_inc.result()
     return (
         mem.withColumn("mode", F.lit("memory"))
         .unionByName(pq.withColumn("mode", F.lit("parquet")))
@@ -1511,7 +1524,17 @@ def q_media_metadata(spark, sf_dir):
                 }
             )
 
-    blobs = d.select("doc_id").mapInPandas(build, "doc_id long, blob binary")
+    # materialize the blob table ONCE: both consumers below (the header
+    # router and the dhash kernel) read it, and without the checkpoint
+    # the synthetic_media_blob construction — which LZW-encodes a real
+    # GIF per fam-5 row — re-executes per consumer branch (plan showed
+    # build(doc_id) under BOTH BroadcastExchanges). Same slim-RDD
+    # staging pattern as minhash/LSH; storage is (id, small blob) only.
+    blobs = (
+        d.select("doc_id")
+        .mapInPandas(build, "doc_id long, blob binary")
+        .localCheckpoint(eager=False)
+    )
     hdr = media_header_meta(blobs, "blob", "doc_id").select(
         F.col("id").alias("doc_id"),
         "media_type",
