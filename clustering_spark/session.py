@@ -94,6 +94,20 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Pin BLAS pools inside PYTHON WORKERS to 1 thread (overridable):
+    # Spark already runs one task per core, so a per-task numpy GEMM
+    # that spawns an N-core OpenBLAS pool oversubscribes the box N× —
+    # 32 concurrent Arrow tasks × 32 BLAS threads = 1024 runnable
+    # threads thrashing every dense kernel (bitmap/cosine all-pairs,
+    # LSH banding, cluster fits, tuner sweeps). PySpark ships
+    # spark.executorEnv.* to its UDF workers in every deploy mode
+    # (SparkContext.environment), so this stays correct on a real
+    # cluster: tasks-per-executor = cores there too. The DRIVER process
+    # is deliberately untouched — driver-side numpy (bench calibration,
+    # bounded collect kernels) keeps the full machine.
+    blas_threads = os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1")
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", blas_threads)
     pools = _fair_pools_file()
     if pools:
         builder = builder.config("spark.scheduler.allocation.file", pools)
