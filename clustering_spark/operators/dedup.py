@@ -282,8 +282,22 @@ def minhash_signature_from_hashes(
     values in [0, P)). Reference ``hmod`` through a named column so the
     underlying shingle pipeline is evaluated once; each of the
     num_hashes mins is then a single pass over a small int array."""
-    hmod = F.col(hmod) if isinstance(hmod, str) else hmod
     a, b = _minhash_params(num_hashes, seed)
+    if isinstance(hmod, str):
+        # build the num_hashes-wide expression as ONE SQL string: the
+        # Column-API form issues ~6 py4j round-trips per hash lane
+        # (transform/lambda/pmod/lit/lit/array_min), ~0.4 s of driver
+        # plan-construction per call at 64 lanes — paid on EVERY run,
+        # which is what a bench median measures. One expr() parse is
+        # JVM-side and amortizes to ~15 ms. Arithmetic is identical
+        # (long literals, same pmod), pinned by the parity test.
+        ref = "`" + hmod.replace("`", "``") + "`"
+        lanes = ",".join(
+            f"array_min(transform({ref},"
+            f" h -> pmod(h * {a[i]}L + {b[i]}L, {_P}L)))"
+            for i in range(num_hashes)
+        )
+        return F.expr(f"array({lanes})")
     return F.array(
         *[
             F.array_min(

@@ -59,6 +59,29 @@ def test_minhash_jaccard_exact_for_identical(spark, docs):
     assert j.loc[(1, 2)] == 1.0
 
 
+def test_minhash_signature_expr_form_matches_column_form(spark):
+    """The single-expr-string signature builder (driver plan-construction
+    optimization, round 16) must be arithmetically identical to the
+    Column-API form for any in-range hmod input, including empty arrays
+    (array_min -> NULL lanes) and the hash-lane count/seed knobs."""
+    df = spark.range(200).select(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 7).cast("int") - 1),
+            lambda i: F.pmod(
+                F.xxhash64(F.col("id") * 13 + i.cast("long")), F.lit(dedup._P)
+            ),
+        ).alias("hm")
+    )
+    for nh, seed in ((64, 42), (16, 7)):
+        a = df.select(
+            dedup.minhash_signature_from_hashes("hm", nh, seed).alias("s")
+        ).collect()
+        b = df.select(
+            dedup.minhash_signature_from_hashes(F.col("hm"), nh, seed).alias("s")
+        ).collect()
+        assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
 def test_simhash_identical_docs_hamming_zero(spark, docs):
     pairs = dedup.simhash_pairs(docs, "id", "text", max_hamming=3).toPandas()
     h = pairs.set_index(["id_a", "id_b"]).hamming
