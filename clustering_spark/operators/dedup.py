@@ -553,6 +553,19 @@ def novel_minhash(
     return new_df.join(hits, on=id_col, how="left_anti")
 
 
+def _task_frame(spark, tasks: list[tuple[int]], col: str) -> DataFrame:
+    """One-row-per-partition driver frame for the blocked all-pairs
+    kernels: ``parallelize(tasks, len(tasks))`` pins one kernel task
+    per Spark task with NO shuffle — the previous
+    ``createDataFrame().repartition(n)`` paid a round-robin exchange
+    stage (plus its AQE bookkeeping) per run just to spread 32 tiny
+    rows."""
+    sc = spark.sparkContext
+    return spark.createDataFrame(
+        sc.parallelize(tasks, max(1, len(tasks))), f"{col} long"
+    )
+
+
 def _bitmap_pack_udf(vocab: dict[str, int], nwords: int):
     """Arrow-batched kernel: shingle array -> packed bitmap over the
     (bounded) vocabulary, as ``nwords`` signed int64 words."""
@@ -633,7 +646,7 @@ def _dense_bitmap_allpairs(
     nblocks = (n + block - 1) // block
     # mirror pairing: task k owns i-blocks {k, nblocks-1-k}
     tasks = [(k,) for k in range((nblocks + 1) // 2)]
-    sdf = spark.createDataFrame(tasks, "task long").repartition(len(tasks))
+    sdf = _task_frame(spark, tasks, "task")
     t = float(threshold)
     ichunk, jchunk = 256, 4096
 
@@ -1330,9 +1343,7 @@ def _dense_cosine_allpairs(
                     yield from score_block(b)
 
     tasks = [(k,) for k in range((nblocks + 1) // 2)]
-    starts = spark.createDataFrame(tasks, "k long").repartition(
-        max(1, len(tasks))
-    )
+    starts = _task_frame(spark, tasks, "k")
     return starts.mapInPandas(gen, out_schema)
 
 
