@@ -669,6 +669,50 @@ def q_windowed_events(spark, sf_dir):
 _STREAM_STAGING_CACHE: dict[tuple, str] = {}
 
 
+class _stream_state_partitions:
+    """Scale-ADAPTIVE state-store partition count for the bounded
+    stream drains (guide §2: derive partitioning from input size, never
+    a constant tuned to one box). Structured Streaming pins
+    ``spark.sql.shuffle.partitions`` into the checkpoint's offset log at
+    query start and keeps it for the stream's lifetime, so the value
+    must be set BEFORE ``.start()`` — this context manager sets
+    ``clamp(ceil(source_bytes / target), 1, defaultParallelism)`` and
+    restores the session default afterwards (batch plans built after
+    the drain are unaffected). On a 100 TB events directory the clamp
+    lands at full cluster parallelism; on a few-MB replay it stops a
+    2-task stream from paying 32 state-store instances per micro-batch
+    (measured ~2x the whole drain at local[32]). ``target`` defaults to
+    64 MB per state partition, overridable via
+    SPARK_GRAFT_STREAM_PART_BYTES."""
+
+    def __init__(self, spark, src_path: str):
+        import os
+
+        self.spark = spark
+        target = int(
+            os.environ.get("SPARK_GRAFT_STREAM_PART_BYTES", str(64 << 20))
+        )
+        nbytes = 0
+        if os.path.isdir(src_path):
+            for root, _dirs, files in os.walk(src_path):
+                nbytes += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.exists(src_path):
+            nbytes = os.path.getsize(src_path)
+        par = max(1, spark.sparkContext.defaultParallelism)
+        self.n = max(1, min(par, -(-nbytes // target)))
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _as_stream_dir(path: str) -> str:
     """File-stream sources require a DIRECTORY; the driver's testdata
     tables are single parquet files. Symlink the file into a temp dir
@@ -754,7 +798,8 @@ def q_stream_sessions(spark, sf_dir):
         ev, gap="30 minutes", watermark="4 hours", ts_col="ts_utc"
     )
     name = "stream_sess_" + uuid.uuid4().hex[:8]
-    run_stream_to_memory(sess, name, tempfile.mkdtemp(prefix="ckpt_sess_"))
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        run_stream_to_memory(sess, name, tempfile.mkdtemp(prefix="ckpt_sess_"))
     return spark.table(name)
 
 
@@ -862,9 +907,13 @@ def q_stream_stateful_user_stats(spark, sf_dir):
     ev = _events_stream(spark, sf_dir)
     stats = stateful_user_stats(ev, ts_col="ts_utc", watermark="2 hours")
     name = "stream_state_" + uuid.uuid4().hex[:8]
-    run_stream_to_memory(
-        stats, name, tempfile.mkdtemp(prefix="ckpt_state_"), output_mode="update"
-    )
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        run_stream_to_memory(
+            stats,
+            name,
+            tempfile.mkdtemp(prefix="ckpt_state_"),
+            output_mode="update",
+        )
     w = W.partitionBy("user_id").orderBy(
         F.col("n_events").desc(), F.col("closed").desc()
     )
@@ -962,11 +1011,16 @@ def q_stream_window_events(spark, sf_dir):
     between queries, never within one query's state."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_mem = pool.submit(_stream_window_events_memory, spark, sf_dir)
-        f_pq = pool.submit(_stream_window_events_parquet, spark, sf_dir)
-        f_inc = pool.submit(_stream_window_events_incremental, spark, sf_dir)
-        mem, pq, inc = f_mem.result(), f_pq.result(), f_inc.result()
+    # all three streams START inside this scope, so each pins the
+    # input-derived state partition count into its own checkpoint
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_mem = pool.submit(_stream_window_events_memory, spark, sf_dir)
+            f_pq = pool.submit(_stream_window_events_parquet, spark, sf_dir)
+            f_inc = pool.submit(
+                _stream_window_events_incremental, spark, sf_dir
+            )
+            mem, pq, inc = f_mem.result(), f_pq.result(), f_inc.result()
     return (
         mem.withColumn("mode", F.lit("memory"))
         .unionByName(pq.withColumn("mode", F.lit("parquet")))
@@ -1014,7 +1068,8 @@ def q_stream_dedup_replay(spark, sf_dir):
         F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
     )
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sdup_"))
+    with _stream_state_partitions(spark, src_dir):
+        run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sdup_"))
     return spark.table(name)
 
 
@@ -1036,7 +1091,8 @@ def q_stream_distinct_event_types(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     )
     name = "stream_dtypes_" + uuid.uuid4().hex[:8]
-    run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sdt_"))
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        run_stream_to_memory(agg, name, tempfile.mkdtemp(prefix="ckpt_sdt_"))
     return (
         spark.table(name)
         .groupBy("user_id")

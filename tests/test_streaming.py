@@ -531,3 +531,44 @@ def test_upsert_sink_rejects_reserved_columns(spark, tmp_path):
             bad, ["user_id"], ["ts"], str(tmp_path / "state"),
             str(tmp_path / "ck"),
         )
+
+
+def test_stream_state_partitions_adaptive_and_restored(spark, tmp_path):
+    """The drain-scoped state-partition manager derives its count from
+    SOURCE BYTES (clamped to [1, defaultParallelism]), applies it only
+    inside the scope, and restores the session default afterwards —
+    including on error (round-16 optimization; a leaked override would
+    silently re-plan every later batch query)."""
+    from clustering_spark.queries import _stream_state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    par = spark.sparkContext.defaultParallelism
+
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 10)  # 10 bytes -> 1 partition
+    with _stream_state_partitions(spark, str(small)) as mgr:
+        assert mgr.n == 1
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # a directory sums its files; with a 1-byte target the 3-byte dir
+    # wants 3 partitions but clamps to defaultParallelism
+    import os
+
+    big = tmp_path / "big"
+    big.mkdir()
+    (big / "a.parquet").write_bytes(b"xxx")
+    os.environ["SPARK_GRAFT_STREAM_PART_BYTES"] = "1"
+    try:
+        mgr2 = _stream_state_partitions(spark, str(big))
+        assert mgr2.n == min(par, 3)
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_PART_BYTES"]
+
+    # restore-on-error
+    try:
+        with _stream_state_partitions(spark, str(small)):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
