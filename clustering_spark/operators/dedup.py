@@ -1161,6 +1161,52 @@ def hamming_pair_search(sigs: DataFrame, max_hamming: int) -> DataFrame:
     both join sides read it, and one long per row is negligible
     executor storage at any scale. Returns (id_a, id_b, hamming),
     id_a < id_b."""
+    if max_hamming == 0:
+        # Radius 0 degenerates: the single 64-bit "chunk" IS the whole
+        # signature, so the chunk self-join is equality on sig, every
+        # pair joins exactly once (dropDuplicates is a no-op) and
+        # sig_a == sig_b makes the XOR verify identically 0. One
+        # groupBy-by-signature exchange replaces the two join-side
+        # shuffles plus the dedup exchange; pairs are enumerated
+        # natively inside each signature group. collect_set + sort
+        # reproduces the join semantics exactly: a duplicated __id row
+        # pairs with others once and never with itself, and NULL sigs
+        # never match (equi-join drops NULL keys). Group size = exact-
+        # duplicate cluster size; the id set per signature is linear in
+        # what the pair output is already quadratic in, so this holds
+        # wherever emitting the pairs at all does.
+        ids = F.col("ids")
+        # Same localCheckpoint as the generic branch, different reason:
+        # only ONE consumer reads sigs here, but the isnotnull(sig)
+        # filter below references the UDF-computed signature, and the
+        # optimizer pushes it under the caller's spread-repartition —
+        # duplicating the whole shingle+pack Arrow chain (guide §4.4
+        # shape; measured: the win from the saved exchanges vanished).
+        # Cutting lineage pins a single evaluation.
+        sigs = sigs.localCheckpoint(eager=False)
+        return (
+            sigs.filter(F.col("sig").isNotNull())
+            .groupBy("sig")
+            .agg(F.array_sort(F.collect_set("__id")).alias("ids"))
+            .filter(F.size(ids) >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            ids,
+                            lambda x, i: F.transform(
+                                F.slice(ids, i + F.lit(2), F.size(ids)),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            # bit_count returns int; match the generic branch's schema
+            .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming"))
+        )
     sigs = sigs.localCheckpoint(eager=False)
     chunks = sigs.select(
         "__id",
