@@ -214,15 +214,26 @@ def _word_shingles_arrow(n: int = 3):
     return F.pandas_udf(sh, "array<string>")
 
 
+def _char_shingle_list(t: str, n: int, ws) -> list[str]:
+    """The single normalization + shingling rule (non-null input):
+    lower -> trim of SPACE chars only (Spark ``trim`` strips ' '
+    exclusively, unlike Python ``str.strip``) -> Java ``\\s`` =
+    ``[ \\t\\n\\x0B\\f\\r]`` runs collapsed to one space -> n-char
+    slices, first-occurrence-ordered distinct; strings shorter than n
+    yield a single-element list. Shared by the shingle pandas_udf and
+    the fused dense pack kernel so the two paths cannot drift."""
+    s = ws.sub(" ", t.lower().strip(" "))
+    if len(s) >= n:
+        return list(dict.fromkeys(s[i : i + n] for i in range(len(s) - n + 1)))
+    return [s]
+
+
 def _char_shingles_arrow(n: int = 5):
     """Arrow-batched pandas_udf equivalent of :func:`char_shingles`.
 
     Semantics replicate the expression form bit-for-bit (verified by
-    tests/test_dedup.py): lower -> trim of SPACE chars only (Spark
-    ``trim`` strips ' ' exclusively, unlike Python ``str.strip``) ->
-    Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` runs collapsed to one space
-    -> n-char slices, first-occurrence-ordered distinct; strings
-    shorter than n (and NULLs) yield a single-element array.
+    tests/test_dedup.py) via :func:`_char_shingle_list`; NULLs yield
+    ``[None]``.
 
     Why it exists: Python slicing over an Arrow batch is ~6x cheaper
     than the interpreted transform/substring HOF, and — unlike a
@@ -240,11 +251,7 @@ def _char_shingles_arrow(n: int = 5):
             if t is None:
                 out.append([None])
                 continue
-            s = ws.sub(" ", t.lower().strip(" "))
-            if len(s) >= n:
-                out.append(list(dict.fromkeys(s[i : i + n] for i in range(len(s) - n + 1))))
-            else:
-                out.append([s])
+            out.append(_char_shingle_list(t, n, ws))
         return pd.Series(out)
 
     sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
@@ -586,6 +593,105 @@ def _bitmap_pack_udf(vocab: dict[str, int], nwords: int):
     return F.pandas_udf(_pack, "array<long>")
 
 
+def _dense_pack_partition(n: int, cap: int):
+    """mapInPandas kernel for the FUSED dense probe+pack (one Python
+    crossing, one action): shingles each text with the exact
+    :func:`_char_shingle_list` rule, builds a PARTITION-LOCAL
+    vocabulary on the fly (append-only index, capped at ``cap``
+    entries), and packs each doc's indicator bits over the
+    vocabulary-so-far (append-only indexes make earlier rows' shorter
+    bitmaps valid prefixes — absent bits are absent shingles). Emits,
+    per partition: one kind=0 row per doc ``(pid, __id, bits)``, then a
+    trailing kind=1 row carrying the local vocabulary in index order —
+    or a single kind=2 sentinel when the local vocabulary alone
+    overflows ``cap`` (the corpus is certainly SPARSE; the task stops
+    shingling and drains its input). The driver unions the local
+    vocabularies and remaps the bitmaps; bit layout is np.packbits
+    big-endian per byte, the same convention
+    :func:`_dense_bitmap_allpairs` unpacks."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        vocab: dict[str, int] = {}
+        overflow = False
+        dummy_id = None
+        for b in batches:
+            ids = b["__id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            if dummy_id is None:
+                dummy_id = ids[0]
+            row_idx: list[np.ndarray] = []
+            for t in b["__txt"]:
+                li = []
+                for s in _char_shingle_list(t, n, ws):
+                    i = vocab.get(s)
+                    if i is None:
+                        i = len(vocab)
+                        if i >= cap:
+                            overflow = True
+                            break
+                        vocab[s] = i
+                    li.append(i)
+                if overflow:
+                    break
+                row_idx.append(np.asarray(li, dtype=np.int64))
+            if row_idx:
+                nbytes = max(1, (len(vocab) + 7) // 8)
+                m = np.zeros((len(row_idx), nbytes), dtype=np.uint8)
+                lens = np.fromiter(
+                    (len(a) for a in row_idx), np.int64, len(row_idx)
+                )
+                total = int(lens.sum())
+                if total:
+                    rows = np.repeat(np.arange(len(row_idx)), lens)
+                    cols = np.concatenate(row_idx)
+                    np.bitwise_or.at(
+                        m,
+                        (rows, cols >> 3),
+                        (128 >> (cols & 7)).astype(np.uint8),
+                    )
+                yield pd.DataFrame(
+                    {
+                        "kind": np.zeros(len(row_idx), np.int8),
+                        "pid": np.full(len(row_idx), pid, np.int32),
+                        "__id": ids[: len(row_idx)],
+                        "bits": [r.tobytes() for r in m],
+                        "vocab": [None] * len(row_idx),
+                    }
+                )
+            if overflow:
+                yield pd.DataFrame(
+                    {
+                        "kind": np.int8([2]),
+                        "pid": np.int32([pid]),
+                        "__id": [dummy_id],
+                        "bits": [b""],
+                        "vocab": [None],
+                    }
+                )
+                for _ in batches:  # drain: no more Python work
+                    pass
+                return
+        if vocab:
+            yield pd.DataFrame(
+                {
+                    "kind": np.int8([1]),
+                    "pid": np.int32([pid]),
+                    "__id": [dummy_id],
+                    "bits": [b""],
+                    "vocab": [list(vocab)],
+                }
+            )
+
+    return gen
+
+
 def _np_popcount_rows(a: np.ndarray) -> np.ndarray:
     """Total popcount along the last axis of an int64 array.
 
@@ -732,10 +838,8 @@ def ngram_jaccard_pairs(
     ``minhash_lsh_pairs``. Thresholds come from caller-supplied
     ``n_docs`` or a 1-row count broadcast.
 
-    ADAPTIVE REGIMES (probe: collect at most dense_vocab_max+1 rows of
-    the vocabulary-sized docfreq table — an aggregation the prefix
-    ordering needs anyway; ``dense_vocab_max=0`` disables the probe and
-    its action for strictly lazy composition):
+    ADAPTIVE REGIMES (``dense_vocab_max=0`` disables the dense attempt
+    and its action for strictly lazy composition):
 
     * DENSE + BOUNDED (vocab <= dense_vocab_max AND n_docs <=
       allpairs_max_docs): prefix filtering degenerates — every shingle
@@ -743,7 +847,11 @@ def ngram_jaccard_pairs(
       candidate generation costs more than brute force. Each doc's
       shingle SET packs into a ceil(V/64)-long bitmap; a blocked numpy
       AND+popcount kernel scores all pairs exactly from a broadcast of
-      the (bounded, ~V/8 bytes/doc) bitmap table.
+      the (bounded, ~V/8 bytes/doc) bitmap table. Probe + pack +
+      shingling run as ONE fused mapInPandas action with
+      partition-local vocabularies remapped on the driver
+      (:func:`_dense_pack_partition`); overflow of either cap falls
+      through to the prefix join with the frame discarded.
     * DENSE + LARGE: prefix join for candidates, bitmap AND+popcount
       HOF for verification (~30x cheaper than hash-set
       ``array_intersect`` on 200-element arrays, same exact |A∩B|).
@@ -778,64 +886,121 @@ def ngram_jaccard_pairs(
             f"jaccard_threshold must be in (0, 1], got {jaccard_threshold}"
         )
     vocab: dict[str, int] | None = None
-    if dense_vocab_max > 0:
-        # bounded probe: vocab-sized table, cached so the prefix
-        # ordering below reuses it instead of re-aggregating. ``base``
-        # is ALSO cached across the probe: the probe's docfreq agg and
-        # the dense path's bitmap pack are two actions over the same
-        # shingle computation — caching halves the cold cost (one
-        # Arrow-kernel shingle pass instead of two). Unpersisted on
-        # every exit path; in the prefix fallthrough that restores the
-        # recompute-per-branch status quo rather than leaking storage
-        # into a lazily-returned plan nobody can unpersist.
-        base = base.cache()
-        docfreq_full = docfreq_full.cache()
-        probe = docfreq_full.select("shingle").limit(dense_vocab_max + 1).collect()
-        if len(probe) <= dense_vocab_max:
-            vocab = {s: i for i, s in enumerate(sorted(p["shingle"] for p in probe))}
-        else:
-            docfreq_full.unpersist()
-            base.unpersist()
-
-    if vocab is not None:
-        # DENSE + BOUNDED: prefix filtering degenerates on dense
-        # corpora — every shingle is frequent, so roughly half of all
-        # pairs survive the prefix+positional filters (measured on the
-        # bench corpus: 6.3M candidates of 12.5M possible) and
+    need_large_probe = dense_vocab_max > 0 and not (
+        n_docs is None or n_docs <= allpairs_max_docs
+    )
+    if dense_vocab_max > 0 and not need_large_probe:
+        # DENSE + BOUNDED attempt: prefix filtering degenerates on
+        # dense corpora — every shingle is frequent, so roughly half of
+        # all pairs survive the prefix+positional filters (measured on
+        # the bench corpus: 6.3M candidates of 12.5M possible) and
         # candidate GENERATION (an 89M-row inverted-index self-join)
         # costs more than brute force. Under ``allpairs_max_docs`` the
-        # packed-bitmap table (~V/8 bytes/doc) is broadcastable and the
-        # blocked numpy all-pairs kernel is exact and several times
-        # cheaper end-to-end. Above the cap (or with vocab > V), the
-        # prefix join below stays the scale path; for truly huge dense
-        # corpora use minhash_lsh_pairs. The size probe IS the data
-        # fetch: limit(cap+1).toPandas() — within the cap that returns
-        # the complete table (limit over-asks by one), so no separate
-        # count job; over the cap the limit stops the scan early and we
-        # fall through having spent one bounded pass.
-        if n_docs is None or n_docs <= allpairs_max_docs:
-            nwords = max(1, (len(vocab) + 63) // 64)
-            pack = _bitmap_pack_udf(vocab, nwords)
-            packed_pdf = (
-                base.select("__id", pack("__sh").alias("__bits"))
-                .limit(allpairs_max_docs + 1)
-                .toPandas()
+        # packed-bitmap table (~V/8 bytes/doc) fits on the driver and
+        # the blocked numpy all-pairs kernel is exact and several times
+        # cheaper end-to-end.
+        #
+        # Probe + pack + shingle-kernel are FUSED into ONE action and
+        # ONE Python crossing (the previous shape spent two actions — a
+        # vocab collect, then a bitmap-pack toPandas — each chaining
+        # shingle-UDF -> consumer through a JVM round-trip of 500k
+        # shingle strings, plus a cache round-trip of the fat arrays).
+        # ``_dense_pack_partition`` shingles and packs against a
+        # PARTITION-LOCAL vocabulary; the driver unions the (bounded,
+        # <= cap-entry) local vocabularies and remaps the bitmap
+        # columns — pure numpy. Driver transfer stays bounded exactly
+        # like before: the limit caps rows at allpairs_max_docs+1 docs
+        # + one <= cap-string vocab row per partition, each doc row
+        # <= ceil(cap/8) bytes of bitmap — and ANY truncation by the
+        # limit implies len(raw) == K, which falls through, so a
+        # partial frame is never misread as complete.
+        from pyspark.sql import types as T
+
+        src = df.filter(txt.isNotNull()).select(
+            F.col(id_col).alias("__id"), txt.alias("__txt")
+        )
+        n_parts = src.rdd.getNumPartitions()
+        out_schema = T.StructType(
+            [
+                T.StructField("kind", T.ByteType()),
+                T.StructField("pid", T.IntegerType()),
+                T.StructField("__id", df.schema[id_col].dataType),
+                T.StructField("bits", T.BinaryType()),
+                T.StructField("vocab", T.ArrayType(T.StringType())),
+            ]
+        )
+        K = allpairs_max_docs + 1 + n_parts
+        raw = (
+            src.mapInPandas(
+                _dense_pack_partition(n, dense_vocab_max), out_schema
             )
-            if len(packed_pdf) <= allpairs_max_docs:
-                docfreq_full.unpersist()
-                base.unpersist()
+            .limit(K)
+            .toPandas()
+        )
+        if (raw["kind"] == 2).any():
+            pass  # a single partition's vocabulary overflowed: SPARSE
+        elif len(raw) >= K:
+            # over the all-pairs doc cap (or truncated): the corpus is
+            # too big for the driver kernel; probe below decides the
+            # prefix-join verify regime
+            need_large_probe = True
+        else:
+            # complete frame: union the local vocabularies
+            gvocab: dict[str, int] = {}
+            luts: dict[int, np.ndarray] = {}
+            for _, vrow in raw[raw["kind"] == 1].iterrows():
+                vlist = list(vrow["vocab"])
+                for s in vlist:
+                    if s not in gvocab:
+                        gvocab[s] = len(gvocab)
+                luts[int(vrow["pid"])] = np.fromiter(
+                    (gvocab[s] for s in vlist), np.int64, len(vlist)
+                )
+            docs = raw[raw["kind"] == 0]
+            if len(gvocab) > dense_vocab_max:
+                pass  # union overflows the cap: SPARSE, frame discarded
+            else:
+                nwords = max(1, (len(gvocab) + 63) // 64)
+                G = np.zeros((len(docs), nwords * 64), dtype=np.uint8)
+                for i, (pid_v, bits_v) in enumerate(
+                    zip(docs["pid"].to_numpy(), docs["bits"])
+                ):
+                    lb = np.unpackbits(np.frombuffer(bits_v, np.uint8))
+                    lidx = np.nonzero(lb)[0]
+                    if len(lidx):
+                        G[i, luts[int(pid_v)][lidx]] = 1
+                mat = (
+                    np.packbits(G, axis=1)
+                    .reshape(len(docs), nwords, 8)
+                    .reshape(len(docs), nwords * 8)
+                    .copy()
+                    .view(np.int64)
+                )
+                dense_pdf = pd.DataFrame(
+                    {"__id": docs["__id"].to_numpy(), "__bits": list(mat)}
+                )
                 return _dense_bitmap_allpairs(
                     df.sparkSession,
-                    packed_pdf,
+                    dense_pdf,
                     df.schema[id_col].dataType,
                     jaccard_threshold,
                 )
-        # fallthrough (vocab small but corpus over the all-pairs cap):
-        # release BOTH probe caches — the returned plan is lazy, so a
-        # cache left marked here would pin executor storage forever
-        # with no caller-side handle to unpersist it
-        docfreq_full.unpersist()
-        base.unpersist()
+    if need_large_probe:
+        # corpus over the all-pairs cap: bounded vocabulary probe only
+        # (<= cap+1 rows, no per-doc collect) to pick the verify regime
+        # — packed-bitmap verify when the vocabulary fits, hashed-set
+        # intersection otherwise
+        probe = (
+            base.select(F.explode("__sh").alias("shingle"))
+            .distinct()
+            .limit(dense_vocab_max + 1)
+            .collect()
+        )
+        if len(probe) <= dense_vocab_max:
+            vocab = {
+                s: i
+                for i, s in enumerate(sorted(p["shingle"] for p in probe))
+            }
 
     docfreq = docfreq_full
     if max_shingle_df < 1.0:

@@ -154,6 +154,58 @@ def test_ngram_dense_overflow_falls_through_to_prefix_join(spark, docs):
     assert (abs(ja - jb) < 1e-9).all()
 
 
+def test_ngram_dense_fused_pack_multipartition(spark):
+    """The fused dense probe+pack builds PARTITION-LOCAL vocabularies
+    and remaps them on the driver: with docs spread over several
+    partitions (different local index orders), pairs and jaccard must
+    be identical to the prefix-join path (dense_vocab_max=1 forces
+    it)."""
+    pool = [f"word{i:02d}" for i in range(12)]
+    rows = [
+        (i, " ".join(pool[j % 12] for j in range(i, i + 7)))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string").repartition(8)
+    kw = dict(n=5, jaccard_threshold=0.2)
+    dense = dedup.ngram_jaccard_pairs(df, "id", "text", **kw).toPandas()
+    prefix = dedup.ngram_jaccard_pairs(
+        df, "id", "text", dense_vocab_max=1, **kw
+    ).toPandas()
+    key = ["id_a", "id_b"]
+    assert sorted(map(tuple, dense[key].values)) == sorted(
+        map(tuple, prefix[key].values)
+    )
+    assert len(dense) > 0
+    ja = dense.sort_values(key).jaccard.values
+    jb = prefix.sort_values(key).jaccard.values
+    assert (abs(ja - jb) < 1e-9).all()
+
+
+def test_ngram_dense_union_vocab_overflow_falls_through(spark):
+    """Per-partition vocabularies can each fit the cap while their
+    UNION overflows it: the fused path must detect that on the driver,
+    discard the collected frame, and fall through to the prefix join
+    with identical results."""
+    rows = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(8)) + " shared anchor")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string").repartition(6)
+    kw = dict(n=5, jaccard_threshold=0.05)
+    # each doc alone has ~<40 distinct 5-grams, the union far exceeds it
+    capped = dedup.ngram_jaccard_pairs(
+        df, "id", "text", dense_vocab_max=40, **kw
+    ).toPandas()
+    prefix = dedup.ngram_jaccard_pairs(
+        df, "id", "text", dense_vocab_max=1, **kw
+    ).toPandas()
+    key = ["id_a", "id_b"]
+    assert sorted(map(tuple, capped[key].values)) == sorted(
+        map(tuple, prefix[key].values)
+    )
+    assert len(capped) > 0
+
+
 def test_ngram_jaccard_explicit_ndocs_matches_derived(spark, docs):
     # max_shingle_df < 1 activates the df cap; supplying n_docs must
     # give the same threshold as deriving it in-plan
