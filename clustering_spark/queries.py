@@ -130,16 +130,59 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load + round-robin repartition to the session's parallelism.
-    For CPU-heavy per-row pipelines (shingling, signatures, vector
-    math) over sources that arrive as FEW large files: a single-file
-    parquet scan is one partition, which serializes all expression
-    work onto one core. The repartition is a tiny narrow-row shuffle
-    bought back many times over; on a real cluster the same logic
-    keeps a skewed file layout from starving executors."""
+def _input_bytes(path: str) -> int:
+    """Total bytes of a local file or directory tree; 0 when the path
+    is missing or not a local filesystem path (callers fall back to
+    full parallelism then)."""
+    import os
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+    if os.path.exists(path):
+        return os.path.getsize(path)
+    return 0
+
+
+def load_spread(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
+    """Load + round-robin repartition for CPU-heavy per-row pipelines
+    (shingling, signatures, vector math) over sources that arrive as
+    FEW large files: a single-file parquet scan is one partition, which
+    serializes all expression work onto one core. The repartition is a
+    tiny narrow-row shuffle bought back many times over; on a real
+    cluster the same logic keeps a skewed file layout from starving
+    executors.
+
+    The partition count is SCALE-ADAPTIVE (guide §2), not a constant:
+    ``clamp(ceil(input_bytes / bytes_per_task), 1, defaultParallelism)``.
+    The default target (SPARK_GRAFT_SPREAD_BYTES, 32 KB) sizes a task
+    at ~100-400 ms of Python-kernel CPU at the measured ~12 µs/byte
+    worst-case shingle rate — 20-50x the per-task Arrow/scheduling
+    setup cost, so neither overhead nor stragglers dominate. On any
+    real corpus the clamp lands at full cluster parallelism; at bench
+    scale it stops a ~600 KB table from paying 32 task setups per
+    Python stage (interleaved A/B over the 7 spread consumers: 7.6 s
+    at 32 partitions -> 6.1-6.9 s at the derived ~16-25). Callers
+    whose per-byte cost is far above the shingle rate (codec/blob
+    kernels) pass a smaller ``bytes_per_task``. Non-local paths fall
+    back to full parallelism."""
+    import os
+
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    target = bytes_per_task or int(
+        os.environ.get("SPARK_GRAFT_SPREAD_BYTES", str(32 << 10))
+    )
+    nbytes = _input_bytes(f"{sf_dir}/{name}.parquet")
+    n = par if nbytes == 0 else max(1, min(par, -(-nbytes // target)))
+    return df.repartition(n)
 
 
 def _utc(spark: SparkSession) -> None:
@@ -1561,7 +1604,11 @@ def q_media_metadata(spark, sf_dir):
         synthetic_media_blob,
     )
 
-    d = load_spread(spark, sf_dir, "documents")
+    # blob synthesis + codec decode run ~two orders of magnitude more
+    # Python CPU per input byte than the shingle kernels, so the spread
+    # targets much smaller tasks (keeps the gate-scale 65 KB table on
+    # every core instead of 2-3)
+    d = load_spread(spark, sf_dir, "documents", bytes_per_task=2 << 10)
     meta = media_metadata(
         d.select("doc_id", F.encode("text", "UTF-8").alias("media")),
         "media",
