@@ -1707,11 +1707,24 @@ def embedding_neardup_pairs(
     # The function IS deterministic; the flag only forbids Catalyst
     # from cloning/reordering it, yielding a single evaluation.
     pair_cos = pandas_udf(_pair_cos, "double").asNondeterministic()
-    raw = pair_cos("v_a", "v_b")
-    return (
+    # Alias the RAW UDF output in its own select before deriving
+    # `cosine` from it: referencing the un-aliased Column in both the
+    # projection and (via alias substitution) the filter leaves TWO
+    # structurally identical nondeterministic calls, which Catalyst may
+    # not dedupe — the plan carried one ArrowEvalPython node with two
+    # _pair_cos output slots, every candidate paying the verify GEMM
+    # twice. With the alias boundary the filter and projection both
+    # reference the single pythonUDF0 attribute (plan-verified: one
+    # slot), and the emitted rows are unchanged — same round/when/NaN
+    # handling on the same raw values.
+    scored = (
         cands.join(fa, on="id_a")
         .join(fb, on="id_b")
-        .withColumn("cosine", F.round(F.when(~F.isnan(raw), raw), 6))
+        .select("id_a", "id_b", pair_cos("v_a", "v_b").alias("__raw"))
+    )
+    raw = F.col("__raw")
+    return (
+        scored.withColumn("cosine", F.round(F.when(~F.isnan(raw), raw), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -182,7 +182,28 @@ def load_spread(
     )
     nbytes = _input_bytes(f"{sf_dir}/{name}.parquet")
     n = par if nbytes == 0 else max(1, min(par, -(-nbytes // target)))
+    if n == 1:
+        # a sub-target table needs no spreading: repartition(1) would
+        # still plan an Exchange SinglePartition per consumer subtree
+        # (two of them under broadcast builds in the LSH verify), and
+        # the natural scan layout of a < bytes_per_task source is at
+        # most a few partitions already. Results are partitioning-
+        # independent by the spread contract (round-robin placement is
+        # a performance choice; every consumer is order-insensitive).
+        return df
     return df.repartition(n)
+
+
+# bytes_per_task for load_spread over DENSE NUMERIC VECTOR tables
+# (embeddings): the per-byte kernel cost of the vector consumers (band
+# GEMM, knn/pca GEMM, cell argmin) is ~100-300x below the ~12 µs/byte
+# worst-case shingle rate the 32 KB default is calibrated for — their
+# per-task cost is dominated by the Arrow transfer itself (~40-80 ms at
+# 4 MB), so a 32 KB spread just multiplies Python-task setup floors with
+# no compute to amortize them (interleaved A/B at sf0.1: lsh 1.67->1.33,
+# knn_join 0.77->0.67, pca_project 0.44->0.38). Still scale-adaptive:
+# a real corpus (100 TB / 4 MB >> cores) clamps to full parallelism.
+VEC_SPREAD_BYTES = 4 << 20
 
 
 def _utc(spark: SparkSession) -> None:
@@ -1803,7 +1824,7 @@ def q_knn_join(spark, sf_dir):
     query) stay oracle-checked in one entry."""
     from pyspark.sql import Window
 
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings", bytes_per_task=VEC_SPREAD_BYTES)
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -1826,7 +1847,7 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, EXACT all-pairs variant
     (explicit lsh_planes=0) — the oracle path; the scale path is
     ``embedding_neardup_lsh`` below."""
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings", bytes_per_task=VEC_SPREAD_BYTES)
     return dedup.embedding_neardup_pairs(
         e, "vec_id", "embedding", threshold=0.4, lsh_planes=0
     )
@@ -1847,7 +1868,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     same-gid pair set. The probabilistic-recall regime (0.5 ≤ cos < 1
     positives) stays pinned in tests/test_dedup.py where the gate
     can't reach."""
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings", bytes_per_task=VEC_SPREAD_BYTES)
     i = F.expr("((vec_id div 2) % 4096) % 64")  # exact long arithmetic
     j = F.expr("((vec_id div 2) % 4096) div 64")
     planted = e.select(
@@ -1939,7 +1960,7 @@ def q_ivf_topk(spark, sf_dir):
 
     from clustering_spark.pinned import IVF_CENTROIDS
 
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings", bytes_per_task=VEC_SPREAD_BYTES)
     idx = similarity.IVFIndex(nlist=16, seed=42)
     idx.centroids = np.asarray(IVF_CENTROIDS, dtype=np.float64)
     indexed = idx.transform(e, "embedding")
@@ -1956,7 +1977,7 @@ def q_pca_project(spark, sf_dir):
     from clustering_spark.operators.embeddings import apply_pca
     from clustering_spark.pinned import PCA_MODEL
 
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings", bytes_per_task=VEC_SPREAD_BYTES)
     out = apply_pca(e, "embedding", PCA_MODEL, out_col="pca")
     return out.select(
         "vec_id",
@@ -2243,7 +2264,7 @@ def q_semantic_dedup_keep(spark, sf_dir):
     omitted) keeps its pytest recall pin in tests/test_dedup.py."""
     from clustering_spark.pinned import IVF_CENTROIDS
 
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings", bytes_per_task=VEC_SPREAD_BYTES)
     return dedup.semantic_dedup_keep(
         e, "vec_id", "embedding", threshold=0.4, nlist=16, seed=42,
         centroids=IVF_CENTROIDS,
