@@ -205,6 +205,17 @@ def load_spread(
 # a real corpus (100 TB / 4 MB >> cores) clamps to full parallelism.
 VEC_SPREAD_BYTES = 4 << 20
 
+# bytes_per_task for load_spread over SIGNATURE-kernel consumers
+# (simhash): the word-shingle + hash-vote pandas kernel measures
+# ~0.5-1 µs/byte — ~15-25x below the ~12 µs/byte char-5-shingle rate
+# the 32 KB default is calibrated for — so a 32 KB spread leaves each
+# task with ~15-30 ms of kernel against a comparable setup floor.
+# 256 KB sizes a task at ~150-250 ms of kernel CPU (interleaved 3-arm
+# A/B at sf0.1/local[32]: min 0.79 s @ 32 KB → 0.56 s @ 256 KB ≈
+# 0.55 s @ 1 MB; 256 KB keeps more width as the corpus grows). Still
+# scale-adaptive: any real corpus clamps to full parallelism.
+SIG_SPREAD_BYTES = 256 << 10
+
 
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1485,8 +1496,15 @@ def q_tune_k_planted(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup via content-hash groupBy (min-id survivor). The
-    shuffle carries (hash, id) pairs only — never document bodies."""
-    d = load_spread(spark, sf_dir, "documents")
+    shuffle carries (hash, id) pairs only — never document bodies.
+
+    Plain ``load``, not ``load_spread``: the md5 projection is
+    whole-stage-codegen JVM work at ~ns/byte — there is no Python
+    kernel to spread, and at real scale the parquet scan is already
+    as parallel as the file layout allows. The round-robin Exchange
+    was pure overhead (interleaved A/B at sf0.1/local[32]:
+    min 0.59 s spread → 0.31 s unspread)."""
+    d = load(spark, sf_dir, "documents")
     return dedup.exact_dedup(d, ["text"], "doc_id")
 
 
@@ -1972,7 +1990,9 @@ def q_simhash_neardup(spark, sf_dir):
     token sets colliding on all 64 bits was ruled out by running the
     deterministic construction at sf0.01 and sf0.1. Emitted pairs =
     same-group pairs. Wide-radius recall stays in tests/."""
-    d = load_spread(spark, sf_dir, "documents")
+    d = load_spread(
+        spark, sf_dir, "documents", bytes_per_task=SIG_SPREAD_BYTES
+    )
     planted = d.select(
         "doc_id", _planted_group_text("doc_id", 5).alias("text")
     )
