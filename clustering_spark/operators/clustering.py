@@ -255,6 +255,128 @@ def gmm_fit(
     return labels, emp_centers, wssse
 
 
+def gmm_fit_seeds(
+    X: np.ndarray,
+    k: int,
+    seeds: tuple[int, ...],
+    max_iter: int = 100,
+    tol: float = 1e-3,
+) -> list[tuple[np.ndarray, np.ndarray, float]]:
+    """``[gmm_fit(X, k, s) for s in seeds]`` computed as ONE stacked EM
+    — bit-identical by construction, cheaper by the numpy-dispatch
+    floor. On the 12-point gate segments each scalar EM iteration is
+    ~25 numpy calls on ~24-600-element arrays, i.e. per-op overhead,
+    not arithmetic; stacking the seed axis amortizes that overhead
+    across the sweep's 3 seeds (measured ~90 -> ~45 ms/segment for the
+    k=2..10 GMM sweep).
+
+    Parity argument (pinned by tests/test_clustering_invariants.py):
+    every op is elementwise, per-slice LAPACK (cholesky/solve loop
+    dpotrf/dgesv per matrix either way), a per-slice dgemm with
+    identical strides, or a reduction whose per-output-element
+    accumulation order over the reduced axis is unchanged by the added
+    leading seed axis (einsum spelled with the same index structure,
+    optimize left OFF). Per-seed convergence is FROZEN exactly as the
+    scalar loop leaves it: the breaking iteration's M-step still
+    applies (scalar updates params before its break), resp is captured
+    at the breaking iteration's E-step, and frozen slices are carried
+    through np.where untouched while the remaining seeds iterate."""
+    n, d = X.shape
+    inits = [kmeans_fit(X, k, s) for s in seeds]
+    k = inits[0][1].shape[0]  # capped identically for every seed
+    S = len(seeds)
+    means = np.stack([c.copy() for _, c, _ in inits])  # (S,k,d)
+    base_cov = np.cov(X.T) + np.eye(d) * 1e-6
+    covs = np.broadcast_to(base_cov, (S, k, d, d)).copy()
+    weights = np.stack(
+        [
+            np.array([(labels0 == c).mean() for c in range(k)])
+            for labels0, _, _ in inits
+        ]
+    )
+    weights = np.clip(weights, 1e-12, None)
+    weights /= weights.sum(axis=1, keepdims=True)
+
+    def log_gauss_all(means, covs):
+        covs = covs + np.eye(d)[None, None, :, :] * 1e-9
+        try:
+            chol = np.linalg.cholesky(covs)  # (S,k,d,d)
+        except np.linalg.LinAlgError:
+            chol = np.empty_like(covs)
+            for s in range(S):
+                for c in range(k):
+                    try:
+                        chol[s, c] = np.linalg.cholesky(covs[s, c])
+                    except np.linalg.LinAlgError:
+                        chol[s, c] = np.linalg.cholesky(
+                            covs[s, c] + np.eye(d) * 1e-3
+                        )
+        diff = X[None, None, :, :] - means[:, :, None, :]  # (S,k,n,d)
+        y = np.linalg.solve(chol, diff.transpose(0, 1, 3, 2))  # (S,k,d,n)
+        maha = (y**2).sum(axis=2)  # (S,k,n)
+        logdet = 2.0 * np.log(
+            np.diagonal(chol, axis1=2, axis2=3)
+        ).sum(axis=2)  # (S,k)
+        return -0.5 * (d * np.log(2 * np.pi) + logdet[:, :, None] + maha)
+
+    prev_ll = np.full(S, -np.inf)
+    resp_final = np.zeros((S, n, k))
+    active = np.ones(S, dtype=bool)
+    for _ in range(max_iter):
+        logp = (
+            np.log(weights)[:, :, None] + log_gauss_all(means, covs)
+        ).transpose(0, 2, 1)  # (S,n,k)
+        m = logp.max(axis=2, keepdims=True)
+        lse = m[:, :, 0] + np.log(np.exp(logp - m).sum(axis=2))
+        resp = np.exp(logp - lse[:, :, None])
+        ll = lse.sum(axis=1)  # (S,)
+        resp_final[active] = resp[active]
+        nk = resp.sum(axis=1) + 1e-12  # (S,k)
+        new_weights = nk / n
+        # per-slice 2-D matmul on a FRESH F-ordered copy, NOT batched
+        # np.matmul on the stacked view: dgemm's bit-level result
+        # depends on both the gufunc-vs-2-D dispatch path and the
+        # input pointer alignment (a mid-stack slice sits at a
+        # different mod-64 offset than the scalar path's fresh np.exp
+        # allocation; both were caught by the bitwise parity sweep),
+        # and an empty component's nk ~ 1e-12 amplifies the ulp into
+        # a visibly different fallback center. The copy reproduces
+        # the scalar path's allocation exactly; ~1.5 KB per seed.
+        new_means = np.stack(
+            [resp[s].copy(order="F").T @ X for s in range(len(seeds))]
+        ) / nk[:, :, None]
+        diff = X[None, None, :, :] - new_means[:, :, None, :]
+        new_covs = (
+            np.einsum("snk,sknd,skne->skde", resp, diff, diff)
+            / nk[:, :, None, None]
+            + np.eye(d)[None, None, :, :] * 1e-6
+        )
+        weights = np.where(active[:, None], new_weights, weights)
+        means = np.where(active[:, None, None], new_means, means)
+        covs = np.where(active[:, None, None, None], new_covs, covs)
+        conv = np.abs(ll - prev_ll) < tol * np.maximum(1.0, np.abs(prev_ll))
+        prev_ll = np.where(active & ~conv, ll, prev_ll)
+        active = active & ~conv
+        if not active.any():
+            break
+    out = []
+    for s in range(S):
+        resp = resp_final[s]
+        labels = resp.argmax(axis=1)
+        emp_centers = np.vstack(
+            [
+                X[labels == c].mean(axis=0)
+                if (labels == c).any()
+                else means[s, c]
+                for c in range(k)
+            ]
+        )
+        _, d2 = _assign(X, emp_centers)
+        wssse = float(d2[np.arange(len(X)), labels].sum())
+        out.append((labels, emp_centers, wssse))
+    return out
+
+
 _FITTERS = {
     "KMeans": kmeans_fit,
     "BisectingKMeans": bisecting_kmeans_fit,
@@ -303,9 +425,16 @@ def best_of_seeds(
     seeds = tuple(seeds)  # tolerate generators; callers loop per k
     if not seeds:
         raise ValueError("best_of_seeds: empty seed list")
+    if algorithm == "GaussianMixture" and len(seeds) > 1:
+        # every seed is fitted anyway (no early stop here, unlike
+        # thresholded_best_of_seeds), so run the seed axis as ONE
+        # stacked EM — bit-identical per gmm_fit_seeds' parity
+        # contract, ~2x less numpy-dispatch overhead on tiny segments
+        fits = gmm_fit_seeds(X, k, seeds)
+    else:
+        fits = (fitter(X, k, seed) for seed in seeds)
     best = None
-    for seed in seeds:
-        labels, centers, wssse = fitter(X, k, seed)
+    for labels, centers, wssse in fits:
         sil = squared_euclidean_silhouette(X, labels)
         if best is None or sil > best[2]:
             best = (labels, centers, sil, wssse)

@@ -40,7 +40,15 @@ def spread_groups(df: DataFrame, group_cols: list[str]) -> DataFrame:
     ClusteredDistribution, the groupBy adds NO second exchange — same
     wire, different partition count. At 100 TB the same holds: model
     fitting per segment is CPU-dominated, so partition count should
-    track cores, not shuffle bytes."""
+    track cores, not shuffle bytes.
+
+    Width is exactly defaultParallelism, NOT an over-decomposition
+    multiple: 2x/4x tasks-per-core was A/B'd (round 17) to smooth the
+    balls-in-bins tail of whole-group hash placement (125 tuner
+    segments over 32 partitions -> expected max ~8 groups on one task)
+    and measured consistently WORSE (optimal_k min 1.75 -> 2.04 s at
+    4x, cluster_fit 0.96 -> 1.25 s; 2x flat-to-worse) — the per-task
+    Arrow setup floor outweighs the balance gain at gate scale."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(c) for c in group_cols])
 

@@ -382,3 +382,34 @@ def test_cluster_assign_recovers_blob_partition(spark, sf_dir):
     # radius bounded by the jitter envelope, wssse consistent with it
     assert (pdf.radius <= 0.15).all()
     assert 0 < pdf.wssse.iloc[0] < 0.01 * sizes[0] * 6
+
+
+def test_gmm_fit_seeds_bitwise_parity_with_scalar():
+    """best_of_seeds' stacked-EM fast path (gmm_fit_seeds) must be
+    BIT-IDENTICAL to the scalar gmm_fit loop it replaces — labels,
+    centers (including the empty-cluster fallback to the EM means,
+    where an nk ~ 1e-12 amplifies any ulp drift), and wssse. The sweep
+    deliberately includes d=1, duplicate-heavy (degenerate-covariance)
+    inputs and k far above the distinct-point count — the shapes that
+    exposed the batched-matmul and allocation-alignment ulp drifts the
+    implementation now guards against."""
+    import numpy as np
+
+    from clustering_spark.operators.clustering import gmm_fit, gmm_fit_seeds
+
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        n = rng.randint(4, 80)
+        d = rng.choice([1, 2, 3])
+        X = np.round(rng.randn(n, d) * rng.choice([0.1, 1.0, 10.0]), 2)
+        if trial % 4 == 0:
+            X[: n // 2] = X[0]  # duplicates -> degenerate covariances
+        for k in (2, 5, 9):
+            seeds = (42, 43, 44)
+            stacked = gmm_fit_seeds(X, k, seeds)
+            for s, seed in enumerate(seeds):
+                la, ca, wa = gmm_fit(X, k, seed)
+                lb, cb, wb = stacked[s]
+                assert np.array_equal(la, lb), (trial, n, d, k, seed)
+                assert np.array_equal(ca, cb), (trial, n, d, k, seed)
+                assert wa == wb, (trial, n, d, k, seed)
