@@ -288,7 +288,14 @@ def minhash_signature_from_hashes(
     """Signature from ALREADY-REDUCED shingle hashes (array<long>,
     values in [0, P)). Reference ``hmod`` through a named column so the
     underlying shingle pipeline is evaluated once; each of the
-    num_hashes mins is then a single pass over a small int array."""
+    num_hashes mins is then a single pass over a small int array.
+
+    STRING-FORM CONTRACT: a str ``hmod`` is backtick-quoted as ONE
+    top-level column name (dots included — ``a.b`` means the column
+    literally named ``a.b``). This differs from ``F.col(str)``, which
+    parses dots as struct-field access; a caller addressing a nested
+    field must pass the Column form (``F.col("s.field")``) instead.
+    Every internal caller passes simple top-level names."""
     a, b = _minhash_params(num_hashes, seed)
     if isinstance(hmod, str):
         # build the num_hashes-wide expression as ONE SQL string: the
@@ -939,10 +946,19 @@ def ngram_jaccard_pairs(
         )
         if (raw["kind"] == 2).any():
             pass  # a single partition's vocabulary overflowed: SPARSE
-        elif len(raw) >= K:
+        elif (
+            len(raw) >= K
+            or int((raw["kind"] == 0).sum()) > allpairs_max_docs
+        ):
             # over the all-pairs doc cap (or truncated): the corpus is
             # too big for the driver kernel; probe below decides the
-            # prefix-join verify regime
+            # prefix-join verify regime. The DOC-row count is checked
+            # directly, not just len(raw) >= K: K budgets one vocab row
+            # per partition, but EMPTY partitions emit no vocab row, so
+            # a frame with up to n_parts doc rows beyond the cap could
+            # otherwise read as 'complete' and overshoot the documented
+            # driver-collect bound by the partition count (results stay
+            # exact either way — this pins the collect budget).
             need_large_probe = True
         else:
             # complete frame: union the local vocabularies

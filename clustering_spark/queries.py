@@ -172,7 +172,15 @@ def load_spread(
     at 32 partitions -> 6.1-6.9 s at the derived ~16-25). Callers
     whose per-byte cost is far above the shingle rate (codec/blob
     kernels) pass a smaller ``bytes_per_task``. Non-local paths fall
-    back to full parallelism."""
+    back to full parallelism.
+
+    NOTE: ``input_bytes`` is the COMPRESSED on-disk parquet size while
+    the per-byte kernel rates are measured on decompressed text — a
+    highly compressible column under-partitions CPU-heavy stages by
+    the compression ratio. The default target already bakes in the
+    bench corpus's ~2-4x text ratio; a caller with extreme-ratio data
+    should scale its ``bytes_per_task`` accordingly. Perf heuristic
+    only — the clamp still lands at full parallelism at real scale."""
     import os
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -105,9 +105,16 @@ def get_spark(
     # cluster: tasks-per-executor = cores there too. The DRIVER process
     # is deliberately untouched — driver-side numpy (bench calibration,
     # bounded collect kernels) keeps the full machine.
-    blas_threads = os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1")
+    # Per-variable default: SPARK_GRAFT_WORKER_BLAS_THREADS wins, then a
+    # value the user already exported for THIS process (someone who set
+    # OMP_NUM_THREADS=4 chose an oversubscription posture — don't
+    # silently override it in workers), then the pinned 1.
+    blas_threads = os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS")
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-        builder = builder.config(f"spark.executorEnv.{var}", blas_threads)
+        builder = builder.config(
+            f"spark.executorEnv.{var}",
+            blas_threads or os.environ.get(var, "1"),
+        )
     pools = _fair_pools_file()
     if pools:
         builder = builder.config("spark.scheduler.allocation.file", pools)

@@ -1167,3 +1167,44 @@ def test_dedup_by_component_keep_label_matches_assign(spark):
     assert got.columns == ["doc_id", "v", "component"]
     with pytest.raises(ValueError, match="'v'"):
         dedup_by_component(df, "doc_id", comp, keep_label="v")
+
+
+def test_ngram_dense_doc_cap_honored_with_empty_partitions(spark):
+    """The fused dense frame's completeness check must bound the
+    DRIVER-COLLECTED DOC ROWS at allpairs_max_docs directly: the limit
+    K budgets one vocab row per partition, but EMPTY partitions emit
+    no vocab row, so a frame with up to n_parts doc rows beyond the
+    cap used to read as 'complete' and overshoot the documented
+    collect budget (round-17 ADVICE item). With many empty partitions
+    and doc count just above the cap, the operator must fall through
+    to the prefix join — and return the same pairs either way."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(6),
+            "text": [f"abcdefgh{i % 2}" * 3 for i in range(6)],
+        }
+    )
+    # 6 docs over 16 partitions -> >= 10 empty partitions; cap of 4
+    # is exceeded by doc rows (6) but NOT by len(raw) = 6 + <=6 vocab
+    # rows < K = 4 + 1 + 16
+    docs = spark.createDataFrame(pdf).repartition(16)
+    kw = dict(n=5, jaccard_threshold=0.3)
+    # n_docs is deliberately UNKNOWN (None): a caller-declared count
+    # above the cap skips the dense attempt upfront — the guard under
+    # test is the fused FRAME's own completeness check
+    capped_df = dedup.ngram_jaccard_pairs(
+        docs, "id", "text", allpairs_max_docs=4, **kw
+    )
+    # results are exact on BOTH paths, so pin the PATH: over-cap must
+    # fall through to the prefix join (a driver-kernel task frame scans
+    # an ExistingRDD; the prefix join never does)
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan, "dense driver kernel ran over the doc cap"
+    capped = capped_df.toPandas()
+    dense = dedup.ngram_jaccard_pairs(docs, "id", "text", **kw).toPandas()
+    key = ["id_a", "id_b"]
+    assert sorted(map(tuple, capped[key].values)) == sorted(
+        map(tuple, dense[key].values)
+    )

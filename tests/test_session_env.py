@@ -33,5 +33,11 @@ def test_worker_blas_threads_pinned(spark):
     [row] = (
         spark.range(1).select(F.pandas_udf(probe, "string")(F.col("id"))).collect()
     )
-    expected = spark.conf.get("spark.executorEnv.OMP_NUM_THREADS")
-    assert row[0] == "/".join([expected] * 3)
+    # each variable is pinned to ITS OWN conf value (the defaults may
+    # differ per variable when the launching shell pre-exported one —
+    # get_spark defers to a user's explicit oversubscription choice)
+    expected = [
+        spark.conf.get(f"spark.executorEnv.{v}")
+        for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS")
+    ]
+    assert row[0] == "/".join(expected)
