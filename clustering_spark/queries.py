@@ -1695,11 +1695,15 @@ def q_media_metadata(spark, sf_dir):
         synthetic_media_blob,
     )
 
-    # blob synthesis + codec decode run ~two orders of magnitude more
-    # Python CPU per input byte than the shingle kernels, so the spread
-    # targets much smaller tasks (keeps the gate-scale 65 KB table on
-    # every core instead of 2-3)
-    d = load_spread(spark, sf_dir, "documents", bytes_per_task=2 << 10)
+    # round 17: the round-16 2 KB bytes_per_task special case was
+    # re-measured and REVERTED to the 32 KB default — it was calibrated
+    # before the worker BLAS pin and the single blob build, which
+    # together made each codec task ~10x cheaper, so the dense spread
+    # now just multiplies task-setup floors (interleaved 3-arm A/B:
+    # gate-scale min 1.34 s @ 2 KB -> 0.94 @ 8 KB ~= 0.91 @ 32 KB;
+    # sf0.1 min 1.62 -> 1.25 @ 32 KB). Still clamps to full
+    # parallelism on any real corpus.
+    d = load_spread(spark, sf_dir, "documents")
     meta = media_metadata(
         d.select("doc_id", F.encode("text", "UTF-8").alias("media")),
         "media",
